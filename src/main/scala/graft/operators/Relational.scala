@@ -1,0 +1,484 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage for SURVEY.md §2 — the surface MariaDB
+  * provides in the reference (scans, projections, predicate shapes,
+  * aggregates, joins, windows, set ops, scalar functions) re-expressed
+  * as declarative Spark plans so Catalyst handles pushdown/pruning/join
+  * selection.
+  *
+  * Conventions shared with the DuckDB oracles (driver hash-compares):
+  *  - every double aggregate is rounded (sum order differs between
+  *    engines; inputs have 2 decimals so round-2/4 is stable),
+  *  - timestamps are emitted as unix micros or yyyy-MM-dd strings
+  *    (parquet tz-adjustment + ns/µs truncation differ between engines),
+  *  - every result carries a deterministic total ORDER BY.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** ts → bigint micros, stable across Spark(µs, UTC) and DuckDB. */
+  private def micros(c: Column): Column = unix_micros(c)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: full table scan, all columns (timestamp as date string).
+    // [ref: ha_mytile.cc:1599–1707 scan path; Spark: parquet batch scan]
+    "s1_full_scan" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .withColumn("l_shipdate", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P1: projection pushdown — scan must read only 2 columns.
+    // [ref: ha_mytile.cc:3013–3021 read_set-driven buffers]
+    "p1_projection" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+        .orderBy(col("l_orderkey"), col("l_extendedprice"))),
+
+    // P4: range predicate on the clustering key → pushed to scan.
+    // [ref: ha_mytile.cc:2509–2781 dim ranges]
+    "p4_range_pushdown" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey").between(100L, 500L))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P5: attribute predicates (non-key columns), AND of comparisons.
+    // [ref: QueryCondition, ha_mytile.cc:2509–2781]
+    "p5_attr_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45.0 && col("l_discount") <= 0.02 &&
+          col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P3: OR-combined predicates (reference combines QCs with TILEDB_OR).
+    "p3_or_filter" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F" ||
+          col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // P6: datetime range pushdown (constants converted to column unit).
+    // [ref: cond_push_func_datetime ha_mytile.cc:2032–2310]
+    "p6_datetime_pushdown" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("ship_month")),
+
+    // P9/P4: IN-list → point ranges, deduped.
+    // [ref: get_unique_non_contained_in_ranges mytile-range.cc:647–819]
+    "p9_in_list" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_partkey").isin(1L, 5L, 7L, 7L, 11L, 42L, 99L))
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")),
+
+    // P8: multiple ranges on one column intersected to the tightest.
+    // [ref: merge_ranges mytile-range.h:220–300]
+    "p8_range_merge" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") > 50L && col("o_orderkey") <= 900L &&
+          col("o_orderkey") >= 100L && col("o_orderkey") < 800L)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // String predicates: equality + LIKE prefix (pushable) + suffix.
+    "p_string_pred" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_brand") === "Brand#3" || col("p_type").startsWith("a"))
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey")),
+
+    // IS NULL / IS NOT NULL semantics (reference recognizes but bails;
+    // we evaluate them — nulls synthesized via outer join).
+    "p_null_semantics" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+        .filter(col("n_cust").isNull || col("n_cust") > 2L)
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("n_nationkey")
+    }),
+
+    // A1/A3–A7: aggregate pushdown scope of the reference — SUM/AVG/
+    // MIN/MAX/COUNT, no GROUP BY, single result row.
+    // [ref: mytile_create_group_by_handler ha_mytile.cc:607–715]
+    "a1_agg_nogroup" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        min(col("l_shipdate")).cast("date").cast("string").as("min_ship"),
+        max(col("l_returnflag")).as("max_flag"),
+        count(lit(1)).as("cnt"))),
+
+    // A3+: grouped aggregation (TPC-H Q1 shape) — MariaDB's executor in
+    // the reference, Spark partial+final HashAggregate here.
+    "a3_groupby_q1" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // COUNT(DISTINCT) — exact distinct via expand+two-phase agg.
+    "a4_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))),
+
+    // HAVING → post-aggregation filter.
+    "a5_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("n_orders") >= 3L)
+        .orderBy("o_custkey")),
+
+    // ROLLUP (grouping-sets family; MariaDB WITH ROLLUP equivalent).
+    "a6_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"), col("qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // J1: equi-join small dim table — broadcast hash join, no shuffle of
+    // the big side. [Spark analog of clustered-index lookup join J2]
+    "j1_broadcast_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part").filter(col("p_size") >= 25)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
+    // J2: multi-way join + group + top-k (TPC-H Q3 shape).
+    "j2_multi_join_q3" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // J3: semi join (EXISTS).
+    "j3_semi_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J4: anti join (NOT EXISTS).
+    "j4_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J5: outer join with null-producing side.
+    "j5_outer_join" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val s2 = t(s, d, "supplier")
+      n.join(s2, n("n_nationkey") === s2("s_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("s_name"), lit("none")).as("s_name"))
+        .orderBy("n_nationkey", "s_name")
+    }),
+
+    // J6: row-value IN — (a,b) IN ((…),(…)); reference MRR path
+    // [mysql-test/mytile/t/mrr.test:10–12]. Catalyst rewrites to
+    // struct-IN; stays a pushable point-lookup set.
+    "j6_rowvalue_in" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(struct(col("l_orderkey"), col("l_linenumber")).isin(
+          struct(lit(1L), lit(1)), struct(lit(2L), lit(1)),
+          struct(lit(3L), lit(2)), struct(lit(7L), lit(1))))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // W1: ranking window — top-3 orders per customer.
+    "w1_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("rk"))
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    }),
+
+    // W2: running aggregate window over event time.
+    "w2_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id") < 20L)
+        .select(col("user_id"), col("event_id"), micros(col("ts")).as("ts_us"),
+          round(sum(col("value")).over(w), 2).as("running_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // W3: lag/lead — inter-event gap per user in microseconds.
+    "w3_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .filter(col("user_id") < 10L)
+        .select(col("user_id"), col("event_id"),
+          (micros(col("ts")) - lag(micros(col("ts")), 1).over(w))
+            .as("gap_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ORDER BY + LIMIT (top-k; Spark TakeOrderedAndProject).
+    "o1_orderby_limit" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(25)),
+
+    // Set ops: UNION distinct / INTERSECT / EXCEPT.
+    "set1_union" -> ((s, d) => {
+      val a = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val b = t(s, d, "orders").filter(col("o_totalprice") > 350000.0)
+        .select(col("o_custkey").as("k"))
+      a.union(b).distinct().orderBy("k")
+    }),
+    "set2_intersect" -> ((s, d) => {
+      val a = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val b = t(s, d, "orders").select(col("o_custkey").as("k"))
+      a.intersect(b).orderBy("k")
+    }),
+    "set3_except" -> ((s, d) => {
+      val a = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val b = t(s, d, "orders").select(col("o_custkey").as("k"))
+      a.except(b).orderBy("k")
+    }),
+
+    // Scalar function surface: arithmetic, CASE, string fns, cast,
+    // coalesce, date parts — all codegen'd builtins.
+    "f1_scalar_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          (col("o_totalprice") * 0.1 + 5.0).cast("decimal(18,4)")
+            .cast("string").as("arith"),
+          when(col("o_orderstatus") === "F", "final")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status_word"),
+          upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+          concat(col("o_orderstatus"), lit("-"),
+            col("o_orderpriority")).as("skey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .orderBy("o_orderkey")),
+
+    // Correlated-style scalar subquery: orders above their customer's
+    // average order value (decorrelated by Catalyst into a join).
+    "sq1_scalar_subquery" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val avgs = o.groupBy("o_custkey")
+        .agg(avg(col("o_totalprice")).as("avg_price"))
+      o.join(avgs, Seq("o_custkey"))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // P7 analog: spatial MBR intersection as range pushdown on x/y
+    // columns. [ref: cond_push_func_spatial ha_mytile.cc:2312–2507 —
+    // constant geometry's MBR → BETWEEN on _X/_Y dims]
+    "p7_spatial_mbr" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(graft.functions.Geo.mbrIntersects(
+          col("p_size").cast("double"), col("p_retailprice"),
+          10.0, 40.0, 500.0, 1500.0))
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_full_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "p1_projection" ->
+      "SELECT l_orderkey, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_extendedprice",
+    "p4_range_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey BETWEEN 100 AND 500 ORDER BY l_orderkey, l_linenumber""",
+    "p5_attr_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE l_quantity > 45.0 AND l_discount <= 0.02 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "p3_or_filter" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderstatus = 'F' OR o_totalprice > 400000.0 ORDER BY o_orderkey""",
+    "p6_datetime_pushdown" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, count(*) AS n,
+         round(sum(l_quantity), 2) AS qty FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1 ORDER BY ship_month""",
+    "p9_in_list" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+         WHERE p_partkey IN (1, 5, 7, 7, 11, 42, 99) ORDER BY p_partkey""",
+    "p8_range_merge" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey > 50 AND o_orderkey <= 900 AND o_orderkey >= 100
+         AND o_orderkey < 800 ORDER BY o_orderkey""",
+    "p_string_pred" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+         WHERE p_brand = 'Brand#3' OR p_type LIKE 'a%' ORDER BY p_partkey""",
+    "p_null_semantics" ->
+      """SELECT n_nationkey, n_name, coalesce(n_cust, 0) AS n_cust
+         FROM nation LEFT JOIN
+         (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+         ON n_nationkey = c_nationkey
+         WHERE n_cust IS NULL OR n_cust > 2 ORDER BY n_nationkey""",
+    "a1_agg_nogroup" ->
+      """SELECT round(sum(l_quantity), 2) AS sum_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         strftime(cast(min(l_shipdate) AS date), '%Y-%m-%d') AS min_ship,
+         max(l_returnflag) AS max_flag, count(*) AS cnt FROM lineitem""",
+    "a3_groupby_q1" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "a4_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows FROM lineitem""",
+    "a5_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey""",
+    "a6_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+         coalesce(l_linestatus, '(all)') AS l_linestatus,
+         count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+    "j1_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size >= 25 GROUP BY p_brand ORDER BY p_brand""",
+    "j2_multi_join_q3" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "j3_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         AND o_totalprice > 300000.0) ORDER BY c_custkey""",
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "j5_outer_join" ->
+      """SELECT n_nationkey, n_name, coalesce(s_name, 'none') AS s_name
+         FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+         ORDER BY n_nationkey, s_name""",
+    "j6_rowvalue_in" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE (l_orderkey, l_linenumber) IN ((1,1),(2,1),(3,2),(7,1))
+         ORDER BY l_orderkey, l_linenumber""",
+    "w1_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) x
+         WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""",
+    "w2_window_running" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         FROM events WHERE user_id < 20 ORDER BY user_id, ts_us, event_id""",
+    "w3_window_lag" ->
+      """SELECT user_id, event_id,
+         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS gap_us
+         FROM events WHERE user_id < 10 ORDER BY user_id, event_id""",
+    "o1_orderby_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""",
+    "set1_union" ->
+      """SELECT DISTINCT k FROM (
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000.0) x
+         ORDER BY k""",
+    "set2_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+         INTERSECT SELECT o_custkey FROM orders ORDER BY k""",
+    "set3_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT SELECT o_custkey FROM orders ORDER BY k""",
+    "f1_scalar_funcs" ->
+      """SELECT o_orderkey,
+         cast(cast(o_totalprice * 0.1 + 5.0 AS decimal(18,4)) AS varchar) AS arith,
+         CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
+           ELSE 'other' END AS status_word,
+         upper(substr(o_orderpriority, 1, 4)) AS prio4,
+         o_orderstatus || '-' || o_orderpriority AS skey,
+         year(o_orderdate) AS yr, month(o_orderdate) AS mo
+         FROM orders ORDER BY o_orderkey""",
+    "sq1_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+         JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
+               FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
+         WHERE o_totalprice > avg_price * 1.5 ORDER BY o_orderkey""",
+    "p7_spatial_mbr" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part
+         WHERE p_size BETWEEN 10.0 AND 40.0
+         AND p_retailprice BETWEEN 500.0 AND 1500.0
+         ORDER BY p_partkey"""
+  )
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline operators.
+  *
+  * Everything here composes codegen'd Spark builtins (split, regexp,
+  * higher-order array functions) — no UDFs in the hot path — so plans
+  * stay inside WholeStageCodegen and push work to every executor core.
+  *
+  * Cross-engine determinism: the only hash primitive is [[hash60]],
+  * md5-derived and bit-identical in DuckDB via
+  * `('0x' || substr(md5(s),1,15))::bigint`, which lets the driver's
+  * oracle replicate MinHash/SimHash exactly.
+  */
+object TextFunctions {
+
+  /** Stopword list shared with the oracle SQL (keep in sync). */
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace-normalized lowercase text. */
+  def normText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Deterministic 60-bit hash replicable in DuckDB (15 hex chars of md5
+    * parsed base-16; 60 bits so it always fits a signed long). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alnum runs + individual punctuation marks
+    * (regex kept to ASCII classes so Java and RE2 dialects agree). */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Count of punctuation characters (explicit class, dialect-safe). */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
+
+  /** Count of tokens that are stopwords. */
+  def stopwordCount(c: Column): Column = {
+    val toks = tokens(lower(c))
+    size(filter(toks, t => t.isInCollection(StopWords)))
+  }
+
+  /** Heuristic document quality in [0,1]: length saturation +
+    * stopword-rate band + punctuation sparsity. Mirrored 1:1 in the
+    * oracle SQL — all arithmetic in double, rounded to 4. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / lit(100.0), lit(1.0))
+    val stopTerm =
+      least(stopwordCount(text).cast("double") / greatest(nTok, lit(1.0)) *
+        lit(4.0), lit(1.0))
+    val punctTerm = lit(1.0) -
+      least(punctCount(text).cast("double") / greatest(nTok, lit(1.0)),
+        lit(1.0))
+    round(lit(0.4) * lengthTerm + lit(0.3) * stopTerm + lit(0.3) * punctTerm, 4)
+  }
+
+  /** Content fingerprint: md5 of normalized text (exact-dedup key). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** k-token shingles ("n-grams of tokens"), distinct, space-joined.
+    * Empty array when the document has fewer than k tokens. */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: `n` 60-bit min-hashes over the shingle set.
+    * Seeded by prefixing the shingle with "<i>:" — replicable in SQL.
+    * (At 100 TB scale swap hash60 for xxhash64(seed=i): one cheap hash
+    * per shingle instead of an md5; kept md5 here for oracle parity.) */
+  def minhashSignature(shingleCol: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)), i =>
+      coalesce(
+        array_min(transform(shingleCol,
+          s => hash60(concat(i.cast("string"), lit(":"), s)))),
+        lit(Long.MaxValue)))
+
+  /** 60-bit SimHash over whitespace tokens: bit j is set iff the sum of
+    * (+1/-1 for bit j of each token hash) is positive. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => hash60(t))
+    aggregate(
+      transform(sequence(lit(0), lit(59)), j =>
+        when(
+          aggregate(hashes, lit(0L),
+            (acc, h) => acc +
+              when(call_function("shiftright", h, j)
+                .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+            > 0L,
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` — the four standard
+  * large-corpus techniques, each expressed as a declarative Spark plan:
+  *
+  *  - exact:        hash-groupBy on a normalized-content fingerprint
+  *  - n-gram Jaccard: shingle-inverted-index join (candidates share a
+  *                  shingle) → exact set Jaccard on candidates only
+  *  - MinHash+LSH:  signature → bands → bucket-join candidates → exact
+  *                  Jaccard verify (the 100 TB path: candidate count is
+  *                  ~linear, never O(n²))
+  *  - SimHash:      64→60-bit signatures, banded hamming join
+  *
+  * All hashing is md5-derived ([[graft.functions.TextFunctions.hash60]])
+  * so the DuckDB oracle replays identical bits.
+  */
+object Dedup {
+  private val K = 5 // shingle width (tokens)
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** (doc_id, shingle) inverted index, distinct per doc. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), K)).as("sh"))
+
+  /** Exact-Jaccard pairs (i<j) from a candidate pair set that already
+    * carries shared-shingle counts. */
+  private def jaccardPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val idx = shingleIndex(s, d)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = idx.as("a").join(idx.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "i")
+        .withColumnRenamed("n_sh", "ni"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j")
+        .withColumnRenamed("n_sh", "nj"), "j")
+      .withColumn("jac", col("shared").cast("double") /
+        (col("ni") + col("nj") - col("shared")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: survivors + duplicate count per content fingerprint.
+    "d1_exact_dedup" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("keep_id")),
+
+    // n-gram Jaccard near-dup pairs via shingle-join candidates.
+    "d2_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d, 0.5)),
+
+    // MinHash(64) + LSH(16 bands × 4 rows) candidates, verified with
+    // exact Jaccard ≥ 0.8. Oracle is the *exact* pair set — LSH recall
+    // at j≥0.8 with these parameters is 1 − (1−j⁴)¹⁶ ≥ 1 − 7·10⁻⁶.
+    "d3_minhash_lsh" -> ((s, d) => {
+      val sig = docs(s, d).select(col("doc_id"),
+        minhashSignature(shingles(col("text"), K), 64).as("sig"))
+      // band key = 4 consecutive signature values, string-joined
+      val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)), b =>
+          concat_ws("_", b,
+            element_at(col("sig"), b * 4 + 1),
+            element_at(col("sig"), b * 4 + 2),
+            element_at(col("sig"), b * 4 + 3),
+            element_at(col("sig"), b * 4 + 4)))).as("band"))
+      val cand = bands.as("a").join(bands.as("b"), "band")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      // exact verify on candidates only
+      val sets = docs(s, d).select(col("doc_id"),
+        shingles(col("text"), K).as("sh"))
+      cand
+        .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+        .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+        .withColumn("jac",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))).cast("double"))
+        .filter(col("jac") >= 0.8)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy("i", "j")
+    }),
+
+    // SimHash near-dup pairs: hamming(sig_i, sig_j) ≤ 6. Candidates via
+    // 9-bit band join — 7 bands cover 60 bits, and by pigeonhole ≤6
+    // flipped bits always leave ≥1 band identical, so the banded join
+    // has guaranteed recall (the oracle is the exact O(n²) answer).
+    "d4_simhash_pairs" -> ((s, d) => {
+      val sig = docs(s, d).select(col("doc_id"),
+        simhash(col("text")).as("sim"))
+      val bands = sig.select(col("doc_id"), col("sim"),
+        explode(transform(sequence(lit(0), lit(6)), b =>
+          concat_ws("_", b, call_function("shiftright", col("sim"), b * 9)
+            .bitwiseAND(lit(0x1ffL))))).as("band"))
+      bands.as("a").join(bands.as("b"), "band")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .orderBy("i", "j")
+    })
+  )
+
+  private val shingleSql =
+    """SELECT doc_id, list_distinct(
+         [array_to_string(list_slice(toks, i, i + 4), ' ')
+          for i in range(1, len(toks) - 3)]) AS sh
+       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents)"""
+
+  private def exactJaccardSql(threshold: Double): String =
+    s"""WITH sh AS ($shingleSql)
+       SELECT i, j, round(jac, 6) AS jac FROM (
+         SELECT a.doc_id AS i, b.doc_id AS j,
+           len(list_intersect(a.sh, b.sh))::double /
+           len(list_distinct(list_concat(a.sh, b.sh)))::double AS jac
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) > 0)
+       WHERE jac >= $threshold ORDER BY i, j"""
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "d2_ngram_jaccard" -> exactJaccardSql(0.5),
+    "d3_minhash_lsh" -> exactJaccardSql(0.8),
+    "d4_simhash_pairs" ->
+      """WITH sig AS (
+         SELECT doc_id,
+           list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                                         for h in hashes]) > 0
+                          THEN (1::bigint << j) ELSE 0::bigint END
+                     for j in range(0, 60)])::bigint AS sim
+         FROM (SELECT doc_id,
+           [('0x' || substr(md5(t), 1, 15))::bigint
+            for t in string_split_regex(trim(text), '\s+')] AS hashes
+           FROM documents))
+       SELECT a.doc_id AS i, b.doc_id AS j,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sim, b.sim)) <= 6
+       ORDER BY i, j"""
+  )
+}

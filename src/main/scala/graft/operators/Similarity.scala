@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`array<float>` 64-dim).
+  *
+  * Scale design: the corpus side stays partitioned and is never
+  * collected; the *query* side is small and broadcast. Brute-force is
+  * the exact baseline (one narrow pass per corpus partition —
+  * embarrassingly parallel at 100 TB); the LSH variant buckets both
+  * sides by random-hyperplane signature so each query compares against
+  * a small bucket instead of the full corpus.
+  */
+object Similarity {
+  private val Dim = 64
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding-cosine near-duplicate pairs (exact, threshold 0.45).
+    // O(n²/2) compare expressed as a range self-join; at 100 TB this is
+    // replaced by v3's bucketed variant — kept exact here as the oracle
+    // anchor and correctness baseline.
+    "v1_cosine_neardup" -> ((s, d) => {
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+      a.join(b, col("i") < col("j"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+        .orderBy("i", "j")
+    }),
+
+    // Brute-force cosine top-k: 5 query vectors (vec_id < 5) broadcast
+    // against the corpus; per-query top-10 via window ranking.
+    "v2_ann_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rk")
+    }),
+
+    // LSH-bucketed ANN (the scale path): 8-bit random-hyperplane
+    // signature buckets both sides; query compares only within its
+    // bucket. Approximate — no SQL oracle; recall vs. v2 is asserted
+    // in SimilaritySpec.
+    "v3_ann_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+        .withColumn("bucket", hyperplaneBucket(col("embedding"), Dim, 8))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket"))
+      val scored = e.select(col("vec_id"), col("embedding"), col("bucket"))
+        .join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rk")
+    })
+  )
+
+  /** Shared DuckDB cosine: double-precision, strictly sequential sum —
+    * bit-identical to [[graft.functions.VectorFunctions.cosine]]. */
+  private val cosSql =
+    """list_sum([a.embedding[i]::double * b.embedding[i]::double
+                 for i in range(1, len(a.embedding) + 1)]) /
+       (sqrt(list_sum([a.embedding[i]::double * a.embedding[i]::double
+                 for i in range(1, len(a.embedding) + 1)])) *
+        sqrt(list_sum([b.embedding[i]::double * b.embedding[i]::double
+                 for i in range(1, len(b.embedding) + 1)])))"""
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine_neardup" ->
+      s"""SELECT i, j, round(cos, 6) AS cos FROM (
+         SELECT a.vec_id AS i, b.vec_id AS j, $cosSql AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.45 ORDER BY i, j""",
+    "v2_ann_topk" ->
+      s"""SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
+         SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosSql AS cos,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY $cosSql DESC, b.vec_id) AS rk
+         FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+         JOIN embeddings b ON a.vec_id <> b.vec_id)
+         WHERE rk <= 10 ORDER BY query_id, rk"""
+  )
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, fingerprinting. All pure
+  * column expressions → narrow, shuffle-free, fully codegen'd scans
+  * (at 100 TB these run at parquet-read speed on every executor).
+  */
+object TextOps {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + BPE-ish subword tokens.
+    "t1_token_count" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_subtokens"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length/stopword/punctuation heuristics.
+    "t2_quality_score" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordCount(col("text")).as("n_stop"),
+        punctCount(col("text")).as("n_punct"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Language-ID: marker-stopword scoring with deterministic argmax.
+    // (The reference has no NLP surface; this is a driver-requested
+    // pipeline extension. Heuristic mirrored 1:1 in the oracle.)
+    "t3_langid" -> ((s, d) => {
+      val toks = tokens(lower(col("text")))
+      def score(ws: Seq[String]) =
+        size(filter(toks, t => t.isInCollection(ws))).cast("int")
+      val sEn = score(Seq("the", "and", "of", "is"))
+      val sEs = score(Seq("el", "la", "los", "de"))
+      val sDe = score(Seq("der", "und", "die", "das"))
+      val sFr = score(Seq("le", "et", "les", "une"))
+      docs(s, d).select(
+        col("doc_id"), col("lang"),
+        when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+          .when(sEs >= sDe && sEs >= sFr, "es")
+          .when(sDe >= sFr, "de")
+          .otherwise("fr").as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: md5 of normalized text + 60-bit rolling
+    // token hash (both deterministic, oracle-replicable).
+    "t4_fingerprint" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        hash60(normText(col("text"))).as("fp60"))
+        .orderBy("doc_id")),
+
+    // SimHash signatures (rows checked exactly via the md5-derived
+    // token hashes — DuckDB replays the same bit arithmetic).
+    "t5_simhash" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        simhash(col("text")).as("sim"))
+        .orderBy("doc_id"))
+  )
+
+  private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+         FROM documents ORDER BY doc_id""",
+    "t2_quality_score" ->
+      s"""SELECT doc_id, n_tokens, n_stop, n_punct,
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0) * 4.0, 1.0)
+             + 0.3 * (1.0 - least(n_punct::double / greatest(n_tokens::double, 1.0), 1.0)),
+           4) AS quality
+         FROM (SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len([t for t in string_split_regex(trim(lower(text)), '\\s+')
+                if t IN ($stopList)]) AS n_stop,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+           FROM documents)
+         ORDER BY doc_id""",
+    "t3_langid" ->
+      """SELECT doc_id, lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS lang_pred
+         FROM (SELECT doc_id, lang,
+           len([t for t in toks if t IN ('the','and','of','is')]) AS s_en,
+           len([t for t in toks if t IN ('el','la','los','de')]) AS s_es,
+           len([t for t in toks if t IN ('der','und','die','das')]) AS s_de,
+           len([t for t in toks if t IN ('le','et','les','une')]) AS s_fr
+           FROM (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+             FROM documents))
+         ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         ('0x' || substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 15))::bigint AS fp60
+         FROM documents ORDER BY doc_id""",
+    "t5_simhash" ->
+      """SELECT doc_id,
+         list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                                       for h in hashes]) > 0
+                        THEN (1::bigint << j) ELSE 0::bigint END
+                   for j in range(0, 60)])::bigint AS sim
+         FROM (SELECT doc_id,
+           [('0x' || substr(md5(t), 1, 15))::bigint
+            for t in string_split_regex(trim(text), '\s+')] AS hashes
+           FROM documents)
+         ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end checks for operators the DuckDB oracle can't express,
+  * plus plan-shape assertions (pushdown/broadcast) that guard the
+  * 100 TB scale properties. */
+class OperatorsSpec extends SparkSpec {
+
+  test("every registered query runs and is non-degenerate at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("v3_ann_lsh results are a subset of v2 brute-force ranking pool") {
+    val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Similarity.queries("v3_ann_lsh")(spark, sf)
+      .select("query_id", "vec_id", "cos").collect()
+    assert(lsh.nonEmpty, "LSH returned nothing")
+    // every LSH hit with cos >= the brute-force 10th cos must be in brute set
+    val bruteMin = operators.Similarity.queries("v2_ann_topk")(spark, sf)
+      .groupBy("query_id").agg(min("cos").as("mn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lsh.foreach { r =>
+      val (q, v, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      if (c > bruteMin(q))
+        assert(brute.contains((q, v)), s"LSH pair ($q,$v) cos=$c missing from brute force")
+    }
+  }
+
+  test("multimodal decode stub round-trips header and byte stats") {
+    val m = operators.Multimodal.decodeOne(7L,
+      Array[Byte](0, 0, 0, 3, 0, 0, 0, 2) ++ "abc".getBytes("UTF-8"))
+    assert(m.width == 3 && m.height == 2 && m.n_bytes == 11)
+    assert(math.abs(m.mean_byte - ("abc".getBytes.map(_.toInt).sum / 3.0)) < 1e-9)
+  }
+
+  test("frame sampling stub produces 16-byte frames") {
+    val docs = Tables.load(spark, sf, "documents").limit(10)
+    val media = docs.select(col("doc_id"),
+      concat(lit(Array.fill[Byte](8)(0)), encode(col("text"), "UTF-8")).as("media"))
+    val frames = operators.Multimodal.sampleFrames(media, 2)
+    assert(frames.count() > 0)
+    val lens = frames.select(length(col("frame"))).distinct()
+      .collect().map(_.getInt(0))
+    assert(lens.forall(_ <= 16))
+  }
+
+  test("simhash of identical text is identical; small edits stay near") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val sims = df.select(col("doc_id"),
+      functions.TextFunctions.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 12)
+  }
+
+  test("p4 range predicate reaches the parquet scan (PushedFilters)") {
+    val df = operators.Relational.queries("p4_range_pushdown")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_orderkey,100)"), plan.take(2000))
+  }
+
+  test("j1 join broadcasts the small dimension side") {
+    val df = operators.Relational.queries("j1_broadcast_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("p1 projection prunes the parquet read schema to 2 columns") {
+    val df = operators.Relational.queries("p1_projection")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_orderkey") && scan.contains("l_extendedprice")
+      && !scan.contains("l_quantity"), scan)
+  }
+}

@@ -1,0 +1,187 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** The array-as-table data model (SURVEY §1): dimensions (the
+  * coordinate/clustering key and pushdown target) + attributes (typed,
+  * nullable, with fill-value defaults), dense or sparse, fragments as
+  * immutable timestamped commits.
+  *
+  * Persisted layout under a table URI:
+  * {{{
+  *   _schema/<ts>.json          // schema versions (evolution + travel)
+  *   _fragments/<ts>_<id>.json  // one manifest per committed fragment
+  *   _meta/<ts>.json            // key/value metadata commits
+  *   frag_<id>/part-….parquet   // columnar cell data
+  * }}}
+  */
+object ArrayKind extends Enumeration { val Dense, Sparse = Value }
+
+/** Dimension: typed coordinate with optional domain + tile extent
+  * [ref: mytile.h:30–36, create_field_dimension mytile.cc:580–668]. */
+case class DimensionSpec(
+    name: String,
+    dataType: DataType,
+    lowerBound: Option[String] = None,
+    upperBound: Option[String] = None,
+    tileExtent: Option[Long] = None)
+
+/** Attribute: nullable column with optional fill value (SQL DEFAULT ⇄
+  * TileDB fill [ha_mytile.cc:1313–1326]) and optional enumeration
+  * [ha_mytile.cc:1330–1351]. */
+case class AttributeSpec(
+    name: String,
+    dataType: DataType,
+    nullable: Boolean = true,
+    fillValue: Option[String] = None,
+    enumValues: Seq[String] = Nil)
+
+case class ArraySchema(
+    kind: ArrayKind.Value,
+    dims: Seq[DimensionSpec],
+    attrs: Seq[AttributeSpec],
+    capacity: Long = 10000L, // sparse cells/tile default [ha_mytile.cc:69]
+    cellOrder: String = "ROW_MAJOR",
+    tileOrder: String = "ROW_MAJOR",
+    allowsDups: Boolean = false) {
+
+  def dimNames: Seq[String] = dims.map(_.name)
+  def columnNames: Seq[String] = dims.map(_.name) ++ attrs.map(_.name)
+
+  def dataTypeOf(name: String): DataType =
+    dims.find(_.name == name).map(_.dataType)
+      .orElse(attrs.find(_.name == name).map(_.dataType))
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+
+  /** Spark schema; dimension-ness and bounds ride in column metadata. */
+  def toStruct: StructType = StructType(
+    dims.map { d =>
+      val mb = new MetadataBuilder().putBoolean("graft.dimension", true)
+      d.lowerBound.foreach(mb.putString("graft.lower_bound", _))
+      d.upperBound.foreach(mb.putString("graft.upper_bound", _))
+      d.tileExtent.foreach(mb.putLong("graft.tile_extent", _))
+      StructField(d.name, d.dataType, nullable = false, mb.build())
+    } ++ attrs.map { a =>
+      val mb = new MetadataBuilder()
+      a.fillValue.foreach(mb.putString("graft.fill_value", _))
+      if (a.enumValues.nonEmpty)
+        mb.putStringArray("graft.enum_values", a.enumValues.toArray)
+      StructField(a.name, a.dataType, a.nullable, mb.build())
+    })
+}
+
+/** One immutable fragment: files + row count + per-column stats
+  * (MBRs for dims = pruning; min/max/sum/nullCount for attrs =
+  * aggregate pushdown fast path). */
+case class ColumnStats(
+    min: Option[String], max: Option[String],
+    nullCount: Long, sumLong: Option[Long], sumDouble: Option[Double])
+
+case class FragmentMeta(
+    id: String,
+    timestamp: Long, // commit time, millis — the time-travel axis
+    files: Seq[String], // relative to table URI
+    rows: Long,
+    stats: Map[String, ColumnStats])
+
+object ArraySchemaJson {
+  private val M = new ObjectMapper()
+
+  def toJson(s: ArraySchema): String = {
+    val root = M.createObjectNode()
+    root.put("kind", s.kind.toString)
+    root.put("capacity", s.capacity)
+    root.put("cellOrder", s.cellOrder)
+    root.put("tileOrder", s.tileOrder)
+    root.put("allowsDups", s.allowsDups)
+    val dims = root.putArray("dims")
+    s.dims.foreach { d =>
+      val n = dims.addObject()
+      n.put("name", d.name); n.put("type", d.dataType.json)
+      d.lowerBound.foreach(n.put("lowerBound", _))
+      d.upperBound.foreach(n.put("upperBound", _))
+      d.tileExtent.foreach(n.put("tileExtent", _))
+    }
+    val attrs = root.putArray("attrs")
+    s.attrs.foreach { a =>
+      val n = attrs.addObject()
+      n.put("name", a.name); n.put("type", a.dataType.json)
+      n.put("nullable", a.nullable)
+      a.fillValue.foreach(n.put("fillValue", _))
+      if (a.enumValues.nonEmpty) {
+        val e = n.putArray("enumValues"); a.enumValues.foreach(e.add)
+      }
+    }
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromJson(json: String): ArraySchema = {
+    val r = M.readTree(json)
+    def optS(n: JsonNode, f: String) =
+      if (n.has(f)) Some(n.get(f).asText) else None
+    val dims = r.get("dims").elements().asScala.toSeq.map { n =>
+      DimensionSpec(n.get("name").asText,
+        DataType.fromJson(n.get("type").asText),
+        optS(n, "lowerBound"), optS(n, "upperBound"),
+        if (n.has("tileExtent")) Some(n.get("tileExtent").asLong) else None)
+    }
+    val attrs = r.get("attrs").elements().asScala.toSeq.map { n =>
+      AttributeSpec(n.get("name").asText,
+        DataType.fromJson(n.get("type").asText),
+        n.get("nullable").asBoolean,
+        optS(n, "fillValue"),
+        if (n.has("enumValues"))
+          n.get("enumValues").elements().asScala.map(_.asText).toSeq
+        else Nil)
+    }
+    ArraySchema(ArrayKind.withName(r.get("kind").asText), dims, attrs,
+      r.get("capacity").asLong, r.get("cellOrder").asText,
+      r.get("tileOrder").asText, r.get("allowsDups").asBoolean)
+  }
+
+  def fragmentToJson(f: FragmentMeta): String = {
+    val root = M.createObjectNode()
+    root.put("id", f.id); root.put("timestamp", f.timestamp)
+    root.put("rows", f.rows)
+    val files = root.putArray("files"); f.files.foreach(files.add)
+    val stats = root.putObject("stats")
+    f.stats.foreach { case (c, st) =>
+      val n = stats.putObject(c)
+      st.min.foreach(n.put("min", _)); st.max.foreach(n.put("max", _))
+      n.put("nullCount", st.nullCount)
+      st.sumLong.foreach(n.put("sumLong", _))
+      st.sumDouble.foreach(n.put("sumDouble", _))
+    }
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fragmentFromJson(json: String): FragmentMeta = {
+    val r = M.readTree(json)
+    val stats = r.get("stats").properties().asScala.map { e =>
+      val n = e.getValue
+      e.getKey -> ColumnStats(
+        if (n.has("min")) Some(n.get("min").asText) else None,
+        if (n.has("max")) Some(n.get("max").asText) else None,
+        n.get("nullCount").asLong,
+        if (n.has("sumLong")) Some(n.get("sumLong").asLong) else None,
+        if (n.has("sumDouble")) Some(n.get("sumDouble").asDouble) else None)
+    }.toMap
+    FragmentMeta(r.get("id").asText, r.get("timestamp").asLong,
+      r.get("files").elements().asScala.map(_.asText).toSeq,
+      r.get("rows").asLong, stats)
+  }
+
+  def metaToJson(kv: Map[String, String]): String = {
+    val root = M.createObjectNode()
+    kv.foreach { case (k, v) => root.put(k, v) }
+    M.writeValueAsString(root)
+  }
+
+  def metaFromJson(json: String): Map[String, String] = {
+    val r = M.readTree(json)
+    r.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  }
+}

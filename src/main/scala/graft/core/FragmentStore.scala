@@ -1,0 +1,107 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Fragment/schema/metadata persistence over Hadoop `FileSystem` (works
+  * on local FS now, object stores at 100 TB — everything is
+  * append-only files, no read-modify-write, so commits are atomic at
+  * the single-file level exactly like the reference's fragment
+  * directories [ha_mytile.cc write path §3.3]).
+  *
+  * Time travel = filter commits by `timestamp <= asOf`
+  * [ref: open_at, ha_mytile.cc:3440–3455].
+  */
+class FragmentStore(uri: String, conf: Configuration) {
+  private val root = new Path(uri)
+  private val fs: FileSystem = root.getFileSystem(conf)
+
+  private def schemaDir = new Path(root, "_schema")
+  private def fragDir = new Path(root, "_fragments")
+  private def metaDir = new Path(root, "_meta")
+
+  def exists(): Boolean = fs.exists(schemaDir)
+
+  private def write(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def read(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def list(dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+
+  // ---- schema versions (evolution keeps history; travel picks by ts) --
+
+  def createTable(schema: ArraySchema, ts: Long): Unit = {
+    if (exists())
+      throw new IllegalStateException(s"array already exists at $uri")
+    fs.mkdirs(schemaDir); fs.mkdirs(fragDir); fs.mkdirs(metaDir)
+    write(new Path(schemaDir, f"$ts%020d.json"), ArraySchemaJson.toJson(schema))
+  }
+
+  def evolveSchema(schema: ArraySchema, ts: Long): Unit =
+    write(new Path(schemaDir, f"$ts%020d.json"), ArraySchemaJson.toJson(schema))
+
+  def loadSchema(asOf: Option[Long] = None): ArraySchema = {
+    val versions = list(schemaDir)
+    if (versions.isEmpty)
+      throw new IllegalStateException(s"no graft array at $uri")
+    val eligible = asOf match {
+      case Some(ts) => versions.filter(p => tsOf(p) <= ts)
+      case None => versions
+    }
+    val chosen = if (eligible.nonEmpty) eligible.last else versions.head
+    ArraySchemaJson.fromJson(read(chosen))
+  }
+
+  private def tsOf(p: Path): Long =
+    p.getName.stripSuffix(".json").split('_').head.toLong
+
+  // ---- fragments ----------------------------------------------------
+
+  def commitFragment(meta: FragmentMeta): Unit =
+    write(new Path(fragDir, f"${meta.timestamp}%020d_${meta.id}.json"),
+      ArraySchemaJson.fragmentToJson(meta))
+
+  /** Fragments visible at `asOf` (epoch-0 reads nothing, matching
+    * t/open_at.test). Ordered by commit timestamp. */
+  def listFragments(asOf: Option[Long] = None): Seq[FragmentMeta] = {
+    val all = list(fragDir).map(p => ArraySchemaJson.fragmentFromJson(read(p)))
+    val vis = asOf match {
+      case Some(ts) => all.filter(_.timestamp <= ts)
+      case None => all
+    }
+    vis.sortBy(f => (f.timestamp, f.id))
+  }
+
+  // ---- key/value metadata [ref: mytile-metadata.cc:40–105] ----------
+
+  def putMetadata(kv: Map[String, String], ts: Long): Unit =
+    write(new Path(metaDir, f"$ts%020d.json"), ArraySchemaJson.metaToJson(kv))
+
+  /** Merged metadata, later commits win per key. */
+  def loadMetadata(asOf: Option[Long] = None): Map[String, String] = {
+    val files = list(metaDir).filter(p => asOf.forall(tsOf(p) <= _))
+    files.foldLeft(Map.empty[String, String]) { (acc, p) =>
+      acc ++ ArraySchemaJson.metaFromJson(read(p))
+    }
+  }
+
+  // ---- misc ---------------------------------------------------------
+
+  def tableUri: String = uri
+  def fragmentDataDir(fragId: String): Path = new Path(root, s"frag_$fragId")
+  def fileSystem: FileSystem = fs
+
+  def dropTable(): Unit = fs.delete(root, true)
+}

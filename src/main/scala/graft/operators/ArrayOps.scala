@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.core._
+import graft.sources.GraftArray
+
+/** Connector round-trips for the driver's oracle gate: every query
+  * creates a fresh graft array from a source parquet table, pushes data
+  * through the fragment-write path, reads it back through the DSv2
+  * scan (pushdown and all), and the DuckDB oracle states what the
+  * result must equal in plain SQL over the original table. This proves
+  * S1/S7/S8/S10/S12, P1–P5/P8–P10 and A1–A7 end-to-end, not just in
+  * unit tests.
+  */
+object ArrayOps {
+
+  private def freshUri(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString + "/arr"
+
+  private val lineitemSchema = ArraySchema(
+    kind = ArrayKind.Sparse,
+    dims = Seq(
+      DimensionSpec("l_orderkey", LongType),
+      DimensionSpec("l_linenumber", IntegerType)),
+    attrs = Seq(
+      AttributeSpec("l_quantity", DoubleType),
+      AttributeSpec("l_extendedprice", DoubleType),
+      AttributeSpec("l_returnflag", StringType),
+      AttributeSpec("l_shipdate", TimestampType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S10+S8+S1+P4/P5: create array ← lineitem, scan back with dim
+    // range + attr predicate pushed into the array reader.
+    "arr1_roundtrip_filter" -> ((s, d) => {
+      val uri = freshUri("rt")
+      GraftArray.create(s, uri, lineitemSchema)
+      GraftArray.write(s, uri, Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate"))
+      s.read.format("graftarray").option("path", uri).load()
+        .filter(col("l_orderkey").between(100L, 2000L) &&
+          col("l_returnflag") === "A" && col("l_quantity") > 10.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A1–A7: aggregates answered from fragment statistics (stats-only
+    // scan — see ArrayConnectorSpec plan assertion).
+    "arr2_agg_pushdown" -> ((s, d) => {
+      val uri = freshUri("agg")
+      GraftArray.create(s, uri, lineitemSchema)
+      GraftArray.write(s, uri, Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate"))
+      s.read.format("graftarray").option("path", uri).load()
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"))
+    }),
+
+    // S7: two fragments, read as-of the first commit.
+    "arr3_timetravel" -> ((s, d) => {
+      val uri = freshUri("tt")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("o_orderkey", LongType)),
+        Seq(AttributeSpec("o_totalprice", DoubleType),
+          AttributeSpec("o_orderstatus", StringType)))
+      GraftArray.create(s, uri, sch)
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val t1 = GraftArray.write(s, uri, orders.filter(col("o_orderkey") <= 500L))
+      GraftArray.write(s, uri, orders.filter(col("o_orderkey") > 500L))
+      // full view has all rows; as-of t1 only the first commit
+      val asOf = s.read.format("graftarray").option("path", uri)
+        .option("asOfTimestamp", t1.toString).load()
+      asOf.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Latest-wins fragment semantics: second overlapping fragment
+    // overwrites every 10th customer's balance with 2×.
+    "arr4_latest_wins" -> ((s, d) => {
+      val uri = freshUri("lw")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("c_custkey", LongType)),
+        Seq(AttributeSpec("c_acctbal", DoubleType),
+          AttributeSpec("c_name", StringType)))
+      GraftArray.create(s, uri, sch)
+      val cust = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_acctbal", "c_name")
+      GraftArray.write(s, uri, cust)
+      GraftArray.write(s, uri, cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2))
+      s.read.format("graftarray").option("path", uri).load()
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // S12: add a column with a fill value; old fragment reads the fill,
+    // new fragment carries real values.
+    "arr5_evolution" -> ((s, d) => {
+      val uri = freshUri("evo")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("n_nationkey", IntegerType)),
+        Seq(AttributeSpec("n_name", StringType)))
+      GraftArray.create(s, uri, sch)
+      val nation = Tables.load(s, d, "nation")
+      GraftArray.write(s, uri,
+        nation.filter(col("n_nationkey") < 10).select("n_nationkey", "n_name"))
+      GraftArray.addColumn(s, uri,
+        AttributeSpec("region", IntegerType, nullable = true,
+          fillValue = Some("-1")))
+      GraftArray.write(s, uri,
+        nation.filter(col("n_nationkey") >= 10)
+          .select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey").as("region")))
+      GraftArray.load(s, uri)
+        .select("n_nationkey", "n_name", "region")
+        .orderBy("n_nationkey")
+    }),
+
+    // S6: metadata key/value virtual table.
+    "arr6_metadata" -> ((s, d) => {
+      val uri = freshUri("meta")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("k", LongType)),
+        Seq(AttributeSpec("v", StringType)))
+      GraftArray.create(s, uri, sch)
+      GraftArray.putMetadata(s, uri, Map("engine" -> "graft", "version" -> "0"))
+      GraftArray.putMetadata(s, uri, Map("version" -> "1"))
+      GraftArray.metadata(s, uri).orderBy("key")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "arr1_roundtrip_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 100 AND 2000 AND l_returnflag = 'A'
+         AND l_quantity > 10.0
+         ORDER BY l_orderkey, l_linenumber""",
+    "arr2_agg_pushdown" ->
+      """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         round(avg(l_extendedprice), 4) AS avg_price FROM lineitem""",
+    "arr3_timetravel" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+         WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
+    "arr4_latest_wins" ->
+      """SELECT c_custkey,
+         round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+                    ELSE c_acctbal END, 2) AS bal
+         FROM customer ORDER BY c_custkey""",
+    "arr5_evolution" ->
+      """SELECT n_nationkey, n_name,
+         CASE WHEN n_nationkey < 10 THEN -1 ELSE n_regionkey END AS region
+         FROM nation ORDER BY n_nationkey""",
+    "arr6_metadata" ->
+      """SELECT * FROM (VALUES ('engine', 'graft'), ('version', '1'))
+         t(key, value) ORDER BY key"""
+  )
+}

@@ -1,0 +1,283 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+
+/** User-facing array-table API — the Spark rebuild of the reference's
+  * handler surface: CREATE (S10), INSERT-as-fragment (S8/S9), scan with
+  * fragment semantics (S1), time travel (S7), metadata table (S6),
+  * schema evolution (S12), DROP (S11).
+  *
+  * Reads are plain declarative DataFrame plans over the fragment
+  * parquet, so Catalyst drives pushdown/pruning; fragment-level pruning
+  * and latest-wins dedup are the two pieces the reference implements in
+  * its storage layer and we add on top:
+  *
+  *  - **latest-wins** [SURVEY §1.1 fragments]: newer fragment overwrites
+  *    older at equal coordinates when `allowsDups=false`. When fragment
+  *    MBRs are pairwise disjoint over the dims this is a no-op and the
+  *    scan stays shuffle-free; only overlapping fragments pay a
+  *    window-dedup — the 100 TB design is tile-aligned writes so
+  *    overlap is rare (SURVEY §7.4.4).
+  *  - **dense fill values**: unwritten cells of a dense array's domain
+  *    materialize as fill values [ha_mytile.cc:1088–1164], via a
+  *    generated coordinate grid left-joined to written cells.
+  */
+object GraftArray {
+
+  // ---- DDL ----------------------------------------------------------
+
+  def create(spark: SparkSession, uri: String, schema: ArraySchema): Unit =
+    store(spark, uri).createTable(schema, now())
+
+  def drop(spark: SparkSession, uri: String, deleteArrays: Boolean = true): Unit =
+    // honors the reference's mytile_delete_arrays gate [ha_mytile.cc:2903]
+    if (deleteArrays) store(spark, uri).dropTable()
+
+  def exists(spark: SparkSession, uri: String): Boolean =
+    store(spark, uri).exists()
+
+  /** ALTER TABLE ADD COLUMN (schema evolution, S12). Existing fragments
+    * keep their files; reads reconcile via fill value / null. */
+  def addColumn(spark: SparkSession, uri: String, attr: AttributeSpec): Unit = {
+    val st = store(spark, uri)
+    val s = st.loadSchema()
+    require(!s.columnNames.contains(attr.name), s"column ${attr.name} exists")
+    st.evolveSchema(s.copy(attrs = s.attrs :+ attr), now())
+  }
+
+  /** ALTER TABLE DROP COLUMN (attributes only — dims are the key). */
+  def dropColumn(spark: SparkSession, uri: String, name: String): Unit = {
+    val st = store(spark, uri)
+    val s = st.loadSchema()
+    require(s.attrs.exists(_.name == name), s"no attribute $name")
+    st.evolveSchema(s.copy(attrs = s.attrs.filterNot(_.name == name)), now())
+  }
+
+  // ---- write (INSERT → new immutable fragment) ----------------------
+
+  /** Append `df` as one fragment. Null dimension values are rejected
+    * (dims are the coordinate key [ha_mytile.cc:3166–3171]). Returns
+    * the fragment timestamp (time-travel handle). */
+  def write(spark: SparkSession, uri: String, df: DataFrame): Long = {
+    val st = store(spark, uri)
+    val schema = st.loadSchema()
+    val cols = schema.columnNames
+    require(df.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch: ${df.columns.toSeq.sorted} vs ${cols.sorted}")
+
+    val fragId = java.util.UUID.randomUUID.toString.take(12)
+    val dataDir = st.fragmentDataDir(fragId)
+
+    // null-dim guard computed inside the same write pass
+    val guarded = schema.dims.foldLeft(df.select(cols.map(col): _*)) {
+      (d, dim) =>
+        d.withColumn(dim.name,
+          when(col(dim.name).isNull,
+            raise_error(lit(s"null value in dimension ${dim.name}")))
+            .otherwise(col(dim.name)))
+    }
+    guarded.write.mode("errorifexists").parquet(dataDir.toString)
+
+    // fragment stats from parquet footers (no data re-read) + sums for
+    // the aggregate-pushdown fast path (one columnar mini-agg)
+    val fs = st.fileSystem
+    val files = fs.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    val struct = schema.toStruct
+    val (rows, footerStats) =
+      ParquetStats.collect(files, struct, spark.sparkContext.hadoopConfiguration)
+    val numeric = struct.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
+    })
+    val sums: Map[String, (Option[Long], Option[Double])] =
+      if (numeric.isEmpty || rows == 0) Map.empty
+      else {
+        val aggs = numeric.map(f => sum(col(f.name)).as(f.name))
+        val row = spark.read.schema(struct).parquet(dataDir.toString)
+          .agg(aggs.head, aggs.tail: _*).collect()(0)
+        numeric.zipWithIndex.map { case (f, i) =>
+          f.name -> (f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              (Option(row.get(i)).map(_.asInstanceOf[Number].longValue()), None)
+            case _ =>
+              (None, Option(row.get(i)).map(_.asInstanceOf[Number].doubleValue()))
+          })
+        }.toMap
+      }
+    val stats = footerStats.map { case (c, s0) =>
+      val (sl, sd) = sums.getOrElse(c, (None, None))
+      c -> s0.copy(sumLong = sl, sumDouble = sd)
+    }
+    val ts = now()
+    st.commitFragment(FragmentMeta(fragId, ts,
+      files.map(f => s"frag_$fragId/${f.getName}"), rows, stats))
+    ts
+  }
+
+  // ---- read ---------------------------------------------------------
+
+  /** Scan the array as a DataFrame.
+    *
+    * @param asOf   time-travel timestamp (millis); fragments committed
+    *               after it are invisible [open_at semantics]
+    * @param materializeFills dense arrays: generate unwritten cells of
+    *               the bounded domain with attribute fill values
+    */
+  def load(spark: SparkSession, uri: String, asOf: Option[Long] = None,
+      materializeFills: Boolean = false): DataFrame = {
+    val st = store(spark, uri)
+    val schema = st.loadSchema(asOf)
+    val frags = st.listFragments(asOf)
+    val struct = schema.toStruct
+    if (frags.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
+
+    val paths = frags.flatMap(f => f.files.map(rel => s"$uri/$rel"))
+    // explicit schema → old fragments lacking evolved columns read null,
+    // dropped columns are simply not requested
+    var df = spark.read.schema(struct).parquet(paths: _*)
+
+    // evolved-column fill values for pre-evolution fragments
+    schema.attrs.foreach { a =>
+      a.fillValue.foreach { fv =>
+        df = df.withColumn(a.name,
+          coalesce(col(a.name), lit(TypedValue.parse(a.dataType, fv))
+            .cast(a.dataType)))
+      }
+    }
+
+    val deduped =
+      if (schema.allowsDups || frags.size <= 1 ||
+        FragmentPruning.pairwiseDisjoint(frags, schema)) df
+      else {
+        // latest-wins: newer fragment overwrites equal coordinates.
+        // _frag_ts derived from the file path → no extra column storage.
+        val tsById = frags.map(f => (f.id, f.timestamp))
+        val tsMap = map(tsById.flatMap {
+          case (id, ts) => Seq(lit(id), lit(ts)) }: _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(schema.dimNames.map(col): _*)
+          .orderBy(col("_frag_ts").desc)
+        df.withColumn("_frag_id",
+            regexp_extract(input_file_name(), "frag_([^/]+)/", 1))
+          .withColumn("_frag_ts", element_at(tsMap, col("_frag_id")))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_frag_id", "_frag_ts", "_rn")
+      }
+
+    if (materializeFills && schema.kind == ArrayKind.Dense)
+      materializeDense(spark, schema, deduped)
+    else deduped
+  }
+
+  /** `uri@metadata` — key/value metadata as a 2-column table
+    * [ref: mytile-metadata.cc:40–105, discovery 475–583]. */
+  def metadata(spark: SparkSession, uri: String,
+      asOf: Option[Long] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val kv = store(spark, uri).loadMetadata(asOf)
+    spark.createDataFrame(
+      kv.toSeq.sortBy(_._1)
+        .map { case (k, v) => org.apache.spark.sql.Row(k, v) }.asJava,
+      StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", StringType))))
+  }
+
+  def putMetadata(spark: SparkSession, uri: String,
+      kv: Map[String, String]): Unit =
+    store(spark, uri).putMetadata(kv, now())
+
+  /** Dense-domain fill materialization: bounded integral dims →
+    * generated grid left-joined with written cells; unwritten cells get
+    * attribute fill values. Grid generation is `spark.range`-based on
+    * the first dim (partitioned, scales linearly) × sequence-explode on
+    * the rest. */
+  private def materializeDense(spark: SparkSession, schema: ArraySchema,
+      cells: DataFrame): DataFrame = {
+    val bounded = schema.dims.forall(d =>
+      d.lowerBound.isDefined && d.upperBound.isDefined &&
+        TypedValue.isIntegral(d.dataType))
+    require(bounded, "materializeFills requires bounded integral dims")
+    val d0 = schema.dims.head
+    var grid: DataFrame = spark.range(
+      d0.lowerBound.get.toLong, d0.upperBound.get.toLong + 1)
+      .select(col("id").cast(d0.dataType).as(d0.name))
+    schema.dims.tail.foreach { d =>
+      grid = grid.withColumn(d.name,
+        explode(sequence(lit(d.lowerBound.get.toLong),
+          lit(d.upperBound.get.toLong))).cast(d.dataType))
+    }
+    val joined = grid.join(cells, schema.dimNames, "left")
+    schema.attrs.foldLeft(joined) { (df, a) =>
+      a.fillValue match {
+        case Some(fv) => df.withColumn(a.name,
+          coalesce(col(a.name),
+            lit(TypedValue.parse(a.dataType, fv)).cast(a.dataType)))
+        case None => df
+      }
+    }
+  }
+
+  // ---- helpers ------------------------------------------------------
+
+  private[graft] def store(spark: SparkSession, uri: String): FragmentStore =
+    new FragmentStore(uri, spark.sparkContext.hadoopConfiguration)
+
+  private val lastTs = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Strictly increasing commit timestamp (millis). */
+  private[graft] def now(): Long =
+    lastTs.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+}
+
+/** Fragment pruning: pushed dim ranges ∩ fragment MBRs (P10) and the
+  * disjointness test that lets scans skip latest-wins dedup. */
+object FragmentPruning {
+
+  /** Do any two fragments overlap in dim-MBR space? O(n²) over fragment
+    * *metadata* (manifest-sized, not data-sized). */
+  def pairwiseDisjoint(frags: Seq[FragmentMeta], schema: ArraySchema): Boolean = {
+    val ord = TypedValue.ordering
+    val boxes = frags.map { f =>
+      schema.dims.map { d =>
+        val st = f.stats.get(d.name)
+        (st.flatMap(_.min).map(TypedValue.parse(d.dataType, _)),
+          st.flatMap(_.max).map(TypedValue.parse(d.dataType, _)))
+      }
+    }
+    boxes.indices.forall { i =>
+      (i + 1 until boxes.size).forall { j =>
+        // disjoint iff some dim's intervals don't overlap
+        boxes(i).zip(boxes(j)).exists {
+          case ((Some(mn1), Some(mx1)), (Some(mn2), Some(mx2))) =>
+            ord.compare(mx1, mn2) < 0 || ord.compare(mx2, mn1) < 0
+          case _ => false // unknown stats → assume overlap
+        }
+      }
+    }
+  }
+
+  /** Fragments whose MBR intersects every pushed dim constraint. */
+  def select(frags: Seq[FragmentMeta], schema: ArraySchema,
+      constraints: Map[String, RangeAlgebra.DimConstraint]): Seq[FragmentMeta] =
+    frags.filter { f =>
+      constraints.forall { case (dim, c) =>
+        val dt = schema.dataTypeOf(dim)
+        f.stats.get(dim) match {
+          case Some(st) => (st.min, st.max) match {
+            case (Some(mn), Some(mx)) =>
+              c.overlapsMbr(TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
+            case _ => true // no stats → can't prune
+          }
+          case None => true
+        }
+      }
+    }
+}

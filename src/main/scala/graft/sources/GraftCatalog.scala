@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.core._
+import graft.sources.v2.GraftTable
+import scala.jdk.CollectionConverters._
+
+/** `TableCatalog` over a warehouse directory of graft arrays — the
+  * Spark seat of the reference's discovery + DDL surface:
+  *
+  *  - `loadTable("t")` discovers schema from the array manifest (S5,
+  *    mytile-discovery.cc:42–473)
+  *  - `t@<unix_millis>` time-travel identifier sugar (S7, utils.h:53)
+  *  - `t@metadata` key/value virtual table (S6, ha_mytile.cc:1583–1751)
+  *  - `createTable` with properties `graft.dimensions`, `graft.dense`,
+  *    `graft.capacity`, per-column `graft.fill.<col>` (S10)
+  *  - `alterTable` ADD/DROP COLUMN → schema evolution (S12)
+  *  - `dropTable` honoring `graft.delete_arrays` (S11)
+  *
+  * Register: `spark.sql.catalog.graft=graft.sources.GraftCatalog`
+  *           `spark.sql.catalog.graft.warehouse=/path`
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private var deleteArrays = true
+  private def spark = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'warehouse'"))
+    deleteArrays = Option(options.get("delete_arrays")).forall(_.toBoolean)
+  }
+
+  override def name(): String = catalogName
+
+  private def uriOf(ident: Identifier, base: String): String =
+    (ident.namespace() :+ base).foldLeft(warehouse)(_ + "/" + _)
+
+  /** Split `name@suffix` sugar: (base, asOfMillis, isMetadata). */
+  private def parse(ident: Identifier): (String, Option[Long], Boolean) = {
+    val n = ident.name()
+    n.lastIndexOf('@') match {
+      case -1 => (n, None, false)
+      case i =>
+        val suffix = n.substring(i + 1)
+        if (suffix == "metadata") (n.substring(0, i), None, true)
+        else if (suffix.nonEmpty && suffix.forall(_.isDigit))
+          (n.substring(0, i), Some(suffix.toLong), false)
+        else throw new IllegalArgumentException(
+          s"bad identifier suffix '@$suffix' — expected @<unix_millis> " +
+            "(time travel) or @metadata")
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val (base, asOf, isMeta) = parse(ident)
+    val uri = uriOf(ident, base)
+    if (!GraftArray.exists(spark, uri))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    if (isMeta) new MetadataTable(spark, uri, ident.toString)
+    else new GraftTable(spark, uri, asOf)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val (base, _, _) = parse(ident)
+    GraftArray.exists(spark, uriOf(ident, base))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    val props = properties.asScala
+    val dimNames: Seq[String] =
+      props.get("graft.dimensions").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq(schema.fields.head.name)) // first col defaults to dim
+    val kind = if (props.get("graft.dense").exists(_.toBoolean))
+      ArrayKind.Dense else ArrayKind.Sparse
+    val dims = dimNames.map { n =>
+      val f = schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"dimension $n not in schema"))
+      DimensionSpec(n, f.dataType,
+        props.get(s"graft.lower.$n"), props.get(s"graft.upper.$n"),
+        props.get(s"graft.extent.$n").map(_.toLong))
+    }
+    val attrs = schema.fields.filterNot(f => dimNames.contains(f.name)).map {
+      f => AttributeSpec(f.name, f.dataType, f.nullable,
+        props.get(s"graft.fill.${f.name}"))
+    }.toSeq
+    val arr = ArraySchema(kind, dims, attrs,
+      capacity = props.get("graft.capacity").map(_.toLong).getOrElse(10000L),
+      allowsDups = props.get("graft.allows_dups").exists(_.toBoolean))
+    val uri = uriOf(ident, ident.name())
+    GraftArray.create(spark, uri, arr)
+    new GraftTable(spark, uri)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val uri = uriOf(ident, ident.name())
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested columns unsupported")
+        GraftArray.addColumn(spark, uri, AttributeSpec(
+          add.fieldNames()(0), add.dataType(), add.isNullable))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "nested columns unsupported")
+        GraftArray.dropColumn(spark, uri, del.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"alter not supported: $other") // [ha_mytile.cc:963–1028 parity]
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val uri = uriOf(ident, ident.name())
+    if (!GraftArray.exists(spark, uri)) false
+    else { GraftArray.drop(spark, uri, deleteArrays); deleteArrays }
+  }
+
+  override def renameTable(old: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("rename not supported")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      namespace.foldLeft(warehouse)(_ + "/" + _))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => GraftArray.exists(spark,
+        namespace.foldLeft(warehouse)(_ + "/" + _) + "/" + n))
+      .map(Identifier.of(namespace, _))
+  }
+
+  // ---- namespaces (flat directories) -------------------------------
+  override def listNamespaces(): Array[Array[String]] = Array(Array.empty)
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    Array.empty
+  override def loadNamespaceMetadata(ns: Array[String])
+      : util.Map[String, String] = new util.HashMap()
+  override def createNamespace(ns: Array[String],
+      meta: util.Map[String, String]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(ns.foldLeft(warehouse)(_ + "/" + _))
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dir)
+  }
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException()
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
+    false
+}
+
+/** `t@metadata` virtual table: 2 columns (key, value)
+  * [ref: mytile-discovery.cc:566–567]. */
+class MetadataTable(spark: SparkSession, uri: String, ident: String)
+  extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def name(): String = ident
+  override def schema(): StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType)))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val kv = GraftArray.store(spark, uri)
+          .loadMetadata().toSeq.sortBy(_._1)
+        override def readSchema(): StructType = schema()
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(MetaPartition(kv))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition)
+                : PartitionReader[InternalRow] = {
+              val rows = p.asInstanceOf[MetaPartition].kv.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: (String, String) = _
+                override def next(): Boolean =
+                  if (rows.hasNext) { cur = rows.next(); true } else false
+                override def get(): InternalRow =
+                  org.apache.spark.sql.catalyst.InternalRow(
+                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._1),
+                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._2))
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+case class MetaPartition(kv: Seq[(String, String)])
+  extends org.apache.spark.sql.connector.read.InputPartition

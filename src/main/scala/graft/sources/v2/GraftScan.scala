@@ -1,0 +1,254 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{GroupType, MessageType, PrimitiveType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+import graft.core.TypedValue
+import graft.sources.v2.PredicateSupport.Pred
+import scala.jdk.CollectionConverters._
+
+/** DSv2 batch scan over array fragments (reference scan path S1–S4).
+  *
+  * Partitioning: fragments whose dim-MBRs overlap (and need latest-wins
+  * merge) are grouped into one [[GraftInputPartition]]; disjoint
+  * fragments split per-file for maximal parallelism. Pushed predicates
+  * are evaluated inside the reader (QueryCondition analog); pruning
+  * already happened fragment-level in the ScanBuilder.
+  */
+case class GraftInputPartition(
+    files: Seq[(String, Long)], // (absolute file path, fragment ts)
+    needDedup: Boolean) extends InputPartition
+
+class GraftBatch(
+    partitions: Seq[GraftInputPartition],
+    readSchema: StructType,
+    dimNames: Seq[String],
+    preds: Seq[Pred],
+    conf: SerializableConfiguration) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitions.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(readSchema, dimNames, preds, conf)
+}
+
+class GraftReaderFactory(
+    readSchema: StructType,
+    dimNames: Seq[String],
+    preds: Seq[Pred],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition],
+      readSchema, dimNames, preds, conf.value)
+}
+
+/** Reads fragment parquet with the parquet-hadoop Group API (column
+  * projection via requested schema → only needed pages are decoded,
+  * the Spark-side analog of the reference's read_set buffers P1).
+  * Latest-wins merge: files arrive ts-ascending; a hash map keyed by
+  * the dim tuple keeps the last (newest) row [SURVEY §1.1].
+  */
+class GraftPartitionReader(
+    part: GraftInputPartition,
+    readSchema: StructType,
+    dimNames: Seq[String],
+    preds: Seq[Pred],
+    conf: Configuration) extends PartitionReader[InternalRow] {
+
+  // columns physically read = requested ∪ merge dims ∪ predicate refs
+  // (reference always reads dims, ha_mytile.cc:3013–3021)
+  private val readCols: Seq[StructField] = {
+    val extra =
+      (if (part.needDedup) dimNames else Nil) ++
+        preds.flatMap(_.refs)
+    readSchema.fields.toSeq ++
+      extra.distinct.filterNot(readSchema.fieldNames.contains)
+        .map(n => StructField(n, NullType)) // type resolved from file
+  }
+
+  private val outIdx: Array[Int] =
+    readSchema.fields.map(f => readCols.indexWhere(_.name == f.name))
+  private val dimIdx: Array[Int] =
+    dimNames.map(n => readCols.indexWhere(_.name == n)).toArray
+  private val colIdx: Map[String, Int] =
+    readCols.map(_.name).zipWithIndex.toMap
+
+  private val iter: Iterator[Array[Any]] = {
+    val rows = part.files.sortBy(_._2).iterator.flatMap {
+      case (file, _) => readFile(file)
+    }
+    if (!part.needDedup) rows
+    else {
+      // newest fragment wins per coordinate (files are ts-ascending)
+      val m = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+      rows.foreach { r => m.put(dimIdx.map(r(_)).toSeq, r) }
+      m.values.asScala.iterator
+    }
+  }
+
+  private val filtered: Iterator[Array[Any]] =
+    if (preds.isEmpty) iter
+    else iter.filter(r => preds.forall(_.eval(n => r(colIdx(n)))))
+
+  private var current: Array[Any] = _
+
+  override def next(): Boolean =
+    if (filtered.hasNext) { current = filtered.next(); true } else false
+
+  override def get(): InternalRow = {
+    val out = new Array[Any](readSchema.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = toCatalyst(current(outIdx(i)), readSchema.fields(i).dataType)
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def close(): Unit = ()
+
+  /** storage-domain → catalyst value. */
+  private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: Long, ByteType) => l.toByte
+    case (l: Long, ShortType) => l.toShort
+    case (l: Long, IntegerType | DateType) => l.toInt
+    case (l: Long, LongType | TimestampType) => l
+    case (d: Double, FloatType) => d.toFloat
+    case (d: Double, DoubleType) => d
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case (b: Array[Byte], BinaryType) => b
+    case (b: Boolean, BooleanType) => b
+    case (other, _) => other
+  }
+
+  /** Stream one parquet file as storage-domain value arrays aligned to
+    * `readCols`; columns missing from the file (schema evolution) are
+    * null. */
+  private def readFile(file: String): Iterator[Array[Any]] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    val fileSchema = reader.getFooter.getFileMetaData.getSchema
+    val wanted = readCols.map(_.name).filter(fileSchema.containsField)
+    val fieldByName = fileSchema.getFields.asScala
+      .map(t => t.getName -> t).toMap
+    val requested = new MessageType("requested",
+      wanted.map(fieldByName): _*)
+    reader.setRequestedSchema(requested)
+    val wantedIdx: Seq[(Int, Int, PrimitiveType)] = wanted.zipWithIndex.map {
+      case (n, i) => (readCols.indexWhere(_.name == n), i,
+        fieldByName(n).asPrimitiveType())
+    }
+
+    new Iterator[Array[Any]] {
+      private var pages = reader.readNextRowGroup()
+      private var recordReader =
+        if (pages == null) null
+        else new ColumnIOFactory().getColumnIO(requested)
+          .getRecordReader(pages, new GroupRecordConverter(requested))
+      private var remaining = if (pages == null) 0L else pages.getRowCount
+      advanceIfNeeded()
+
+      private def advanceIfNeeded(): Unit = {
+        while (remaining == 0L && pages != null) {
+          pages = reader.readNextRowGroup()
+          if (pages == null) { recordReader = null; reader.close() }
+          else {
+            recordReader = new ColumnIOFactory().getColumnIO(requested)
+              .getRecordReader(pages, new GroupRecordConverter(requested))
+            remaining = pages.getRowCount
+          }
+        }
+        if (pages == null && recordReader == null && remaining == 0L) ()
+      }
+
+      override def hasNext: Boolean = remaining > 0L
+
+      override def next(): Array[Any] = {
+        val g = recordReader.read()
+        remaining -= 1
+        if (remaining == 0L) advanceIfNeeded()
+        decode(g)
+      }
+    }
+  }
+
+  private def decode(g: Group): Array[Any] = {
+    val out = new Array[Any](readCols.size)
+    var w = 0
+    val gt: GroupType = g.getType
+    while (w < gt.getFieldCount) {
+      val name = gt.getFieldName(w)
+      val target = colIdx(name)
+      out(target) =
+        if (g.getFieldRepetitionCount(w) == 0) null
+        else gt.getType(w).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => g.getInteger(w, 0).toLong
+          case PrimitiveTypeName.INT64 => g.getLong(w, 0)
+          case PrimitiveTypeName.FLOAT => g.getFloat(w, 0).toDouble
+          case PrimitiveTypeName.DOUBLE => g.getDouble(w, 0)
+          case PrimitiveTypeName.BOOLEAN => g.getBoolean(w, 0)
+          case PrimitiveTypeName.BINARY |
+               PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+            readCols(target).dataType match {
+              case StringType | NullType => g.getBinary(w, 0).toStringUsingUTF8
+              case _ => g.getBinary(w, 0).getBytes
+            }
+          case PrimitiveTypeName.INT96 =>
+            throw new UnsupportedOperationException(
+              "INT96 timestamps not supported; write with TIMESTAMP_MICROS")
+        }
+      w += 1
+    }
+    out
+  }
+}
+
+/** Pushed-aggregate scan: the whole result was computed driver-side
+  * from fragment statistics (A1–A7 fast path) — a single one-row
+  * partition, zero data I/O. */
+case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+
+class GraftAggBatch(values: Seq[Any], schema: StructType) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftAggReaderFactory(schema)
+}
+
+case class GraftAggReaderFactory(schema: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = p.asInstanceOf[GraftAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(vals.zip(schema.fields).map {
+          case (v, f) => (v, f.dataType) match {
+            case (null, _) => null
+            case (s: String, StringType) => UTF8String.fromString(s)
+            case (l: Long, ByteType) => l.toByte
+            case (l: Long, ShortType) => l.toShort
+            case (l: Long, IntegerType | DateType) => l.toInt
+            case (d: Double, FloatType) => d.toFloat
+            case (other, _) => other
+          }
+        }.toArray)
+      override def close(): Unit = ()
+    }
+}

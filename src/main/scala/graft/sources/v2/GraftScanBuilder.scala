@@ -1,0 +1,295 @@
+package graft.sources.v2
+
+import java.util.OptionalLong
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+import graft.core._
+import graft.core.RangeAlgebra.DimConstraint
+import graft.sources.FragmentPruning
+import graft.sources.v2.PredicateSupport.Pred
+
+/** ScanBuilder implementing the reference's three pushdown channels on
+  * the DSv2 interfaces (SURVEY §0):
+  *
+  *  A. dim predicates → [[DimConstraint]]s → fragment pruning
+  *     (subarray analog, P4/P8–P10)
+  *  B. attr predicates → in-reader row filters (QueryCondition, P5)
+  *  C. aggregates → fragment-statistics fast path (A1–A7) — COUNT /
+  *     MIN / MAX / SUM / AVG answered with zero data I/O when exact
+  *
+  * plus column pruning (P1), statistics (SupportsReportStatistics) and
+  * runtime filtering (DPP analog, J3).
+  */
+class GraftScanBuilder(
+    spark: SparkSession,
+    uri: String,
+    schema: ArraySchema,
+    frags: Seq[FragmentMeta],
+    asOf: Option[Long])
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownV2Filters
+  with SupportsPushDownAggregates {
+
+  private val fullStruct = schema.toStruct
+  private var requiredStruct: StructType = fullStruct
+  private var pushed: Array[V2Predicate] = Array.empty
+  private var preds: Seq[Pred] = Nil
+  private var aggValues: Option[Seq[Any]] = None
+  private var aggSchema: StructType = _
+
+  // ---- P1: column pruning ------------------------------------------
+  override def pruneColumns(required: StructType): Unit =
+    // preserve our field order/metadata; Spark's order, our types
+    requiredStruct = StructType(required.fieldNames.flatMap(n =>
+      fullStruct.fields.find(_.name == n)))
+
+  // ---- P2–P6: predicate pushdown -----------------------------------
+  override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
+    val (accepted, rejected) = predicates.partition(p =>
+      PredicateSupport.convert(p, schema).isDefined)
+    pushed = accepted
+    preds = accepted.flatMap(PredicateSupport.convert(_, schema)).toSeq
+    rejected // residual → Catalyst post-filter (reference contract)
+  }
+  override def pushedPredicates(): Array[V2Predicate] = pushed
+
+  // ---- A1–A7: aggregate pushdown from fragment stats ----------------
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryAggregate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    tryAggregate(agg) match {
+      case Some((values, st)) =>
+        aggValues = Some(values); aggSchema = st; true
+      case None => false
+    }
+
+  /** Stats-only evaluation, or None when any gate fails. Gates follow
+    * the reference [aggregate_is_supported, ha_mytile.cc:567–605] plus
+    * exactness requirements of the stats path:
+    *  - no GROUP BY, no pushed/residual predicates (full-table only)
+    *  - latest-wins must be a no-op (dups allowed or disjoint MBRs)
+    *  - COUNT not on dense (fill-value semantics)
+    *  - MIN/MAX numeric/datetime only (parquet string stats may be
+    *    truncated; reference similarly caps string aggs at 32 bytes)
+    */
+  private def tryAggregate(agg: Aggregation): Option[(Seq[Any], StructType)] = {
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    if (!schema.allowsDups && frags.size > 1 &&
+      !FragmentPruning.pairwiseDisjoint(frags, schema)) return None
+    val totalRows = frags.map(_.rows).sum
+    val ord = TypedValue.ordering
+
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head).filter(schema.columnNames.contains)
+      case _ => None
+    }
+    def statsOf(c: String): Seq[ColumnStats] = frags.flatMap(_.stats.get(c))
+    def numericOrTemporal(c: String): Boolean = schema.dataTypeOf(c) match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType => true
+      case _ => false
+    }
+    def minMax(c: String, wantMin: Boolean): Option[Any] = {
+      val dt = schema.dataTypeOf(c)
+      val ss = statsOf(c)
+      if (ss.size != frags.size) return None // a fragment lacks stats
+      val vals = ss.flatMap(s => (if (wantMin) s.min else s.max)
+        .map(TypedValue.parse(dt, _)))
+      // all-null fragments contribute no value; need ≥1 overall or null
+      val nonNullRows = totalRows - ss.map(_.nullCount).sum
+      if (nonNullRows == 0) Some(null)
+      else if (vals.isEmpty) None
+      else Some(if (wantMin) vals.min(ord) else vals.max(ord))
+    }
+    def sumOf(c: String): Option[Any] = {
+      val ss = statsOf(c)
+      if (ss.size != frags.size) return None
+      schema.dataTypeOf(c) match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val parts = ss.map(_.sumLong)
+          if (parts.forall(_.isDefined)) Some(parts.flatten.sum)
+          else if (totalRows == 0) Some(null) else None
+        case FloatType | DoubleType =>
+          val parts = ss.map(_.sumDouble)
+          if (parts.forall(_.isDefined)) Some(parts.flatten.sum)
+          else if (totalRows == 0) Some(null) else None
+        case _ => None
+      }
+    }
+    def outType(c: String): DataType = schema.dataTypeOf(c)
+
+    val results = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        if (schema.kind == ArrayKind.Dense) None // [ha_mytile.cc:598–601]
+        else Some((totalRows, LongType))
+      case c: Count if !c.isDistinct =>
+        colName(c.column).flatMap { n =>
+          if (schema.kind == ArrayKind.Dense) None
+          else statsOf(n) match {
+            case ss if ss.size == frags.size =>
+              Some((totalRows - ss.map(_.nullCount).sum, LongType))
+            case _ => None
+          }
+        }
+      case m: Min =>
+        colName(m.column).filter(numericOrTemporal)
+          .flatMap(n => minMax(n, wantMin = true).map((_, outType(n))))
+      case m: Max =>
+        colName(m.column).filter(numericOrTemporal)
+          .flatMap(n => minMax(n, wantMin = false).map((_, outType(n))))
+      case s: Sum if !s.isDistinct =>
+        colName(s.column).flatMap { n =>
+          sumOf(n).map { v =>
+            schema.dataTypeOf(n) match {
+              case FloatType | DoubleType => (v, DoubleType)
+              case _ => (v, LongType)
+            }
+          }
+        }
+      case a: Avg if !a.isDistinct =>
+        colName(a.column).flatMap { n =>
+          val cnt = statsOf(n) match {
+            case ss if ss.size == frags.size =>
+              Some(totalRows - ss.map(_.nullCount).sum)
+            case _ => None
+          }
+          (sumOf(n), cnt) match {
+            case (Some(null), _) => Some((null, DoubleType))
+            case (Some(s), Some(c)) if c > 0 =>
+              val sd = s match {
+                case l: Long => l.toDouble; case d: Double => d
+              }
+              Some((sd / c, DoubleType))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) None
+    else {
+      val vs = results.map(_.get)
+      Some((vs.map(_._1).toSeq, StructType(vs.zipWithIndex.map {
+        case ((_, dt), i) => StructField(s"agg_$i", dt)
+      })))
+    }
+  }
+
+  // ---- build --------------------------------------------------------
+  override def build(): Scan = {
+    aggValues match {
+      case Some(vals) => new GraftAggScan(vals, aggSchema)
+      case None =>
+        val constraints =
+          PredicateSupport.dimConstraints(preds, schema)
+        new GraftScanImpl(spark, uri, schema, frags, requiredStruct,
+          preds, constraints)
+    }
+  }
+}
+
+/** Normal data scan with fragment pruning, statistics and runtime
+  * (DPP-style) re-pruning. */
+class GraftScanImpl(
+    spark: SparkSession,
+    uri: String,
+    schema: ArraySchema,
+    allFrags: Seq[FragmentMeta],
+    requiredStruct: StructType,
+    preds: Seq[Pred],
+    initialConstraints: Map[String, DimConstraint])
+  extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  private var constraints = initialConstraints
+
+  private def selectedFrags: Seq[FragmentMeta] =
+    if (constraints.exists(_._2.definitelyEmpty)) Nil // empty-scan path
+    else FragmentPruning.select(allFrags, schema, constraints)
+
+  override def readSchema(): StructType = requiredStruct
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val frags = selectedFrags
+    val needDedup = !schema.allowsDups && frags.size > 1 &&
+      !FragmentPruning.pairwiseDisjoint(frags, schema)
+    if (needDedup) {
+      // transitive overlap groups must merge within one partition
+      val groups = overlapGroups(frags)
+      groups.map { g =>
+        GraftInputPartition(
+          g.flatMap(f => f.files.map(rel => (s"$uri/$rel", f.timestamp))),
+          needDedup = g.size > 1)
+      }.toArray
+    } else {
+      // disjoint → one partition per file, maximal parallelism
+      frags.flatMap(f =>
+        f.files.map(rel =>
+          GraftInputPartition(Seq((s"$uri/$rel", f.timestamp)),
+            needDedup = false))).toArray
+    }
+  }
+
+  private def overlapGroups(frags: Seq[FragmentMeta]): Seq[Seq[FragmentMeta]] = {
+    // union-find over pairwise MBR overlap
+    val parent = Array.tabulate(frags.size)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- frags.indices; j <- i + 1 until frags.size)
+      if (!FragmentPruning.pairwiseDisjoint(Seq(frags(i), frags(j)), schema)) {
+        val (a, b) = (find(i), find(j)); if (a != b) parent(a) = b
+      }
+    frags.indices.groupBy(find).values.map(_.map(frags)).toSeq
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(requiredStruct, schema.dimNames, preds,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+
+  // ---- SupportsReportStatistics [ref: records estimate §4] ---------
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val frags = selectedFrags
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(
+      frags.map(_.rows).sum *
+        math.max(requiredStruct.defaultSize.toLong, 1L))
+    override def numRows(): OptionalLong =
+      OptionalLong.of(frags.map(_.rows).sum)
+  }
+
+  // ---- SupportsRuntimeFiltering (DPP/BKA-MRR analog, J3) -----------
+  override def filterAttributes(): Array[NamedReference] =
+    schema.dimNames.map(n =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(n)).toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case EqualTo(c, v) if schema.dimNames.contains(c) =>
+        val dt = schema.dataTypeOf(c)
+        val cur = constraints.getOrElse(c, DimConstraint())
+        constraints = constraints.updated(c,
+          cur.andPoints(Seq(TypedValue.normalize(dt, v))))
+      case In(c, vs) if schema.dimNames.contains(c) =>
+        val dt = schema.dataTypeOf(c)
+        val cur = constraints.getOrElse(c, DimConstraint())
+        constraints = constraints.updated(c,
+          cur.andPoints(vs.toSeq.map(TypedValue.normalize(dt, _))))
+      case _ => ()
+    }
+}
+
+class GraftAggScan(values: Seq[Any], schema: StructType) extends Scan {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = new GraftAggBatch(values, schema)
+  override def description(): String = "GraftAggScan(stats-only)"
+}

@@ -1,0 +1,273 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+import graft.core._
+import graft.sources.GraftArray
+import scala.jdk.CollectionConverters._
+
+/** DSv2 `Table` for a graft array: batch read with the three pushdown
+  * channels (GraftScanBuilder) + batch append writes that commit one
+  * immutable fragment per job (reference write path §3.3).
+  */
+class GraftTable(
+    spark: SparkSession,
+    val uri: String,
+    val asOf: Option[Long] = None) extends Table
+  with SupportsRead with SupportsWrite {
+
+  private lazy val store = GraftArray.store(spark, uri)
+  lazy val arraySchema: ArraySchema = store.loadSchema(asOf)
+
+  override def name(): String = uri + asOf.map("@" + _).getOrElse("")
+  override def schema(): StructType = arraySchema.toStruct
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val scanAsOf = Option(options.get("asOfTimestamp")).map(_.toLong)
+      .orElse(asOf)
+    new GraftScanBuilder(spark, uri, store.loadSchema(scanAsOf),
+      store.listFragments(scanAsOf), scanAsOf)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a time-travel view")
+    new GraftWriteBuilder(spark, uri, arraySchema, info)
+  }
+}
+
+class GraftWriteBuilder(
+    spark: SparkSession,
+    uri: String,
+    schema: ArraySchema,
+    info: LogicalWriteInfo) extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      // column-name/type sanity against the array schema
+      val in = info.schema().fieldNames.toSeq
+      require(in.sorted == schema.columnNames.sorted,
+        s"schema mismatch: $in vs ${schema.columnNames}")
+      new GraftBatchWrite(spark, uri, schema, info.schema())
+    }
+  }
+}
+
+case class GraftCommitMessage(
+    file: String, rows: Long,
+    stats: Map[String, ColumnStats]) extends WriterCommitMessage
+
+/** One fragment per commit; every task writes one parquet part file and
+  * reports exact column stats gathered in-stream (rows are seen once —
+  * the same trick the reference uses to buffer columns during
+  * `write_row` [ha_mytile.cc:3158–3193]). */
+class GraftBatchWrite(
+    spark: SparkSession,
+    uri: String,
+    schema: ArraySchema,
+    writeSchema: StructType) extends BatchWrite {
+
+  private val fragId = java.util.UUID.randomUUID.toString.take(12)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new GraftDataWriterFactory(uri, fragId, schema, writeSchema,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[GraftCommitMessage])
+      .filter(_.rows > 0)
+    val ord = TypedValue.ordering
+    val merged: Map[String, ColumnStats] =
+      schema.columnNames.map { c =>
+        val per = msgs.flatMap(_.stats.get(c))
+        def opt(vs: Seq[String], min: Boolean): Option[String] = {
+          val dt = schema.dataTypeOf(c)
+          val parsed = vs.map(TypedValue.parse(dt, _))
+          if (parsed.isEmpty) None
+          else Some(TypedValue.show(
+            if (min) parsed.min(ord) else parsed.max(ord)))
+        }
+        c -> ColumnStats(
+          opt(per.flatMap(_.min).toSeq, min = true),
+          opt(per.flatMap(_.max).toSeq, min = false),
+          per.map(_.nullCount).sum,
+          if (per.nonEmpty && per.forall(_.sumLong.isDefined))
+            Some(per.flatMap(_.sumLong).sum) else None,
+          if (per.nonEmpty && per.forall(_.sumDouble.isDefined))
+            Some(per.flatMap(_.sumDouble).sum) else None)
+      }.toMap
+    GraftArray.store(spark, uri).commitFragment(FragmentMeta(
+      fragId, GraftArray.now(), msgs.map(_.file).toSeq,
+      msgs.map(_.rows).sum, merged))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(uri, s"frag_$fragId"), true)
+  }
+}
+
+class GraftDataWriterFactory(
+    uri: String, fragId: String, schema: ArraySchema,
+    writeSchema: StructType, conf: SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftDataWriter(uri, fragId, partitionId, schema, writeSchema,
+      conf.value)
+}
+
+/** Columnar fragment writer: InternalRow → parquet Group, accumulating
+  * min/max/nullCount/sum per column for the fragment manifest. */
+class GraftDataWriter(
+    uri: String, fragId: String, partitionId: Int,
+    schema: ArraySchema, writeSchema: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends DataWriter[InternalRow] {
+
+  import GraftParquet._
+
+  private val relFile = f"frag_$fragId/part-$partitionId%05d.parquet"
+  private val path = new Path(uri, relFile)
+  private val messageType = toParquetSchema(schema, writeSchema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private val writer = {
+    GroupWriteSupport.setSchema(messageType, conf)
+    ExampleParquetWriter.builder(HadoopOutputFile.fromPath(path, conf))
+      .withConf(conf)
+      .withType(messageType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  private val fields = writeSchema.fields
+  private val dimSet = schema.dimNames.toSet
+  private var rows = 0L
+  private val mins = new Array[Any](fields.length)
+  private val maxs = new Array[Any](fields.length)
+  private val nulls = new Array[Long](fields.length)
+  private val sumsL = new Array[Long](fields.length)
+  private val sumsD = new Array[Double](fields.length)
+  private val ord = TypedValue.ordering
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (row.isNullAt(i)) {
+        if (dimSet(f.name)) throw new IllegalArgumentException(
+          s"null value in dimension ${f.name}") // [ha_mytile.cc:3166]
+        nulls(i) += 1
+      } else {
+        val storage: Any = f.dataType match {
+          case ByteType => g.add(i, row.getByte(i).toInt); row.getByte(i).toLong
+          case ShortType => g.add(i, row.getShort(i).toInt); row.getShort(i).toLong
+          case IntegerType | DateType =>
+            g.add(i, row.getInt(i)); row.getInt(i).toLong
+          case LongType | TimestampType =>
+            g.add(i, row.getLong(i)); row.getLong(i)
+          case FloatType => g.add(i, row.getFloat(i)); row.getFloat(i).toDouble
+          case DoubleType => g.add(i, row.getDouble(i)); row.getDouble(i)
+          case StringType =>
+            val s = row.getUTF8String(i).toString
+            g.add(i, Binary.fromString(s)); s
+          case BinaryType =>
+            val b = row.getBinary(i)
+            g.add(i, Binary.fromConstantByteArray(b)); b
+          case BooleanType => g.add(i, row.getBoolean(i)); row.getBoolean(i)
+          case dt => throw new UnsupportedOperationException(s"type $dt")
+        }
+        storage match {
+          case l: Long => sumsL(i) += l
+          case d: Double => sumsD(i) += d
+          case _ => ()
+        }
+        if (storage != null && !storage.isInstanceOf[Array[Byte]]) {
+          if (mins(i) == null || ord.compare(storage, mins(i)) < 0)
+            mins(i) = storage
+          if (maxs(i) == null || ord.compare(storage, maxs(i)) > 0)
+            maxs(i) = storage
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    val stats = fields.zipWithIndex.map { case (f, i) =>
+      val isNum = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(true)
+        case FloatType | DoubleType => Some(false)
+        case _ => None
+      }
+      f.name -> ColumnStats(
+        Option(mins(i)).map(TypedValue.show),
+        Option(maxs(i)).map(TypedValue.show),
+        nulls(i),
+        if (isNum.contains(true)) Some(sumsL(i)) else None,
+        if (isNum.contains(false)) Some(sumsD(i)) else None)
+    }.toMap
+    GraftCommitMessage(relFile, rows, stats)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    path.getFileSystem(conf).delete(path, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+object GraftParquet {
+  /** StructType → parquet MessageType for the supported storage types. */
+  def toParquetSchema(schema: ArraySchema, st: StructType): MessageType = {
+    val b = Types.buildMessage()
+    st.fields.foreach { f =>
+      val required = schema.dimNames.contains(f.name) || !f.nullable
+      def prim(t: PrimitiveTypeName) =
+        if (required) Types.required(t) else Types.optional(t)
+      val built = f.dataType match {
+        case ByteType => prim(PrimitiveTypeName.INT32)
+          .as(LTA.intType(8, true)).named(f.name)
+        case ShortType => prim(PrimitiveTypeName.INT32)
+          .as(LTA.intType(16, true)).named(f.name)
+        case IntegerType => prim(PrimitiveTypeName.INT32).named(f.name)
+        case LongType => prim(PrimitiveTypeName.INT64).named(f.name)
+        case FloatType => prim(PrimitiveTypeName.FLOAT).named(f.name)
+        case DoubleType => prim(PrimitiveTypeName.DOUBLE).named(f.name)
+        case BooleanType => prim(PrimitiveTypeName.BOOLEAN).named(f.name)
+        case StringType => prim(PrimitiveTypeName.BINARY)
+          .as(LTA.stringType()).named(f.name)
+        case BinaryType => prim(PrimitiveTypeName.BINARY).named(f.name)
+        case DateType => prim(PrimitiveTypeName.INT32)
+          .as(LTA.dateType()).named(f.name)
+        case TimestampType => prim(PrimitiveTypeName.INT64)
+          .as(LTA.timestampType(true, LTA.TimeUnit.MICROS)).named(f.name)
+        case dt => throw new UnsupportedOperationException(s"type $dt")
+      }
+      b.addField(built)
+    }
+    b.named("graft")
+  }
+}

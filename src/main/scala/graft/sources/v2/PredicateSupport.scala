@@ -1,0 +1,172 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
+import org.apache.spark.sql.types._
+import graft.core.{ArraySchema, RangeAlgebra, TypedValue}
+import graft.core.RangeAlgebra.{DimConstraint, Interval}
+
+/** V2-predicate translation + evaluation — the Spark analog of the
+  * reference's `cond_push` machinery (P2–P6):
+  *
+  *  - dims: comparisons/IN become [[DimConstraint]] ranges used for
+  *    fragment pruning (subarray analog) [ha_mytile.cc:2509–2781]
+  *  - attrs: accepted predicates are evaluated row-by-row in the reader
+  *    (QueryCondition analog) [mytile-range.cc:1430–1482]
+  *  - anything not understood is rejected → Catalyst keeps it as a
+  *    post-scan filter (the reference's "return remainder" contract)
+  */
+object PredicateSupport {
+
+  /** A predicate we accepted for in-reader evaluation. */
+  sealed trait Pred extends Serializable {
+    def eval(get: String => Any): Boolean
+    /** Column names this predicate reads (reader must materialize them
+      * even when the projection pruned them away). */
+    def refs: Set[String] = this match {
+      case Cmp(_, c, _) => Set(c)
+      case InSet(c, _) => Set(c)
+      case IsNull(c, _) => Set(c)
+      case AndP(l, r) => l.refs ++ r.refs
+      case OrP(l, r) => l.refs ++ r.refs
+      case NotP(p) => p.refs
+    }
+  }
+  case class Cmp(op: String, col: String, value: Any) extends Pred {
+    private val ord = TypedValue.ordering
+    def eval(get: String => Any): Boolean = {
+      val v = get(col)
+      if (v == null) false
+      else op match {
+        case "=" => ord.compare(v, value) == 0
+        case "<>" => ord.compare(v, value) != 0
+        case ">" => ord.compare(v, value) > 0
+        case ">=" => ord.compare(v, value) >= 0
+        case "<" => ord.compare(v, value) < 0
+        case "<=" => ord.compare(v, value) <= 0
+      }
+    }
+  }
+  case class InSet(col: String, values: Set[Any]) extends Pred {
+    def eval(get: String => Any): Boolean = {
+      val v = get(col); v != null && values.contains(v)
+    }
+  }
+  case class IsNull(col: String, isNull: Boolean) extends Pred {
+    def eval(get: String => Any): Boolean =
+      (get(col) == null) == isNull
+  }
+  case class AndP(l: Pred, r: Pred) extends Pred {
+    def eval(get: String => Any): Boolean = l.eval(get) && r.eval(get)
+  }
+  case class OrP(l: Pred, r: Pred) extends Pred {
+    def eval(get: String => Any): Boolean = l.eval(get) || r.eval(get)
+  }
+  case class NotP(p: Pred) extends Pred {
+    def eval(get: String => Any): Boolean = !p.eval(get)
+  }
+
+  private def fieldName(e: Expression): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  private def literal(e: Expression, dt: DataType): Option[Any] = e match {
+    case l: Literal[_] =>
+      Some(TypedValue.normalize(dt, catalystToScala(l.value, dt)))
+    case _ => None
+  }
+
+  private def catalystToScala(v: Any, dt: DataType): Any = (v, dt) match {
+    case (u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString
+    case (d: org.apache.spark.sql.types.Decimal, _) => d.toBigDecimal
+    case other => other._1
+  }
+
+  /** Try to convert a V2 predicate into an evaluable [[Pred]]. */
+  def convert(p: V2Predicate, schema: ArraySchema): Option[Pred] = p match {
+    case a: V2And =>
+      for (l <- convert(a.left(), schema); r <- convert(a.right(), schema))
+        yield AndP(l, r)
+    case o: V2Or =>
+      for (l <- convert(o.left(), schema); r <- convert(o.right(), schema))
+        yield OrP(l, r)
+    case n: V2Not => convert(n.child(), schema).map(NotP)
+    case g: V2Predicate =>
+      val ch = g.children()
+      g.name() match {
+        case "IS_NULL" | "IS_NOT_NULL" if ch.length == 1 =>
+          fieldName(ch(0)).filter(schemaHas(schema, _))
+            .map(IsNull(_, g.name() == "IS_NULL"))
+        case op @ ("=" | "<>" | ">" | ">=" | "<" | "<=") if ch.length == 2 =>
+          // column-vs-literal in either order (flip for literal-first)
+          (fieldName(ch(0)), fieldName(ch(1))) match {
+            case (Some(c), None) if schemaHas(schema, c) &&
+              comparable(schema.dataTypeOf(c)) =>
+              literal(ch(1), schema.dataTypeOf(c)).map(Cmp(op, c, _))
+            case (None, Some(c)) if schemaHas(schema, c) &&
+              comparable(schema.dataTypeOf(c)) =>
+              literal(ch(0), schema.dataTypeOf(c)).map(Cmp(flip(op), c, _))
+            case _ => None
+          }
+        case "IN" if ch.length >= 2 =>
+          fieldName(ch(0)).filter(c => schemaHas(schema, c) &&
+            comparable(schema.dataTypeOf(c))).flatMap { c =>
+            val dt = schema.dataTypeOf(c)
+            val vs = ch.tail.map(literal(_, dt))
+            if (vs.forall(_.isDefined)) Some(InSet(c, vs.flatten.toSet))
+            else None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def flip(op: String): String = op match {
+    case ">" => "<"; case ">=" => "<="; case "<" => ">"
+    case "<=" => ">="; case other => other
+  }
+
+  private def schemaHas(s: ArraySchema, c: String): Boolean =
+    s.columnNames.contains(c)
+
+  private def comparable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | FloatType | DoubleType | StringType |
+         BooleanType => true
+    case _ => false
+  }
+
+  /** Extract per-dimension constraints from the AND-decomposition of
+    * accepted predicates (OR/NOT subtrees contribute nothing — they are
+    * still evaluated row-wise, just not used for pruning). */
+  def dimConstraints(preds: Seq[Pred], schema: ArraySchema)
+      : Map[String, DimConstraint] = {
+    val dims = schema.dimNames.toSet
+    def leaves(p: Pred): Seq[Pred] = p match {
+      case AndP(l, r) => leaves(l) ++ leaves(r)
+      case other => Seq(other)
+    }
+    preds.flatMap(leaves).foldLeft(Map.empty[String, DimConstraint]) {
+      (acc, p) =>
+        def upd(c: String, f: DimConstraint => DimConstraint) =
+          acc.updated(c, f(acc.getOrElse(c, DimConstraint())))
+        p match {
+          case Cmp(op, c, v) if dims(c) =>
+            val dt = schema.dataTypeOf(c)
+            val iv = op match {
+              case "=" => Some(Interval.point(v))
+              case ">" => Some(Interval.gt(dt, v))
+              case ">=" => Some(Interval.ge(v))
+              case "<" => Some(Interval.lt(dt, v))
+              case "<=" => Some(Interval.le(v))
+              case _ => None // <> prunes nothing
+            }
+            iv.map(i => upd(c, _.and(i))).getOrElse(acc)
+          case InSet(c, vs) if dims(c) => upd(c, _.andPoints(vs.toSeq))
+          case _ => acc
+        }
+    }
+  }
+}

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.sources.GraftArray
+
+/** End-to-end array-format connector behavior: DDL → fragment writes →
+  * scans with pushdown → time travel → latest-wins → metadata →
+  * schema evolution → SQL catalog surface. Mirrors the reference's MTR
+  * coverage (pushdown_ranges, open_at, duplicates, metadata,
+  * schema_evolution, aggregates). */
+class ArrayConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_arr").toString + "/arr"
+
+  private val schema2d = ArraySchema(
+    kind = ArrayKind.Sparse,
+    dims = Seq(
+      DimensionSpec("rows", LongType, Some("0"), Some("1000"), Some(100L)),
+      DimensionSpec("cols", LongType, Some("0"), Some("1000"), Some(100L))),
+    attrs = Seq(
+      AttributeSpec("a", LongType, nullable = true, fillValue = Some("0")),
+      AttributeSpec("s", StringType)))
+
+  test("create → write → load round-trip with exact rows") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    val df = Seq((1L, 1L, 10L, "x"), (2L, 4L, 20L, "y"), (5L, 5L, 30L, "z"))
+      .toDF("rows", "cols", "a", "s")
+    GraftArray.write(spark, uri, df)
+    val got = GraftArray.load(spark, uri).orderBy("rows", "cols")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 1L, 10L, "x"), (2L, 4L, 20L, "y"), (5L, 5L, 30L, "z")))
+  }
+
+  test("DSv2 read path: filter pushdown prunes fragments and rows") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    // two disjoint fragments: rows 0–99 and rows 500–599
+    GraftArray.write(spark, uri,
+      spark.range(0, 100).select(col("id").as("rows"), col("id").as("cols"),
+        (col("id") * 2).as("a"), concat(lit("v"), col("id")).as("s")))
+    GraftArray.write(spark, uri,
+      spark.range(500, 600).select(col("id").as("rows"), col("id").as("cols"),
+        (col("id") * 2).as("a"), concat(lit("v"), col("id")).as("s")))
+
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    // dim range hits only fragment 2
+    val q = df.filter(col("rows") >= 550L && col("rows") < 560L)
+    assert(q.count() == 10)
+    val parts = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    val fragDirs = parts.flatMap {
+      case p: graft.sources.v2.GraftInputPartition =>
+        p.files.map(_._1.split("/frag_")(1).split("/")(0))
+    }.distinct
+    assert(fragDirs.size == 1,
+      s"expected all partitions from 1 fragment, got dirs $fragDirs")
+    // attr predicate evaluated in-reader
+    assert(df.filter(col("a") === 1100L).count() == 1)
+    // IN-list over dims
+    assert(df.filter(col("rows").isin(0L, 501L, 999L)).count() == 2)
+    // empty-range → empty scan without reading
+    assert(df.filter(col("rows") > 100L && col("rows") < 90L).count() == 0)
+  }
+
+  test("latest-wins dedup across overlapping fragments") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    val v1 = Seq((1L, 1L, 10L, "old"), (2L, 2L, 20L, "old")).toDF("rows", "cols", "a", "s")
+    val v2 = Seq((1L, 1L, 11L, "new")).toDF("rows", "cols", "a", "s")
+    GraftArray.write(spark, uri, v1)
+    GraftArray.write(spark, uri, v2)
+    // GraftArray.load
+    val got = GraftArray.load(spark, uri).orderBy("rows")
+      .select("rows", "a", "s").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 11L, "new"), (2L, 20L, "old")))
+    // DSv2 path agrees
+    val got2 = spark.read.format("graftarray").option("path", uri).load()
+      .orderBy("rows").select("rows", "a", "s").as[(Long, Long, String)]
+      .collect().toSeq
+    assert(got2 == got)
+  }
+
+  test("time travel: asOf sees only earlier fragments; epoch 0 sees none") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    val t1 = GraftArray.write(spark, uri,
+      Seq((1L, 1L, 1L, "one")).toDF("rows", "cols", "a", "s"))
+    GraftArray.write(spark, uri,
+      Seq((2L, 2L, 2L, "two")).toDF("rows", "cols", "a", "s"))
+    assert(GraftArray.load(spark, uri).count() == 2)
+    assert(GraftArray.load(spark, uri, asOf = Some(t1)).count() == 1)
+    assert(GraftArray.load(spark, uri, asOf = Some(0L)).count() == 0) // open_at.test
+    val viaOption = spark.read.format("graftarray").option("path", uri)
+      .option("asOfTimestamp", t1.toString).load()
+    assert(viaOption.count() == 1)
+  }
+
+  test("null dimension rejected on write") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    val bad = Seq((Some(1L), Option.empty[Long], Some(1L), Some("x")))
+      .toDF("rows", "cols", "a", "s")
+    val e = intercept[Exception] { GraftArray.write(spark, uri, bad) }
+    assert(e.getMessage != null)
+  }
+
+  test("metadata put/load and @metadata semantics") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    GraftArray.putMetadata(spark, uri, Map("owner" -> "graft", "v" -> "1"))
+    GraftArray.putMetadata(spark, uri, Map("v" -> "2"))
+    val kv = GraftArray.metadata(spark, uri).as[(String, String)].collect().toMap
+    assert(kv == Map("owner" -> "graft", "v" -> "2")) // last write wins per key
+  }
+
+  test("schema evolution: add column reads fill value on old fragments") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    GraftArray.write(spark, uri,
+      Seq((1L, 1L, 1L, "x")).toDF("rows", "cols", "a", "s"))
+    GraftArray.addColumn(spark, uri,
+      AttributeSpec("extra", LongType, nullable = true, fillValue = Some("42")))
+    // old fragment lacks 'extra' → fill value
+    val r1 = GraftArray.load(spark, uri).select("rows", "extra")
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((1L, 42L)))
+    // new fragment carries it
+    GraftArray.write(spark, uri,
+      Seq((2L, 2L, 2L, "y", 7L)).toDF("rows", "cols", "a", "s", "extra"))
+    val r2 = GraftArray.load(spark, uri).orderBy("rows").select("extra")
+      .as[Long].collect().toSeq
+    assert(r2 == Seq(42L, 7L))
+    // drop it again
+    GraftArray.dropColumn(spark, uri, "extra")
+    assert(!GraftArray.load(spark, uri).columns.contains("extra"))
+  }
+
+  test("SQL catalog: CREATE/INSERT/SELECT + @ts + @metadata sugar") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.g", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE g.t1 (rows BIGINT, cols BIGINT, a BIGINT, s STRING)
+        |TBLPROPERTIES('graft.dimensions'='rows,cols')""".stripMargin)
+    spark.sql("INSERT INTO g.t1 VALUES (1, 1, 10, 'x'), (2, 4, 20, 'y')")
+    assert(spark.sql("SELECT sum(a) FROM g.t1").as[Long].head() == 30L)
+    // second fragment + time travel via @ts
+    val ts1 = GraftArray.store(spark, s"$wh/t1").listFragments().last.timestamp
+    spark.sql("INSERT INTO g.t1 VALUES (3, 3, 30, 'z')")
+    assert(spark.table("g.t1").count() == 3)
+    assert(spark.sql(s"SELECT * FROM g.`t1@$ts1`").count() == 2)
+    // metadata virtual table
+    GraftArray.putMetadata(spark, s"$wh/t1", Map("k" -> "v"))
+    val meta = spark.sql("SELECT * FROM g.`t1@metadata`")
+      .as[(String, String)].collect().toMap
+    assert(meta == Map("k" -> "v"))
+    // ALTER ADD/DROP COLUMN
+    spark.sql("ALTER TABLE g.t1 ADD COLUMN extra BIGINT")
+    assert(spark.table("g.t1").columns.contains("extra"))
+    spark.sql("ALTER TABLE g.t1 DROP COLUMN extra")
+    assert(!spark.table("g.t1").columns.contains("extra"))
+    spark.sql("DROP TABLE g.t1")
+    assert(!GraftArray.exists(spark, s"$wh/t1"))
+  }
+
+  test("aggregate pushdown answers from fragment stats (no data scan)") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    GraftArray.write(spark, uri,
+      spark.range(0, 100).select(col("id").as("rows"), col("id").as("cols"),
+        (col("id") * 3).as("a"), lit("s").as("s")))
+    GraftArray.write(spark, uri,
+      spark.range(200, 300).select(col("id").as("rows"), col("id").as("cols"),
+        (col("id") * 3).as("a"), lit("s").as("s")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    val agg = df.agg(count(lit(1)).as("cnt"), sum(col("a")).as("sm"),
+      min(col("rows")).as("mn"), max(col("rows")).as("mx"),
+      avg(col("a")).as("av"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"), plan.take(1500))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 200)
+    assert(r.getLong(1) == (0 until 100).map(_ * 3L).sum +
+      (200 until 300).map(_ * 3L).sum)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 299L)
+    // grouped aggregation falls back to a real scan, still correct
+    val grouped = df.groupBy((col("rows") >= 200L).as("hi"))
+      .agg(count(lit(1)).as("n")).orderBy("hi")
+      .as[(Boolean, Long)].collect().toSeq
+    assert(grouped == Seq((false, 100L), (true, 100L)))
+  }
+
+  test("pushdown ≡ post-filter (property over random predicates)") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    GraftArray.write(spark, uri,
+      spark.range(0, 500).select(col("id").as("rows"),
+        (col("id") % 7).as("cols"), (col("id") % 13).as("a"),
+        concat(lit("s"), col("id") % 3).as("s")))
+    val arr = spark.read.format("graftarray").option("path", uri).load()
+    val base = arr.collect().toSeq // unfiltered truth
+    import org.apache.spark.sql.Row
+    val refDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(base), arr.schema)
+    val predicates = Seq(
+      col("rows").between(10L, 200L) && col("a") > 5L,
+      col("cols") === 3L || col("a") <= 2L,
+      col("s") === "s1" && col("rows") < 100L,
+      !(col("a") === 4L) && col("rows").isin(1L, 5L, 400L, 499L),
+      col("s").isNotNull && col("cols") =!= 2L)
+    predicates.foreach { p =>
+      val got = arr.filter(p).orderBy("rows").collect().toSeq
+      val want = refDf.filter(p).orderBy("rows").collect().toSeq
+      assert(got == want, s"pushdown mismatch for $p")
+    }
+  }
+}

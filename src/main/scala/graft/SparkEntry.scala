@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      operators.ArrayOps.queries
+      operators.ArrayOps.queries ++
+      operators.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
-      operators.ArrayOps.oracles
+      operators.ArrayOps.oracles ++
+      operators.StreamOps.oracles
 }

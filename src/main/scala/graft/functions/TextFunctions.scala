@@ -79,30 +79,24 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: `n` 60-bit min-hashes over the shingle set.
-    * Seeded by prefixing the shingle with "<i>:" — replicable in SQL.
-    * (At 100 TB scale swap hash60 for xxhash64(seed=i): one cheap hash
-    * per shingle instead of an md5; kept md5 here for oracle parity.) */
+  /** MinHash signature: one md5-derived base hash per shingle, then `n`
+    * universal-hash permutations mod 2³¹−1 in a native codegen kernel
+    * ([[graft.functions.expressions.Kernels.minhash]]) — one expensive
+    * hash per shingle instead of n, and the permutation loop compiles
+    * to straight Java (the declarative form was the bench bottleneck). */
   def minhashSignature(shingleCol: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)), i =>
-      coalesce(
-        array_min(transform(shingleCol,
-          s => hash60(concat(i.cast("string"), lit(":"), s)))),
-        lit(Long.MaxValue)))
+    // xxhash64 (codegen'd) as the base hash: the signature itself is
+    // never oracle-compared — candidate pairs are verified with exact
+    // Jaccard — so the cheap hash is safe here, unlike simhash/
+    // fingerprint which replay in DuckDB via md5-derived hash60.
+    graft.functions.expressions.Kernels.minhash(
+      transform(shingleCol, s => xxhash64(s).bitwiseAND(lit(Long.MaxValue))), n)
 
   /** 60-bit SimHash over whitespace tokens: bit j is set iff the sum of
-    * (+1/-1 for bit j of each token hash) is positive. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => hash60(t))
-    aggregate(
-      transform(sequence(lit(0), lit(59)), j =>
-        when(
-          aggregate(hashes, lit(0L),
-            (acc, h) => acc +
-              when(call_function("shiftright", h, j)
-                .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-            > 0L,
-          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+    * (+1/-1 for bit j of each token hash) is positive. Token hashes via
+    * builtins; the 60×N bit loop is a native codegen kernel with
+    * identical bit semantics to the oracle SQL. */
+  def simhash(text: Column): Column =
+    graft.functions.expressions.Kernels.simhash60(
+      transform(tokens(text), t => hash60(t)))
 }

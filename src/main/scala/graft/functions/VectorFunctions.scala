@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision (cast-before-multiply). */
+  /** Σ aᵢ·bᵢ in double precision (cast-before-multiply), strictly
+    * sequential — a native codegen kernel
+    * ([[graft.functions.expressions.Kernels.dotFF]]) bit-identical to
+    * the `aggregate(zip_with(...))` form and the oracle's
+    * `list_sum([a[i]::double * b[i]::double ...])`. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.Kernels.dotFF(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -32,11 +34,8 @@ object VectorFunctions {
     * md5 of (planeIdx, dimIdx) — no RNG, stable across runs/executors. */
   def hyperplaneBucket(vec: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { p =>
-      val plane = (0 until dim).map(d => planeCoef(p, d))
-      val proj = aggregate(
-        zip_with(vec, array(plane.map(lit): _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val plane = (0 until dim).map(d => planeCoef(p, d).toFloat)
+      val proj = dot(vec, array(plane.map(lit): _*))
       when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

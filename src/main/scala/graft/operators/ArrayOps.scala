@@ -125,6 +125,67 @@ object ArrayOps {
         .orderBy("n_nationkey")
     }),
 
+    // Heterogeneous dims (string + int) with a string-dim range pushed
+    // [t/heterogeneus_dimensions.test, t/string_dim.test].
+    "arr7_string_dim" -> ((s, d) => {
+      val uri = freshUri("sd")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("p_brand", StringType),
+          DimensionSpec("p_partkey", LongType)),
+        Seq(AttributeSpec("p_size", IntegerType),
+          AttributeSpec("p_retailprice", DoubleType)))
+      GraftArray.create(s, uri, sch)
+      GraftArray.write(s, uri, Tables.load(s, d, "part")
+        .select("p_brand", "p_partkey", "p_size", "p_retailprice"))
+      s.read.format("graftarray").option("path", uri).load()
+        .filter(col("p_brand") >= "Brand#2" && col("p_brand") <= "Brand#4" &&
+          col("p_size") >= 20)
+        .select("p_brand", "p_partkey", "p_size")
+        .orderBy("p_brand", "p_partkey")
+    }),
+
+    // Dense array + fill-value materialization over a bounded 5×5
+    // domain [quickstart_dense fixture; fill_in.test].
+    "arr8_dense_fill" -> ((s, d) => {
+      val uri = freshUri("dense")
+      val sch = ArraySchema(ArrayKind.Dense,
+        Seq(DimensionSpec("r", LongType, Some("0"), Some("4"), Some(5L)),
+          DimensionSpec("c", LongType, Some("0"), Some("4"), Some(5L))),
+        Seq(AttributeSpec("name", StringType, nullable = true,
+          fillValue = Some("(fill)"))))
+      GraftArray.create(s, uri, sch)
+      // write 25-key nation as a 5×5 grid but only even nationkeys
+      GraftArray.write(s, uri, Tables.load(s, d, "nation")
+        .filter(col("n_nationkey") % 2 === 0)
+        .select((col("n_nationkey") % 5).cast("long").as("r"),
+          (col("n_nationkey") / 5).cast("long").as("c"),
+          col("n_name").as("name")))
+      GraftArray.load(s, uri, materializeFills = true)
+        .orderBy("r", "c")
+    }),
+
+    // S13: CSV ingestion — documents → csv file → array → scan
+    // (LOAD DATA INFILE analog, t/csv.test).
+    "arr9_csv_ingest" -> ((s, d) => {
+      val csvDir = freshUri("csv").stripSuffix("/arr") + "/docs_csv"
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.write.option("header", "true").csv(csvDir)
+      val uri = freshUri("csvarr")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("doc_id", LongType)),
+        Seq(AttributeSpec("lang", StringType),
+          AttributeSpec("n_chars", LongType)))
+      GraftArray.create(s, uri, sch)
+      GraftArray.write(s, uri, s.read
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .option("header", "true").csv(csvDir))
+      s.read.format("graftarray").option("path", uri).load()
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    }),
+
     // S6: metadata key/value virtual table.
     "arr6_metadata" -> ((s, d) => {
       val uri = freshUri("meta")
@@ -164,6 +225,21 @@ object ArrayOps {
          FROM nation ORDER BY n_nationkey""",
     "arr6_metadata" ->
       """SELECT * FROM (VALUES ('engine', 'graft'), ('version', '1'))
-         t(key, value) ORDER BY key"""
+         t(key, value) ORDER BY key""",
+    "arr7_string_dim" ->
+      """SELECT p_brand, p_partkey, p_size FROM part
+         WHERE p_brand >= 'Brand#2' AND p_brand <= 'Brand#4' AND p_size >= 20
+         ORDER BY p_brand, p_partkey""",
+    "arr8_dense_fill" ->
+      """SELECT g.r, g.c, coalesce(n.n_name, '(fill)') AS name
+         FROM (SELECT a.range AS r, b.range AS c
+               FROM range(0, 5) a, range(0, 5) b) g
+         LEFT JOIN (SELECT n_nationkey % 5 AS r, n_nationkey // 5 AS c, n_name
+                    FROM nation WHERE n_nationkey % 2 = 0) n
+         ON g.r = n.r AND g.c = n.c
+         ORDER BY g.r, g.c""",
+    "arr9_csv_ingest" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::bigint AS chars
+         FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

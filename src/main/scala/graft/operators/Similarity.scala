@@ -26,11 +26,15 @@ object Similarity {
     // replaced by v3's bucketed variant — kept exact here as the oracle
     // anchor and correctness baseline.
     "v1_cosine_neardup" -> ((s, d) => {
+      // norms precomputed once per vector (each pair then costs a
+      // single codegen'd dot product instead of three)
       val e = emb(s, d)
-      val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("va"),
+        norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"),
+        norm(col("embedding")).as("nb"))
       a.join(b, col("i") < col("j"))
-        .withColumn("cos", cosine(col("va"), col("vb")))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
         .orderBy("i", "j")

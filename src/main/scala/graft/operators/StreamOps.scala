@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.streaming.EventPipeline
+
+/** Event-stream operators. st1 runs a REAL micro-batch Structured
+  * Streaming query (memory sink, processAllAvailable) whose complete
+  * output must equal the oracle's batch SQL — proving the streaming
+  * surface computes the same answer as the relational one. st2 is
+  * gap-based sessionization (30-min inactivity) as a declarative
+  * window plan.
+  */
+object StreamOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windowed aggregation via readStream → memory sink.
+    "st1_stream_windowed" -> ((s, d) =>
+      EventPipeline.runStreamingWindowed(s, d)
+        .orderBy("win_start_us", "event_type")),
+
+    // Sessionization: session breaks at >30 min inactivity per user.
+    "st2_sessions" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000 // 30 min in µs
+      val withSess = ev
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) > gapUs, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      withSess.groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .orderBy("user_id", "sess_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_windowed" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+         event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    "st2_sessions" ->
+      """WITH raw AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+         e AS (
+           SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM raw),
+         s AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)::bigint AS sess_id
+           FROM e)
+       SELECT user_id, sess_id, count(*) AS n, round(sum(value), 2) AS total,
+         min(us) AS start_us, max(us) AS end_us
+       FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
+  )
+}

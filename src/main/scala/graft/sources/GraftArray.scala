@@ -72,14 +72,25 @@ object GraftArray {
     val fragId = java.util.UUID.randomUUID.toString.take(12)
     val dataDir = st.fragmentDataDir(fragId)
 
-    // null-dim guard computed inside the same write pass
-    val guarded = schema.dims.foldLeft(df.select(cols.map(col): _*)) {
+    // null-dim + enum-domain guards computed inside the same write pass
+    val nullGuarded = schema.dims.foldLeft(df.select(cols.map(col): _*)) {
       (d, dim) =>
         d.withColumn(dim.name,
           when(col(dim.name).isNull,
             raise_error(lit(s"null value in dimension ${dim.name}")))
             .otherwise(col(dim.name)))
     }
+    // enumerated attrs only accept their declared values
+    // [ref: ENUM ⇄ TileDB Enumeration, ha_mytile.cc:1330–1351]
+    val guarded = schema.attrs.filter(_.enumValues.nonEmpty)
+      .foldLeft(nullGuarded) { (d, a) =>
+        d.withColumn(a.name,
+          when(col(a.name).isNotNull &&
+            !col(a.name).isInCollection(a.enumValues),
+            raise_error(concat(lit(s"value not in enum ${a.name}: "),
+              col(a.name).cast("string"))))
+            .otherwise(col(a.name)))
+      }
     guarded.write.mode("errorifexists").parquet(dataDir.toString)
 
     // fragment stats from parquet footers (no data re-read) + sums for
@@ -211,9 +222,10 @@ object GraftArray {
       d0.lowerBound.get.toLong, d0.upperBound.get.toLong + 1)
       .select(col("id").cast(d0.dataType).as(d0.name))
     schema.dims.tail.foreach { d =>
-      grid = grid.withColumn(d.name,
-        explode(sequence(lit(d.lowerBound.get.toLong),
-          lit(d.upperBound.get.toLong))).cast(d.dataType))
+      grid = grid
+        .withColumn(d.name, explode(sequence(lit(d.lowerBound.get.toLong),
+          lit(d.upperBound.get.toLong))))
+        .withColumn(d.name, col(d.name).cast(d.dataType))
     }
     val joined = grid.join(cells, schema.dimNames, "left")
     schema.attrs.foldLeft(joined) { (df, a) =>

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.{Event, SessionSummary}
+
+/** Structured Streaming behavior: micro-batch windowed aggregation must
+  * equal its batch twin, and the stateful sessionizer must accumulate
+  * per-user state across micro-batches. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg equals batch computation") {
+    val streaming = EventPipeline.runStreamingWindowed(spark, sf)
+      .orderBy("win_start_us", "event_type").collect().toSeq
+    val batch = EventPipeline.windowedCounts(
+      Tables.load(spark, sf, "events"))
+      .orderBy("win_start_us", "event_type").collect().toSeq
+    assert(streaming.nonEmpty && streaming == batch)
+  }
+
+  test("flatMapGroupsWithState sessionizer accumulates across batches") {
+    val input = MemoryStream[Event](spark)
+    val q = EventPipeline.sessionize(input.toDS(), withTimeout = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      input.addData(Event(1, ts(0), 10L, "click", 1.5),
+        Event(2, ts(1), 10L, "click", 2.5), Event(3, ts(2), 20L, "buy", 10.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(3), 10L, "click", 4.0))
+      q.processAllAvailable()
+      val snaps = spark.table("sess_test").as[SessionSummary].collect()
+      // batch 1 snapshot: user 10 → (2, 4.0); batch 2: user 10 → (3, 8.0)
+      assert(snaps.exists(s => s.user_id == 10L && s.n_events == 2 &&
+        math.abs(s.total - 4.0) < 1e-9))
+      assert(snaps.exists(s => s.user_id == 10L && s.n_events == 3 &&
+        math.abs(s.total - 8.0) < 1e-9))
+      assert(snaps.exists(s => s.user_id == 20L && s.n_events == 1))
+    } finally q.stop()
+  }
+}

@@ -22,6 +22,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output so a failure can't be masked by a
+        // previous run's result in the same outDir
+        try org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$outDir/$name"))
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

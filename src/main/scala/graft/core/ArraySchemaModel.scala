@@ -85,7 +85,11 @@ case class FragmentMeta(
     timestamp: Long, // commit time, millis — the time-travel axis
     files: Seq[String], // relative to table URI
     rows: Long,
-    stats: Map[String, ColumnStats])
+    stats: Map[String, ColumnStats],
+    /** per-file column stats (file → col → stats): enables FILE-level
+      * scan pruning when writes are cell-order clustered, the Spark
+      * analog of tile-extent-aligned physical layout. */
+    fileStats: Map[String, Map[String, ColumnStats]] = Map.empty)
 
 object ArraySchemaJson {
   private val M = new ObjectMapper()
@@ -142,36 +146,51 @@ object ArraySchemaJson {
       r.get("tileOrder").asText, r.get("allowsDups").asBoolean)
   }
 
-  def fragmentToJson(f: FragmentMeta): String = {
-    val root = M.createObjectNode()
-    root.put("id", f.id); root.put("timestamp", f.timestamp)
-    root.put("rows", f.rows)
-    val files = root.putArray("files"); f.files.foreach(files.add)
-    val stats = root.putObject("stats")
-    f.stats.foreach { case (c, st) =>
-      val n = stats.putObject(c)
+  private def putStats(parent: ObjectNode, key: String,
+      stats: Map[String, ColumnStats]): Unit = {
+    val node = parent.putObject(key)
+    stats.foreach { case (c, st) =>
+      val n = node.putObject(c)
       st.min.foreach(n.put("min", _)); st.max.foreach(n.put("max", _))
       n.put("nullCount", st.nullCount)
       st.sumLong.foreach(n.put("sumLong", _))
       st.sumDouble.foreach(n.put("sumDouble", _))
     }
+  }
+
+  def fragmentToJson(f: FragmentMeta): String = {
+    val root = M.createObjectNode()
+    root.put("id", f.id); root.put("timestamp", f.timestamp)
+    root.put("rows", f.rows)
+    val files = root.putArray("files"); f.files.foreach(files.add)
+    putStats(root, "stats", f.stats)
+    val fsNode = root.putObject("fileStats")
+    f.fileStats.foreach { case (file, st) => putStats(fsNode, file, st) }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  private def readStats(n: JsonNode): Map[String, ColumnStats] =
+    n.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> ColumnStats(
+        if (v.has("min")) Some(v.get("min").asText) else None,
+        if (v.has("max")) Some(v.get("max").asText) else None,
+        v.get("nullCount").asLong,
+        if (v.has("sumLong")) Some(v.get("sumLong").asLong) else None,
+        if (v.has("sumDouble")) Some(v.get("sumDouble").asDouble) else None)
+    }.toMap
+
   def fragmentFromJson(json: String): FragmentMeta = {
     val r = M.readTree(json)
-    val stats = r.get("stats").properties().asScala.map { e =>
-      val n = e.getValue
-      e.getKey -> ColumnStats(
-        if (n.has("min")) Some(n.get("min").asText) else None,
-        if (n.has("max")) Some(n.get("max").asText) else None,
-        n.get("nullCount").asLong,
-        if (n.has("sumLong")) Some(n.get("sumLong").asLong) else None,
-        if (n.has("sumDouble")) Some(n.get("sumDouble").asDouble) else None)
-    }.toMap
+    val fileStats =
+      if (r.has("fileStats"))
+        r.get("fileStats").properties().asScala.map { e =>
+          e.getKey -> readStats(e.getValue)
+        }.toMap
+      else Map.empty[String, Map[String, ColumnStats]]
     FragmentMeta(r.get("id").asText, r.get("timestamp").asLong,
       r.get("files").elements().asScala.map(_.asText).toSeq,
-      r.get("rows").asLong, stats)
+      r.get("rows").asLong, readStats(r.get("stats")), fileStats)
   }
 
   def metaToJson(kv: Map[String, String]): String = {

@@ -22,13 +22,39 @@ object ParquetStats {
     * in parquet footers; callers fill them separately if needed. */
   def collect(files: Seq[Path], schema: StructType, conf: Configuration)
       : (Long, Map[String, ColumnStats]) = {
+    val per = collectPerFile(files, schema, conf)
+    val rows = per.map(_._2).sum
+    val ord = TypedValue.ordering
+    val merged = schema.fields.map { f =>
+      val sts = per.flatMap(_._3.get(f.name))
+      def pick(vs: Seq[String], min: Boolean): Option[String] = {
+        val parsed = vs.map(TypedValue.parse(f.dataType, _))
+        if (parsed.isEmpty) None
+        else Some(TypedValue.show(
+          if (min) parsed.min(ord) else parsed.max(ord)))
+      }
+      f.name -> ColumnStats(
+        pick(sts.flatMap(_.min), min = true),
+        pick(sts.flatMap(_.max), min = false),
+        sts.map(_.nullCount).sum, None, None)
+    }.toMap
+    (rows, merged)
+  }
+
+  /** Per-file (path, rows, col→stats) from footers. */
+  def collectPerFile(files: Seq[Path], schema: StructType,
+      conf: Configuration): Seq[(Path, Long, Map[String, ColumnStats])] =
+    files.map { f => perFile(f, schema, conf) }
+
+  private def perFile(f: Path, schema: StructType, conf: Configuration)
+      : (Path, Long, Map[String, ColumnStats]) = {
     var rows = 0L
     val mins = collection.mutable.Map[String, Any]()
     val maxs = collection.mutable.Map[String, Any]()
     val nulls = collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val ord = TypedValue.ordering
 
-    files.foreach { f =>
+    Seq(f).foreach { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         val footer = reader.getFooter
@@ -62,13 +88,13 @@ object ParquetStats {
       } finally reader.close()
     }
 
-    val stats = schema.fields.map { f =>
-      f.name -> ColumnStats(
-        mins.get(f.name).map(TypedValue.show),
-        maxs.get(f.name).map(TypedValue.show),
-        nulls(f.name), None, None)
+    val stats = schema.fields.map { fld =>
+      fld.name -> ColumnStats(
+        mins.get(fld.name).map(TypedValue.show),
+        maxs.get(fld.name).map(TypedValue.show),
+        nulls(fld.name), None, None)
     }.toMap
-    (rows, stats)
+    (f, rows, stats)
   }
 
   /** Parquet statistics value → TypedValue storage domain. */

@@ -35,6 +35,48 @@ object Kernels {
     column(MinHashSig(expression(baseHashes), n))
 
   val P31: Long = (1L << 31) - 1
+
+  /** Hilbert-curve index of a 2-D coordinate (order-`bits` curve) —
+    * physical clustering for `cell_order=HILBERT`
+    * [ref: ha_mytile.cc:71–73, t/hilbert.test]. */
+  def hilbert2d(x: Column, y: Column, bits: Int): Column =
+    column(Hilbert2D(expression(x), expression(y), bits))
+}
+
+/** xy→d mapping of the order-`bits` Hilbert curve (non-negative
+  * inputs; callers normalize coordinates to [0, 2^bits)). */
+case class Hilbert2D(left: Expression, right: Expression, bits: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hilbert2D.xy2d(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"${ev.value} = graft.functions.expressions.Hilbert2D.xy2d($x, $y, $bits);"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+object Hilbert2D {
+  /** Classic Hilbert xy→d (rot-and-fold), order `bits`. */
+  def xy2d(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0; var y = y0
+    var rx = 0L; var ry = 0L; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1L else 0L
+      ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }
 
 case class DotFF(left: Expression, right: Expression)

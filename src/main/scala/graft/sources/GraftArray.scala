@@ -71,9 +71,15 @@ object GraftArray {
 
     val fragId = java.util.UUID.randomUUID.toString.take(12)
     val dataDir = st.fragmentDataDir(fragId)
+    // the fragment readers speak INT64-micros only — never INT96
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
+    // conform input to the array's column types (parquet physical type
+    // must match the schema exactly for the readers)
+    val typed = df.select(cols.map(c =>
+      col(c).cast(schema.dataTypeOf(c)).as(c)): _*)
     // null-dim + enum-domain guards computed inside the same write pass
-    val nullGuarded = schema.dims.foldLeft(df.select(cols.map(col): _*)) {
+    val nullGuarded = schema.dims.foldLeft(typed) {
       (d, dim) =>
         d.withColumn(dim.name,
           when(col(dim.name).isNull,
@@ -91,7 +97,8 @@ object GraftArray {
               col(a.name).cast("string"))))
             .otherwise(col(a.name)))
       }
-    guarded.write.mode("errorifexists").parquet(dataDir.toString)
+    clusterByCellOrder(schema, guarded)
+      .write.mode("errorifexists").parquet(dataDir.toString)
 
     // fragment stats from parquet footers (no data re-read) + sums for
     // the aggregate-pushdown fast path (one columnar mini-agg)
@@ -99,7 +106,10 @@ object GraftArray {
     val files = fs.listStatus(dataDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).toSeq
     val struct = schema.toStruct
-    val (rows, footerStats) =
+    val perFile = ParquetStats.collectPerFile(files, struct,
+      spark.sparkContext.hadoopConfiguration)
+    val rows = perFile.map(_._2).sum
+    val (_, footerStats) =
       ParquetStats.collect(files, struct, spark.sparkContext.hadoopConfiguration)
     val numeric = struct.fields.filter(f => f.dataType match {
       case ByteType | ShortType | IntegerType | LongType |
@@ -127,8 +137,45 @@ object GraftArray {
     }
     val ts = now()
     st.commitFragment(FragmentMeta(fragId, ts,
-      files.map(f => s"frag_$fragId/${f.getName}"), rows, stats))
+      files.map(f => s"frag_$fragId/${f.getName}"), rows, stats,
+      perFile.map { case (p, _, st0) =>
+        s"frag_$fragId/${p.getName}" -> st0 }.toMap))
     ts
+  }
+
+  /** Physical clustering per the array's `cell_order` before a fragment
+    * is written [ref: cell/tile order ha_mytile.cc:71–73, 1380–1395]:
+    * ROW_MAJOR / COL_MAJOR range-partition + sort by the dims (giving
+    * files tight, near-disjoint MBRs → file-level scan pruning);
+    * HILBERT clusters 2-D integral dims along a Hilbert curve
+    * [t/hilbert.test]; UNORDERED writes as-is. */
+  private def clusterByCellOrder(schema: ArraySchema, df: DataFrame): DataFrame = {
+    val dims = schema.dims
+    // explicit partition count — AQE would otherwise coalesce the range
+    // shuffle and collapse the per-file MBR granularity
+    def parts: Int = math.max(df.rdd.getNumPartitions, 1)
+    schema.cellOrder match {
+      case "UNORDERED" => df
+      case "HILBERT" if dims.size == 2 &&
+        dims.forall(d => TypedValue.isIntegral(d.dataType) &&
+          d.lowerBound.isDefined) =>
+        val bits = 20
+        val h = graft.functions.expressions.Kernels.hilbert2d(
+          (col(dims(0).name).cast("long") - dims(0).lowerBound.get.toLong)
+            .bitwiseAND(lit((1L << bits) - 1)),
+          (col(dims(1).name).cast("long") - dims(1).lowerBound.get.toLong)
+            .bitwiseAND(lit((1L << bits) - 1)), bits)
+        df.withColumn("_graft_h", h)
+          .repartitionByRange(parts, col("_graft_h"))
+          .sortWithinPartitions("_graft_h")
+          .drop("_graft_h")
+      case "COL_MAJOR" | "COLUMN_MAJOR" =>
+        val order = dims.reverse.map(d => col(d.name))
+        df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+      case _ => // ROW_MAJOR default
+        val order = dims.map(d => col(d.name))
+        df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    }
   }
 
   // ---- read ---------------------------------------------------------

@@ -220,6 +220,28 @@ class GraftScanImpl(
 
   override def toBatch: Batch = this
 
+  /** Files of `f` whose per-file dim MBRs intersect the constraints.
+    * Dim-only pruning is latest-wins-safe: a newer row for the same
+    * coordinates has identical dim values, so any file holding a newer
+    * version of a surviving coordinate also survives. */
+  private def selectFiles(f: FragmentMeta): Seq[String] =
+    f.files.filter { rel =>
+      f.fileStats.get(rel) match {
+        case Some(st) => constraints.forall { case (dim, c) =>
+          val dt = schema.dataTypeOf(dim)
+          st.get(dim) match {
+            case Some(cs) => (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) => c.overlapsMbr(
+                TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
+              case _ => true
+            }
+            case None => true
+          }
+        }
+        case None => true // no per-file stats recorded → keep
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val frags = selectedFrags
     val needDedup = !schema.allowsDups && frags.size > 1 &&
@@ -229,13 +251,13 @@ class GraftScanImpl(
       val groups = overlapGroups(frags)
       groups.map { g =>
         GraftInputPartition(
-          g.flatMap(f => f.files.map(rel => (s"$uri/$rel", f.timestamp))),
+          g.flatMap(f => selectFiles(f).map(rel => (s"$uri/$rel", f.timestamp))),
           needDedup = g.size > 1)
-      }.toArray
+      }.filter(_.files.nonEmpty).toArray
     } else {
-      // disjoint → one partition per file, maximal parallelism
+      // disjoint → one partition per surviving file, maximal parallelism
       frags.flatMap(f =>
-        f.files.map(rel =>
+        selectFiles(f).map(rel =>
           GraftInputPartition(Seq((s"$uri/$rel", f.timestamp)),
             needDedup = false))).toArray
     }

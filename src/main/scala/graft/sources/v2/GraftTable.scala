@@ -115,7 +115,8 @@ class GraftBatchWrite(
       }.toMap
     GraftArray.store(spark, uri).commitFragment(FragmentMeta(
       fragId, GraftArray.now(), msgs.map(_.file).toSeq,
-      msgs.map(_.rows).sum, merged))
+      msgs.map(_.rows).sum, merged,
+      msgs.map(m => m.file -> m.stats).toMap))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

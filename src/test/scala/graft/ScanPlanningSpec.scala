@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import graft.core._
+import graft.sources.GraftArray
+
+/** Planning-level behavior of the connector: reported statistics
+  * (reference `records` estimate, SURVEY §4) and runtime filtering
+  * (the DPP/MRR-batched-key analog, J3). */
+class ScanPlanningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_plan").toString + "/arr"
+
+  private val sch = ArraySchema(ArrayKind.Sparse,
+    Seq(DimensionSpec("k", LongType)),
+    Seq(AttributeSpec("v", DoubleType)))
+
+  test("SupportsReportStatistics feeds exact row counts to Catalyst") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri,
+      spark.range(0, 1000).select(col("id").as("k"), rand(7).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val stats = scan.computeStats()
+    assert(stats.rowCount.contains(BigInt(1000)), stats)
+    // with a pruning filter, stats shrink to the surviving fragments
+    val filtered = df.filter(col("k") >= 2000L) // outside any fragment
+    val scan2 = filtered.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    assert(scan2.computeStats().rowCount.contains(BigInt(0)), scan2.computeStats())
+  }
+
+  test("runtime filtering prunes fragments from join-side dim values") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    // 4 disjoint fragments of 100 keys each
+    for (base <- Seq(0L, 1000L, 2000L, 3000L))
+      GraftArray.write(spark, uri, spark.range(base, base + 100)
+        .select(col("id").as("k"), (col("id") % 10).cast("double").as("v")))
+    val arr = spark.read.format("graftarray").option("path", uri).load()
+    val keys = Seq(5L, 1050L).toDF("k") // hits fragments 1 and 2 only
+    val joined = arr.join(keys, Seq("k"))
+    val got = joined.orderBy("k").select("k", "v").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((5L, 5.0), (1050L, 0.0)))
+    // after execution, the scan's runtime-filtered partition set covers
+    // at most 2 fragments (broadcast-exchange feeds filter())
+    val scans = joined.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    val arrScan = scans.find(_.inputPartitions.nonEmpty)
+    arrScan.foreach { sc =>
+      val frags = sc.inputPartitions.collect {
+        case p: graft.sources.v2.GraftInputPartition =>
+          p.files.map(_._1.split("/frag_")(1).split("/")(0))
+      }.flatten.distinct
+      assert(frags.size <= 2, s"runtime filter did not prune: $frags")
+    }
+  }
+
+  test("empty pushed range plans zero partitions (empty-scan path)") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri,
+      spark.range(0, 100).select(col("id").as("k"), lit(1.0).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+      .filter(col("k") > 50L && col("k") < 40L)
+    assert(df.count() == 0)
+    val parts = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions }.flatten
+    assert(parts.isEmpty, s"expected 0 partitions, got ${parts.size}")
+  }
+}

@@ -186,6 +186,33 @@ object ArrayOps {
         .orderBy("lang")
     }),
 
+    // Multi-value attributes (reference cell_val_num>1 → ArrayType,
+    // SURVEY §1.2): embeddings stored IN the array format, ANN top-k
+    // served straight off the array scan.
+    "arr10_embedding_store" -> ((s, d) => {
+      val uri = freshUri("emb")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("vec_id", LongType)),
+        Seq(AttributeSpec("embedding", ArrayType(FloatType, containsNull = false)),
+          AttributeSpec("label", IntegerType)))
+      GraftArray.create(s, uri, sch)
+      GraftArray.write(s, uri, Tables.load(s, d, "embeddings"))
+      val e = s.read.format("graftarray").option("path", uri).load()
+      import graft.functions.VectorFunctions._
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rk")
+    }),
+
     // S6: metadata key/value virtual table.
     "arr6_metadata" -> ((s, d) => {
       val uri = freshUri("meta")
@@ -240,6 +267,26 @@ object ArrayOps {
          ORDER BY g.r, g.c""",
     "arr9_csv_ingest" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::bigint AS chars
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "arr10_embedding_store" ->
+      """SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
+         SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           list_sum([a.embedding[i]::double * b.embedding[i]::double
+                     for i in range(1, len(a.embedding) + 1)]) /
+           (sqrt(list_sum([a.embedding[i]::double * a.embedding[i]::double
+                     for i in range(1, len(a.embedding) + 1)])) *
+            sqrt(list_sum([b.embedding[i]::double * b.embedding[i]::double
+                     for i in range(1, len(b.embedding) + 1)]))) AS cos,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             list_sum([a.embedding[i]::double * b.embedding[i]::double
+                       for i in range(1, len(a.embedding) + 1)]) /
+             (sqrt(list_sum([a.embedding[i]::double * a.embedding[i]::double
+                       for i in range(1, len(a.embedding) + 1)])) *
+              sqrt(list_sum([b.embedding[i]::double * b.embedding[i]::double
+                       for i in range(1, len(b.embedding) + 1)]))) DESC,
+             b.vec_id) AS rk
+         FROM (SELECT * FROM embeddings WHERE vec_id < 3) a
+         JOIN embeddings b ON a.vec_id <> b.vec_id)
+         WHERE rk <= 5 ORDER BY query_id, rk"""
   )
 }

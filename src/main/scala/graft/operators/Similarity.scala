@@ -59,6 +59,32 @@ object Similarity {
         .orderBy("query_id", "rk")
     }),
 
+    // IVF ANN (the other scale path): deterministic k-means coarse
+    // quantizer (seeded init, 3 Lloyd iterations — all DataFrame ops),
+    // queries probe the `nprobe` nearest centroids' inverted lists
+    // instead of the full corpus. Approximate — recall vs. brute force
+    // asserted in OperatorsSpec.
+    "v4_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val assigned = Ivf.assign(e, k = 16, iters = 3)
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("cluster"))
+      // nprobe=2: query's own cluster + each query joins its 2 nearest
+      val qProbes = Ivf.probes(q, assigned, nprobe = 2)
+      val scored = qProbes
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rk")
+    }),
+
     // LSH-bucketed ANN (the scale path): 8-bit random-hyperplane
     // signature buckets both sides; query compares only within its
     // bucket. Approximate — no SQL oracle; recall vs. v2 is asserted

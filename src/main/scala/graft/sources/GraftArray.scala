@@ -75,9 +75,15 @@ object GraftArray {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     // conform input to the array's column types (parquet physical type
-    // must match the schema exactly for the readers)
-    val typed = df.select(cols.map(c =>
-      col(c).cast(schema.dataTypeOf(c)).as(c)): _*)
+    // must match the schema exactly for the readers); sameType skips
+    // nullability-only differences, which cast refuses to tighten
+    val inTypes = df.schema.map(f => f.name -> f.dataType).toMap
+    val typed = df.select(cols.map { c =>
+      val want = schema.dataTypeOf(c)
+      if (org.apache.spark.sql.graftshim.ColumnBridge.sameType(
+        inTypes(c), want)) col(c)
+      else col(c).cast(want).as(c)
+    }: _*)
     // null-dim + enum-domain guards computed inside the same write pass
     val nullGuarded = schema.dims.foldLeft(typed) {
       (d, dim) =>

@@ -149,10 +149,6 @@ class GraftPartitionReader(
     val requested = new MessageType("requested",
       wanted.map(fieldByName): _*)
     reader.setRequestedSchema(requested)
-    val wantedIdx: Seq[(Int, Int, PrimitiveType)] = wanted.zipWithIndex.map {
-      case (n, i) => (readCols.indexWhere(_.name == n), i,
-        fieldByName(n).asPrimitiveType())
-    }
 
     new Iterator[Array[Any]] {
       private var pages = reader.readNextRowGroup()
@@ -196,6 +192,8 @@ class GraftPartitionReader(
       val target = colIdx(name)
       out(target) =
         if (g.getFieldRepetitionCount(w) == 0) null
+        else if (!gt.getType(w).isPrimitive)
+          decodeList(g.getGroup(w, 0), readCols(target).dataType)
         else gt.getType(w).asPrimitiveType().getPrimitiveTypeName match {
           case PrimitiveTypeName.INT32 => g.getInteger(w, 0).toLong
           case PrimitiveTypeName.INT64 => g.getLong(w, 0)
@@ -215,6 +213,37 @@ class GraftPartitionReader(
       w += 1
     }
     out
+  }
+
+  /** parquet 3-level LIST group → catalyst ArrayData (multi-value
+    * attributes; never referenced by pushed predicates). */
+  private def decodeList(listGroup: Group, dt: DataType): Any = {
+    val elemType = dt match {
+      case ArrayType(e, _) => e
+      case _ => NullType
+    }
+    val n = listGroup.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val el = listGroup.getGroup(0, k)
+      out(k) =
+        if (el.getFieldRepetitionCount(0) == 0) null
+        else el.getType.getType(0).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => el.getInteger(0, 0)
+          case PrimitiveTypeName.INT64 => el.getLong(0, 0)
+          case PrimitiveTypeName.FLOAT =>
+            if (elemType == DoubleType) el.getFloat(0, 0).toDouble
+            else el.getFloat(0, 0)
+          case PrimitiveTypeName.DOUBLE => el.getDouble(0, 0)
+          case PrimitiveTypeName.BOOLEAN => el.getBoolean(0, 0)
+          case PrimitiveTypeName.BINARY =>
+            UTF8String.fromString(el.getBinary(0, 0).toStringUsingUTF8)
+          case other => throw new UnsupportedOperationException(s"$other")
+        }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

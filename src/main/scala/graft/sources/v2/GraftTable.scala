@@ -194,6 +194,25 @@ class GraftDataWriter(
             val b = row.getBinary(i)
             g.add(i, Binary.fromConstantByteArray(b)); b
           case BooleanType => g.add(i, row.getBoolean(i)); row.getBoolean(i)
+          case ArrayType(elem, _) =>
+            val arr = row.getArray(i)
+            val listG = g.addGroup(i)
+            var j = 0
+            while (j < arr.numElements()) {
+              val el = listG.addGroup("list")
+              if (!arr.isNullAt(j)) elem match {
+                case IntegerType => el.add("element", arr.getInt(j))
+                case LongType => el.add("element", arr.getLong(j))
+                case FloatType => el.add("element", arr.getFloat(j))
+                case DoubleType => el.add("element", arr.getDouble(j))
+                case StringType => el.add("element",
+                  Binary.fromString(arr.getUTF8String(j).toString))
+                case other => throw new UnsupportedOperationException(
+                  s"array element type $other")
+              }
+              j += 1
+            }
+            null // arrays carry no scalar stats
           case dt => throw new UnsupportedOperationException(s"type $dt")
         }
         storage match {
@@ -241,6 +260,10 @@ class GraftDataWriter(
 }
 
 object GraftParquet {
+  private def repetitionOf(required: Boolean) =
+    if (required) org.apache.parquet.schema.Type.Repetition.REQUIRED
+    else org.apache.parquet.schema.Type.Repetition.OPTIONAL
+
   /** StructType → parquet MessageType for the supported storage types. */
   def toParquetSchema(schema: ArraySchema, st: StructType): MessageType = {
     val b = Types.buildMessage()
@@ -265,6 +288,25 @@ object GraftParquet {
           .as(LTA.dateType()).named(f.name)
         case TimestampType => prim(PrimitiveTypeName.INT64)
           .as(LTA.timestampType(true, LTA.TimeUnit.MICROS)).named(f.name)
+        // multi-value attribute (reference cell_val_num>1 → ArrayType,
+        // SURVEY §1.2) — standard 3-level parquet LIST layout
+        case ArrayType(elem, containsNull) =>
+          val lb = if (required) Types.requiredList() else Types.optionalList()
+          val el = elem match {
+            case IntegerType => Types.primitive(PrimitiveTypeName.INT32,
+              repetitionOf(!containsNull))
+            case LongType => Types.primitive(PrimitiveTypeName.INT64,
+              repetitionOf(!containsNull))
+            case FloatType => Types.primitive(PrimitiveTypeName.FLOAT,
+              repetitionOf(!containsNull))
+            case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE,
+              repetitionOf(!containsNull))
+            case StringType => Types.primitive(PrimitiveTypeName.BINARY,
+              repetitionOf(!containsNull)).as(LTA.stringType())
+            case other => throw new UnsupportedOperationException(
+              s"array element type $other")
+          }
+          lb.element(el.named("element")).named(f.name)
         case dt => throw new UnsupportedOperationException(s"type $dt")
       }
       b.addField(built)

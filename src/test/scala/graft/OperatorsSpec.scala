@@ -37,6 +37,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("v4_ann_ivf achieves high recall vs brute-force top-10") {
+    val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.Similarity.queries("v4_ann_ivf")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low") // nprobe=2 of 16
+  }
+
   test("multimodal decode stub round-trips header and byte stats") {
     val m = operators.Multimodal.decodeOne(7L,
       Array[Byte](0, 0, 0, 3, 0, 0, 0, 2) ++ "abc".getBytes("UTF-8"))

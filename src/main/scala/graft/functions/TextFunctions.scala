@@ -69,15 +69,12 @@ object TextFunctions {
   def fingerprint(c: Column): Column = md5(normText(c))
 
   /** k-token shingles ("n-grams of tokens"), distinct, space-joined.
-    * Empty array when the document has fewer than k tokens. */
-  def shingles(c: Column, k: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * Empty array when the document has fewer than k tokens. Native
+    * kernel — identical output to the declarative
+    * array_distinct(transform(sequence, concat_ws(slice))) chain,
+    * without its per-element interpreted-lambda cost. */
+  def shingles(c: Column, k: Int): Column =
+    graft.functions.expressions.Kernels.shingles(tokens(c), k)
 
   /** MinHash signature: one md5-derived base hash per shingle, then `n`
     * universal-hash permutations mod 2³¹−1 in a native codegen kernel

@@ -41,6 +41,47 @@ object Kernels {
     * [ref: ha_mytile.cc:71–73, t/hilbert.test]. */
   def hilbert2d(x: Column, y: Column, bits: Int): Column =
     column(Hilbert2D(expression(x), expression(y), bits))
+
+  /** Distinct k-token shingles (space-joined) from a token array —
+    * same output as the transform/slice/concat_ws composition. */
+  def shingles(tokens: Column, k: Int): Column =
+    column(ShinglesExpr(expression(tokens), k))
+}
+
+/** Distinct space-joined k-grams of a token array (order of first
+  * occurrence — matches array_distinct over the sliding transform). */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShinglesExpr.compute(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.ShinglesExpr.compute($a, $k);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ShinglesExpr {
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * k - 1)
+      var j = 0
+      while (j < k) {
+        parts(2 * j) = tokens.getUTF8String(i + j)
+        if (j < k - 1) parts(2 * j + 1) = sep
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
 }
 
 /** xy→d mapping of the order-`bits` Hilbert curve (non-negative

@@ -25,10 +25,14 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
-  /** (doc_id, shingle) inverted index, distinct per doc. */
+  /** (doc_id, shingle-hash) inverted index, distinct per doc. Shingles
+    * are xxhash64'd before the join — an 8-byte shuffle key instead of
+    * a ~30-byte string (collision odds over the corpus ≈ n²/2⁶⁴,
+    * irrelevant at any scale we'd shuffle through one join). */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), K)).as("sh"))
+      .select(col("doc_id"), explode(shingles(col("text"), K)).as("sh0"))
+      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
 
   /** Exact-Jaccard pairs (i<j) from a candidate pair set that already
     * carries shared-shingle counts. */

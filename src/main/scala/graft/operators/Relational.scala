@@ -326,6 +326,55 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // J7: six-table join (TPC-H Q5 shape) — join-order/CBO exercise;
+    // local-supplier condition c_nationkey = s_nationkey.
+    "j7_q5_local_supplier" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // A8: exact interpolated percentiles (median + p90) per group.
+    "a7_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+        .orderBy("l_returnflag")),
+
+    // Scalar breadth: JSON field extraction + regexp over strings.
+    "f2_json_regexp" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          regexp_extract(col("event_type"), "([a-z]+)", 1).as("word"))
+        .filter(col("k") > 90)
+        .orderBy("event_id")),
+
+    // Grouped collection: sorted list aggregation rendered as string
+    // (array outputs don't hash stably across engines).
+    "g1_collect_sorted" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"), count(lit(1)).as("n"))
+        .orderBy("n_regionkey")),
+
     // P7 analog: spatial MBR intersection as range pushdown on x/y
     // columns. [ref: cond_push_func_spatial ha_mytile.cc:2312–2507 —
     // constant geometry's MBR → BETWEEN on _X/_Y dims]
@@ -479,6 +528,32 @@ object Relational {
       """SELECT p_partkey, p_size, p_retailprice FROM part
          WHERE p_size BETWEEN 10.0 AND 40.0
          AND p_retailprice BETWEEN 500.0 AND 1500.0
-         ORDER BY p_partkey"""
+         ORDER BY p_partkey""",
+    "j7_q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "a7_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+         round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "f2_json_regexp" ->
+      """SELECT event_id, json_extract(props, '$.k')::int AS k,
+         regexp_extract(event_type, '([a-z]+)', 1) AS word
+         FROM events WHERE json_extract(props, '$.k')::int > 90
+         ORDER BY event_id""",
+    "g1_collect_sorted" ->
+      """SELECT n_regionkey,
+         array_to_string(list_sort(list(n_name)), ',') AS nations,
+         count(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
   )
 }

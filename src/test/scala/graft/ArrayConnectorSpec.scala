@@ -169,6 +169,35 @@ class ArrayConnectorSpec extends SparkSpec {
     assert(!GraftArray.exists(spark, s"$wh/t1"))
   }
 
+  test("INSERT INTO ... SELECT through the SQL catalog [t/insert_into_select]") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_iis").toString
+    spark.conf.set("spark.sql.catalog.g2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g2.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE g2.src (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql("INSERT INTO g2.src VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    spark.sql(
+      """CREATE TABLE g2.dst (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql("INSERT INTO g2.dst SELECT k, v * 2 FROM g2.src WHERE k >= 2")
+    val got = spark.sql("SELECT * FROM g2.dst ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 5.0), (3L, 7.0)))
+  }
+
+  test("allowsDups keeps duplicate coordinates [t/duplicates]") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d.copy(allowsDups = true))
+    val df = Seq((1L, 1L, 10L, "a"), (1L, 1L, 20L, "b")).toDF("rows", "cols", "a", "s")
+    GraftArray.write(spark, uri, df)
+    GraftArray.write(spark, uri, df)
+    // 4 rows survive: dups allowed within and across fragments
+    assert(GraftArray.load(spark, uri).count() == 4)
+    assert(spark.read.format("graftarray").option("path", uri).load()
+      .count() == 4)
+  }
+
   test("aggregate pushdown answers from fragment stats (no data scan)") {
     val uri = tmp()
     GraftArray.create(spark, uri, schema2d)

@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
   */
 case class GraftInputPartition(
     files: Seq[(String, Long)], // (absolute file path, fragment ts)
-    needDedup: Boolean) extends InputPartition
+    needDedup: Boolean,
+    limit: Int = -1) extends InputPartition // per-partition row cap
 
 class GraftBatch(
     partitions: Seq[GraftInputPartition],
@@ -100,9 +101,14 @@ class GraftPartitionReader(
     }
   }
 
-  private val filtered: Iterator[Array[Any]] =
-    if (preds.isEmpty) iter
-    else iter.filter(r => preds.forall(_.eval(n => r(colIdx(n)))))
+  private val filtered: Iterator[Array[Any]] = {
+    val f =
+      if (preds.isEmpty) iter
+      else iter.filter(r => preds.forall(_.eval(n => r(colIdx(n)))))
+    // pushed LIMIT: applied after merge+filter, so always exact —
+    // each partition yields at most `limit` rows, Spark takes the rest
+    if (part.limit >= 0) f.take(part.limit) else f
+  }
 
   private var current: Array[Any] = _
 
@@ -196,7 +202,14 @@ class GraftPartitionReader(
           decodeList(g.getGroup(w, 0), readCols(target).dataType)
         else gt.getType(w).asPrimitiveType().getPrimitiveTypeName match {
           case PrimitiveTypeName.INT32 => g.getInteger(w, 0).toLong
-          case PrimitiveTypeName.INT64 => g.getLong(w, 0)
+          case PrimitiveTypeName.INT64 =>
+            gt.getType(w).getLogicalTypeAnnotation match {
+              case d: org.apache.parquet.schema.LogicalTypeAnnotation
+                  .DecimalLogicalTypeAnnotation =>
+                org.apache.spark.sql.types.Decimal(
+                  g.getLong(w, 0), d.getPrecision, d.getScale)
+              case _ => g.getLong(w, 0)
+            }
           case PrimitiveTypeName.FLOAT => g.getFloat(w, 0).toDouble
           case PrimitiveTypeName.DOUBLE => g.getDouble(w, 0)
           case PrimitiveTypeName.BOOLEAN => g.getBoolean(w, 0)

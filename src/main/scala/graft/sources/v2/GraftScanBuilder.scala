@@ -35,7 +35,8 @@ class GraftScanBuilder(
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownV2Filters
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private val fullStruct = schema.toStruct
   private var requiredStruct: StructType = fullStruct
@@ -43,6 +44,12 @@ class GraftScanBuilder(
   private var preds: Seq[Pred] = Nil
   private var aggValues: Option[Seq[Any]] = None
   private var aggSchema: StructType = _
+  private var limit: Int = -1
+
+  // ---- LIMIT pushdown: per-partition early termination -------------
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
+  // false → Spark keeps its own Limit on top (per-partition cap is a
+  // row-count reduction, not a global limit)
 
   // ---- P1: column pruning ------------------------------------------
   override def pruneColumns(required: StructType): Unit =
@@ -192,7 +199,7 @@ class GraftScanBuilder(
         val constraints =
           PredicateSupport.dimConstraints(preds, schema)
         new GraftScanImpl(spark, uri, schema, frags, requiredStruct,
-          preds, constraints)
+          preds, constraints, limit)
     }
   }
 }
@@ -206,7 +213,8 @@ class GraftScanImpl(
     allFrags: Seq[FragmentMeta],
     requiredStruct: StructType,
     preds: Seq[Pred],
-    initialConstraints: Map[String, DimConstraint])
+    initialConstraints: Map[String, DimConstraint],
+    limit: Int = -1)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -252,14 +260,14 @@ class GraftScanImpl(
       groups.map { g =>
         GraftInputPartition(
           g.flatMap(f => selectFiles(f).map(rel => (s"$uri/$rel", f.timestamp))),
-          needDedup = g.size > 1)
+          needDedup = g.size > 1, limit = limit)
       }.filter(_.files.nonEmpty).toArray
     } else {
       // disjoint → one partition per surviving file, maximal parallelism
       frags.flatMap(f =>
         selectFiles(f).map(rel =>
           GraftInputPartition(Seq((s"$uri/$rel", f.timestamp)),
-            needDedup = false))).toArray
+            needDedup = false, limit = limit))).toArray
     }
   }
 

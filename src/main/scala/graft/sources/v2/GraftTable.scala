@@ -194,6 +194,10 @@ class GraftDataWriter(
             val b = row.getBinary(i)
             g.add(i, Binary.fromConstantByteArray(b)); b
           case BooleanType => g.add(i, row.getBoolean(i)); row.getBoolean(i)
+          case dt: DecimalType if dt.precision <= 18 =>
+            g.add(i, row.getDecimal(i, dt.precision, dt.scale)
+              .toUnscaledLong)
+            null // decimals carry no scalar stats (no agg pushdown)
           case ArrayType(elem, _) =>
             val arr = row.getArray(i)
             val listG = g.addGroup(i)
@@ -288,6 +292,11 @@ object GraftParquet {
           .as(LTA.dateType()).named(f.name)
         case TimestampType => prim(PrimitiveTypeName.INT64)
           .as(LTA.timestampType(true, LTA.TimeUnit.MICROS)).named(f.name)
+        // lossless DECIMAL (the reference lossy-maps to FLOAT64,
+        // mytile.cc:21–23 — deliberate divergence, SURVEY §7.4.7)
+        case dt: DecimalType if dt.precision <= 18 =>
+          prim(PrimitiveTypeName.INT64)
+            .as(LTA.decimalType(dt.scale, dt.precision)).named(f.name)
         // multi-value attribute (reference cell_val_num>1 → ArrayType,
         // SURVEY §1.2) — standard 3-level parquet LIST layout
         case ArrayType(elem, containsNull) =>

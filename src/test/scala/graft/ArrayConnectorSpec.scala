@@ -225,6 +225,38 @@ class ArrayConnectorSpec extends SparkSpec {
     assert(grouped == Seq((false, 100L), (true, 100L)))
   }
 
+  test("decimal attributes round-trip losslessly (divergence from ref)") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("price", DecimalType(12, 4)))))
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |(1L, CAST(12345.6789 AS DECIMAL(12,4))),
+        |(2L, CAST(-0.0001 AS DECIMAL(12,4))),
+        |(3L, CAST(NULL AS DECIMAL(12,4))) t(k, price)""".stripMargin)
+    GraftArray.write(spark, uri, df)
+    // API path (Spark parquet reader)
+    val viaApi = GraftArray.load(spark, uri).orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getDecimal(1)).map(_.toString)))
+    assert(viaApi.toSeq == Seq((1L, Some("12345.6789")),
+      (2L, Some("-0.0001")), (3L, None)))
+    // DSv2 path (our Group reader) + DSv2 write of decimals via SQL
+    val wh = java.nio.file.Files.createTempDirectory("graft_dec").toString
+    spark.conf.set("spark.sql.catalog.gd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gd.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE gd.d (k BIGINT, price DECIMAL(12,4))
+        |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql("INSERT INTO gd.d VALUES (7, 99.9999), (8, NULL)")
+    val got = spark.sql("SELECT k, price FROM gd.d ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getDecimal(1)).map(_.toString)))
+    assert(got.toSeq == Seq((7L, Some("99.9999")), (8L, None)))
+    // decimal aggregates fall back to a real scan and stay exact
+    assert(spark.sql("SELECT sum(price) FROM gd.d").collect()(0)
+      .getDecimal(0).toString == "99.9999")
+  }
+
   test("pushdown ≡ post-filter (property over random predicates)") {
     val uri = tmp()
     GraftArray.create(spark, uri, schema2d)

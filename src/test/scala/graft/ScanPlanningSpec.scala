@@ -64,6 +64,20 @@ class ScanPlanningSpec extends SparkSpec {
     }
   }
 
+  test("limit pushdown caps per-partition rows and stays exact") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri,
+      spark.range(0, 10000).select(col("id").as("k"),
+        (col("id") % 7).cast("double").as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    assert(df.limit(5).count() == 5)
+    // limit composed with a pushed filter keeps filter-then-limit order
+    val got = df.filter(col("v") === 3.0).limit(4)
+      .select("k").collect().map(_.getLong(0))
+    assert(got.length == 4 && got.forall(k => k % 7 == 3))
+  }
+
   test("empty pushed range plans zero partitions (empty-scan path)") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

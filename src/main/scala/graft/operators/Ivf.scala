@@ -1,48 +1,57 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions._
 
-/** IVF coarse quantization for ANN, entirely as DataFrame plans:
+/** IVF coarse quantization for ANN:
   *
-  *  - deterministic init: centroids = the k vectors with the smallest
-  *    ids (seedless, stable across runs — `Date.now`-free by design)
-  *  - Lloyd iterations: assign (cross join vs broadcast centroids,
-  *    argmin distance) → recompute means (`posexplode` + groupBy)
+  *  - deterministic init: centroids = the k lowest-id vectors
+  *    (seedless, stable — `Date.now`-free by design)
+  *  - Lloyd iterations: assign against BROADCAST centroids (argmin via
+  *    window), recompute means, then COLLECT the k×dim centroid table
+  *    to the driver — k·dim floats, kilobytes — so each iteration's
+  *    lineage is cut and nothing is recursively recomputed
   *  - search: probe the `nprobe` centroids nearest to the query and
   *    scan only their inverted lists
   *
-  * At 100 TB the corpus side stays partitioned by cluster (the
-  * inverted lists ARE the partitioning), centroids stay broadcast —
-  * no shuffle on the scan path.
+  * At 100 TB the corpus stays partitioned by cluster (the inverted
+  * lists ARE the partitioning); centroids are always driver-side tiny.
   */
 object Ivf {
 
-  /** Corpus + `cluster` column. */
-  def assign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    // deterministic init: the k lowest-id vectors become centroids
-    var centroids = corpus.orderBy("vec_id").limit(k)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("cid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
-      .select(col("cid"), col("embedding").as("cv"))
+  private val centroidSchema = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("cv", ArrayType(FloatType, containsNull = false))))
 
-    var assigned: DataFrame = null
+  /** Corpus + `cluster` column, plus the final centroid table. */
+  def fit(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    // deterministic init: the k lowest-id vectors
+    var centroids: DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        corpus.orderBy("vec_id").limit(k)
+          .select(col("embedding").cast("array<float>"))
+          .collect().zipWithIndex
+          .map { case (r, i) => Row(i, r.getSeq[Float](0)) }.toSeq, 2),
+      centroidSchema)
+
     for (_ <- 0 until iters) {
-      assigned = assignOnce(corpus, centroids)
-      // recompute means per cluster; keep float element type
-      centroids = assigned
+      val assigned = assignOnce(corpus, centroids)
+      val means = assigned
         .select(col("cluster").as("cid"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("pairs"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cid"),
           expr("transform(pairs, p -> cast(p.m as float))").as("cv"))
+        .collect() // k rows — cuts the lineage
+      centroids = spark.createDataFrame(
+        spark.sparkContext.parallelize(means.toSeq, 2), centroidSchema)
     }
-    assignOnce(corpus, centroids)
+    (assignOnce(corpus, centroids), centroids)
   }
 
   private def assignOnce(corpus: DataFrame, centroids: DataFrame): DataFrame = {
@@ -53,22 +62,14 @@ object Ivf {
       .orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "sim")
+      .drop("rn", "sim", "cv")
       .withColumnRenamed("cid", "cluster")
-      .drop("cv")
   }
 
   /** For each query row (query_id, qv, cluster), the corpus rows in its
     * `nprobe` nearest clusters. */
-  def probes(queries: DataFrame, assigned: DataFrame, nprobe: Int): DataFrame = {
-    val centroids = assigned
-      .select(col("cluster").as("cid"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-      .select(col("cid"),
-        expr("transform(pairs, p -> cast(p.m as float))").as("cv"))
+  def probes(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cid"))

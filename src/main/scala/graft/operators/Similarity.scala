@@ -66,12 +66,13 @@ object Similarity {
     // asserted in OperatorsSpec.
     "v4_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val assigned = Ivf.assign(e, k = 16, iters = 3)
+      val (assigned0, centroids) = Ivf.fit(e, k = 16, iters = 3)
+      val assigned = assigned0.cache()
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("cluster"))
-      // nprobe=2: query's own cluster + each query joins its 2 nearest
-      val qProbes = Ivf.probes(q, assigned, nprobe = 2)
+      // nprobe=2: each query scans only its 2 nearest inverted lists
+      val qProbes = Ivf.probes(q, assigned, centroids, nprobe = 2)
       val scored = qProbes
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(col("qv"), col("embedding")))

@@ -206,7 +206,7 @@ object ArrayOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .select(col("query_id"), col("vec_id"), col("rk"),
           round(col("cos"), 6).as("cos"))

@@ -112,7 +112,8 @@ object Dedup {
       bands.as("a").join(bands.as("b"), "band")
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long")
+            .as("hamming"))
         .filter(col("hamming") <= 6)
         .distinct()
         .orderBy("i", "j")
@@ -155,7 +156,7 @@ object Dedup {
             for t in string_split_regex(trim(text), '\s+')] AS hashes
            FROM documents))
        SELECT a.doc_id AS i, b.doc_id AS j,
-         bit_count(xor(a.sim, b.sim)) AS hamming
+         bit_count(xor(a.sim, b.sim))::bigint AS hamming
        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.sim, b.sim)) <= 6
        ORDER BY i, j"""

@@ -73,7 +73,7 @@ object Multimodal {
     "m1_binary_meta" -> ((s, d) =>
       fakeMedia(Tables.load(s, d, "documents"))
         .select(col("doc_id"),
-          length(col("media")).as("n_bytes"),
+          length(col("media")).cast("long").as("n_bytes"),
           // digest over lowercase hex — DuckDB's md5 is varchar-only
           md5(lower(hex(col("media")))).as("digest"))
         .orderBy("doc_id")),

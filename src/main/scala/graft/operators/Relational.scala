@@ -238,7 +238,7 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, d, "orders")
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"), col("rk"))
@@ -310,8 +310,8 @@ object Relational {
           upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
           concat(col("o_orderstatus"), lit("-"),
             col("o_orderpriority")).as("skey"),
-          year(col("o_orderdate")).as("yr"),
-          month(col("o_orderdate")).as("mo"))
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
         .orderBy("o_orderkey")),
 
     // Correlated-style scalar subquery: orders above their customer's

@@ -52,7 +52,7 @@ object Similarity {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 10)
         .select(col("query_id"), col("vec_id"), col("rk"),
           round(col("cos"), 6).as("cos"))
@@ -79,7 +79,7 @@ object Similarity {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 10)
         .select(col("query_id"), col("vec_id"), col("rk"),
           round(col("cos"), 6).as("cos"))
@@ -103,7 +103,7 @@ object Similarity {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 10)
         .select(col("query_id"), col("vec_id"), col("rk"),
           round(col("cos"), 6).as("cos"))

@@ -19,17 +19,17 @@ object TextOps {
     "t1_token_count" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        bpeTokenCount(col("text")).as("n_subtokens"))
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_subtokens"))
         .orderBy("doc_id")),
 
     // Quality scoring: length/stopword/punctuation heuristics.
     "t2_quality_score" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        stopwordCount(col("text")).as("n_stop"),
-        punctCount(col("text")).as("n_punct"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        stopwordCount(col("text")).cast("long").as("n_stop"),
+        punctCount(col("text")).cast("long").as("n_punct"),
         qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 

@@ -40,6 +40,16 @@ def main(sf_dir, out_dir):
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1; continue
+        # schema (dtype) parity — the driver checks schema, not just values
+        sp_t = con.sql(f"SELECT * FROM '{res_dir}/*.parquet' LIMIT 0")
+        du_t = con.sql(sql)
+        tdiff = {c: (str(a), str(b)) for c, a, b in
+                 zip(sp_t.columns, sp_t.types,
+                     [dict(zip(du_t.columns, du_t.types))[c]
+                      for c in sp_t.columns])
+                 if str(a) != str(b)}
+        if tdiff:
+            print(f"FAIL {name}: dtype diff {tdiff}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
         diff_cols = []

@@ -1,0 +1,257 @@
+package graft.functions.expressions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k selection + broadcast-centroid assignment kernels for
+  * the similarity family. Both replace plans that funneled the whole
+  * scored corpus through a `Window.partitionBy(query_id)` (≤ #queries
+  * reducer tasks holding every scored row — the round-1 scale-killer):
+  *
+  *  - [[TopKByScore]] is a k-sized-heap aggregate with partial merge:
+  *    each map task reduces its slice to ≤ k entries per group, the
+  *    exchange moves k-sized states only, and the merge is k·log k.
+  *  - [[ArgTopDot]] scores one row against a driver-side centroid table
+  *    (k×dim floats — kilobytes) inside codegen: no row inflation, no
+  *    exchange, versus crossJoin(centroids)+window argmin.
+  */
+object TopK {
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+
+  /** Aggregate: the k (score, id) pairs with highest score (ties →
+    * lowest id), as `array<struct<id long, score double>>` sorted
+    * score-desc, id-asc — exactly the rows a rank-≤-k window keeps. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    column(TopKByScore(expression(score), expression(id), k)
+      .toAggregateExpression())
+
+  /** Index (0-based) of the centroid with the highest dot product
+    * against the row's vector; ties → lowest index. */
+  def argMaxDot(vec: Column, centroids: Array[Array[Float]]): Column =
+    column(ArgTopDot(expression(vec), centroids, 1))
+
+  /** The `n` centroid indices with highest dot products, best first. */
+  def argTopDot(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
+    column(ArgTopDotList(expression(vec), centroids, n))
+}
+
+/** Growable bounded buffer: keeps the k best (score, id) pairs.
+  * "Better" = higher score, or equal score and lower id — the same
+  * total order as `ORDER BY score DESC, id ASC`. */
+final class TopKBuffer(val k: Int) {
+  // binary min-heap on "worst first" so the root is the eviction victim
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  // is (s1,i1) worse than (s2,i2)?
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  private def siftUp(pos0: Int): Unit = {
+    var pos = pos0
+    while (pos > 0) {
+      val parent = (pos - 1) >> 1
+      if (worse(scores(pos), ids(pos), scores(parent), ids(parent))) {
+        swap(pos, parent); pos = parent
+      } else return
+    }
+  }
+
+  private def siftDown(pos0: Int): Unit = {
+    var pos = pos0
+    while (true) {
+      val l = 2 * pos + 1; val r = l + 1
+      var worst = pos
+      if (l < size && worse(scores(l), ids(l), scores(worst), ids(worst)))
+        worst = l
+      if (r < size && worse(scores(r), ids(r), scores(worst), ids(worst)))
+        worst = r
+      if (worst == pos) return
+      swap(pos, worst); pos = worst
+    }
+  }
+
+  private def swap(a: Int, b: Int): Unit = {
+    val s = scores(a); scores(a) = scores(b); scores(b) = s
+    val i = ids(a); ids(a) = ids(b); ids(b) = i
+  }
+
+  def insert(score: Double, id: Long): Unit =
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1; siftUp(size - 1)
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id; siftDown(0)
+    }
+
+  /** (score desc, id asc) — the output order. */
+  def sorted: Array[(Double, Long)] =
+    (0 until size).map(i => (scores(i), ids(i))).toArray
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+}
+
+/** TypedImperativeAggregate top-k: partial states are k-bounded, so the
+  * exchange carries ≤ k entries per map-side group — never the scored
+  * corpus. */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      b.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < other.size) { b.insert(other.scores(i), other.ids(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: TopKBuffer): Any =
+    new GenericArrayData(b.sorted.map { case (s, i) =>
+      InternalRow(i, s)
+    }.asInstanceOf[Array[Any]])
+
+  override def serialize(b: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * b.size)
+    bb.putInt(b.size)
+    var i = 0
+    while (i < b.size) { bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { b.insert(bb.getDouble, bb.getLong); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(score = cs(0), id = cs(1))
+}
+
+object ArgTopDot {
+  /** Index of the max-dot centroid (ties → lowest index). */
+  def best(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      centroids: Array[Array[Float]]): Int = {
+    var bestIdx = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(vec.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += vec.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      if (acc > bestSim) { bestSim = acc; bestIdx = c }
+      c += 1
+    }
+    bestIdx
+  }
+
+  /** The `n` highest-dot centroid indices, best first (ties → lowest
+    * index — same order as `ORDER BY sim DESC, cid ASC`). */
+  def top(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      centroids: Array[Array[Float]], n: Int): GenericArrayData = {
+    val sims = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val m = math.min(vec.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += vec.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      sims(c) = acc
+      c += 1
+    }
+    val idx = centroids.indices.toArray
+      .sortWith((a, b) => sims(a) > sims(b) || (sims(a) == sims(b) && a < b))
+    new GenericArrayData(idx.take(n).map(Int.box).asInstanceOf[Array[Any]])
+  }
+}
+
+/** Scalar argmax-dot against a literal centroid table: one codegen'd
+  * loop per row, zero row inflation, zero exchange — the replacement
+  * for crossJoin(broadcast(centroids)) + window argmin. */
+case class ArgTopDot(child: Expression, centroids: Array[Array[Float]], n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    ArgTopDot.best(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val m = ctx.freshName("m")
+      val bestIdx = ctx.freshName("bestIdx"); val bestSim = ctx.freshName("bestSim")
+      s"""
+         |int $bestIdx = 0;
+         |double $bestSim = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  float[] cv = $cRef[$c];
+         |  int $m = java.lang.Math.min($a.numElements(), cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) cv[$i];
+         |  }
+         |  if ($acc > $bestSim) { $bestSim = $acc; $bestIdx = $c; }
+         |}
+         |${ev.value} = $bestIdx;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** n-best variant (query-side probe lists; queries are few, so the
+  * interpreted-friendly sort inside is irrelevant to scale). */
+case class ArgTopDotList(child: Expression, centroids: Array[Array[Float]],
+    n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ArgTopDot.top(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centroids, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.ArgTopDot.top($a, $cRef, $n);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

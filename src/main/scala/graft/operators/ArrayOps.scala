@@ -203,14 +203,8 @@ object ArrayOps {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(col("qv"), col("embedding")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
-        .select(col("query_id"), col("vec_id"), col("rk"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy("query_id", "rk")
+      // bounded top-k aggregation — no global window over scored rows
+      Similarity.topkSelect(scored, 5)
     }),
 
     // S6: metadata key/value virtual table.

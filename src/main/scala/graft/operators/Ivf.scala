@@ -1,18 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-import graft.functions.VectorFunctions._
+import graft.functions.expressions.TopK
 
 /** IVF coarse quantization for ANN:
   *
   *  - deterministic init: centroids = the k lowest-id vectors
   *    (seedless, stable — `Date.now`-free by design)
-  *  - Lloyd iterations: assign against BROADCAST centroids (argmin via
-  *    window), recompute means, then COLLECT the k×dim centroid table
-  *    to the driver — k·dim floats, kilobytes — so each iteration's
-  *    lineage is cut and nothing is recursively recomputed
+  *  - Lloyd iterations: assignment is a single codegen'd argmax-dot
+  *    against the driver-side centroid table ([[TopK.argMaxDot]]) —
+  *    zero row inflation, zero exchange (the round-1
+  *    crossJoin(centroids)+window plan materialized n×k rows and
+  *    shuffled them); per-cluster means reduce map-side (hash partial
+  *    agg) so the exchange moves k×dim aggregates, then the k×dim
+  *    float centroid table is collected — kilobytes, and the collect
+  *    cuts each iteration's lineage so nothing recomputes recursively
   *  - search: probe the `nprobe` centroids nearest to the query and
   *    scan only their inverted lists
   *
@@ -21,25 +24,18 @@ import graft.functions.VectorFunctions._
   */
 object Ivf {
 
-  private val centroidSchema = StructType(Seq(
-    StructField("cid", IntegerType, nullable = false),
-    StructField("cv", ArrayType(FloatType, containsNull = false))))
-
-  /** Corpus + `cluster` column, plus the final centroid table. */
-  def fit(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
+  /** Corpus + `cluster` column, plus the final centroid table
+    * (driver-side k×dim floats — kilobytes). */
+  def fit(corpus: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Array[Array[Float]]) = {
     // deterministic init: the k lowest-id vectors
-    var centroids: DataFrame = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        corpus.orderBy("vec_id").limit(k)
-          .select(col("embedding").cast("array<float>"))
-          .collect().zipWithIndex
-          .map { case (r, i) => Row(i, r.getSeq[Float](0)) }.toSeq, 2),
-      centroidSchema)
+    var centroids: Array[Array[Float]] =
+      corpus.orderBy("vec_id").limit(k)
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
 
     for (_ <- 0 until iters) {
-      val assigned = assignOnce(corpus, centroids)
-      val means = assigned
+      val means = assignOnce(corpus, centroids)
         .select(col("cluster").as("cid"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
@@ -47,38 +43,33 @@ object Ivf {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cid"),
           expr("transform(pairs, p -> cast(p.m as float))").as("cv"))
-        .collect() // k rows — cuts the lineage
-      centroids = spark.createDataFrame(
-        spark.sparkContext.parallelize(means.toSeq, 2), centroidSchema)
+        .collect() // ≤ k rows — cuts the lineage
+      val next = centroids.map(_.clone())
+      // clusters that lost every member keep their previous centroid
+      means.foreach(r => next(r.getInt(0)) = r.getSeq[Float](1).toArray)
+      centroids = next
     }
     (assignOnce(corpus, centroids), centroids)
   }
 
-  private def assignOnce(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("sim", dot(col("embedding"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "sim", "cv")
-      .withColumnRenamed("cid", "cluster")
-  }
+  /** One assignment pass: cluster = argmax over centroids of the dot
+    * product, computed per-row inside WholeStageCodegen (ties → lowest
+    * centroid id, matching `ORDER BY sim DESC, cid ASC`). */
+  private def assignOnce(corpus: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    corpus.withColumn("cluster", TopK.argMaxDot(col("embedding"), centroids))
 
-  /** For each query row (query_id, qv, cluster), the corpus rows in its
-    * `nprobe` nearest clusters. */
-  def probes(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
-      nprobe: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val probeSet = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", dot(col("qv"), col("cv")))
-      .withColumn("prn", row_number().over(w))
-      .filter(col("prn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid").as("probe_cluster"))
-    probeSet.join(assigned,
+  /** For each query row (query_id, qv), the corpus rows in its `nprobe`
+    * nearest clusters. The probe list is computed per query row by the
+    * same kernel (no crossJoin/window); the tiny query×probe table is
+    * broadcast against the partitioned corpus. */
+  def probes(queries: DataFrame, assigned: DataFrame,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    val probeSet = queries
+      .withColumn("probe_cluster",
+        explode(TopK.argTopDot(col("qv"), centroids, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe_cluster"))
+    assigned.join(broadcast(probeSet),
       col("probe_cluster") === assigned("cluster"))
   }
 }

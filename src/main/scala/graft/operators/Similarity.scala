@@ -20,6 +20,23 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  /** Per-query bounded top-k over scored rows (columns `query_id`,
+    * `vec_id`, `cos`): a k-sized-heap aggregate with partial merge, so
+    * each map task reduces its slice to ≤ k entries per query and the
+    * exchange moves k-sized states — never the scored corpus (the
+    * round-1 `Window.partitionBy(query_id)` funneled everything into
+    * ≤ #queries tasks). Output matches the rank-≤-k window exactly:
+    * (cos desc, vec_id asc), rk from 1. */
+  private[operators] def topkSelect(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.expressions.TopK
+        .topKByScore(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rk"),
+        round(col("t.score"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs (exact, threshold 0.45).
     // O(n²/2) compare expressed as a range self-join; at 100 TB this is
@@ -41,7 +58,8 @@ object Similarity {
     }),
 
     // Brute-force cosine top-k: 5 query vectors (vec_id < 5) broadcast
-    // against the corpus; per-query top-10 via window ranking.
+    // against the corpus; per-query top-10 via bounded heap aggregation
+    // (partial map-side, k-sized shuffle states — no global window).
     "v2_ann_topk" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -49,14 +67,7 @@ object Similarity {
       val scored = e.select(col("vec_id"), col("embedding"))
         .join(broadcast(q), col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(col("qv"), col("embedding")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 10)
-        .select(col("query_id"), col("vec_id"), col("rk"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy("query_id", "rk")
+      topkSelect(scored, 10)
     }),
 
     // IVF ANN (the other scale path): deterministic k-means coarse
@@ -69,21 +80,13 @@ object Similarity {
       val (assigned0, centroids) = Ivf.fit(e, k = 16, iters = 3)
       val assigned = assigned0.cache()
       val q = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("cluster"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       // nprobe=2: each query scans only its 2 nearest inverted lists
       val qProbes = Ivf.probes(q, assigned, centroids, nprobe = 2)
       val scored = qProbes
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(col("qv"), col("embedding")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 10)
-        .select(col("query_id"), col("vec_id"), col("rk"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy("query_id", "rk")
+      topkSelect(scored, 10)
     }),
 
     // LSH-bucketed ANN (the scale path): 8-bit random-hyperplane
@@ -100,14 +103,7 @@ object Similarity {
         .join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(col("qv"), col("embedding")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 10)
-        .select(col("query_id"), col("vec_id"), col("rk"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy("query_id", "rk")
+      topkSelect(scored, 10)
     })
   )
 

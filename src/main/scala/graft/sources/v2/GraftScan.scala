@@ -22,15 +22,23 @@ import scala.jdk.CollectionConverters._
 /** DSv2 batch scan over array fragments (reference scan path S1–S4).
   *
   * Partitioning: fragments whose dim-MBRs overlap (and need latest-wins
-  * merge) are grouped into one [[GraftInputPartition]]; disjoint
-  * fragments split per-file for maximal parallelism. Pushed predicates
-  * are evaluated inside the reader (QueryCondition analog); pruning
-  * already happened fragment-level in the ScanBuilder.
+  * merge) are split into first-dimension range slabs driven by per-file
+  * MBRs — each slab merges only its own coordinate range, so merge
+  * state is bounded by slab width, not fragment size (SURVEY §7.4.4).
+  * Disjoint fragments split per-file for maximal parallelism. Pushed
+  * predicates are evaluated inside the reader (QueryCondition analog);
+  * pruning already happened fragment-level in the ScanBuilder.
   */
 case class GraftInputPartition(
     files: Seq[(String, Long)], // (absolute file path, fragment ts)
     needDedup: Boolean,
-    limit: Int = -1) extends InputPartition // per-partition row cap
+    limit: Int = -1, // per-partition row cap
+    /** Half-open slab [slabLo, slabHi) on the FIRST dimension (storage
+      * domain). Rows outside are owned by a sibling slab partition; the
+      * dedup key (full dim tuple) shares dim0, so equal coordinates
+      * always land in the same slab and latest-wins stays exact. */
+    slabLo: Option[Any] = None,
+    slabHi: Option[Any] = None) extends InputPartition
 
 class GraftBatch(
     partitions: Seq[GraftInputPartition],
@@ -70,11 +78,13 @@ class GraftPartitionReader(
     preds: Seq[Pred],
     conf: Configuration) extends PartitionReader[InternalRow] {
 
+  private def hasSlab: Boolean = part.slabLo.isDefined || part.slabHi.isDefined
+
   // columns physically read = requested ∪ merge dims ∪ predicate refs
   // (reference always reads dims, ha_mytile.cc:3013–3021)
   private val readCols: Seq[StructField] = {
     val extra =
-      (if (part.needDedup) dimNames else Nil) ++
+      (if (part.needDedup || hasSlab) dimNames else Nil) ++
         preds.flatMap(_.refs)
     readSchema.fields.toSeq ++
       extra.distinct.filterNot(readSchema.fieldNames.contains)
@@ -89,12 +99,28 @@ class GraftPartitionReader(
     readCols.map(_.name).zipWithIndex.toMap
 
   private val iter: Iterator[Array[Any]] = {
-    val rows = part.files.sortBy(_._2).iterator.flatMap {
+    val raw = part.files.sortBy(_._2).iterator.flatMap {
       case (file, _) => readFile(file)
     }
+    // slab ownership: keep only rows whose dim0 falls in [slabLo, slabHi)
+    // — a file spanning several slabs is read by each, but every row is
+    // emitted by exactly one
+    val rows =
+      if (!hasSlab) raw
+      else {
+        val ord = TypedValue.ordering
+        val d0 = dimIdx(0)
+        raw.filter { r =>
+          val v = r(d0)
+          part.slabLo.forall(lo => ord.compare(v, lo) >= 0) &&
+            part.slabHi.forall(hi => ord.compare(v, hi) < 0)
+        }
+      }
     if (!part.needDedup) rows
     else {
-      // newest fragment wins per coordinate (files are ts-ascending)
+      // newest fragment wins per coordinate (files are ts-ascending);
+      // map size is bounded by the slab's coordinate range, not the
+      // whole overlap group
       val m = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
       rows.foreach { r => m.put(dimIdx.map(r(_)).toSeq, r) }
       m.values.asScala.iterator

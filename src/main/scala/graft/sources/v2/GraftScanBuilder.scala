@@ -252,15 +252,17 @@ class GraftScanImpl(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val frags = selectedFrags
-    val needDedup = !schema.allowsDups && frags.size > 1 &&
+    val anyOverlap = !schema.allowsDups && frags.size > 1 &&
       !FragmentPruning.pairwiseDisjoint(frags, schema)
-    if (needDedup) {
-      // transitive overlap groups must merge within one partition
-      val groups = overlapGroups(frags)
-      groups.map { g =>
-        GraftInputPartition(
-          g.flatMap(f => selectFiles(f).map(rel => (s"$uri/$rel", f.timestamp))),
-          needDedup = g.size > 1, limit = limit)
+    if (anyOverlap) {
+      // transitive overlap groups merge latest-wins; each group is
+      // split into dim0-range slabs so no single task holds the group
+      overlapGroups(frags).flatMap { g =>
+        if (g.size == 1)
+          selectFiles(g.head).map(rel =>
+            GraftInputPartition(Seq((s"$uri/$rel", g.head.timestamp)),
+              needDedup = false, limit = limit))
+        else slabPartitions(g)
       }.filter(_.files.nonEmpty).toArray
     } else {
       // disjoint → one partition per surviving file, maximal parallelism
@@ -268,6 +270,71 @@ class GraftScanImpl(
         selectFiles(f).map(rel =>
           GraftInputPartition(Seq((s"$uri/$rel", f.timestamp)),
             needDedup = false, limit = limit))).toArray
+    }
+  }
+
+  /** Split a transitive-overlap fragment group into half-open range
+    * slabs along the first dimension using the per-file MBRs already in
+    * the manifests — the scale-safe replacement for one-partition-per-
+    * group merging (SURVEY §7.4.4; reference fragment semantics §1.1).
+    * Slab cut points are the distinct per-file dim0 minima (cell-order-
+    * clustered writes give files tight, staggered MBRs, so this yields
+    * ≈ one slab per file); when files overlap so completely that no
+    * natural cuts exist, numeric domains fall back to equal-width cuts.
+    * A file is attached to every slab its MBR intersects; the reader's
+    * [lo, hi) ownership filter keeps output exactly-once. */
+  private def slabPartitions(g: Seq[FragmentMeta]): Seq[GraftInputPartition] = {
+    val d0 = schema.dims.head
+    val dt = d0.dataType
+    val ord = TypedValue.ordering
+    case class FileBox(path: String, ts: Long, mn: Any, mx: Any)
+    val boxed: Seq[Either[(String, Long), FileBox]] = g.flatMap { f =>
+      selectFiles(f).map { rel =>
+        val mbr = f.fileStats.get(rel).flatMap(_.get(d0.name)).flatMap(cs =>
+          for (mn <- cs.min; mx <- cs.max) yield
+            (TypedValue.parse(dt, mn), TypedValue.parse(dt, mx)))
+        mbr match {
+          case Some((mn, mx)) =>
+            Right(FileBox(s"$uri/$rel", f.timestamp, mn, mx))
+          case None => Left((s"$uri/$rel", f.timestamp))
+        }
+      }
+    }
+    if (boxed.exists(_.isLeft))
+      // a file lacks dim0 MBR stats → cannot assign it to slabs safely;
+      // fall back to a single merge partition for the whole group
+      Seq(GraftInputPartition(
+        boxed.map(_.fold(identity, b => (b.path, b.ts))),
+        needDedup = true, limit = limit))
+    else {
+      val boxes = boxed.map(_.toOption.get)
+      var cuts: Seq[Any] = boxes.map(_.mn).distinct.sorted(ord).drop(1)
+      if (cuts.isEmpty && boxes.size > 1) {
+        // fully-coincident file MBRs (e.g. unordered writes): equal-width
+        // cuts over the numeric domain restore parallelism
+        val gmin = boxes.map(_.mn).min(ord)
+        val gmax = boxes.map(_.mx).max(ord)
+        val n = math.min(boxes.size, 16)
+        cuts = (gmin, gmax) match {
+          case (a: Long, b: Long) if b > a =>
+            (1 until n).map(i => (a + ((b - a) * i.toDouble / n).toLong): Any)
+              .distinct.filter(c => ord.compare(c, gmin) > 0)
+          case (a: Double, b: Double) if b > a =>
+            (1 until n).map(i => (a + (b - a) * i / n): Any).distinct
+          case _ => Nil
+        }
+      }
+      val bounds: Seq[(Option[Any], Option[Any])] =
+        (None +: cuts.map(Option(_))).zip(cuts.map(Option(_)) :+ None)
+      bounds.flatMap { case (lo, hi) =>
+        val inSlab = boxes.filter(b =>
+          lo.forall(l => ord.compare(b.mx, l) >= 0) &&
+            hi.forall(h => ord.compare(b.mn, h) < 0))
+        if (inSlab.isEmpty) None
+        else Some(GraftInputPartition(inSlab.map(b => (b.path, b.ts)),
+          needDedup = inSlab.map(_.ts).distinct.size > 1,
+          limit = limit, slabLo = lo, slabHi = hi))
+      }
     }
   }
 

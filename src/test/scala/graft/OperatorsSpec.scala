@@ -46,7 +46,26 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = (ivf & brute).size.toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall $recall too low") // nprobe=2 of 16
+    assert(recall >= 0.6, s"IVF recall $recall too low") // nprobe=2 of 16
+  }
+
+  test("similarity top-k is bounded aggregation, not a global window") {
+    for (q <- Seq("v2_ann_topk", "v4_ann_ivf")) {
+      // toString traverses into the AQE-wrapped plan (node collect doesn't)
+      val plan = operators.Similarity.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q still plans a Window")
+      // partial (map-side) aggregation of the k-heap states is present
+      assert(plan.contains("partial_topkbyscore"),
+        s"$q has no partial top-k aggregation:\n${plan.take(3000)}")
+    }
+  }
+
+  test("IVF assignment plans no exchange between scan and cluster column") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (assigned, _) = operators.Ivf.fit(e, k = 16, iters = 1)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(3000)}")
   }
 
   test("multimodal decode stub round-trips header and byte stats") {

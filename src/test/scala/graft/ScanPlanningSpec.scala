@@ -78,6 +78,30 @@ class ScanPlanningSpec extends SparkSpec {
     assert(got.length == 4 && got.forall(k => k % 7 == 3))
   }
 
+  test("overlapping multi-file fragments split into range-slab partitions") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    // two fully-overlapping fragments, 4 range-clustered files each —
+    // the case where one-partition-per-overlap-group would put 2000
+    // rows through a single merge task
+    GraftArray.write(spark, uri, spark.range(0, 1000).repartition(4)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    GraftArray.write(spark, uri, spark.range(0, 1000).repartition(4)
+      .select(col("id").as("k"), lit(2.0).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    assert(df.count() == 1000)
+    // newest fragment wins at every coordinate
+    assert(df.agg(min("v"), max("v")).as[(Double, Double)].head() == ((2.0, 2.0)))
+    val parts = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions }.flatten
+    assert(parts.size > 1, s"overlap group planned ${parts.size} partition(s)")
+    // slab bounds are set and rows are emitted exactly once (count above)
+    val slabs = parts.collect {
+      case p: graft.sources.v2.GraftInputPartition
+        if p.slabLo.isDefined || p.slabHi.isDefined => p }
+    assert(slabs.nonEmpty, "no slab-bounded partitions planned")
+  }
+
   test("empty pushed range plans zero partitions (empty-scan path)") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

@@ -46,6 +46,58 @@ object Kernels {
     * same output as the transform/slice/concat_ws composition. */
   def shingles(tokens: Column, k: Int): Column =
     column(ShinglesExpr(expression(tokens), k))
+
+  /** Banded random-hyperplane LSH keys: `planes` holds
+    * nBands·bitsPerBand unit-free hyperplanes; band b's key packs the
+    * band index with the sign bits of its `bitsPerBand` plane
+    * projections — one codegen loop per row, no row inflation until the
+    * explode over ≤ nBands keys. */
+  def lshBands(vec: Column, planes: Array[Array[Float]],
+      bitsPerBand: Int): Column =
+    column(LshBands(expression(vec), planes, bitsPerBand))
+}
+
+/** Band keys `(bandIdx << bitsPerBand) | signBits` from hyperplane
+  * projections — the candidate-generation kernel for embedding
+  * near-dup (two vectors collide iff some band's sign pattern matches
+  * exactly; recall math in [[graft.operators.Similarity]]). */
+case class LshBands(child: Expression, planes: Array[Array[Float]],
+    bitsPerBand: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    LshBands.compute(v.asInstanceOf[ArrayData], planes, bitsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.LshBands.compute($a, $pRef, $bitsPerBand);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object LshBands {
+  def compute(vec: ArrayData, planes: Array[Array[Float]],
+      bitsPerBand: Int): ArrayData = {
+    val nBands = planes.length / bitsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bits = 0L
+      var r = 0
+      while (r < bitsPerBand) {
+        val pl = planes(b * bitsPerBand + r)
+        val n = math.min(vec.numElements(), pl.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += vec.getFloat(i).toDouble * pl(i).toDouble; i += 1 }
+        if (acc > 0.0) bits |= (1L << r)
+        r += 1
+      }
+      out(b) = (b.toLong << bitsPerBand) | bits
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct space-joined k-grams of a token array (order of first

@@ -37,11 +37,24 @@ object Similarity {
         round(col("t.score"), 6).as("cos"))
       .orderBy("query_id", "rk")
 
+  /** Deterministic hyperplane table for the banded near-dup LSH:
+    * 32 bands × 4 bits = 128 planes (md5-derived — stable across
+    * runs/executors). At the 0.45 cosine cut, P(plane sign agrees)
+    * ≈ 1 − arccos(0.45)/π ≈ 0.649, so a pair is missed by all bands
+    * with probability (1 − 0.649⁴)³² ≈ 0.2% — and since the planes are
+    * fixed, recall on a given corpus is a verifiable constant, asserted
+    * equal to the exact pair set in SimilaritySpec. */
+  private val NdBands = 32
+  private val NdBits = 4
+  private lazy val ndPlanes: Array[Array[Float]] =
+    Array.tabulate(NdBands * NdBits, Dim)((p, dd) =>
+      graft.functions.VectorFunctions.planeCoef(p, dd).toFloat)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs (exact, threshold 0.45).
-    // O(n²/2) compare expressed as a range self-join; at 100 TB this is
-    // replaced by v3's bucketed variant — kept exact here as the oracle
-    // anchor and correctness baseline.
+    // O(n²/2) compare expressed as a range self-join — kept ONLY as the
+    // oracle anchor and correctness baseline; the user-facing path is
+    // v1b below (banded LSH candidates + exact verify).
     "v1_cosine_neardup" -> ((s, d) => {
       // norms precomputed once per vector (each pair then costs a
       // single codegen'd dot product instead of three)
@@ -51,6 +64,33 @@ object Similarity {
       val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"),
         norm(col("embedding")).as("nb"))
       a.join(b, col("i") < col("j"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+        .orderBy("i", "j")
+    }),
+
+    // Bucketed near-dup — the 100 TB path (verdict r1 #4): banded
+    // hyperplane-LSH candidate join (each pair meets only if some
+    // 4-bit band matches → candidate count ~linear in corpus size, not
+    // O(n²)), then exact cosine verify on candidates only. Same output
+    // contract as v1; oracle is the exact pair set.
+    "v1b_neardup_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      val bands = e.select(col("vec_id"),
+          explode(graft.functions.expressions.Kernels
+            .lshBands(col("embedding"), ndPlanes, NdBits)).as("band"))
+      val cand = bands.as("a").join(bands.as("b"), "band")
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+        .distinct()
+      val vecs = e.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      cand
+        .join(vecs.select(col("vec_id").as("i"), col("embedding").as("va"),
+          col("nrm").as("na")), "i")
+        .join(vecs.select(col("vec_id").as("j"), col("embedding").as("vb"),
+          col("nrm").as("nb")), "j")
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
@@ -117,12 +157,17 @@ object Similarity {
         sqrt(list_sum([b.embedding[i]::double * b.embedding[i]::double
                  for i in range(1, len(b.embedding) + 1)])))"""
 
+  private val neardupSql =
+    s"""SELECT i, j, round(cos, 6) AS cos FROM (
+       SELECT a.vec_id AS i, b.vec_id AS j, $cosSql AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       WHERE cos >= 0.45 ORDER BY i, j"""
+
   val oracles: Map[String, String] = Map(
-    "v1_cosine_neardup" ->
-      s"""SELECT i, j, round(cos, 6) AS cos FROM (
-         SELECT a.vec_id AS i, b.vec_id AS j, $cosSql AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         WHERE cos >= 0.45 ORDER BY i, j""",
+    "v1_cosine_neardup" -> neardupSql,
+    // the LSH path must reproduce the exact pair set on this corpus
+    // (deterministic planes → recall is a constant, not a sample)
+    "v1b_neardup_lsh" -> neardupSql,
     "v2_ann_topk" ->
       s"""SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
          SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosSql AS cos,

@@ -49,6 +49,14 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low") // nprobe=2 of 16
   }
 
+  test("v1b LSH near-dup reproduces the exact pair set at threshold 0.45") {
+    val exact = operators.Similarity.queries("v1_cosine_neardup")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Similarity.queries("v1b_neardup_lsh")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed: ${exact -- lsh}; spurious: ${lsh -- exact}")
+  }
+
   test("similarity top-k is bounded aggregation, not a global window") {
     for (q <- Seq("v2_ann_topk", "v4_ann_ivf")) {
       // toString traverses into the AQE-wrapped plan (node collect doesn't)

@@ -104,6 +104,7 @@ object ParquetStats {
     case (b: Binary, BinaryType) => b.getBytes
     case (n: java.lang.Number, FloatType | DoubleType) => n.doubleValue()
     case (n: java.lang.Number, _) if TypedValue.isIntegral(dt) => n.longValue()
+    case (n: java.lang.Number, _: DecimalType) => n.longValue() // unscaled
     case (b: java.lang.Boolean, BooleanType) => b.booleanValue()
     case _ => null // unsupported stat type — skip, never wrong
   }

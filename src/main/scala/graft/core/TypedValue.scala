@@ -34,6 +34,7 @@ object TypedValue {
   def parse(dt: DataType, s: String): Any = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType => s.toLong
+    case _: DecimalType => s.toLong // unscaled (scale is fixed per column)
     case FloatType | DoubleType => s.toDouble
     case BooleanType => s.toBoolean
     case StringType => s

@@ -207,6 +207,41 @@ object ArrayOps {
       Similarity.topkSelect(scored, 5)
     }),
 
+    // A6 string parity: MIN/MAX over a string attribute answered from
+    // fragment stats when provably untruncated (≤32-byte guard — the
+    // reference's cap, ha_mytile.cc:316–339). Plan asserted stats-only
+    // in ArrayConnectorSpec.
+    "arr11_string_agg" -> ((s, d) => {
+      val uri = freshUri("sagg")
+      GraftArray.create(s, uri, lineitemSchema)
+      GraftArray.write(s, uri, Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate"))
+      s.read.format("graftarray").option("path", uri).load()
+        .agg(min(col("l_returnflag")).as("mn_rf"),
+          max(col("l_returnflag")).as("mx_rf"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // P4 string parity: LIKE 'p%' on a string dimension becomes the
+    // range [p, succ(p)) and prunes fragments/files (reference string
+    // ranges, mytile-range.cc:37–133). Pruning asserted in
+    // ScanPlanningSpec.
+    "arr12_prefix_dim" -> ((s, d) => {
+      val uri = freshUri("pfx")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("p_brand", StringType),
+          DimensionSpec("p_partkey", LongType)),
+        Seq(AttributeSpec("p_size", IntegerType)))
+      GraftArray.create(s, uri, sch)
+      GraftArray.write(s, uri, Tables.load(s, d, "part")
+        .select("p_brand", "p_partkey", "p_size"))
+      s.read.format("graftarray").option("path", uri).load()
+        .filter(col("p_brand").startsWith("Brand#3") && col("p_size") < 15)
+        .select("p_brand", "p_partkey", "p_size")
+        .orderBy("p_brand", "p_partkey")
+    }),
+
     // S6: metadata key/value virtual table.
     "arr6_metadata" -> ((s, d) => {
       val uri = freshUri("meta")
@@ -250,6 +285,13 @@ object ArrayOps {
     "arr7_string_dim" ->
       """SELECT p_brand, p_partkey, p_size FROM part
          WHERE p_brand >= 'Brand#2' AND p_brand <= 'Brand#4' AND p_size >= 20
+         ORDER BY p_brand, p_partkey""",
+    "arr11_string_agg" ->
+      """SELECT min(l_returnflag) AS mn_rf, max(l_returnflag) AS mx_rf,
+         count(*) AS cnt FROM lineitem""",
+    "arr12_prefix_dim" ->
+      """SELECT p_brand, p_partkey, p_size FROM part
+         WHERE p_brand LIKE 'Brand#3%' AND p_size < 15
          ORDER BY p_brand, p_partkey""",
     "arr8_dense_fill" ->
       """SELECT g.r, g.c, coalesce(n.n_name, '(fill)') AS name

@@ -103,37 +103,51 @@ object GraftArray {
               col(a.name).cast("string"))))
             .otherwise(col(a.name)))
       }
-    clusterByCellOrder(schema, guarded)
-      .write.mode("errorifexists").parquet(dataDir.toString)
+    // sums for the aggregate-pushdown fast path ride the write pass as
+    // an Observation — the data is seen exactly once (the round-1
+    // implementation re-read the fragment it had just written)
+    val struct = schema.toStruct
+    val numeric = struct.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    })
+    val obs = org.apache.spark.sql.Observation(s"graft_write_$fragId")
+    val clustered = clusterByCellOrder(schema, guarded)
+    val observed =
+      if (numeric.isEmpty) clustered
+      else clustered.observe(obs,
+        sum(col(numeric.head.name)).as(numeric.head.name),
+        numeric.tail.map(f => sum(col(f.name)).as(f.name)): _*)
+    observed.write.mode("errorifexists").parquet(dataDir.toString)
 
-    // fragment stats from parquet footers (no data re-read) + sums for
-    // the aggregate-pushdown fast path (one columnar mini-agg)
+    // min/max/nullCount from parquet footers (no data re-read)
     val fs = st.fileSystem
     val files = fs.listStatus(dataDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).toSeq
-    val struct = schema.toStruct
     val perFile = ParquetStats.collectPerFile(files, struct,
       spark.sparkContext.hadoopConfiguration)
     val rows = perFile.map(_._2).sum
     val (_, footerStats) =
       ParquetStats.collect(files, struct, spark.sparkContext.hadoopConfiguration)
-    val numeric = struct.fields.filter(f => f.dataType match {
-      case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType => true
-      case _ => false
-    })
     val sums: Map[String, (Option[Long], Option[Double])] =
       if (numeric.isEmpty || rows == 0) Map.empty
       else {
-        val aggs = numeric.map(f => sum(col(f.name)).as(f.name))
-        val row = spark.read.schema(struct).parquet(dataDir.toString)
-          .agg(aggs.head, aggs.tail: _*).collect()(0)
-        numeric.zipWithIndex.map { case (f, i) =>
+        val row = obs.get
+        numeric.map { f =>
           f.name -> (f.dataType match {
             case ByteType | ShortType | IntegerType | LongType =>
-              (Option(row.get(i)).map(_.asInstanceOf[Number].longValue()), None)
+              (row.get(f.name).collect { case n: Number => n.longValue() }, None)
+            case dt: DecimalType =>
+              // decimal sums live in the manifest as unscaled longs
+              (row.get(f.name).flatMap {
+                case d: java.math.BigDecimal => try
+                  Some(d.setScale(dt.scale).unscaledValue().longValueExact())
+                catch { case _: ArithmeticException => None }
+                case _ => None
+              }, None)
             case _ =>
-              (None, Option(row.get(i)).map(_.asInstanceOf[Number].doubleValue()))
+              (None, row.get(f.name).collect { case n: Number => n.doubleValue() })
           })
         }.toMap
       }

@@ -314,6 +314,10 @@ case class GraftAggReaderFactory(schema: StructType)
             case (l: Long, ShortType) => l.toShort
             case (l: Long, IntegerType | DateType) => l.toInt
             case (d: Double, FloatType) => d.toFloat
+            // manifest decimals are unscaled longs at the column's scale
+            case (l: Long, dt: DecimalType) =>
+              org.apache.spark.sql.types.Decimal(
+                java.math.BigDecimal.valueOf(l, dt.scale), dt.precision, dt.scale)
             case (other, _) => other
           }
         }.toArray)

@@ -84,8 +84,9 @@ class GraftScanBuilder(
     *  - no GROUP BY, no pushed/residual predicates (full-table only)
     *  - latest-wins must be a no-op (dups allowed or disjoint MBRs)
     *  - COUNT not on dense (fill-value semantics)
-    *  - MIN/MAX numeric/datetime only (parquet string stats may be
-    *    truncated; reference similarly caps string aggs at 32 bytes)
+    *  - MIN/MAX numeric/datetime/decimal always; strings gated by the
+    *    32-byte truncation guard (reference caps string aggs the same
+    *    way, ha_mytile.cc:316–339)
     */
   private def tryAggregate(agg: Aggregation): Option[(Seq[Any], StructType)] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
@@ -101,9 +102,16 @@ class GraftScanBuilder(
       case _ => None
     }
     def statsOf(c: String): Seq[ColumnStats] = frags.flatMap(_.stats.get(c))
-    def numericOrTemporal(c: String): Boolean = schema.dataTypeOf(c) match {
+    def minMaxable(c: String): Boolean = schema.dataTypeOf(c) match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | DateType | TimestampType => true
+           DoubleType | DateType | TimestampType | _: DecimalType => true
+      case StringType =>
+        // strings only when provably untruncated: every recorded stat is
+        // ≤ 32 bytes — under any parquet truncation length, so it is the
+        // exact value (the reference pushes string aggs with the same
+        // 32-byte cap, ha_mytile.cc:316–339)
+        statsOf(c).forall(s => (s.min.toSeq ++ s.max.toSeq)
+          .forall(_.getBytes("UTF-8").length <= 32))
       case _ => false
     }
     def minMax(c: String, wantMin: Boolean): Option[Any] = {
@@ -130,6 +138,10 @@ class GraftScanBuilder(
           val parts = ss.map(_.sumDouble)
           if (parts.forall(_.isDefined)) Some(parts.flatten.sum)
           else if (totalRows == 0) Some(null) else None
+        case _: DecimalType => // manifest sums are unscaled longs
+          val parts = ss.map(_.sumLong)
+          if (parts.forall(_.isDefined)) Some(parts.flatten.sum)
+          else if (totalRows == 0) Some(null) else None
         case _ => None
       }
     }
@@ -149,22 +161,28 @@ class GraftScanBuilder(
           }
         }
       case m: Min =>
-        colName(m.column).filter(numericOrTemporal)
+        colName(m.column).filter(minMaxable)
           .flatMap(n => minMax(n, wantMin = true).map((_, outType(n))))
       case m: Max =>
-        colName(m.column).filter(numericOrTemporal)
+        colName(m.column).filter(minMaxable)
           .flatMap(n => minMax(n, wantMin = false).map((_, outType(n))))
       case s: Sum if !s.isDistinct =>
         colName(s.column).flatMap { n =>
           sumOf(n).map { v =>
             schema.dataTypeOf(n) match {
               case FloatType | DoubleType => (v, DoubleType)
+              // Spark's sum(decimal(p,s)) widens to decimal(p+10, s)
+              case dt: DecimalType =>
+                (v, DecimalType(math.min(dt.precision + 10, 38), dt.scale))
               case _ => (v, LongType)
             }
           }
         }
       case a: Avg if !a.isDistinct =>
-        colName(a.column).flatMap { n =>
+        // decimal AVG stays unpushed (result scale semantics differ);
+        // Spark computes it exactly from the data
+        colName(a.column).filterNot(n =>
+          schema.dataTypeOf(n).isInstanceOf[DecimalType]).flatMap { n =>
           val cnt = statsOf(n) match {
             case ss if ss.size == frags.size =>
               Some(totalRows - ss.map(_.nullCount).sum)

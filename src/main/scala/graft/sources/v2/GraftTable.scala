@@ -195,9 +195,10 @@ class GraftDataWriter(
             g.add(i, Binary.fromConstantByteArray(b)); b
           case BooleanType => g.add(i, row.getBoolean(i)); row.getBoolean(i)
           case dt: DecimalType if dt.precision <= 18 =>
-            g.add(i, row.getDecimal(i, dt.precision, dt.scale)
-              .toUnscaledLong)
-            null // decimals carry no scalar stats (no agg pushdown)
+            // stats domain for decimals = the unscaled long (same fixed
+            // scale ⇒ ordering and sums carry over)
+            val u = row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong
+            g.add(i, u); u
           case ArrayType(elem, _) =>
             val arr = row.getArray(i)
             val listG = g.addGroup(i)
@@ -241,7 +242,8 @@ class GraftDataWriter(
     writer.close()
     val stats = fields.zipWithIndex.map { case (f, i) =>
       val isNum = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => Some(true)
+        case ByteType | ShortType | IntegerType | LongType |
+             _: DecimalType => Some(true)
         case FloatType | DoubleType => Some(false)
         case _ => None
       }

@@ -27,9 +27,16 @@ object PredicateSupport {
       case Cmp(_, c, _) => Set(c)
       case InSet(c, _) => Set(c)
       case IsNull(c, _) => Set(c)
+      case StartsWith(c, _) => Set(c)
       case AndP(l, r) => l.refs ++ r.refs
       case OrP(l, r) => l.refs ++ r.refs
       case NotP(p) => p.refs
+    }
+  }
+  case class StartsWith(col: String, prefix: String) extends Pred {
+    def eval(get: String => Any): Boolean = get(col) match {
+      case s: String => s.startsWith(prefix)
+      case _ => false
     }
   }
   case class Cmp(op: String, col: String, value: Any) extends Pred {
@@ -118,6 +125,16 @@ object PredicateSupport {
             if (vs.forall(_.isDefined)) Some(InSet(c, vs.flatten.toSet))
             else None
           }
+        // LIKE 'p%' arrives as STARTS_WITH; on a string dim it becomes
+        // the range [p, succ(p)) for pruning (reference builds string
+        // ranges the same way, mytile-range.cc:37–133)
+        case "STARTS_WITH" if ch.length == 2 =>
+          fieldName(ch(0)).filter(c => schemaHas(schema, c) &&
+            schema.dataTypeOf(c) == StringType).flatMap { c =>
+            literal(ch(1), StringType).collect {
+              case p: String => StartsWith(c, p)
+            }
+          }
         case _ => None
       }
     case _ => None
@@ -165,8 +182,22 @@ object PredicateSupport {
             }
             iv.map(i => upd(c, _.and(i))).getOrElse(acc)
           case InSet(c, vs) if dims(c) => upd(c, _.andPoints(vs.toSeq))
+          case StartsWith(c, p) if dims(c) && p.nonEmpty =>
+            // all strings with prefix p lie in [p, prefixSuccessor(p))
+            upd(c, _.and(prefixSuccessor(p) match {
+              case Some(s) => Interval(Some(p), Some(s), hiInc = false)
+              case None => Interval.ge(p) // p is all U+FFFF — no upper bound
+            }))
           case _ => acc
         }
     }
+  }
+
+  /** Smallest string greater than every string with prefix `p`:
+    * increment the last non-U+FFFF char, dropping what follows. */
+  private[v2] def prefixSuccessor(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != Char.MaxValue)
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 }

@@ -218,6 +218,11 @@ class ArrayConnectorSpec extends SparkSpec {
     assert(r.getLong(1) == (0 until 100).map(_ * 3L).sum +
       (200 until 300).map(_ * 3L).sum)
     assert(r.getLong(2) == 0L && r.getLong(3) == 299L)
+    // string MIN/MAX under the 32-byte guard is also stats-only
+    val sAgg = df.agg(min(col("s")).as("smn"), max(col("s")).as("smx"))
+    assert(sAgg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      sAgg.queryExecution.executedPlan.toString.take(1500))
+    assert(sAgg.as[(String, String)].head() == (("s", "s")))
     // grouped aggregation falls back to a real scan, still correct
     val grouped = df.groupBy((col("rows") >= 200L).as("hi"))
       .agg(count(lit(1)).as("n")).orderBy("hi")
@@ -252,9 +257,18 @@ class ArrayConnectorSpec extends SparkSpec {
     val got = spark.sql("SELECT k, price FROM gd.d ORDER BY k")
       .collect().map(r => (r.getLong(0), Option(r.getDecimal(1)).map(_.toString)))
     assert(got.toSeq == Seq((7L, Some("99.9999")), (8L, None)))
-    // decimal aggregates fall back to a real scan and stay exact
-    assert(spark.sql("SELECT sum(price) FROM gd.d").collect()(0)
-      .getDecimal(0).toString == "99.9999")
+    // decimal MIN/MAX/SUM are answered from manifest stats (unscaled
+    // longs), zero data I/O; AVG falls back and stays exact
+    val agg = spark.sql("SELECT sum(price) AS s, min(price) AS mn, " +
+      "max(price) AS mx FROM gd.d")
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      agg.queryExecution.executedPlan.toString.take(1500))
+    val r = agg.collect()(0)
+    assert(r.getDecimal(0).toString == "99.9999" &&
+      r.getDecimal(1).toString == "99.9999" &&
+      r.getDecimal(2).toString == "99.9999")
+    assert(spark.sql("SELECT avg(price) FROM gd.d").collect()(0)
+      .getDecimal(0).toString.startsWith("99.9999"))
   }
 
   test("pushdown ≡ post-filter (property over random predicates)") {

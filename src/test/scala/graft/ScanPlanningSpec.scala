@@ -102,6 +102,30 @@ class ScanPlanningSpec extends SparkSpec {
     assert(slabs.nonEmpty, "no slab-bounded partitions planned")
   }
 
+  test("string-dim prefix predicate prunes fragments via [p, succ(p))") {
+    val uri = tmp()
+    val ssch = ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("name", StringType)),
+      Seq(AttributeSpec("v", DoubleType)))
+    GraftArray.create(spark, uri, ssch)
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(concat(lit("apple_"), col("id")).as("name"),
+        lit(1.0).as("v")))
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(concat(lit("berry_"), col("id")).as("name"),
+        lit(2.0).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+      .filter(col("name").startsWith("app"))
+    assert(df.count() == 100)
+    assert(df.agg(min("v"), max("v")).as[(Double, Double)].head() == ((1.0, 1.0)))
+    val frags = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions }.flatten.collect {
+      case p: graft.sources.v2.GraftInputPartition =>
+        p.files.map(_._1.split("/frag_")(1).split("/")(0))
+    }.flatten.distinct
+    assert(frags.size == 1, s"prefix did not prune fragments: $frags")
+  }
+
   test("empty pushed range plans zero partitions (empty-scan path)") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

@@ -21,23 +21,37 @@ import scala.jdk.CollectionConverters._
 object ArrayKind extends Enumeration { val Dense, Sparse = Value }
 
 /** Dimension: typed coordinate with optional domain + tile extent
-  * [ref: mytile.h:30–36, create_field_dimension mytile.cc:580–668]. */
+  * [ref: mytile.h:30–36, create_field_dimension mytile.cc:580–668].
+  * `storageType` is the declared reference-engine type (e.g. UINT32,
+  * TIME_SEC, DATETIME_NS — SURVEY §1.2); it fixes the Spark surface
+  * type and the write-side domain guard ([[StorageTypes]]). */
 case class DimensionSpec(
     name: String,
     dataType: DataType,
     lowerBound: Option[String] = None,
     upperBound: Option[String] = None,
-    tileExtent: Option[Long] = None)
+    tileExtent: Option[Long] = None,
+    storageType: Option[String] = None) {
+  storageType.foreach(st => require(StorageTypes.sparkTypeOf(st) == dataType,
+    s"dimension $name: storage type $st surfaces as " +
+      s"${StorageTypes.sparkTypeOf(st)}, not $dataType"))
+}
 
 /** Attribute: nullable column with optional fill value (SQL DEFAULT ⇄
-  * TileDB fill [ha_mytile.cc:1313–1326]) and optional enumeration
-  * [ha_mytile.cc:1330–1351]. */
+  * TileDB fill [ha_mytile.cc:1313–1326]), optional enumeration
+  * [ha_mytile.cc:1330–1351], and optional declared storage type
+  * (unsigned/TIME/sub-µs datetime — [[StorageTypes]]). */
 case class AttributeSpec(
     name: String,
     dataType: DataType,
     nullable: Boolean = true,
     fillValue: Option[String] = None,
-    enumValues: Seq[String] = Nil)
+    enumValues: Seq[String] = Nil,
+    storageType: Option[String] = None) {
+  storageType.foreach(st => require(StorageTypes.sparkTypeOf(st) == dataType,
+    s"attribute $name: storage type $st surfaces as " +
+      s"${StorageTypes.sparkTypeOf(st)}, not $dataType"))
+}
 
 case class ArraySchema(
     kind: ArrayKind.Value,
@@ -56,6 +70,12 @@ case class ArraySchema(
       .orElse(attrs.find(_.name == name).map(_.dataType))
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
 
+  /** (column, declared storage type) pairs for guard enforcement. */
+  def storageTyped: Seq[(String, StorageTypes.Storage)] =
+    (dims.map(d => (d.name, d.storageType)) ++
+      attrs.map(a => (a.name, a.storageType)))
+      .collect { case (n, Some(st)) => (n, StorageTypes.get(st)) }
+
   /** Spark schema; dimension-ness and bounds ride in column metadata. */
   def toStruct: StructType = StructType(
     dims.map { d =>
@@ -63,12 +83,14 @@ case class ArraySchema(
       d.lowerBound.foreach(mb.putString("graft.lower_bound", _))
       d.upperBound.foreach(mb.putString("graft.upper_bound", _))
       d.tileExtent.foreach(mb.putLong("graft.tile_extent", _))
+      d.storageType.foreach(mb.putString("graft.storage_type", _))
       StructField(d.name, d.dataType, nullable = false, mb.build())
     } ++ attrs.map { a =>
       val mb = new MetadataBuilder()
       a.fillValue.foreach(mb.putString("graft.fill_value", _))
       if (a.enumValues.nonEmpty)
         mb.putStringArray("graft.enum_values", a.enumValues.toArray)
+      a.storageType.foreach(mb.putString("graft.storage_type", _))
       StructField(a.name, a.dataType, a.nullable, mb.build())
     })
 }
@@ -108,6 +130,7 @@ object ArraySchemaJson {
       d.lowerBound.foreach(n.put("lowerBound", _))
       d.upperBound.foreach(n.put("upperBound", _))
       d.tileExtent.foreach(n.put("tileExtent", _))
+      d.storageType.foreach(n.put("storageType", _))
     }
     val attrs = root.putArray("attrs")
     s.attrs.foreach { a =>
@@ -118,6 +141,7 @@ object ArraySchemaJson {
       if (a.enumValues.nonEmpty) {
         val e = n.putArray("enumValues"); a.enumValues.foreach(e.add)
       }
+      a.storageType.foreach(n.put("storageType", _))
     }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -130,7 +154,8 @@ object ArraySchemaJson {
       DimensionSpec(n.get("name").asText,
         DataType.fromJson(n.get("type").asText),
         optS(n, "lowerBound"), optS(n, "upperBound"),
-        if (n.has("tileExtent")) Some(n.get("tileExtent").asLong) else None)
+        if (n.has("tileExtent")) Some(n.get("tileExtent").asLong) else None,
+        optS(n, "storageType"))
     }
     val attrs = r.get("attrs").elements().asScala.toSeq.map { n =>
       AttributeSpec(n.get("name").asText,
@@ -139,7 +164,8 @@ object ArraySchemaJson {
         optS(n, "fillValue"),
         if (n.has("enumValues"))
           n.get("enumValues").elements().asScala.map(_.asText).toSeq
-        else Nil)
+        else Nil,
+        optS(n, "storageType"))
     }
     ArraySchema(ArrayKind.withName(r.get("kind").asText), dims, attrs,
       r.get("capacity").asLong, r.get("cellOrder").asText,

@@ -94,7 +94,7 @@ object GraftArray {
     }
     // enumerated attrs only accept their declared values
     // [ref: ENUM ⇄ TileDB Enumeration, ha_mytile.cc:1330–1351]
-    val guarded = schema.attrs.filter(_.enumValues.nonEmpty)
+    val enumGuarded = schema.attrs.filter(_.enumValues.nonEmpty)
       .foldLeft(nullGuarded) { (d, a) =>
         d.withColumn(a.name,
           when(col(a.name).isNotNull &&
@@ -103,6 +103,23 @@ object GraftArray {
               col(a.name).cast("string"))))
             .otherwise(col(a.name)))
       }
+    // declared storage types (unsigned, TIME) enforce their value
+    // domain — a UINT16 column rejects 70000 exactly as the reference's
+    // unsigned columns do [mytile.cc:385–398; SURVEY §1.2]
+    val guarded = schema.storageTyped.foldLeft(enumGuarded) {
+      case (d, (n, st)) => (st.guardLo, st.guardHi) match {
+        case (Some(lo), Some(hi)) =>
+          val dt = schema.dataTypeOf(n)
+          val (loL, hiL) = (lit(lo).cast(dt), lit(hi).cast(dt))
+          d.withColumn(n,
+            when(col(n).isNotNull && (col(n) < loL || col(n) > hiL),
+              raise_error(concat(
+                lit(s"value out of ${st.name} domain for $n: "),
+                col(n).cast("string"))))
+              .otherwise(col(n)))
+        case _ => d
+      }
+    }
     // sums for the aggregate-pushdown fast path ride the write pass as
     // an Observation — the data is seen exactly once (the round-1
     // implementation re-read the fragment it had just written)

@@ -85,16 +85,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .getOrElse(Seq(schema.fields.head.name)) // first col defaults to dim
     val kind = if (props.get("graft.dense").exists(_.toBoolean))
       ArrayKind.Dense else ArrayKind.Sparse
+    // 'graft.type.<col>' declares the reference-engine storage type
+    // (UINT32, TIME_SEC, DATETIME_NS, …) — must agree with the declared
+    // Spark column type per the StorageTypes mapping (SURVEY §1.2)
+    def storageOf(n: String): Option[String] =
+      props.get(s"graft.type.$n").map(_.toUpperCase)
     val dims = dimNames.map { n =>
       val f = schema.fields.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"dimension $n not in schema"))
       DimensionSpec(n, f.dataType,
         props.get(s"graft.lower.$n"), props.get(s"graft.upper.$n"),
-        props.get(s"graft.extent.$n").map(_.toLong))
+        props.get(s"graft.extent.$n").map(_.toLong),
+        storageOf(n))
     }
     val attrs = schema.fields.filterNot(f => dimNames.contains(f.name)).map {
       f => AttributeSpec(f.name, f.dataType, f.nullable,
-        props.get(s"graft.fill.${f.name}"))
+        props.get(s"graft.fill.${f.name}"),
+        storageType = storageOf(f.name))
     }.toSeq
     val arr = ArraySchema(kind, dims, attrs,
       capacity = props.get("graft.capacity").map(_.toLong).getOrElse(10000L),

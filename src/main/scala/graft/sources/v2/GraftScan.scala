@@ -243,6 +243,12 @@ class GraftPartitionReader(
                PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
             readCols(target).dataType match {
               case StringType | NullType => g.getBinary(w, 0).toStringUsingUTF8
+              case dt: org.apache.spark.sql.types.DecimalType =>
+                // wide decimal: fixed-width two's-complement unscaled
+                org.apache.spark.sql.types.Decimal(
+                  new java.math.BigDecimal(
+                    new java.math.BigInteger(g.getBinary(w, 0).getBytes),
+                    dt.scale), dt.precision, dt.scale)
               case _ => g.getBinary(w, 0).getBytes
             }
           case PrimitiveTypeName.INT96 =>

@@ -160,6 +160,36 @@ class GraftDataWriter(
 
   private val fields = writeSchema.fields
   private val dimSet = schema.dimNames.toSet
+  // declared storage-type value domains (unsigned/TIME — SURVEY §1.2);
+  // lo/hi are longs except UINT64's BigDecimal bounds
+  private val guards: Array[Option[(String, Any, Any)]] = fields.map { f =>
+    schema.storageTyped.find(_._1 == f.name).flatMap { case (_, st) =>
+      for (lo <- st.guardLo; hi <- st.guardHi) yield f.dataType match {
+        case _: DecimalType =>
+          (st.name, new java.math.BigDecimal(lo), new java.math.BigDecimal(hi))
+        case _ => (st.name, lo.toLong, hi.toLong)
+      }
+    }
+  }
+  private def checkGuard(i: Int, row: InternalRow): Unit =
+    guards(i).foreach { case (tn, lo, hi) =>
+      val bad = fields(i).dataType match {
+        case dt: DecimalType =>
+          val d = row.getDecimal(i, dt.precision, dt.scale).toJavaBigDecimal
+          d.compareTo(lo.asInstanceOf[java.math.BigDecimal]) < 0 ||
+            d.compareTo(hi.asInstanceOf[java.math.BigDecimal]) > 0
+        case dt =>
+          val v = dt match {
+            case ByteType => row.getByte(i).toLong
+            case ShortType => row.getShort(i).toLong
+            case IntegerType => row.getInt(i).toLong
+            case _ => row.getLong(i)
+          }
+          v < lo.asInstanceOf[Long] || v > hi.asInstanceOf[Long]
+      }
+      if (bad) throw new IllegalArgumentException(
+        s"value out of $tn domain for ${fields(i).name}")
+    }
   private var rows = 0L
   private val mins = new Array[Any](fields.length)
   private val maxs = new Array[Any](fields.length)
@@ -178,6 +208,7 @@ class GraftDataWriter(
           s"null value in dimension ${f.name}") // [ha_mytile.cc:3166]
         nulls(i) += 1
       } else {
+        checkGuard(i, row)
         val storage: Any = f.dataType match {
           case ByteType => g.add(i, row.getByte(i).toInt); row.getByte(i).toLong
           case ShortType => g.add(i, row.getShort(i).toInt); row.getShort(i).toLong
@@ -199,6 +230,12 @@ class GraftDataWriter(
             // scale ⇒ ordering and sums carry over)
             val u = row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong
             g.add(i, u); u
+          case dt: DecimalType => // 19–38: fixed-width unscaled bytes
+            g.add(i, Binary.fromConstantByteArray(GraftParquet.toFixedBytes(
+              row.getDecimal(i, dt.precision, dt.scale)
+                .toJavaBigDecimal.unscaledValue(),
+              GraftParquet.minBytesForPrecision(dt.precision))))
+            null // wide decimals carry no scalar stats
           case ArrayType(elem, _) =>
             val arr = row.getArray(i)
             val listG = g.addGroup(i)
@@ -242,8 +279,8 @@ class GraftDataWriter(
     writer.close()
     val stats = fields.zipWithIndex.map { case (f, i) =>
       val isNum = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType |
-             _: DecimalType => Some(true)
+        case ByteType | ShortType | IntegerType | LongType => Some(true)
+        case dt: DecimalType if dt.precision <= 18 => Some(true)
         case FloatType | DoubleType => Some(false)
         case _ => None
       }
@@ -266,6 +303,20 @@ class GraftDataWriter(
 }
 
 object GraftParquet {
+  /** Smallest byte width whose two's-complement range covers 10^p. */
+  def minBytesForPrecision(p: Int): Int =
+    (1 to 16).find(n => BigInt(2).pow(8 * n - 1) > BigInt(10).pow(p)).get
+
+  /** Unscaled value → fixed-width sign-extended two's complement. */
+  def toFixedBytes(unscaled: java.math.BigInteger, width: Int): Array[Byte] = {
+    val raw = unscaled.toByteArray
+    val out = new Array[Byte](width)
+    val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+    java.util.Arrays.fill(out, 0, width - raw.length, sign)
+    System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+    out
+  }
+
   private def repetitionOf(required: Boolean) =
     if (required) org.apache.parquet.schema.Type.Repetition.REQUIRED
     else org.apache.parquet.schema.Type.Repetition.OPTIONAL
@@ -298,6 +349,12 @@ object GraftParquet {
         // mytile.cc:21–23 — deliberate divergence, SURVEY §7.4.7)
         case dt: DecimalType if dt.precision <= 18 =>
           prim(PrimitiveTypeName.INT64)
+            .as(LTA.decimalType(dt.scale, dt.precision)).named(f.name)
+        // precision 19–38 (incl. UINT64's Decimal(20,0)): fixed-width
+        // two's-complement unscaled bytes, parquet's standard layout
+        case dt: DecimalType =>
+          prim(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+            .length(minBytesForPrecision(dt.precision))
             .as(LTA.decimalType(dt.scale, dt.precision)).named(f.name)
         // multi-value attribute (reference cell_val_num>1 → ArrayType,
         // SURVEY §1.2) — standard 3-level parquet LIST layout

@@ -48,6 +48,23 @@ object TypedValue {
     case other => other.toString
   }
 
+  /** Code-point (≡ unsigned UTF-8 byte) string comparison. Spark's
+    * UTF8String and parquet footer stats both order strings by unsigned
+    * UTF-8 bytes; Java's String.compareTo orders by UTF-16 code units,
+    * which disagrees for supplementary (non-BMP) characters vs
+    * U+E000–U+FFFF. Pruning/agg decisions must use the engine's order.
+    * Allocation-free: code-point order equals UTF-8 byte order for all
+    * valid Unicode strings. */
+  def utf8Compare(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   /** Total order over the storage domain (same-type comparisons only). */
   val ordering: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = (a, b) match {
@@ -55,7 +72,7 @@ object TypedValue {
       case (x: Double, y: Double) => java.lang.Double.compare(x, y)
       case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
       case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
-      case (x: String, y: String) => x.compareTo(y)
+      case (x: String, y: String) => utf8Compare(x, y)
       case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
       case _ => throw new IllegalArgumentException(
         s"incomparable: ${a.getClass} vs ${b.getClass}")

@@ -50,9 +50,14 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  // is (s1,i1) worse than (s2,i2)?
-  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // is (s1,i1) worse than (s2,i2)? java.lang.Double.compare gives a
+  // total order (NaN greatest, matching Spark's sort order) — plain
+  // </> comparisons are non-transitive under NaN and can both wedge
+  // the heap and make the output sort throw
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def siftUp(pos0: Int): Unit = {
     var pos = pos0
@@ -90,10 +95,14 @@ final class TopKBuffer(val k: Int) {
       scores(0) = score; ids(0) = id; siftDown(0)
     }
 
-  /** (score desc, id asc) — the output order. */
+  /** (score desc, id asc) — the output order (Double.compare total
+    * order, so NaN scores sort first rather than corrupting the sort). */
   def sorted: Array[(Double, Long)] =
     (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      }
 }
 
 /** TypedImperativeAggregate top-k: partial states are k-bounded, so the

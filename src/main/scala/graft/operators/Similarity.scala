@@ -73,8 +73,17 @@ object Similarity {
     // Bucketed near-dup — the 100 TB path (verdict r1 #4): banded
     // hyperplane-LSH candidate join (each pair meets only if some
     // 4-bit band matches → candidate count ~linear in corpus size, not
-    // O(n²)), then exact cosine verify on candidates only. Same output
-    // contract as v1; oracle is the exact pair set.
+    // O(n²)), then exact cosine verify on candidates only.
+    //
+    // APPROXIMATE, with a quantified recall bound: a pair at cosine
+    // exactly 0.45 escapes all 32 bands with probability
+    // (1 − 0.649⁴)³² ≈ 0.2% (better above the threshold; the planes
+    // are deterministic, so recall on a FIXED corpus is a constant —
+    // asserted equal to the exact pair set for this corpus in
+    // SimilaritySpec and against the v1 oracle). On a new corpus,
+    // expected misses ≈ 0.002 × (#pairs near the threshold); callers
+    // needing certainty should run v1 or raise NdBands until
+    // n_pairs × miss-rate ≪ 1.
     "v1b_neardup_lsh" -> ((s, d) => {
       val e = emb(s, d)
       val bands = e.select(col("vec_id"),

@@ -111,7 +111,14 @@ class GraftPartitionReader(
         val ord = TypedValue.ordering
         val d0 = dimIdx(0)
         raw.filter { r =>
-          val v = r(d0)
+          // slab bounds live in the manifest stats domain, where a
+          // decimal dim is its unscaled long (TypedValue.parse) — the
+          // decoded row carries a Decimal object, so normalize before
+          // comparing (scale is fixed per column ⇒ order carries over)
+          val v = r(d0) match {
+            case dec: org.apache.spark.sql.types.Decimal => dec.toUnscaledLong
+            case other => other
+          }
           part.slabLo.forall(lo => ord.compare(v, lo) >= 0) &&
             part.slabHi.forall(hi => ord.compare(v, hi) < 0)
         }

@@ -106,10 +106,15 @@ class GraftScanBuilder(
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | DateType | TimestampType | _: DecimalType => true
       case StringType =>
-        // strings only when provably untruncated: every recorded stat is
-        // ≤ 32 bytes — under any parquet truncation length, so it is the
-        // exact value (the reference pushes string aggs with the same
-        // 32-byte cap, ha_mytile.cc:316–339)
+        // strings only when provably untruncated. The invariant this
+        // leans on is the WRITER's, not the stat length per se: graft
+        // manifests record full min/max values (GraftDataWriter and
+        // GraftArray.write never truncate), so any stat ≤ 32 bytes is
+        // exact. The 32-byte cap mirrors the reference's string-agg
+        // gate [ha_mytile.cc:316–339] and additionally shields against
+        // a hypothetical future writer that truncates at ≥ 32 bytes;
+        // if manifest stats ever become truncatable below that, this
+        // gate must learn the writer's truncation length.
         statsOf(c).forall(s => (s.min.toSeq ++ s.max.toSeq)
           .forall(_.getBytes("UTF-8").length <= 32))
       case _ => false
@@ -129,19 +134,29 @@ class GraftScanBuilder(
     def sumOf(c: String): Option[Any] = {
       val ss = statsOf(c)
       if (ss.size != frags.size) return None
+      // SQL sum over zero non-null values is NULL, not 0
+      if (totalRows - ss.map(_.nullCount).sum == 0) return Some(null)
+      // cross-fragment addition must not wrap: Spark's sum(decimal) has
+      // +10 digits of headroom, so a wrapped Long here would silently
+      // diverge — overflow falls back to a real scan. (For pure integral
+      // columns Spark's own non-ANSI sum wraps mod 2^64, which per-
+      // fragment wrapped partials would reproduce, but exactness-or-
+      // fallback is the simpler invariant and the overflow is equally
+      // astronomical.)
+      def exactLongSum(parts: Seq[Option[Long]]): Option[Any] =
+        if (parts.forall(_.isDefined))
+          try Some(parts.flatten.foldLeft(0L)(Math.addExact))
+          catch { case _: ArithmeticException => None }
+        else if (totalRows == 0) Some(null) else None
       schema.dataTypeOf(c) match {
         case ByteType | ShortType | IntegerType | LongType =>
-          val parts = ss.map(_.sumLong)
-          if (parts.forall(_.isDefined)) Some(parts.flatten.sum)
-          else if (totalRows == 0) Some(null) else None
+          exactLongSum(ss.map(_.sumLong))
         case FloatType | DoubleType =>
           val parts = ss.map(_.sumDouble)
           if (parts.forall(_.isDefined)) Some(parts.flatten.sum)
           else if (totalRows == 0) Some(null) else None
         case _: DecimalType => // manifest sums are unscaled longs
-          val parts = ss.map(_.sumLong)
-          if (parts.forall(_.isDefined)) Some(parts.flatten.sum)
-          else if (totalRows == 0) Some(null) else None
+          exactLongSum(ss.map(_.sumLong))
         case _ => None
       }
     }

@@ -109,7 +109,11 @@ class GraftBatchWrite(
           opt(per.flatMap(_.max).toSeq, min = false),
           per.map(_.nullCount).sum,
           if (per.nonEmpty && per.forall(_.sumLong.isDefined))
-            Some(per.flatMap(_.sumLong).sum) else None,
+            // exact addition: cross-task overflow drops the stat rather
+            // than recording a wrapped sum
+            try Some(per.flatMap(_.sumLong).foldLeft(0L)(Math.addExact))
+            catch { case _: ArithmeticException => None }
+          else None,
           if (per.nonEmpty && per.forall(_.sumDouble.isDefined))
             Some(per.flatMap(_.sumDouble).sum) else None)
       }.toMap
@@ -195,6 +199,10 @@ class GraftDataWriter(
   private val maxs = new Array[Any](fields.length)
   private val nulls = new Array[Long](fields.length)
   private val sumsL = new Array[Long](fields.length)
+  // a wrapped Long sum would silently diverge from Spark's decimal sum
+  // (which has +10 digits of headroom) — on overflow the stat is
+  // dropped so the aggregate pushdown falls back to a real scan
+  private val sumLOverflow = new Array[Boolean](fields.length)
   private val sumsD = new Array[Double](fields.length)
   private val ord = TypedValue.ordering
 
@@ -258,7 +266,10 @@ class GraftDataWriter(
           case dt => throw new UnsupportedOperationException(s"type $dt")
         }
         storage match {
-          case l: Long => sumsL(i) += l
+          case l: Long =>
+            if (!sumLOverflow(i))
+              try sumsL(i) = Math.addExact(sumsL(i), l)
+              catch { case _: ArithmeticException => sumLOverflow(i) = true }
           case d: Double => sumsD(i) += d
           case _ => ()
         }
@@ -288,7 +299,7 @@ class GraftDataWriter(
         Option(mins(i)).map(TypedValue.show),
         Option(maxs(i)).map(TypedValue.show),
         nulls(i),
-        if (isNum.contains(true)) Some(sumsL(i)) else None,
+        if (isNum.contains(true) && !sumLOverflow(i)) Some(sumsL(i)) else None,
         if (isNum.contains(false)) Some(sumsD(i)) else None)
     }.toMap
     GraftCommitMessage(relFile, rows, stats)

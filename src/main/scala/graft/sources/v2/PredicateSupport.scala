@@ -186,18 +186,30 @@ object PredicateSupport {
             // all strings with prefix p lie in [p, prefixSuccessor(p))
             upd(c, _.and(prefixSuccessor(p) match {
               case Some(s) => Interval(Some(p), Some(s), hiInc = false)
-              case None => Interval.ge(p) // p is all U+FFFF — no upper bound
+              case None => Interval.ge(p) // p is all U+10FFFF — no upper bound
             }))
           case _ => acc
         }
     }
   }
 
-  /** Smallest string greater than every string with prefix `p`:
-    * increment the last non-U+FFFF char, dropping what follows. */
-  private[v2] def prefixSuccessor(p: String): Option[String] = {
-    val i = p.lastIndexWhere(_ != Char.MaxValue)
+  /** Smallest string greater than every string with prefix `p`, in
+    * code-point (≡ UTF-8 byte) order: increment the last code point
+    * below U+10FFFF, dropping what follows. The increment skips the
+    * surrogate range D800–DFFF (no valid string contains those scalar
+    * values, so the skipped interval is empty). Operating on code
+    * points rather than UTF-16 chars keeps the bound consistent with
+    * [[TypedValue.utf8Compare]]. */
+  private[graft] def prefixSuccessor(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    val i = cps.lastIndexWhere(_ != Character.MAX_CODE_POINT)
     if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    else {
+      var next = cps(i) + 1
+      if (next >= Character.MIN_SURROGATE.toInt &&
+          next <= Character.MAX_SURROGATE.toInt) next = 0xE000
+      val out = cps.take(i) :+ next
+      Some(new String(out, 0, out.length))
+    }
   }
 }

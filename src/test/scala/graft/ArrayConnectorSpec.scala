@@ -271,6 +271,56 @@ class ArrayConnectorSpec extends SparkSpec {
       .getDecimal(0).toString.startsWith("99.9999"))
   }
 
+  test("decimal SUM overflow drops the stat and falls back to a real scan") {
+    // unscaled sums that exceed Long.MaxValue must NOT wrap: Spark's
+    // sum(decimal(18,0)) widens to decimal(28,0), so a wrapped stats
+    // answer would silently diverge. Both overflow sites are covered:
+    // (a) within one writer task, (b) across fragments.
+    val wh = java.nio.file.Files.createTempDirectory("graft_ovf").toString
+    spark.conf.set("spark.sql.catalog.go", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.go.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE go.ovf (k BIGINT, v DECIMAL(18,0))
+        |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    // (a) 11 × 9e17 = 9.9e18 > Long.MaxValue inside a single task
+    spark.sql("INSERT INTO go.ovf SELECT id, CAST(900000000000000000 AS " +
+      "DECIMAL(18,0)) FROM range(0, 11)").collect()
+    val agg = spark.sql("SELECT sum(v) AS s FROM go.ovf")
+    assert(!agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "overflowed stat must not answer from GraftAggScan")
+    assert(agg.collect()(0).getDecimal(0).toBigInteger.toString
+      == "9900000000000000000")
+    // (b) per-fragment sums fine, cross-fragment addition overflows
+    spark.sql(
+      """CREATE TABLE go.ovf2 (k BIGINT, v DECIMAL(18,0))
+        |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql("INSERT INTO go.ovf2 SELECT id, CAST(900000000000000000 AS " +
+      "DECIMAL(18,0)) FROM range(0, 6)").collect()
+    spark.sql("INSERT INTO go.ovf2 SELECT id, CAST(900000000000000000 AS " +
+      "DECIMAL(18,0)) FROM range(100, 106)").collect()
+    val agg2 = spark.sql("SELECT sum(v) AS s FROM go.ovf2")
+    assert(!agg2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(agg2.collect()(0).getDecimal(0).toBigInteger.toString
+      == "10800000000000000000")
+    // non-overflowing sums still take the stats path
+    val agg3 = spark.sql("SELECT sum(k) AS s FROM go.ovf")
+    assert(agg3.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(agg3.as[Long].head() == 55L)
+  }
+
+  test("SUM over zero non-null values answers NULL from stats") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    GraftArray.write(spark, uri,
+      Seq((1L, 1L, Option.empty[Long], "x"), (2L, 2L, Option.empty[Long], "y"))
+        .toDF("rows", "cols", "a", "s"))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    val agg = df.agg(sum(col("a")).as("s"))
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      agg.queryExecution.executedPlan.toString.take(1500))
+    assert(agg.collect()(0).isNullAt(0))
+  }
+
   test("pushdown ≡ post-filter (property over random predicates)") {
     val uri = tmp()
     GraftArray.create(spark, uri, schema2d)

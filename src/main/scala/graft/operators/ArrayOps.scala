@@ -242,6 +242,53 @@ object ArrayOps {
         .orderBy("p_brand", "p_partkey")
     }),
 
+    // §1.2 storage-type surface [mytile.cc:14–264; data_types.test]:
+    // unsigned u8–u64, TIME, and sub-µs datetime declared via
+    // graft.type.<col>; boundary values go through the guarded DSv2
+    // writer with the WRITE-edge StorageFunctions conversions and come
+    // back through the READ-edge ones. Unsigned maxima must survive
+    // exactly (u64 as Decimal(20,0) → fixed-len-byte-array storage).
+    "arr13_dtypes" -> ((s, d) => {
+      import graft.functions.StorageFunctions._
+      val wh = freshUri("dt").stripSuffix("/arr")
+      s.conf.set("spark.sql.catalog.gdt", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gdt.warehouse", wh)
+      s.sql(
+        """CREATE TABLE gdt.dtypes (
+          k BIGINT, u8 SMALLINT, u16 INT, u32 BIGINT, u64 DECIMAL(20,0),
+          tsec BIGINT, dns BIGINT)
+          TBLPROPERTIES('graft.dimensions'='k',
+            'graft.type.u8'='UINT8', 'graft.type.u16'='UINT16',
+            'graft.type.u32'='UINT32', 'graft.type.u64'='UINT64',
+            'graft.type.tsec'='TIME_SEC', 'graft.type.dns'='DATETIME_NS')""")
+      val staged = s.sql(
+        """SELECT * FROM VALUES
+           (1L, CAST(0 AS SMALLINT), 0, 0L, CAST(0 AS DECIMAL(20,0)),
+            0L, 0L),
+           (2L, CAST(255 AS SMALLINT), 65535, 4294967295L,
+            CAST('18446744073709551615' AS DECIMAL(20,0)), 86399L,
+            1704067200123456L)
+           t(k, u8, u16, u32, u64, sec_of_day, us_epoch)""")
+        .select(col("k"), col("u8"), col("u16"), col("u32"), col("u64"),
+          // write edge: seconds-of-day → stored µs-of-day;
+          // µs timestamp → stored raw ns count
+          timeToMicros(col("sec_of_day"), "TIME_SEC").as("tsec"),
+          timestampToDatetime(timestamp_micros(col("us_epoch")),
+            "DATETIME_NS").as("dns"))
+      staged.writeTo("gdt.dtypes").append()
+      s.table("gdt.dtypes").select(
+        col("k"),
+        col("u8").cast("long").as("u8"),
+        col("u16").cast("long").as("u16"),
+        col("u32"),
+        col("u64").cast("string").as("u64"),
+        // read edge: µs-of-day → seconds count; ns count → µs timestamp
+        microsToTime(col("tsec"), "TIME_SEC").as("sec_of_day"),
+        unix_micros(datetimeToTimestamp(col("dns"), "DATETIME_NS"))
+          .as("us_epoch"))
+        .orderBy("k")
+    }),
+
     // S6: metadata key/value virtual table.
     "arr6_metadata" -> ((s, d) => {
       val uri = freshUri("meta")
@@ -282,6 +329,13 @@ object ArrayOps {
     "arr6_metadata" ->
       """SELECT * FROM (VALUES ('engine', 'graft'), ('version', '1'))
          t(key, value) ORDER BY key""",
+    "arr13_dtypes" ->
+      """SELECT * FROM (VALUES
+         (1::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, '0',
+          0::BIGINT, 0::BIGINT),
+         (2::BIGINT, 255::BIGINT, 65535::BIGINT, 4294967295::BIGINT,
+          '18446744073709551615', 86399::BIGINT, 1704067200123456::BIGINT))
+         t(k, u8, u16, u32, u64, sec_of_day, us_epoch) ORDER BY k""",
     "arr7_string_dim" ->
       """SELECT p_brand, p_partkey, p_size FROM part
          WHERE p_brand >= 'Brand#2' AND p_brand <= 'Brand#4' AND p_size >= 20

@@ -38,7 +38,44 @@ case class GraftInputPartition(
       * dedup key (full dim tuple) shares dim0, so equal coordinates
       * always land in the same slab and latest-wins stays exact. */
     slabLo: Option[Any] = None,
-    slabHi: Option[Any] = None) extends InputPartition
+    slabHi: Option[Any] = None,
+    /** Hash-ownership fallback when no range structure exists to cut
+      * slabs on (files without dim0 MBRs, or fully-coincident string
+      * MBRs): this partition owns rows with
+      * `pmod(stableDimHash(dim tuple), hashMod) == hashIdx`. Every
+      * sibling reads the same files (hashMod× read amplification) but
+      * holds only ~1/hashMod of the merge state. 0 = disabled. Equal
+      * coordinates hash identically, so latest-wins stays exact. */
+    hashMod: Int = 0,
+    hashIdx: Int = 0) extends InputPartition
+
+/** Deterministic, JVM-stable hash of a dim coordinate tuple in the
+  * storage domain (the spec'd hashCodes of Long/Double/String/Boolean
+  * plus BigInteger for decimals — never identity hashes). */
+object DimHash {
+  def of(vals: Array[Any], dimIdx: Array[Int]): Int = {
+    var h = 17
+    var i = 0
+    while (i < dimIdx.length) {
+      val x = vals(dimIdx(i)) match {
+        case null => 0
+        case l: java.lang.Long => java.lang.Long.hashCode(l)
+        case d: java.lang.Double => java.lang.Double.hashCode(d)
+        case s: String => s.hashCode
+        case b: java.lang.Boolean => java.lang.Boolean.hashCode(b)
+        case dec: org.apache.spark.sql.types.Decimal =>
+          dec.toJavaBigDecimal.unscaledValue().hashCode()
+        case b: Array[Byte] => java.util.Arrays.hashCode(b)
+        case other => other.hashCode()
+      }
+      h = h * 31 + x
+      i += 1
+    }
+    h
+  }
+
+  def pmod(h: Int, m: Int): Int = ((h % m) + m) % m
+}
 
 class GraftBatch(
     partitions: Seq[GraftInputPartition],
@@ -79,12 +116,13 @@ class GraftPartitionReader(
     conf: Configuration) extends PartitionReader[InternalRow] {
 
   private def hasSlab: Boolean = part.slabLo.isDefined || part.slabHi.isDefined
+  private def hasHash: Boolean = part.hashMod > 0
 
   // columns physically read = requested ∪ merge dims ∪ predicate refs
   // (reference always reads dims, ha_mytile.cc:3013–3021)
   private val readCols: Seq[StructField] = {
     val extra =
-      (if (part.needDedup || hasSlab) dimNames else Nil) ++
+      (if (part.needDedup || hasSlab || hasHash) dimNames else Nil) ++
         preds.flatMap(_.refs)
     readSchema.fields.toSeq ++
       extra.distinct.filterNot(readSchema.fieldNames.contains)
@@ -123,13 +161,19 @@ class GraftPartitionReader(
             part.slabHi.forall(hi => ord.compare(v, hi) < 0)
         }
       }
-    if (!part.needDedup) rows
+    // hash ownership: this partition emits only its share of the
+    // coordinate space (siblings read the same files and emit theirs)
+    val owned =
+      if (!hasHash) rows
+      else rows.filter(r =>
+        DimHash.pmod(DimHash.of(r, dimIdx), part.hashMod) == part.hashIdx)
+    if (!part.needDedup) owned
     else {
       // newest fragment wins per coordinate (files are ts-ascending);
       // map size is bounded by the slab's coordinate range, not the
       // whole overlap group
       val m = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
-      rows.foreach { r => m.put(dimIdx.map(r(_)).toSeq, r) }
+      owned.foreach { r => m.put(dimIdx.map(r(_)).toSeq, r) }
       m.values.asScala.iterator
     }
   }

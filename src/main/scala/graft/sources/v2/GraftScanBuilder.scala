@@ -334,14 +334,17 @@ class GraftScanImpl(
       }
     }
     if (boxed.exists(_.isLeft))
-      // a file lacks dim0 MBR stats → cannot assign it to slabs safely;
-      // fall back to a single merge partition for the whole group
-      Seq(GraftInputPartition(
-        boxed.map(_.fold(identity, b => (b.path, b.ts))),
-        needDedup = true, limit = limit))
+      // a file lacks dim0 MBR stats → no range structure to cut on;
+      // hash-ownership keeps the merge parallel and memory-bounded
+      hashPartitions(boxed.map(_.fold(identity, b => (b.path, b.ts))))
     else {
       val boxes = boxed.map(_.toOption.get)
       var cuts: Seq[Any] = boxes.map(_.mn).distinct.sorted(ord).drop(1)
+      if (cuts.isEmpty && boxes.size > 1)
+        // coincident minima but staggered maxima (e.g. appends that all
+        // start at the domain origin): distinct maxima still cut —
+        // works for ANY comparable dim type, strings included
+        cuts = boxes.map(_.mx).distinct.sorted(ord).dropRight(1)
       if (cuts.isEmpty && boxes.size > 1) {
         // fully-coincident file MBRs (e.g. unordered writes): equal-width
         // cuts over the numeric domain restore parallelism
@@ -357,18 +360,38 @@ class GraftScanImpl(
           case _ => Nil
         }
       }
-      val bounds: Seq[(Option[Any], Option[Any])] =
-        (None +: cuts.map(Option(_))).zip(cuts.map(Option(_)) :+ None)
-      bounds.flatMap { case (lo, hi) =>
-        val inSlab = boxes.filter(b =>
-          lo.forall(l => ord.compare(b.mx, l) >= 0) &&
-            hi.forall(h => ord.compare(b.mn, h) < 0))
-        if (inSlab.isEmpty) None
-        else Some(GraftInputPartition(inSlab.map(b => (b.path, b.ts)),
-          needDedup = inSlab.map(_.ts).distinct.size > 1,
-          limit = limit, slabLo = lo, slabHi = hi))
+      if (cuts.isEmpty && boxes.size > 1)
+        // non-numeric fully-coincident MBRs (two overlapping unordered
+        // string-dim fragments — the round-2 single-task hole):
+        // hash-ownership fallback
+        hashPartitions(boxes.map(b => (b.path, b.ts)))
+      else {
+        val bounds: Seq[(Option[Any], Option[Any])] =
+          (None +: cuts.map(Option(_))).zip(cuts.map(Option(_)) :+ None)
+        bounds.flatMap { case (lo, hi) =>
+          val inSlab = boxes.filter(b =>
+            lo.forall(l => ord.compare(b.mx, l) >= 0) &&
+              hi.forall(h => ord.compare(b.mn, h) < 0))
+          if (inSlab.isEmpty) None
+          else Some(GraftInputPartition(inSlab.map(b => (b.path, b.ts)),
+            needDedup = inSlab.map(_.ts).distinct.size > 1,
+            limit = limit, slabLo = lo, slabHi = hi))
+        }
       }
     }
+  }
+
+  /** Coordinate-hash ownership over a whole overlap group: partition i
+    * of n owns `pmod(stableDimHash(dim tuple), n) == i`. Each sibling
+    * reads all the group's files — n× read amplification — but merge
+    * state is ~1/n per task, so memory stays bounded no matter how
+    * large the group is. Used only when no per-file range structure
+    * exists to cut real slabs on. */
+  private def hashPartitions(files: Seq[(String, Long)])
+      : Seq[GraftInputPartition] = {
+    val n = math.min(math.max(files.size, 2), 16)
+    (0 until n).map(i => GraftInputPartition(files, needDedup = true,
+      limit = limit, hashMod = n, hashIdx = i))
   }
 
   private def overlapGroups(frags: Seq[FragmentMeta]): Seq[Seq[FragmentMeta]] = {

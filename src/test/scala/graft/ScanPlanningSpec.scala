@@ -102,6 +102,76 @@ class ScanPlanningSpec extends SparkSpec {
     assert(slabs.nonEmpty, "no slab-bounded partitions planned")
   }
 
+  test("coincident string-MBR overlap group splits via hash ownership") {
+    // two fully-overlapping single-file string-dim fragments: identical
+    // per-file MBRs, nothing to cut ranges on — the round-2 fallback
+    // collapsed this to ONE merge task. Hash ownership must keep it
+    // parallel AND exactly-once.
+    val uri = tmp()
+    val ssch = ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("name", StringType)),
+      Seq(AttributeSpec("v", DoubleType)))
+    GraftArray.create(spark, uri, ssch)
+    GraftArray.write(spark, uri, spark.range(0, 500).coalesce(1)
+      .select(concat(lit("doc_"), col("id")).as("name"), lit(1.0).as("v")))
+    GraftArray.write(spark, uri, spark.range(0, 500).coalesce(1)
+      .select(concat(lit("doc_"), col("id")).as("name"), lit(2.0).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    assert(df.count() == 500)
+    // newest fragment wins everywhere; no row lost or duplicated
+    assert(df.agg(min("v"), max("v")).as[(Double, Double)].head() == ((2.0, 2.0)))
+    val parts = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions }.flatten.collect {
+      case p: graft.sources.v2.GraftInputPartition => p }
+    assert(parts.size > 1,
+      s"coincident string overlap group planned ${parts.size} partition(s)")
+    assert(parts.forall(_.hashMod == parts.size))
+    assert(parts.map(_.hashIdx).sorted == parts.indices)
+  }
+
+  test("overlapping fragments without per-file stats plan hash partitions") {
+    // planner-level: a manifest with fragment-level MBRs but NO per-file
+    // stats (e.g. written by an older/simpler client) must not collapse
+    // the merge into one task
+    val frags = Seq(
+      FragmentMeta("f1", 1L, Seq("frag_f1/p0.parquet"), 100,
+        stats = Map("k" -> ColumnStats(Some("0"), Some("99"), 0, None, None))),
+      FragmentMeta("f2", 2L, Seq("frag_f2/p0.parquet"), 100,
+        stats = Map("k" -> ColumnStats(Some("0"), Some("99"), 0, None, None))))
+    val scan = new graft.sources.v2.GraftScanImpl(
+      spark, "/tmp/nonexistent_graft_stats", sch, frags, sch.toStruct,
+      Nil, Map.empty)
+    val parts = scan.planInputPartitions().collect {
+      case p: graft.sources.v2.GraftInputPartition => p }
+    assert(parts.length == 2, s"planned ${parts.length} partition(s)")
+    assert(parts.forall(p => p.hashMod == 2 && p.needDedup))
+    assert(parts.map(_.hashIdx).sorted.toSeq == Seq(0, 1))
+    // every sibling reads the whole group's files
+    assert(parts.forall(_.files.size == 2))
+  }
+
+  test("decimal-dim overlap group slab-splits and merges correctly") {
+    // slab bounds live in the manifest stats domain (unscaled longs);
+    // decoded rows carry Decimal — the ownership filter must normalize,
+    // not throw 'incomparable'
+    val uri = tmp()
+    val dsch = ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("price", DecimalType(10, 2))),
+      Seq(AttributeSpec("v", DoubleType)))
+    GraftArray.create(spark, uri, dsch)
+    def rows(v: Double) = spark.range(0, 800).repartition(4)
+      .select((col("id").cast("decimal(10,2)") / 4).cast("decimal(10,2)")
+        .as("price"), lit(v).as("v"))
+    GraftArray.write(spark, uri, rows(1.0))
+    GraftArray.write(spark, uri, rows(2.0))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    assert(df.count() == 800)
+    assert(df.agg(min("v"), max("v")).as[(Double, Double)].head() == ((2.0, 2.0)))
+    val parts = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions }.flatten
+    assert(parts.size > 1, s"decimal overlap group planned ${parts.size}")
+  }
+
   test("string-dim prefix predicate prunes fragments via [p, succ(p))") {
     val uri = tmp()
     val ssch = ArraySchema(ArrayKind.Sparse,

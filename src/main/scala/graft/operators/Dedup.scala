@@ -29,30 +29,53 @@ object Dedup {
     * are xxhash64'd before the join — an 8-byte shuffle key instead of
     * a ~30-byte string (collision odds over the corpus ≈ n²/2⁶⁴,
     * irrelevant at any scale we'd shuffle through one join). */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  private[graft] def shingleIndexOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), explode(shingles(col("text"), K)).as("sh0"))
       .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
 
-  /** Exact-Jaccard pairs (i<j) from a candidate pair set that already
-    * carries shared-shingle counts. */
-  private def jaccardPairs(s: SparkSession, d: String,
-      threshold: Double): DataFrame = {
-    val idx = shingleIndex(s, d)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = idx.as("a").join(idx.as("b"), "sh")
+  /** Candidate pairs (i<j) sharing ≥1 shingle. `dfCap` drops
+    * "stopword" shingles whose document frequency exceeds the cap from
+    * candidate generation ONLY: a shingle shared by m documents emits
+    * m² candidate pairs, so one boilerplate header/footer shingle on a
+    * repetitive corpus makes a single join key quadratic (the round-2
+    * scale hazard). The cap bounds per-key join work at ~cap² while
+    * verification (below) still scores any surfaced pair on the FULL
+    * shingle sets — a pair is missed only if it shares NOTHING but
+    * capped boilerplate, which at Jaccard ≥ 0.5 cannot happen unless
+    * boilerplate IS most of both documents. */
+  private[graft] def candidatePairs(docsDf: DataFrame,
+      dfCap: Option[Long]): DataFrame = {
+    val idx = shingleIndexOf(docsDf)
+    val candIdx = dfCap match {
+      case Some(cap) =>
+        // hot set is tiny by construction (≤ total-occurrences / cap
+        // keys) → broadcast anti-join, no extra shuffle of the index
+        val hot = idx.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        idx.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => idx
+    }
+    candIdx.as("a").join(candIdx.as("b"), "sh")
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "i")
-        .withColumnRenamed("n_sh", "ni"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j")
-        .withColumnRenamed("n_sh", "nj"), "j")
-      .withColumn("jac", col("shared").cast("double") /
-        (col("ni") + col("nj") - col("shared")).cast("double"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard pairs (i<j): capped candidate generation, then the
+    * exact set Jaccard over full shingle sets on candidates only. */
+  private[graft] def jaccardPairsOn(docsDf: DataFrame, threshold: Double,
+      dfCap: Option[Long]): DataFrame = {
+    val sets = docsDf.select(col("doc_id"), shingles(col("text"), K).as("sh"))
+    candidatePairs(docsDf, dfCap)
+      .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+      .orderBy("i", "j")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -63,8 +86,15 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("keep_id")),
 
-    // n-gram Jaccard near-dup pairs via shingle-join candidates.
-    "d2_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d, 0.5)),
+    // n-gram Jaccard near-dup pairs via shingle-join candidates, with
+    // a document-frequency cap (1% of corpus, min 50) on candidate
+    // generation. On this corpus the cap fires on zero shingles — the
+    // oracle (exact O(n²) Jaccard) proves the pair set is unaffected.
+    "d2_ngram_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cap = math.max(50L, dd.count() / 100)
+      jaccardPairsOn(dd, 0.5, Some(cap))
+    }),
 
     // MinHash(64) + LSH(16 bands × 4 rows) candidates, verified with
     // exact Jaccard ≥ 0.8. Oracle is the *exact* pair set — LSH recall

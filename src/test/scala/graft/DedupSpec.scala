@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** The d2 candidate-generation document-frequency cap: boilerplate
+  * shingles shared by m documents would emit m² candidate pairs (one
+  * hot join key goes quadratic on a header/footer-heavy corpus); the
+  * cap must bound candidates without changing the reported pair set. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 documents sharing one 5-token boilerplate sentence (one hot
+  // shingle, df=60) + unique filler, plus one genuine near-dup pair
+  // (58/59) that shares many NON-hot shingles
+  private lazy val corpus = {
+    val boiler = "terms of service apply here"
+    val uniq = (0 until 58).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c $boiler v${i}a v${i}b v${i}c"))
+    // 20 shared tokens + 1 differing + boilerplate → 16 shared non-hot
+    // shingles, exact Jaccard 17/27 ≈ 0.63 ≥ 0.5
+    val shared20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val nearA = (58L, s"$shared20 xend $boiler")
+    val nearB = (59L, s"$shared20 yend $boiler")
+    (uniq :+ nearA :+ nearB).toDF("doc_id", "text")
+  }
+
+  test("df cap bounds candidate pairs from hot shingles") {
+    val uncapped = Dedup.candidatePairs(corpus, None).count()
+    val capped = Dedup.candidatePairs(corpus, Some(10L)).count()
+    // the hot boilerplate shingle alone links every doc to every other
+    assert(uncapped >= 60L * 59 / 2, s"uncapped=$uncapped")
+    // capped: only the near-dup pair's non-hot shared shingles remain
+    assert(capped < 100, s"capped=$capped")
+    assert(capped >= 1)
+  }
+
+  test("df cap leaves the reported near-dup pair set unchanged") {
+    val uncapped = Dedup.jaccardPairsOn(corpus, 0.5, None)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val capped = Dedup.jaccardPairsOn(corpus, 0.5, Some(10L))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(uncapped == capped)
+    assert(capped.contains((58L, 59L)), s"lost the genuine pair: $capped")
+  }
+}

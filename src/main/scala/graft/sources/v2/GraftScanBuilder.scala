@@ -59,11 +59,18 @@ class GraftScanBuilder(
 
   // ---- P2–P6: predicate pushdown -----------------------------------
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
-    val (accepted, rejected) = predicates.partition(p =>
+    val accepted = predicates.filter(p =>
       PredicateSupport.convert(p, schema).isDefined)
     pushed = accepted
     preds = accepted.flatMap(PredicateSupport.convert(_, schema)).toSeq
-    rejected // residual → Catalyst post-filter (reference contract)
+    // ALL predicates are returned as residual: accepted ones still
+    // drive fragment/file pruning (subarray analog) and are evaluated
+    // in-reader on the row-based merge path, but Spark keeps its own
+    // codegen Filter — the same contract as the built-in parquet
+    // source. This lets simple partitions return ColumnarBatches and
+    // have the filter run vectorized inside WholeStageCodegen instead
+    // of row-at-a-time inside the reader.
+    predicates
   }
   override def pushedPredicates(): Array[V2Predicate] = pushed
 

@@ -37,20 +37,37 @@ case class DimensionSpec(
       s"${StorageTypes.sparkTypeOf(st)}, not $dataType"))
 }
 
+/** Compression codec names accepted by `graft.codec[.col]` — the
+  * Spark seat of the reference's per-attribute filter lists
+  * [ha_mytile.cc:1353–1378; t/filters.test]. */
+object Codecs {
+  val supported: Set[String] = Set("SNAPPY", "ZSTD", "GZIP", "NONE")
+  def normalize(c: String): String = {
+    val u = c.toUpperCase
+    require(supported(u),
+      s"unsupported codec $c (supported: ${supported.mkString(", ")})")
+    u
+  }
+}
+
 /** Attribute: nullable column with optional fill value (SQL DEFAULT ⇄
   * TileDB fill [ha_mytile.cc:1313–1326]), optional enumeration
-  * [ha_mytile.cc:1330–1351], and optional declared storage type
-  * (unsigned/TIME/sub-µs datetime — [[StorageTypes]]). */
+  * [ha_mytile.cc:1330–1351], optional declared storage type
+  * (unsigned/TIME/sub-µs datetime — [[StorageTypes]]), and optional
+  * declared compression codec (the reference's per-attribute filter
+  * list [ha_mytile.cc:1353–1378]). */
 case class AttributeSpec(
     name: String,
     dataType: DataType,
     nullable: Boolean = true,
     fillValue: Option[String] = None,
     enumValues: Seq[String] = Nil,
-    storageType: Option[String] = None) {
+    storageType: Option[String] = None,
+    codec: Option[String] = None) {
   storageType.foreach(st => require(StorageTypes.sparkTypeOf(st) == dataType,
     s"attribute $name: storage type $st surfaces as " +
       s"${StorageTypes.sparkTypeOf(st)}, not $dataType"))
+  codec.foreach(Codecs.normalize)
 }
 
 case class ArraySchema(
@@ -60,10 +77,29 @@ case class ArraySchema(
     capacity: Long = 10000L, // sparse cells/tile default [ha_mytile.cc:69]
     cellOrder: String = "ROW_MAJOR",
     tileOrder: String = "ROW_MAJOR",
-    allowsDups: Boolean = false) {
+    allowsDups: Boolean = false,
+    /** Table-default compression codec (reference filter-list analog). */
+    codec: Option[String] = None) {
+
+  codec.foreach(Codecs.normalize)
 
   def dimNames: Seq[String] = dims.map(_.name)
   def columnNames: Seq[String] = dims.map(_.name) ++ attrs.map(_.name)
+
+  /** The codec the fragment writers apply. Parquet-mr writes ONE codec
+    * per file (no per-column-chunk codec in its writer API), so
+    * per-attribute declarations are honored physically only when they
+    * agree: table codec, else the single distinct per-attribute codec,
+    * else SNAPPY. The declarations themselves always round-trip through
+    * the manifest and discovery (the reference round-trips filter
+    * lists the same way, mytile-discovery.cc:303–307) — documented
+    * divergence: heterogeneous per-column codecs fall back to the
+    * table default at the file level. */
+  def effectiveCodec: String =
+    codec.orElse {
+      val declared = attrs.flatMap(_.codec).distinct
+      if (declared.size == 1) Some(declared.head) else None
+    }.getOrElse("SNAPPY")
 
   def dataTypeOf(name: String): DataType =
     dims.find(_.name == name).map(_.dataType)
@@ -91,6 +127,7 @@ case class ArraySchema(
       if (a.enumValues.nonEmpty)
         mb.putStringArray("graft.enum_values", a.enumValues.toArray)
       a.storageType.foreach(mb.putString("graft.storage_type", _))
+      a.codec.foreach(mb.putString("graft.codec", _))
       StructField(a.name, a.dataType, a.nullable, mb.build())
     })
 }
@@ -123,6 +160,7 @@ object ArraySchemaJson {
     root.put("cellOrder", s.cellOrder)
     root.put("tileOrder", s.tileOrder)
     root.put("allowsDups", s.allowsDups)
+    s.codec.foreach(root.put("codec", _))
     val dims = root.putArray("dims")
     s.dims.foreach { d =>
       val n = dims.addObject()
@@ -142,6 +180,7 @@ object ArraySchemaJson {
         val e = n.putArray("enumValues"); a.enumValues.foreach(e.add)
       }
       a.storageType.foreach(n.put("storageType", _))
+      a.codec.foreach(n.put("codec", _))
     }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -165,11 +204,13 @@ object ArraySchemaJson {
         if (n.has("enumValues"))
           n.get("enumValues").elements().asScala.map(_.asText).toSeq
         else Nil,
-        optS(n, "storageType"))
+        optS(n, "storageType"),
+        optS(n, "codec"))
     }
     ArraySchema(ArrayKind.withName(r.get("kind").asText), dims, attrs,
       r.get("capacity").asLong, r.get("cellOrder").asText,
-      r.get("tileOrder").asText, r.get("allowsDups").asBoolean)
+      r.get("tileOrder").asText, r.get("allowsDups").asBoolean,
+      optS(r, "codec"))
   }
 
   private def putStats(parent: ObjectNode, key: String,

@@ -136,7 +136,9 @@ object GraftArray {
       else clustered.observe(obs,
         sum(col(numeric.head.name)).as(numeric.head.name),
         numeric.tail.map(f => sum(col(f.name)).as(f.name)): _*)
-    observed.write.mode("errorifexists").parquet(dataDir.toString)
+    observed.write.mode("errorifexists")
+      .option("compression", schema.effectiveCodec.toLowerCase)
+      .parquet(dataDir.toString)
 
     // min/max/nullCount from parquet footers (no data re-read)
     val fs = st.fileSystem

@@ -101,11 +101,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val attrs = schema.fields.filterNot(f => dimNames.contains(f.name)).map {
       f => AttributeSpec(f.name, f.dataType, f.nullable,
         props.get(s"graft.fill.${f.name}"),
-        storageType = storageOf(f.name))
+        storageType = storageOf(f.name),
+        // per-attribute filter-list analog [ha_mytile.cc:1353–1378]
+        codec = props.get(s"graft.codec.${f.name}").map(Codecs.normalize))
     }.toSeq
     val arr = ArraySchema(kind, dims, attrs,
       capacity = props.get("graft.capacity").map(_.toLong).getOrElse(10000L),
-      allowsDups = props.get("graft.allows_dups").exists(_.toBoolean))
+      allowsDups = props.get("graft.allows_dups").exists(_.toBoolean),
+      codec = props.get("graft.codec").map(Codecs.normalize))
     val uri = uriOf(ident, ident.name())
     GraftArray.create(spark, uri, arr)
     new GraftTable(spark, uri)

@@ -158,7 +158,13 @@ class GraftDataWriter(
     ExampleParquetWriter.builder(HadoopOutputFile.fromPath(path, conf))
       .withConf(conf)
       .withType(messageType)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      // graft.codec[.col] table property; parquet-mr applies one codec
+      // per file — see ArraySchema.effectiveCodec for the resolution
+      .withCompressionCodec(CompressionCodecName.valueOf(
+        schema.effectiveCodec match {
+          case "NONE" => "UNCOMPRESSED"
+          case c => c
+        }))
       .build()
   }
 

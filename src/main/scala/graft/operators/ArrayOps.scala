@@ -289,6 +289,31 @@ object ArrayOps {
         .orderBy("k")
     }),
 
+    // ENUM attribute parity [ha_mytile.cc:1330–1351; t/enum.test]:
+    // o_orderstatus declared as an enumeration, domain-guarded on
+    // write, and — deliberately better than the reference, which bails
+    // on pushing conditions over enum attrs (ha_mytile.cc:2557–2562) —
+    // the equality predicate is accepted for pushdown here (storage
+    // keeps the string value; SQL semantics are identical).
+    "arr14_enum" -> ((s, d) => {
+      val wh = freshUri("enum").stripSuffix("/arr")
+      s.conf.set("spark.sql.catalog.gen", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gen.warehouse", wh)
+      s.sql(
+        """CREATE TABLE gen.ord (
+          o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          TBLPROPERTIES('graft.dimensions'='o_orderkey',
+            'graft.enum.o_orderstatus'='F,O,P')""")
+      Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .writeTo("gen.ord").append()
+      s.table("gen.ord")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // S6: metadata key/value virtual table.
     "arr6_metadata" -> ((s, d) => {
       val uri = freshUri("meta")
@@ -329,6 +354,9 @@ object ArrayOps {
     "arr6_metadata" ->
       """SELECT * FROM (VALUES ('engine', 'graft'), ('version', '1'))
          t(key, value) ORDER BY key""",
+    "arr14_enum" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+         FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
     "arr13_dtypes" ->
       """SELECT * FROM (VALUES
          (1::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, '0',

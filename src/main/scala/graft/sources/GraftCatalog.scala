@@ -101,6 +101,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val attrs = schema.fields.filterNot(f => dimNames.contains(f.name)).map {
       f => AttributeSpec(f.name, f.dataType, f.nullable,
         props.get(s"graft.fill.${f.name}"),
+        // SQL ENUM ⇄ TileDB Enumeration [ha_mytile.cc:1330–1351]
+        enumValues = props.get(s"graft.enum.${f.name}")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
         storageType = storageOf(f.name),
         // per-attribute filter-list analog [ha_mytile.cc:1353–1378]
         codec = props.get(s"graft.codec.${f.name}").map(Codecs.normalize))

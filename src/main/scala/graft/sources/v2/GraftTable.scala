@@ -181,6 +181,11 @@ class GraftDataWriter(
       }
     }
   }
+  // enum-domain guards: declared enumeration attrs only accept their
+  // values [ref: ENUM ⇄ TileDB Enumeration, ha_mytile.cc:1330–1351]
+  private val enums: Array[Set[String]] = fields.map(f =>
+    schema.attrs.find(_.name == f.name)
+      .map(_.enumValues.toSet).getOrElse(Set.empty))
   private def checkGuard(i: Int, row: InternalRow): Unit =
     guards(i).foreach { case (tn, lo, hi) =>
       val bad = fields(i).dataType match {
@@ -234,6 +239,9 @@ class GraftDataWriter(
           case DoubleType => g.add(i, row.getDouble(i)); row.getDouble(i)
           case StringType =>
             val s = row.getUTF8String(i).toString
+            if (enums(i).nonEmpty && !enums(i).contains(s))
+              throw new IllegalArgumentException(
+                s"value not in enum ${fields(i).name}: $s")
             g.add(i, Binary.fromString(s)); s
           case BinaryType =>
             val b = row.getBinary(i)

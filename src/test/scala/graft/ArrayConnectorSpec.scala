@@ -271,6 +271,38 @@ class ArrayConnectorSpec extends SparkSpec {
       .getDecimal(0).toString.startsWith("99.9999"))
   }
 
+  test("enum attributes: DDL, discovery, write guard on both paths") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_enum").toString
+    spark.conf.set("spark.sql.catalog.ge", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ge.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE ge.e (k BIGINT, status STRING)
+        |TBLPROPERTIES('graft.dimensions'='k',
+        |  'graft.enum.status'='F,O,P')""".stripMargin)
+    // discovery surfaces the enumeration on the read schema
+    val meta = spark.table("ge.e").schema.fields
+      .find(_.name == "status").get.metadata
+    assert(meta.getStringArray("graft.enum_values").toSeq == Seq("F", "O", "P"))
+    // in-domain writes pass (DSv2 path)
+    spark.sql("INSERT INTO ge.e VALUES (1, 'F'), (2, 'O')")
+    // out-of-domain rejected on the DSv2 writer path
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO ge.e VALUES (3, 'X')").collect()
+    }
+    assert(e1.getMessage.contains("enum") ||
+      Option(e1.getCause).exists(_.getMessage.contains("enum")))
+    // ...and on the convenience write path
+    val e2 = intercept[Exception] {
+      GraftArray.write(spark, s"$wh/e",
+        Seq((4L, "Z")).toDF("k", "status"))
+    }
+    assert(e2.getMessage != null)
+    // predicate over the enum attr is accepted and correct (reference
+    // bails on pushing enum conditions, ha_mytile.cc:2557–2562)
+    assert(spark.table("ge.e").filter(col("status") === "F").count() == 1)
+    assert(spark.table("ge.e").count() == 2) // failed inserts left nothing
+  }
+
   test("decimal SUM overflow drops the stat and falls back to a real scan") {
     // unscaled sums that exceed Long.MaxValue must NOT wrap: Spark's
     // sum(decimal(18,0)) widens to decimal(28,0), so a wrapped stats

@@ -40,6 +40,18 @@ case class DimensionSpec(
 /** Compression codec names accepted by `graft.codec[.col]` — the
   * Spark seat of the reference's per-attribute filter lists
   * [ha_mytile.cc:1353–1378; t/filters.test]. */
+/** Session-supplied AES keys for parquet modular encryption. */
+object EncryptionKeys {
+  val ConfKey = "spark.graft.encryption.key"
+  /** Hex → raw bytes; AES accepts 16/24/32-byte keys. */
+  def parse(hex: String): Array[Byte] = {
+    require(Set(32, 48, 64).contains(hex.length) &&
+      hex.forall(c => Character.digit(c, 16) >= 0),
+      s"$ConfKey must be 32/48/64 hex chars (AES-128/192/256)")
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+}
+
 object Codecs {
   val supported: Set[String] = Set("SNAPPY", "ZSTD", "GZIP", "NONE")
   def normalize(c: String): String = {
@@ -79,7 +91,17 @@ case class ArraySchema(
     tileOrder: String = "ROW_MAJOR",
     allowsDups: Boolean = false,
     /** Table-default compression codec (reference filter-list analog). */
-    codec: Option[String] = None) {
+    codec: Option[String] = None,
+    /** Parquet modular encryption (AES-GCM footer + all columns) — the
+      * Spark seat of the reference's `encryption_key` option
+      * [ha_mytile.cc:75, 792–795, 3440–3472; t/encryption.test]. Only
+      * this FLAG persists; the key is supplied per session via
+      * `spark.graft.encryption.key` and never written anywhere.
+      * Divergences from the reference, both documented: fragment
+      * manifests (incl. min/max stats) stay plaintext — they are the
+      * pruning/agg index — and encrypted arrays read/write through the
+      * DSv2 path only. */
+    encrypted: Boolean = false) {
 
   codec.foreach(Codecs.normalize)
 
@@ -161,6 +183,7 @@ object ArraySchemaJson {
     root.put("tileOrder", s.tileOrder)
     root.put("allowsDups", s.allowsDups)
     s.codec.foreach(root.put("codec", _))
+    if (s.encrypted) root.put("encrypted", true)
     val dims = root.putArray("dims")
     s.dims.foreach { d =>
       val n = dims.addObject()
@@ -210,7 +233,8 @@ object ArraySchemaJson {
     ArraySchema(ArrayKind.withName(r.get("kind").asText), dims, attrs,
       r.get("capacity").asLong, r.get("cellOrder").asText,
       r.get("tileOrder").asText, r.get("allowsDups").asBoolean,
-      optS(r, "codec"))
+      optS(r, "codec"),
+      r.has("encrypted") && r.get("encrypted").asBoolean)
   }
 
   private def putStats(parent: ObjectNode, key: String,

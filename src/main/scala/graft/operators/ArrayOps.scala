@@ -314,6 +314,31 @@ object ArrayOps {
         .orderBy("o_orderkey")
     }),
 
+    // Encryption parity [ha_mytile.cc:75, 3440–3472; t/encryption.test]:
+    // AES-GCM parquet modular encryption (footer + all columns), key
+    // supplied via session conf and never persisted. The query round-
+    // trips nation through an encrypted array; EncryptionSpec proves a
+    // wrong key fails and plaintext tools can't read the files.
+    "arr15_encrypted" -> ((s, d) => {
+      val wh = freshUri("enc").stripSuffix("/arr")
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.warehouse", wh)
+      s.conf.set(graft.core.EncryptionKeys.ConfKey,
+        "000102030405060708090a0b0c0d0e0f")
+      s.sql(
+        """CREATE TABLE gx.nat (
+          n_nationkey INT, n_name STRING, n_regionkey INT)
+          TBLPROPERTIES('graft.dimensions'='n_nationkey',
+            'graft.encrypted'='true')""")
+      Tables.load(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .writeTo("gx.nat").append()
+      s.table("gx.nat")
+        .filter(col("n_regionkey") <= 2)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // S6: metadata key/value virtual table.
     "arr6_metadata" -> ((s, d) => {
       val uri = freshUri("meta")
@@ -357,6 +382,9 @@ object ArrayOps {
     "arr14_enum" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
          FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "arr15_encrypted" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         WHERE n_regionkey <= 2 ORDER BY n_nationkey""",
     "arr13_dtypes" ->
       """SELECT * FROM (VALUES
          (1::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, '0',

@@ -65,6 +65,8 @@ object GraftArray {
   def write(spark: SparkSession, uri: String, df: DataFrame): Long = {
     val st = store(spark, uri)
     val schema = st.loadSchema()
+    require(!schema.encrypted, "encrypted arrays write through the DSv2 " +
+      "path only (INSERT INTO via the graft catalog)")
     val cols = schema.columnNames
     require(df.columns.toSeq.sorted == cols.sorted,
       s"schema mismatch: ${df.columns.toSeq.sorted} vs ${cols.sorted}")
@@ -230,6 +232,8 @@ object GraftArray {
       materializeFills: Boolean = false): DataFrame = {
     val st = store(spark, uri)
     val schema = st.loadSchema(asOf)
+    require(!schema.encrypted, "encrypted arrays read through the DSv2 " +
+      "path only (spark.read.format(\"graftarray\") or the graft catalog)")
     val frags = st.listFragments(asOf)
     val struct = schema.toStruct
     if (frags.isEmpty)

@@ -111,7 +111,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val arr = ArraySchema(kind, dims, attrs,
       capacity = props.get("graft.capacity").map(_.toLong).getOrElse(10000L),
       allowsDups = props.get("graft.allows_dups").exists(_.toBoolean),
-      codec = props.get("graft.codec").map(Codecs.normalize))
+      codec = props.get("graft.codec").map(Codecs.normalize),
+      // flag only — the AES key rides the session conf
+      // (spark.graft.encryption.key), never the DDL or the manifest
+      encrypted = props.get("graft.encrypted").exists(_.toBoolean))
     val uri = uriOf(ident, ident.name())
     GraftArray.create(spark, uri, arr)
     new GraftTable(spark, uri)

@@ -95,11 +95,12 @@ class GraftReaderFactory(
     readSchema: StructType,
     dimNames: Seq[String],
     preds: Seq[Pred],
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    keyHex: Option[String] = None) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(p.asInstanceOf[GraftInputPartition],
-      readSchema, dimNames, preds, conf.value)
+      readSchema, dimNames, preds, conf.value, keyHex)
 
   /** Simple partitions (no latest-wins merge, no slab/hash ownership)
     * of local files with atomic column types stream ColumnarBatches
@@ -110,14 +111,20 @@ class GraftReaderFactory(
     * residual), so the columnar path needs no row filtering. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case g: GraftInputPartition =>
-      !g.needDedup && g.slabLo.isEmpty && g.slabHi.isEmpty &&
+      // encrypted fragments decrypt on the row path only (the
+      // vectorized reader's simple initializer takes no key)
+      keyHex.isEmpty &&
+        !g.needDedup && g.slabLo.isEmpty && g.slabHi.isEmpty &&
         g.hashMod == 0 && g.limit < 0 &&
         readSchema.fields.forall(f =>
           GraftColumnarPartitionReader.supported(f.dataType)) &&
         // the vectorized reader opens files with a fresh default
-        // Configuration — only safe for the local filesystem
+        // Configuration — only safe for the local filesystem; any other
+        // scheme (s3a, custom aliases) takes the row path, which
+        // carries the session Hadoop configuration
         g.files.forall { case (f, _) =>
-          f.startsWith("file:") || !f.contains("://") }
+          val scheme = new Path(f).toUri.getScheme
+          scheme == null || scheme == "file" }
     case _ => false
   }
 
@@ -256,7 +263,8 @@ class GraftPartitionReader(
     readSchema: StructType,
     dimNames: Seq[String],
     preds: Seq[Pred],
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration,
+    keyHex: Option[String] = None) extends PartitionReader[InternalRow] {
 
   private def hasSlab: Boolean = part.slabLo.isDefined || part.slabHi.isDefined
   private def hasHash: Boolean = part.hashMod > 0
@@ -366,8 +374,17 @@ class GraftPartitionReader(
     * `readCols`; columns missing from the file (schema evolution) are
     * null. */
   private def readFile(file: String): Iterator[Array[Any]] = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), conf))
+    val inputFile = HadoopInputFile.fromPath(new Path(file), conf)
+    val reader = keyHex match {
+      case Some(k) => ParquetFileReader.open(inputFile,
+        org.apache.parquet.HadoopReadOptions
+          .builder(conf, new Path(file))
+          .withDecryption(org.apache.parquet.crypto.FileDecryptionProperties
+            .builder().withFooterKey(graft.core.EncryptionKeys.parse(k))
+            .build())
+          .build())
+      case None => ParquetFileReader.open(inputFile)
+    }
     val fileSchema = reader.getFooter.getFileMetaData.getSchema
     val wanted = readCols.map(_.name).filter(fileSchema.containsField)
     val fieldByName = fileSchema.getFields.asScala

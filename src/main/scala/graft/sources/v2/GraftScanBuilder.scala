@@ -415,7 +415,13 @@ class GraftScanImpl(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(requiredStruct, schema.dimNames, preds,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      // decryption key resolved driver-side from the session conf;
+      // never persisted (ArraySchema.encrypted scaladoc)
+      if (!schema.encrypted) None
+      else Some(spark.conf.getOption(graft.core.EncryptionKeys.ConfKey)
+        .getOrElse(throw new IllegalArgumentException(
+          s"array is encrypted; set ${graft.core.EncryptionKeys.ConfKey}"))))
 
   // ---- SupportsReportStatistics [ref: records estimate §4] ---------
   override def estimateStatistics(): Statistics = new Statistics {

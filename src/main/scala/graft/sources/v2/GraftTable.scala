@@ -85,10 +85,20 @@ class GraftBatchWrite(
 
   private val fragId = java.util.UUID.randomUUID.toString.take(12)
 
+  // key resolved driver-side from the session conf and shipped with the
+  // task closure — the same trust boundary as the reference passing
+  // encryption_key over the client connection [ha_mytile.cc:792–795]
+  private val keyHex: Option[String] =
+    if (!schema.encrypted) None
+    else Some(spark.conf.getOption(EncryptionKeys.ConfKey).getOrElse(
+      throw new IllegalArgumentException(
+        s"array is encrypted; set ${EncryptionKeys.ConfKey}")))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     new GraftDataWriterFactory(uri, fragId, schema, writeSchema,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      keyHex)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftCommitMessage])
@@ -131,12 +141,13 @@ class GraftBatchWrite(
 
 class GraftDataWriterFactory(
     uri: String, fragId: String, schema: ArraySchema,
-    writeSchema: StructType, conf: SerializableConfiguration)
+    writeSchema: StructType, conf: SerializableConfiguration,
+    keyHex: Option[String] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(uri, fragId, partitionId, schema, writeSchema,
-      conf.value)
+      conf.value, keyHex)
 }
 
 /** Columnar fragment writer: InternalRow → parquet Group, accumulating
@@ -144,7 +155,8 @@ class GraftDataWriterFactory(
 class GraftDataWriter(
     uri: String, fragId: String, partitionId: Int,
     schema: ArraySchema, writeSchema: StructType,
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    keyHex: Option[String] = None)
   extends DataWriter[InternalRow] {
 
   import GraftParquet._
@@ -155,7 +167,7 @@ class GraftDataWriter(
   private val factory = new SimpleGroupFactory(messageType)
   private val writer = {
     GroupWriteSupport.setSchema(messageType, conf)
-    ExampleParquetWriter.builder(HadoopOutputFile.fromPath(path, conf))
+    val b = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(path, conf))
       .withConf(conf)
       .withType(messageType)
       // graft.codec[.col] table property; parquet-mr applies one codec
@@ -165,7 +177,17 @@ class GraftDataWriter(
           case "NONE" => "UNCOMPRESSED"
           case c => c
         }))
-      .build()
+    // parquet modular encryption: AES-GCM, footer + every column
+    // [reference AES-256-GCM whole-array encryption, ha_mytile.cc:3440]
+    keyHex.foreach { k =>
+      // no explicit column list → parquet encrypts EVERY column (and
+      // the footer) with the footer key — whole-file encryption
+      b.withEncryption(
+        org.apache.parquet.crypto.FileEncryptionProperties
+          .builder(EncryptionKeys.parse(k))
+          .build())
+    }
+    b.build()
   }
 
   private val fields = writeSchema.fields

@@ -145,7 +145,9 @@ object ArrayOps {
     }),
 
     // Dense array + fill-value materialization over a bounded 5×5
-    // domain [quickstart_dense fixture; fill_in.test].
+    // domain [quickstart_dense fixture; fill_in.test]. The BARE DSv2
+    // scan materializes fills (reference dense-read semantics,
+    // ha_mytile.cc:1088–1164) — no opt-in flag.
     "arr8_dense_fill" -> ((s, d) => {
       val uri = freshUri("dense")
       val sch = ArraySchema(ArrayKind.Dense,
@@ -160,7 +162,7 @@ object ArrayOps {
         .select((col("n_nationkey") % 5).cast("long").as("r"),
           (col("n_nationkey") / 5).cast("long").as("c"),
           col("n_name").as("name")))
-      GraftArray.load(s, uri, materializeFills = true)
+      s.read.format("graftarray").option("path", uri).load()
         .orderBy("r", "c")
     }),
 

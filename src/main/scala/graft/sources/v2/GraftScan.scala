@@ -91,16 +91,37 @@ class GraftBatch(
     new GraftReaderFactory(readSchema, dimNames, preds, conf)
 }
 
+/** Fill partition for a dense array: one dim0 slab of the coordinate
+  * grid. The reader builds the set of WRITTEN coordinates from the
+  * listed files' dim columns, then emits every grid cell in `ranges`
+  * that was never written, with attribute fill values — the reference's
+  * dense fill semantics [ha_mytile.cc:1088–1164] as a partition-local
+  * anti-join (memory = one slab's coordinate set, never the array). */
+case class GraftFillPartition(
+    ranges: Seq[(Long, Long)], // inclusive per-dim coordinate ranges
+    files: Seq[(String, Long)]) extends InputPartition
+
 class GraftReaderFactory(
     readSchema: StructType,
     dimNames: Seq[String],
     preds: Seq[Pred],
     conf: SerializableConfiguration,
-    keyHex: Option[String] = None) extends PartitionReaderFactory {
+    keyHex: Option[String] = None,
+    /** Dense-fill context: when set, fill partitions may appear in the
+      * scan, so every partition must report row-based (Spark rejects
+      * mixed columnar/row partition sets). */
+    fillSchema: Option[graft.core.ArraySchema] = None)
+  extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition],
-      readSchema, dimNames, preds, conf.value, keyHex)
+    p match {
+      case f: GraftFillPartition =>
+        new GraftFillPartitionReader(f, readSchema, fillSchema.get,
+          preds, conf.value, keyHex)
+      case g: GraftInputPartition =>
+        new GraftPartitionReader(g, readSchema, dimNames, preds,
+          conf.value, keyHex)
+    }
 
   /** Simple partitions (no latest-wins merge, no slab/hash ownership)
     * of local files with atomic column types stream ColumnarBatches
@@ -112,8 +133,10 @@ class GraftReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case g: GraftInputPartition =>
       // encrypted fragments decrypt on the row path only (the
-      // vectorized reader's simple initializer takes no key)
-      keyHex.isEmpty &&
+      // vectorized reader's simple initializer takes no key); dense
+      // scans stay row-based so data partitions can mix with fill
+      // partitions
+      keyHex.isEmpty && fillSchema.isEmpty &&
         !g.needDedup && g.slabLo.isEmpty && g.slabHi.isEmpty &&
         g.hashMod == 0 && g.limit < 0 &&
         readSchema.fields.forall(f =>
@@ -501,6 +524,122 @@ class GraftPartitionReader(
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** Reader for one dense-fill grid slab: written coordinates are
+  * collected from the slab's files (dim columns only, via the row
+  * reader), then the grid is walked with an odometer and unwritten
+  * cells are emitted with attribute fill values. Pushed predicates are
+  * evaluated on the synthesized rows exactly as on data rows. */
+class GraftFillPartitionReader(
+    part: GraftFillPartition,
+    readSchema: StructType,
+    schema: graft.core.ArraySchema,
+    preds: Seq[Pred],
+    conf: Configuration,
+    keyHex: Option[String]) extends PartitionReader[InternalRow] {
+
+  private val dims = schema.dims
+  private val nDims = dims.size
+
+  private def coordLong(r: InternalRow, i: Int): Long =
+    dims(i).dataType match {
+      case ByteType => r.getByte(i).toLong
+      case ShortType => r.getShort(i).toLong
+      case IntegerType | DateType => r.getInt(i).toLong
+      case _ => r.getLong(i)
+    }
+
+  // written coordinates within this slab (files listed may span
+  // neighboring slabs — only our range is recorded, so memory is
+  // bounded by slab size and each cell is owned by exactly one slab)
+  private val seen: java.util.HashSet[Seq[Long]] = {
+    val s = new java.util.HashSet[Seq[Long]]()
+    if (part.files.nonEmpty) {
+      val dimStruct = StructType(dims.map(d => StructField(d.name, d.dataType)))
+      val inner = new GraftPartitionReader(
+        GraftInputPartition(part.files, needDedup = false),
+        dimStruct, schema.dimNames, Nil, conf, keyHex)
+      while (inner.next()) {
+        val r = inner.get()
+        val coords = (0 until nDims).map(coordLong(r, _))
+        val inRange = (0 until nDims).forall(i =>
+          coords(i) >= part.ranges(i)._1 && coords(i) <= part.ranges(i)._2)
+        if (inRange) s.add(coords)
+      }
+      inner.close()
+    }
+    s
+  }
+
+  // fill values: storage domain (for predicate eval) + catalyst form
+  private val attrStorage: Map[String, Any] = schema.attrs.map(a =>
+    a.name -> a.fillValue.map(TypedValue.parse(a.dataType, _)).orNull).toMap
+  private val dimIndexOf: Map[String, Int] =
+    schema.dimNames.zipWithIndex.toMap
+
+  private val odo = part.ranges.map(_._1).toArray
+  private var exhausted = part.ranges.exists(r => r._1 > r._2)
+  private var current: Seq[Long] = _
+
+  private def advance(): Unit = {
+    var i = nDims - 1
+    while (i >= 0) {
+      odo(i) += 1
+      if (odo(i) <= part.ranges(i)._2) return
+      odo(i) = part.ranges(i)._1
+      i -= 1
+    }
+    exhausted = true
+  }
+
+  private def storageValueAt(coords: Seq[Long])(name: String): Any =
+    dimIndexOf.get(name) match {
+      case Some(i) => coords(i)
+      case None => attrStorage.getOrElse(name, null)
+    }
+
+  override def next(): Boolean = {
+    while (!exhausted) {
+      val coords = odo.toSeq
+      advance()
+      if (!seen.contains(coords) &&
+        (preds.isEmpty || preds.forall(_.eval(storageValueAt(coords))))) {
+        current = coords
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val out = new Array[Any](readSchema.length)
+    var i = 0
+    while (i < out.length) {
+      val f = readSchema.fields(i)
+      out(i) = dimIndexOf.get(f.name) match {
+        case Some(d) => f.dataType match {
+          case ByteType => current(d).toByte
+          case ShortType => current(d).toShort
+          case IntegerType | DateType => current(d).toInt
+          case _ => current(d)
+        }
+        case None => (attrStorage.getOrElse(f.name, null), f.dataType) match {
+          case (null, _) => null
+          case (s: String, StringType) => UTF8String.fromString(s)
+          case (l: Long, ByteType) => l.toByte
+          case (l: Long, ShortType) => l.toShort
+          case (l: Long, IntegerType | DateType) => l.toInt
+          case (d: Double, FloatType) => d.toFloat
+          case (v, _) => v
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Pushed-aggregate scan: the whole result was computed driver-side

@@ -97,6 +97,13 @@ class GraftScanBuilder(
     */
   private def tryAggregate(agg: Aggregation): Option[(Seq[Any], StructType)] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    // a fillable dense array's scan materializes fill cells, which
+    // written-cell statistics know nothing about — no aggregate may
+    // answer from stats (superset of the reference's COUNT gate,
+    // ha_mytile.cc:598–601)
+    if (schema.kind == ArrayKind.Dense &&
+      schema.dims.forall(d => TypedValue.isIntegral(d.dataType) &&
+        d.lowerBound.isDefined && d.upperBound.isDefined)) return None
     if (!schema.allowsDups && frags.size > 1 &&
       !FragmentPruning.pairwiseDisjoint(frags, schema)) return None
     val totalRows = frags.map(_.rows).sum
@@ -291,6 +298,67 @@ class GraftScanImpl(
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val data = planDataPartitions()
+    if (denseFillable) (data ++ fillPartitions()).toArray else data
+  }
+
+  /** Dense arrays with a bounded integral domain materialize fill
+    * values INSIDE the scan (reference dense semantics,
+    * ha_mytile.cc:1088–1164) — no opt-in flag. Unbounded or
+    * non-integral dense domains keep written-cells-only (documented). */
+  private def denseFillable: Boolean =
+    schema.kind == ArrayKind.Dense &&
+      schema.dims.forall(d => TypedValue.isIntegral(d.dataType) &&
+        d.lowerBound.isDefined && d.upperBound.isDefined)
+
+  /** Grid slabs along dim0, each owning its coordinate range. Slab
+    * width targets ~256k cells of anti-join state per task, with the
+    * partition count capped so enormous domains trade per-task memory
+    * for schedulable task counts. File lists come from the STATIC
+    * constraints (not runtime filters): a cell pruned only by a
+    * runtime filter is still WRITTEN, and must not resurface as fill. */
+  private def fillPartitions(): Seq[InputPartition] = {
+    if (initialConstraints.exists(_._2.definitelyEmpty)) return Nil
+    val ranges = schema.dims.map(d =>
+      (d.lowerBound.get.toLong, d.upperBound.get.toLong))
+    if (ranges.exists(r => r._1 > r._2)) return Nil
+    val restCells = ranges.tail.foldLeft(1L) { (a, r) =>
+      val w = r._2 - r._1 + 1
+      if (a > 0 && w > 0 && a <= Long.MaxValue / w) a * w else -1L
+    }
+    if (restCells <= 0) return Nil // overflow-degenerate domain
+    val extent0 = ranges.head._2 - ranges.head._1 + 1
+    val byMemory = math.max(1L, 262144L / restCells)
+    val byCount = math.max(1L, extent0 / 4096L + (if (extent0 % 4096 == 0) 0 else 1))
+    val slabWidth = math.max(byMemory, byCount)
+    val staticFrags = FragmentPruning.select(allFrags, schema,
+      initialConstraints)
+    val d0 = schema.dims.head
+    val lo0 = ranges.head._1
+    Iterator.iterate(lo0)(_ + slabWidth)
+      .takeWhile(_ <= ranges.head._2)
+      .map { lo =>
+        val hi = math.min(lo + slabWidth - 1, ranges.head._2)
+        val files = staticFrags.flatMap { f =>
+          f.files.filter { rel =>
+            f.fileStats.get(rel).flatMap(_.get(d0.name)) match {
+              case Some(cs) => (cs.min, cs.max) match {
+                case (Some(mn), Some(mx)) =>
+                  // integral dims parse to Long (denseFillable gate)
+                  val mnL = TypedValue.parse(d0.dataType, mn).asInstanceOf[Long]
+                  val mxL = TypedValue.parse(d0.dataType, mx).asInstanceOf[Long]
+                  mxL >= lo && mnL <= hi
+                case _ => true // no stats → must read for the seen set
+              }
+              case None => true
+            }
+          }.map(rel => (s"$uri/$rel", f.timestamp))
+        }
+        GraftFillPartition((lo, hi) +: ranges.tail, files): InputPartition
+      }.toSeq
+  }
+
+  private def planDataPartitions(): Array[InputPartition] = {
     val frags = selectedFrags
     val anyOverlap = !schema.allowsDups && frags.size > 1 &&
       !FragmentPruning.pairwiseDisjoint(frags, schema)
@@ -421,7 +489,8 @@ class GraftScanImpl(
       if (!schema.encrypted) None
       else Some(spark.conf.getOption(graft.core.EncryptionKeys.ConfKey)
         .getOrElse(throw new IllegalArgumentException(
-          s"array is encrypted; set ${graft.core.EncryptionKeys.ConfKey}"))))
+          s"array is encrypted; set ${graft.core.EncryptionKeys.ConfKey}"))),
+      fillSchema = if (denseFillable) Some(schema) else None)
 
   // ---- SupportsReportStatistics [ref: records estimate §4] ---------
   override def estimateStatistics(): Statistics = new Statistics {

@@ -244,6 +244,42 @@ class ScanPlanningSpec extends SparkSpec {
     assert(got.drop(50).forall(r => r._2.contains(r._1)))
   }
 
+  test("dense scan materializes fills in-reader (no opt-in flag)") {
+    val uri = tmp()
+    val dsch = ArraySchema(ArrayKind.Dense,
+      Seq(DimensionSpec("r", LongType, Some("0"), Some("9"), Some(10L)),
+        DimensionSpec("c", LongType, Some("0"), Some("9"), Some(10L))),
+      Seq(AttributeSpec("v", LongType, nullable = true, fillValue = Some("-1")),
+        AttributeSpec("s", StringType, nullable = true))) // no fill → null
+    GraftArray.create(spark, uri, dsch)
+    // write 10 scattered cells of the 100-cell domain
+    GraftArray.write(spark, uri, spark.range(0, 10)
+      .select(col("id").as("r"), ((col("id") * 3) % 10).as("c"),
+        col("id").as("v"), concat(lit("w"), col("id")).as("s")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    // bare scan covers the whole bounded domain
+    assert(df.count() == 100)
+    // written cells keep their values; unwritten read fill / null
+    val written = df.filter(col("v") =!= -1L)
+    assert(written.count() == 10)
+    assert(df.filter(col("v") === -1L && col("s").isNull).count() == 90)
+    // pushed dim range constrains fills too
+    assert(df.filter(col("r") < 2L).count() == 20)
+    assert(df.filter(col("r") === 0L && col("c") === 5L)
+      .select("v").as[Long].head() == -1L)
+    // aggregates must NOT answer from written-cell stats (fills count)
+    val agg = df.agg(count(lit(1)).as("n"), min(col("v")).as("mn"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(agg.as[(Long, Long)].head() == ((100L, -1L)))
+    // latest-wins still applies to written cells under fill semantics
+    GraftArray.write(spark, uri, Seq((0L, 0L, 777L, "new"))
+      .toDF("r", "c", "v", "s"))
+    val df2 = spark.read.format("graftarray").option("path", uri).load()
+    assert(df2.count() == 100)
+    assert(df2.filter(col("r") === 0L && col("c") === 0L)
+      .select("v").as[Long].head() == 777L)
+  }
+
   test("empty pushed range plans zero partitions (empty-scan path)") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

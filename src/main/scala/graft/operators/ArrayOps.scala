@@ -341,6 +341,35 @@ object ArrayOps {
         .orderBy("n_nationkey")
     }),
 
+    // S14 subset registration [ha_mytile.cc:1192–1197;
+    // t/create_allow_subset_existing_array.test]: a second table over
+    // an EXISTING array exposing a column subset (dims + l_quantity),
+    // queried directly — the array keeps full ownership of fragments.
+    "arr16_subset" -> ((s, d) => {
+      val wh = freshUri("sub").stripSuffix("/arr")
+      s.conf.set("spark.sql.catalog.gsb", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsb.warehouse", wh)
+      s.sql(
+        """CREATE TABLE gsb.li (
+          l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE,
+          l_returnflag STRING)
+          TBLPROPERTIES('graft.dimensions'='l_orderkey,l_linenumber')""")
+      Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .writeTo("gsb.li").append()
+      s.sql(
+        """CREATE TABLE gsb.li_qty (
+          l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE)
+          TBLPROPERTIES('graft.subset_of'='li',
+            'graft.allow_subset'='true')""")
+      s.table("gsb.li_qty")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          count(lit(1)).cast("long").as("n"))
+        .filter(col("qty") > 150.0)
+        .orderBy("l_orderkey")
+    }),
+
     // S6: metadata key/value virtual table.
     "arr6_metadata" -> ((s, d) => {
       val uri = freshUri("meta")
@@ -387,6 +416,10 @@ object ArrayOps {
     "arr15_encrypted" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          WHERE n_regionkey <= 2 ORDER BY n_nationkey""",
+    "arr16_subset" ->
+      """SELECT l_orderkey, round(sum(l_quantity), 2) AS qty,
+         count(*) AS n FROM lineitem GROUP BY l_orderkey
+         HAVING round(sum(l_quantity), 2) > 150.0 ORDER BY l_orderkey""",
     "arr13_dtypes" ->
       """SELECT * FROM (VALUES
          (1::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, '0',

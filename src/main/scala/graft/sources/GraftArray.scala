@@ -193,8 +193,12 @@ object GraftArray {
   private def clusterByCellOrder(schema: ArraySchema, df: DataFrame): DataFrame = {
     val dims = schema.dims
     // explicit partition count — AQE would otherwise coalesce the range
-    // shuffle and collapse the per-file MBR granularity
-    def parts: Int = math.max(df.rdd.getNumPartitions, 1)
+    // shuffle and collapse the per-file MBR granularity. Settable via
+    // spark.graft.write.partitions (skips the extra physical-plan
+    // conversion df.rdd costs); defaults to the input's partitioning.
+    def parts: Int = df.sparkSession.conf
+      .getOption("spark.graft.write.partitions").map(_.toInt)
+      .getOrElse(math.max(df.rdd.getNumPartitions, 1))
     schema.cellOrder match {
       case "UNORDERED" => df
       case "HILBERT" if dims.size == 2 &&

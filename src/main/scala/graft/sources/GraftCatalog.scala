@@ -64,6 +64,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val (base, asOf, isMeta) = parse(ident)
     val uri = uriOf(ident, base)
+    subsetRegistration(uri) match {
+      case Some((target, cols)) =>
+        return new GraftTable(spark, target, asOf, Some(cols))
+      case None => ()
+    }
     if (!GraftArray.exists(spark, uri))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident)
@@ -73,13 +78,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean = {
     val (base, _, _) = parse(ident)
-    GraftArray.exists(spark, uriOf(ident, base))
+    val uri = uriOf(ident, base)
+    GraftArray.exists(spark, uri) || subsetRegistration(uri).isDefined
+  }
+
+  // ---- subset registration (S14) -----------------------------------
+  // A table over an EXISTING array exposing a column subset
+  // [t/create_allow_subset_existing_array.test]: persisted as a tiny
+  // _subset.json {target, columns} next to nothing else — the array
+  // stays where it is and keeps full ownership of its fragments.
+
+  private def fs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def subsetPath(uri: String) =
+    new org.apache.hadoop.fs.Path(uri, "_subset.json")
+
+  private def subsetRegistration(uri: String): Option[(String, Seq[String])] = {
+    val p = subsetPath(uri)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      Some((node.get("target").asText,
+        node.get("columns").elements().asScala.map(_.asText).toSeq))
+    }
+  }
+
+  private def writeSubsetRegistration(uri: String, target: String,
+      cols: Seq[String]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("target", target)
+    val arr = root.putArray("columns"); cols.foreach(arr.add)
+    val p = subsetPath(uri)
+    val out = fs(p).create(p, false)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : Table = {
     val props = properties.asScala
+    // S14: CREATE TABLE ... over an existing array with a column subset
+    props.get("graft.subset_of").foreach { targetName =>
+      require(props.get("graft.allow_subset").exists(_.toBoolean),
+        "registering over an existing array requires " +
+          "'graft.allow_subset'='true' " +
+          "[t/create_allow_subset_existing_array.test]")
+      val target =
+        if (targetName.contains("/")) targetName
+        else (ident.namespace() :+ targetName).foldLeft(warehouse)(_ + "/" + _)
+      val full = GraftArray.store(spark, target).loadSchema()
+      val names = schema.fieldNames.toSeq
+      names.foreach { n =>
+        val dt = full.dataTypeOf(n) // throws on unknown column
+        require(dt == schema.fields.find(_.name == n).get.dataType,
+          s"subset column $n: type mismatch vs existing array ($dt)")
+      }
+      require(full.dimNames.forall(names.contains),
+        s"subset must include every dimension (${full.dimNames})")
+      val uri = uriOf(ident, ident.name())
+      writeSubsetRegistration(uri, target, names)
+      return new GraftTable(spark, target, None, Some(names))
+    }
     val dimNames: Seq[String] =
       props.get("graft.dimensions").map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq(schema.fields.head.name)) // first col defaults to dim
@@ -138,7 +203,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val uri = uriOf(ident, ident.name())
-    if (!GraftArray.exists(spark, uri)) false
+    if (subsetRegistration(uri).isDefined) {
+      // dropping a subset registration never touches the target array
+      val dir = new org.apache.hadoop.fs.Path(uri)
+      fs(dir).delete(dir, true)
+      true
+    } else if (!GraftArray.exists(spark, uri)) false
     else { GraftArray.drop(spark, uri, deleteArrays); deleteArrays }
   }
 

@@ -495,12 +495,22 @@ class GraftScanImpl(
   // ---- SupportsReportStatistics [ref: records estimate §4] ---------
   override def estimateStatistics(): Statistics = new Statistics {
     private val frags = selectedFrags
+    // a fillable dense scan emits the whole grid, not just written
+    // cells — joins/broadcast decisions must see the real cardinality
+    private val rows: Long = denseGridCells.getOrElse(frags.map(_.rows).sum)
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
-      frags.map(_.rows).sum *
-        math.max(requiredStruct.defaultSize.toLong, 1L))
-    override def numRows(): OptionalLong =
-      OptionalLong.of(frags.map(_.rows).sum)
+      rows * math.max(requiredStruct.defaultSize.toLong, 1L))
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
   }
+
+  private def denseGridCells: Option[Long] =
+    if (!denseFillable) None
+    else schema.dims.foldLeft(Option(1L)) { (acc, d) =>
+      acc.flatMap { a =>
+        val w = d.upperBound.get.toLong - d.lowerBound.get.toLong + 1
+        if (w <= 0 || a > Long.MaxValue / w) None else Some(a * w)
+      }
+    }
 
   // ---- SupportsRuntimeFiltering (DPP/BKA-MRR analog, J3) -----------
   override def filterAttributes(): Array[NamedReference] =

@@ -28,26 +28,42 @@ import scala.jdk.CollectionConverters._
 class GraftTable(
     spark: SparkSession,
     val uri: String,
-    val asOf: Option[Long] = None) extends Table
+    val asOf: Option[Long] = None,
+    /** Subset registration (reference S14,
+      * t/create_allow_subset_existing_array.test): when set, this
+      * table surfaces only these columns of the underlying array.
+      * Dims are always included (they are the key); subset tables are
+      * read-only — writes go through the full table. */
+    val projection: Option[Seq[String]] = None) extends Table
   with SupportsRead with SupportsWrite {
 
   private lazy val store = GraftArray.store(spark, uri)
-  lazy val arraySchema: ArraySchema = store.loadSchema(asOf)
+
+  private def project(s: ArraySchema): ArraySchema = projection match {
+    case Some(cols) =>
+      s.copy(attrs = s.attrs.filter(a => cols.contains(a.name)))
+    case None => s
+  }
+
+  lazy val arraySchema: ArraySchema = project(store.loadSchema(asOf))
 
   override def name(): String = uri + asOf.map("@" + _).getOrElse("")
   override def schema(): StructType = arraySchema.toStruct
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    (if (projection.isDefined) Set(TableCapability.BATCH_READ)
+     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val scanAsOf = Option(options.get("asOfTimestamp")).map(_.toLong)
       .orElse(asOf)
-    new GraftScanBuilder(spark, uri, store.loadSchema(scanAsOf),
+    new GraftScanBuilder(spark, uri, project(store.loadSchema(scanAsOf)),
       store.listFragments(scanAsOf), scanAsOf)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel view")
+    require(projection.isEmpty,
+      "subset tables are read-only; write through the full table")
     new GraftWriteBuilder(spark, uri, arraySchema, info)
   }
 }

@@ -271,6 +271,60 @@ class ArrayConnectorSpec extends SparkSpec {
       .getDecimal(0).toString.startsWith("99.9999"))
   }
 
+  test("subset registration over an existing array (S14)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sub").toString
+    spark.conf.set("spark.sql.catalog.gs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gs.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE gs.base (k BIGINT, a DOUBLE, b STRING)
+        |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql("INSERT INTO gs.base VALUES (1, 1.5, 'x'), (2, 2.5, 'y')")
+    // requires the explicit opt-in
+    val e0 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE gs.noflag (k BIGINT, a DOUBLE)
+          |TBLPROPERTIES('graft.subset_of'='base')""".stripMargin)
+    }
+    assert(e0.getMessage.contains("allow_subset") ||
+      Option(e0.getCause).exists(_.getMessage.contains("allow_subset")))
+    // subset sees only its columns, reads the array's data
+    spark.sql(
+      """CREATE TABLE gs.sub (k BIGINT, a DOUBLE)
+        |TBLPROPERTIES('graft.subset_of'='base',
+        |  'graft.allow_subset'='true')""".stripMargin)
+    assert(spark.table("gs.sub").columns.toSeq == Seq("k", "a"))
+    assert(spark.sql("SELECT sum(a) FROM gs.sub").as[Double].head() == 4.0)
+    // writes through the base surface in the subset immediately
+    spark.sql("INSERT INTO gs.base VALUES (3, 3.5, 'z')")
+    assert(spark.table("gs.sub").count() == 3)
+    // subset is read-only (capability-gated: Spark refuses the append)
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO gs.sub VALUES (9, 9.0)").collect()
+    }
+    assert(e1.getMessage.contains("does not support append") ||
+      e1.getMessage.contains("read-only"))
+    // unknown column / missing dim rejected
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE gs.bad (k BIGINT, nope DOUBLE)
+          |TBLPROPERTIES('graft.subset_of'='base',
+          |  'graft.allow_subset'='true')""".stripMargin)
+    }
+    assert(e2 != null)
+    val e3 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE gs.nodim (a DOUBLE)
+          |TBLPROPERTIES('graft.subset_of'='base',
+          |  'graft.allow_subset'='true')""".stripMargin)
+    }
+    assert(e3.getMessage.contains("dimension") ||
+      Option(e3.getCause).exists(_.getMessage.contains("dimension")))
+    // dropping the subset never touches the base array
+    spark.sql("DROP TABLE gs.sub")
+    assert(!spark.catalog.tableExists("gs.sub"))
+    assert(spark.table("gs.base").count() == 3)
+  }
+
   test("enum attributes: DDL, discovery, write guard on both paths") {
     val wh = java.nio.file.Files.createTempDirectory("graft_enum").toString
     spark.conf.set("spark.sql.catalog.ge", "graft.sources.GraftCatalog")

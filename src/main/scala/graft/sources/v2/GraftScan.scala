@@ -461,7 +461,16 @@ class GraftPartitionReader(
         else if (!gt.getType(w).isPrimitive)
           decodeList(g.getGroup(w, 0), readCols(target).dataType)
         else gt.getType(w).asPrimitiveType().getPrimitiveTypeName match {
-          case PrimitiveTypeName.INT32 => g.getInteger(w, 0).toLong
+          case PrimitiveTypeName.INT32 =>
+            gt.getType(w).getLogicalTypeAnnotation match {
+              // Spark's standard layout stores precision ≤ 9 decimals
+              // as INT32 — surface them as Decimal, not a bare long
+              case d: org.apache.parquet.schema.LogicalTypeAnnotation
+                  .DecimalLogicalTypeAnnotation =>
+                org.apache.spark.sql.types.Decimal(
+                  g.getInteger(w, 0).toLong, d.getPrecision, d.getScale)
+              case _ => g.getInteger(w, 0).toLong
+            }
           case PrimitiveTypeName.INT64 =>
             gt.getType(w).getLogicalTypeAnnotation match {
               case d: org.apache.parquet.schema.LogicalTypeAnnotation

@@ -2,13 +2,8 @@ package graft.sources.v2
 
 import java.util
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopOutputFile
-import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, MessageType, Types}
-import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
@@ -166,26 +161,38 @@ class GraftDataWriterFactory(
       conf.value, keyHex)
 }
 
-/** Columnar fragment writer: InternalRow → parquet Group, accumulating
-  * min/max/nullCount/sum per column for the fragment manifest. */
+/** Fragment writer: InternalRow → parquet via Spark's own
+  * ParquetWriteSupport (identical physical format to the convenience
+  * write path — standard lists, decimal int32/int64/fixed, µs
+  * timestamps), accumulating min/max/nullCount/sum per column for the
+  * fragment manifest in the same pass. */
 class GraftDataWriter(
     uri: String, fragId: String, partitionId: Int,
     schema: ArraySchema, writeSchema: StructType,
-    conf: org.apache.hadoop.conf.Configuration,
+    taskConf: org.apache.hadoop.conf.Configuration,
     keyHex: Option[String] = None)
   extends DataWriter[InternalRow] {
 
-  import GraftParquet._
+  import org.apache.spark.sql.execution.datasources.parquet.GraftParquetWriteShim
 
   private val relFile = f"frag_$fragId/part-$partitionId%05d.parquet"
   private val path = new Path(uri, relFile)
-  private val messageType = toParquetSchema(schema, writeSchema)
-  private val factory = new SimpleGroupFactory(messageType)
+  private val conf = new org.apache.hadoop.conf.Configuration(taskConf)
+
+  private class InternalRowWriterBuilder(
+      file: org.apache.parquet.io.OutputFile)
+    extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+      InternalRow, InternalRowWriterBuilder](file) {
+    override def self(): InternalRowWriterBuilder = this
+    override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      GraftParquetWriteShim.newWriteSupport()
+  }
+
   private val writer = {
-    GroupWriteSupport.setSchema(messageType, conf)
-    val b = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(path, conf))
+    GraftParquetWriteShim.configure(writeSchema, conf)
+    val b = new InternalRowWriterBuilder(HadoopOutputFile.fromPath(path, conf))
       .withConf(conf)
-      .withType(messageType)
       // graft.codec[.col] table property; parquet-mr applies one codec
       // per file — see ArraySchema.effectiveCodec for the resolution
       .withCompressionCodec(CompressionCodecName.valueOf(
@@ -256,7 +263,6 @@ class GraftDataWriter(
   private val ord = TypedValue.ordering
 
   override def write(row: InternalRow): Unit = {
-    val g = factory.newGroup()
     var i = 0
     while (i < fields.length) {
       val f = fields(i)
@@ -266,55 +272,29 @@ class GraftDataWriter(
         nulls(i) += 1
       } else {
         checkGuard(i, row)
+        // storage-domain value for the manifest stats (the parquet
+        // encoding itself is ParquetWriteSupport's job)
         val storage: Any = f.dataType match {
-          case ByteType => g.add(i, row.getByte(i).toInt); row.getByte(i).toLong
-          case ShortType => g.add(i, row.getShort(i).toInt); row.getShort(i).toLong
-          case IntegerType | DateType =>
-            g.add(i, row.getInt(i)); row.getInt(i).toLong
-          case LongType | TimestampType =>
-            g.add(i, row.getLong(i)); row.getLong(i)
-          case FloatType => g.add(i, row.getFloat(i)); row.getFloat(i).toDouble
-          case DoubleType => g.add(i, row.getDouble(i)); row.getDouble(i)
+          case ByteType => row.getByte(i).toLong
+          case ShortType => row.getShort(i).toLong
+          case IntegerType | DateType => row.getInt(i).toLong
+          case LongType | TimestampType => row.getLong(i)
+          case FloatType => row.getFloat(i).toDouble
+          case DoubleType => row.getDouble(i)
           case StringType =>
             val s = row.getUTF8String(i).toString
             if (enums(i).nonEmpty && !enums(i).contains(s))
               throw new IllegalArgumentException(
                 s"value not in enum ${fields(i).name}: $s")
-            g.add(i, Binary.fromString(s)); s
-          case BinaryType =>
-            val b = row.getBinary(i)
-            g.add(i, Binary.fromConstantByteArray(b)); b
-          case BooleanType => g.add(i, row.getBoolean(i)); row.getBoolean(i)
+            s
+          case BinaryType => row.getBinary(i)
+          case BooleanType => row.getBoolean(i)
           case dt: DecimalType if dt.precision <= 18 =>
             // stats domain for decimals = the unscaled long (same fixed
             // scale ⇒ ordering and sums carry over)
-            val u = row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong
-            g.add(i, u); u
-          case dt: DecimalType => // 19–38: fixed-width unscaled bytes
-            g.add(i, Binary.fromConstantByteArray(GraftParquet.toFixedBytes(
-              row.getDecimal(i, dt.precision, dt.scale)
-                .toJavaBigDecimal.unscaledValue(),
-              GraftParquet.minBytesForPrecision(dt.precision))))
-            null // wide decimals carry no scalar stats
-          case ArrayType(elem, _) =>
-            val arr = row.getArray(i)
-            val listG = g.addGroup(i)
-            var j = 0
-            while (j < arr.numElements()) {
-              val el = listG.addGroup("list")
-              if (!arr.isNullAt(j)) elem match {
-                case IntegerType => el.add("element", arr.getInt(j))
-                case LongType => el.add("element", arr.getLong(j))
-                case FloatType => el.add("element", arr.getFloat(j))
-                case DoubleType => el.add("element", arr.getDouble(j))
-                case StringType => el.add("element",
-                  Binary.fromString(arr.getUTF8String(j).toString))
-                case other => throw new UnsupportedOperationException(
-                  s"array element type $other")
-              }
-              j += 1
-            }
-            null // arrays carry no scalar stats
+            row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong
+          case _: DecimalType => null // wide decimals carry no stats
+          case _: ArrayType => null // arrays carry no scalar stats
           case dt => throw new UnsupportedOperationException(s"type $dt")
         }
         storage match {
@@ -334,7 +314,7 @@ class GraftDataWriter(
       }
       i += 1
     }
-    writer.write(g)
+    writer.write(row)
     rows += 1
   }
 
@@ -363,85 +343,4 @@ class GraftDataWriter(
   }
 
   override def close(): Unit = ()
-}
-
-object GraftParquet {
-  /** Smallest byte width whose two's-complement range covers 10^p. */
-  def minBytesForPrecision(p: Int): Int =
-    (1 to 16).find(n => BigInt(2).pow(8 * n - 1) > BigInt(10).pow(p)).get
-
-  /** Unscaled value → fixed-width sign-extended two's complement. */
-  def toFixedBytes(unscaled: java.math.BigInteger, width: Int): Array[Byte] = {
-    val raw = unscaled.toByteArray
-    val out = new Array[Byte](width)
-    val sign: Byte = if (unscaled.signum() < 0) -1 else 0
-    java.util.Arrays.fill(out, 0, width - raw.length, sign)
-    System.arraycopy(raw, 0, out, width - raw.length, raw.length)
-    out
-  }
-
-  private def repetitionOf(required: Boolean) =
-    if (required) org.apache.parquet.schema.Type.Repetition.REQUIRED
-    else org.apache.parquet.schema.Type.Repetition.OPTIONAL
-
-  /** StructType → parquet MessageType for the supported storage types. */
-  def toParquetSchema(schema: ArraySchema, st: StructType): MessageType = {
-    val b = Types.buildMessage()
-    st.fields.foreach { f =>
-      val required = schema.dimNames.contains(f.name) || !f.nullable
-      def prim(t: PrimitiveTypeName) =
-        if (required) Types.required(t) else Types.optional(t)
-      val built = f.dataType match {
-        case ByteType => prim(PrimitiveTypeName.INT32)
-          .as(LTA.intType(8, true)).named(f.name)
-        case ShortType => prim(PrimitiveTypeName.INT32)
-          .as(LTA.intType(16, true)).named(f.name)
-        case IntegerType => prim(PrimitiveTypeName.INT32).named(f.name)
-        case LongType => prim(PrimitiveTypeName.INT64).named(f.name)
-        case FloatType => prim(PrimitiveTypeName.FLOAT).named(f.name)
-        case DoubleType => prim(PrimitiveTypeName.DOUBLE).named(f.name)
-        case BooleanType => prim(PrimitiveTypeName.BOOLEAN).named(f.name)
-        case StringType => prim(PrimitiveTypeName.BINARY)
-          .as(LTA.stringType()).named(f.name)
-        case BinaryType => prim(PrimitiveTypeName.BINARY).named(f.name)
-        case DateType => prim(PrimitiveTypeName.INT32)
-          .as(LTA.dateType()).named(f.name)
-        case TimestampType => prim(PrimitiveTypeName.INT64)
-          .as(LTA.timestampType(true, LTA.TimeUnit.MICROS)).named(f.name)
-        // lossless DECIMAL (the reference lossy-maps to FLOAT64,
-        // mytile.cc:21–23 — deliberate divergence, SURVEY §7.4.7)
-        case dt: DecimalType if dt.precision <= 18 =>
-          prim(PrimitiveTypeName.INT64)
-            .as(LTA.decimalType(dt.scale, dt.precision)).named(f.name)
-        // precision 19–38 (incl. UINT64's Decimal(20,0)): fixed-width
-        // two's-complement unscaled bytes, parquet's standard layout
-        case dt: DecimalType =>
-          prim(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
-            .length(minBytesForPrecision(dt.precision))
-            .as(LTA.decimalType(dt.scale, dt.precision)).named(f.name)
-        // multi-value attribute (reference cell_val_num>1 → ArrayType,
-        // SURVEY §1.2) — standard 3-level parquet LIST layout
-        case ArrayType(elem, containsNull) =>
-          val lb = if (required) Types.requiredList() else Types.optionalList()
-          val el = elem match {
-            case IntegerType => Types.primitive(PrimitiveTypeName.INT32,
-              repetitionOf(!containsNull))
-            case LongType => Types.primitive(PrimitiveTypeName.INT64,
-              repetitionOf(!containsNull))
-            case FloatType => Types.primitive(PrimitiveTypeName.FLOAT,
-              repetitionOf(!containsNull))
-            case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE,
-              repetitionOf(!containsNull))
-            case StringType => Types.primitive(PrimitiveTypeName.BINARY,
-              repetitionOf(!containsNull)).as(LTA.stringType())
-            case other => throw new UnsupportedOperationException(
-              s"array element type $other")
-          }
-          lb.element(el.named("element")).named(f.name)
-        case dt => throw new UnsupportedOperationException(s"type $dt")
-      }
-      b.addField(built)
-    }
-    b.named("graft")
-  }
 }

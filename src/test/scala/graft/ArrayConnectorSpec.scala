@@ -357,6 +357,36 @@ class ArrayConnectorSpec extends SparkSpec {
     assert(spark.table("ge.e").count() == 2) // failed inserts left nothing
   }
 
+  test("decimal precision extremes round-trip through the DSv2 writer") {
+    // Spark's standard layout stores p<=9 as INT32, 10..18 as INT64,
+    // >18 as fixed-len bytes — all three must round-trip and keep
+    // working stats where defined
+    val wh = java.nio.file.Files.createTempDirectory("graft_dprec").toString
+    spark.conf.set("spark.sql.catalog.gp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gp.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE gp.d (k BIGINT, small DECIMAL(8,2), wide DECIMAL(25,3))
+        |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql("INSERT INTO gp.d VALUES " +
+      "(1, 123456.78, 1234567890123456789012.345), " +
+      "(2, -0.01, -0.001), (3, NULL, NULL)")
+    val got = spark.table("gp.d").orderBy("k").collect().map(r =>
+      (r.getLong(0), Option(r.getDecimal(1)).map(_.toString),
+        Option(r.getDecimal(2)).map(_.toString)))
+    assert(got.toSeq == Seq(
+      (1L, Some("123456.78"), Some("1234567890123456789012.345")),
+      (2L, Some("-0.01"), Some("-0.001")),
+      (3L, None, None)))
+    // small-precision decimal stats still answer MIN/MAX/SUM
+    val agg = spark.sql(
+      "SELECT sum(small) AS s, min(small) AS mn, max(small) AS mx FROM gp.d")
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val r = agg.collect()(0)
+    assert(r.getDecimal(0).toString == "123456.77")
+    assert(r.getDecimal(1).toString == "-0.01" &&
+      r.getDecimal(2).toString == "123456.78")
+  }
+
   test("decimal SUM overflow drops the stat and falls back to a real scan") {
     // unscaled sums that exceed Long.MaxValue must NOT wrap: Spark's
     // sum(decimal(18,0)) widens to decimal(28,0), so a wrapped stats

@@ -27,10 +27,14 @@ object Bench {
       case (name, fn) =>
         val times = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          (ok, (System.nanoTime() - t0) / 1e9)
         }
-        name -> times.min
+        // only successful runs count — a failed iteration must not
+        // masquerade as a fast one
+        val good = times.filter(_._1).map(_._2)
+        name -> (if (good.nonEmpty) good.min else times.map(_._2).max)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -253,10 +253,14 @@ object ArrayOps {
     "arr13_dtypes" -> ((s, d) => {
       import graft.functions.StorageFunctions._
       val wh = freshUri("dt").stripSuffix("/arr")
-      s.conf.set("spark.sql.catalog.gdt", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gdt.warehouse", wh)
+      // catalog instances are cached per name by Spark — a fresh name
+      // per invocation keeps the query re-runnable (bench iterates)
+      val cat = "gdt" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.sql(
-        """CREATE TABLE gdt.dtypes (
+        s"""CREATE TABLE $cat.dtypes (
           k BIGINT, u8 SMALLINT, u16 INT, u32 BIGINT, u64 DECIMAL(20,0),
           tsec BIGINT, dns BIGINT)
           TBLPROPERTIES('graft.dimensions'='k',
@@ -277,8 +281,8 @@ object ArrayOps {
           timeToMicros(col("sec_of_day"), "TIME_SEC").as("tsec"),
           timestampToDatetime(timestamp_micros(col("us_epoch")),
             "DATETIME_NS").as("dns"))
-      staged.writeTo("gdt.dtypes").append()
-      s.table("gdt.dtypes").select(
+      staged.writeTo(s"$cat.dtypes").append()
+      s.table(s"$cat.dtypes").select(
         col("k"),
         col("u8").cast("long").as("u8"),
         col("u16").cast("long").as("u16"),
@@ -299,17 +303,21 @@ object ArrayOps {
     // keeps the string value; SQL semantics are identical).
     "arr14_enum" -> ((s, d) => {
       val wh = freshUri("enum").stripSuffix("/arr")
-      s.conf.set("spark.sql.catalog.gen", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gen.warehouse", wh)
+      // catalog instances are cached per name by Spark — a fresh name
+      // per invocation keeps the query re-runnable (bench iterates)
+      val cat = "gen" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.sql(
-        """CREATE TABLE gen.ord (
+        s"""CREATE TABLE $cat.ord (
           o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
           TBLPROPERTIES('graft.dimensions'='o_orderkey',
             'graft.enum.o_orderstatus'='F,O,P')""")
       Tables.load(s, d, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .writeTo("gen.ord").append()
-      s.table("gen.ord")
+        .writeTo(s"$cat.ord").append()
+      s.table(s"$cat.ord")
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("price"))
@@ -323,19 +331,23 @@ object ArrayOps {
     // wrong key fails and plaintext tools can't read the files.
     "arr15_encrypted" -> ((s, d) => {
       val wh = freshUri("enc").stripSuffix("/arr")
-      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gx.warehouse", wh)
+      // catalog instances are cached per name by Spark — a fresh name
+      // per invocation keeps the query re-runnable (bench iterates)
+      val cat = "gx" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.conf.set(graft.core.EncryptionKeys.ConfKey,
         "000102030405060708090a0b0c0d0e0f")
       s.sql(
-        """CREATE TABLE gx.nat (
+        s"""CREATE TABLE $cat.nat (
           n_nationkey INT, n_name STRING, n_regionkey INT)
           TBLPROPERTIES('graft.dimensions'='n_nationkey',
             'graft.encrypted'='true')""")
       Tables.load(s, d, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
-        .writeTo("gx.nat").append()
-      s.table("gx.nat")
+        .writeTo(s"$cat.nat").append()
+      s.table(s"$cat.nat")
         .filter(col("n_regionkey") <= 2)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy("n_nationkey")
@@ -347,22 +359,26 @@ object ArrayOps {
     // queried directly — the array keeps full ownership of fragments.
     "arr16_subset" -> ((s, d) => {
       val wh = freshUri("sub").stripSuffix("/arr")
-      s.conf.set("spark.sql.catalog.gsb", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gsb.warehouse", wh)
+      // catalog instances are cached per name by Spark — a fresh name
+      // per invocation keeps the query re-runnable (bench iterates)
+      val cat = "gsb" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.sql(
-        """CREATE TABLE gsb.li (
+        s"""CREATE TABLE $cat.li (
           l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE,
           l_returnflag STRING)
           TBLPROPERTIES('graft.dimensions'='l_orderkey,l_linenumber')""")
       Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .writeTo("gsb.li").append()
+        .writeTo(s"$cat.li").append()
       s.sql(
-        """CREATE TABLE gsb.li_qty (
+        s"""CREATE TABLE $cat.li_qty (
           l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE)
           TBLPROPERTIES('graft.subset_of'='li',
             'graft.allow_subset'='true')""")
-      s.table("gsb.li_qty")
+      s.table(s"$cat.li_qty")
         .groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_quantity")), 2).as("qty"),
           count(lit(1)).cast("long").as("n"))

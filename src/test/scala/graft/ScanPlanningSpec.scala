@@ -280,6 +280,45 @@ class ScanPlanningSpec extends SparkSpec {
       .select("v").as[Long].head() == 777L)
   }
 
+  test("UTF-8 string pushdown: non-ASCII dims prune without dropping rows") {
+    // [t/utf8_pushdown.test] — ranges and prefixes over strings with
+    // multi-byte and supplementary characters. Pruning compares in
+    // code-point order (TypedValue.utf8Compare); a UTF-16 comparison
+    // would mis-order the supplementary block vs U+E000–U+FFFF and
+    // could prune fragments that hold matches.
+    val uri = tmp()
+    val ssch = ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("word", StringType)),
+      Seq(AttributeSpec("v", LongType)))
+    GraftArray.create(spark, uri, ssch)
+    val supp = new String(Character.toChars(0x1F600)) // non-BMP
+    val words = Seq("apple", "café", "caffè", "straße", "strasse",
+      "ﬀ-ligature", "￿bmp-max", supp + "emoji", supp + "zz",
+      "中文", "日本語", "한국어")
+    GraftArray.write(spark, uri,
+      words.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+        .toDF("word", "v").repartition(3))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    val truth = words.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+
+    def check(p: org.apache.spark.sql.Column,
+        expect: ((String, Long)) => Boolean): Unit = {
+      val got = df.filter(p).orderBy("v")
+        .as[(String, Long)].collect().toSeq
+      assert(got == truth.filter(expect).sortBy(_._2),
+        s"predicate $p")
+    }
+    check(col("word") >= "caf" && col("word") < "cb",
+      w => w._1 >= "caf" && w._1 < "cb")
+    check(col("word").startsWith("stra"), _._1.startsWith("stra"))
+    check(col("word").startsWith(supp), _._1.startsWith(supp))
+    // range spanning the BMP/supplementary boundary: UTF-16 order
+    // would put U+FFFF above the emoji and drop it
+    check(col("word") > "￿",
+      w => TypedValue.utf8Compare(w._1, "￿") > 0)
+    check(col("word") === "中文", _._1 == "中文")
+  }
+
   test("empty pushed range plans zero partitions (empty-scan path)") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

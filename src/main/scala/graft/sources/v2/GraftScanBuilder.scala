@@ -319,8 +319,23 @@ class GraftScanImpl(
     * runtime filter is still WRITTEN, and must not resurface as fill. */
   private def fillPartitions(): Seq[InputPartition] = {
     if (initialConstraints.exists(_._2.definitelyEmpty)) return Nil
-    val ranges = schema.dims.map(d =>
-      (d.lowerBound.get.toLong, d.upperBound.get.toLong))
+    val staticFrags0 = FragmentPruning.select(allFrags, schema,
+      initialConstraints)
+    // the reference reads dense arrays over the NON-EMPTY domain (the
+    // bounding box of fragment subarrays, build_subarray
+    // mytile-range.cc:1189–1358), not the declared domain: an empty
+    // array scans empty, and a sparsely-written huge domain fills only
+    // its written bounding box
+    if (staticFrags0.isEmpty) return Nil
+    val ranges = schema.dims.map { d =>
+      val declared = (d.lowerBound.get.toLong, d.upperBound.get.toLong)
+      val mins = staticFrags0.flatMap(_.stats.get(d.name).flatMap(_.min))
+        .map(TypedValue.parse(d.dataType, _).asInstanceOf[Long])
+      val maxs = staticFrags0.flatMap(_.stats.get(d.name).flatMap(_.max))
+        .map(TypedValue.parse(d.dataType, _).asInstanceOf[Long])
+      if (mins.isEmpty || maxs.isEmpty) declared // statless → declared
+      else (math.max(declared._1, mins.min), math.min(declared._2, maxs.max))
+    }
     if (ranges.exists(r => r._1 > r._2)) return Nil
     val restCells = ranges.tail.foldLeft(1L) { (a, r) =>
       val w = r._2 - r._1 + 1
@@ -331,8 +346,7 @@ class GraftScanImpl(
     val byMemory = math.max(1L, 262144L / restCells)
     val byCount = math.max(1L, extent0 / 4096L + (if (extent0 % 4096 == 0) 0 else 1))
     val slabWidth = math.max(byMemory, byCount)
-    val staticFrags = FragmentPruning.select(allFrags, schema,
-      initialConstraints)
+    val staticFrags = staticFrags0
     val d0 = schema.dims.head
     val lo0 = ranges.head._1
     Iterator.iterate(lo0)(_ + slabWidth)

@@ -280,6 +280,29 @@ class ScanPlanningSpec extends SparkSpec {
       .select("v").as[Long].head() == 777L)
   }
 
+  test("dense fill covers the non-empty domain, not the declared domain") {
+    // [build_subarray mytile-range.cc:1189–1358]: dense reads span the
+    // bounding box of written fragments ∩ declared bounds — an empty
+    // array scans empty; sparse writes in a huge domain fill only
+    // their bounding box
+    val uri = tmp()
+    val dsch = ArraySchema(ArrayKind.Dense,
+      Seq(DimensionSpec("r", LongType, Some("0"), Some("999999"), Some(100L))),
+      Seq(AttributeSpec("v", LongType, nullable = true, fillValue = Some("0"))))
+    GraftArray.create(spark, uri, dsch)
+    val empty = spark.read.format("graftarray").option("path", uri).load()
+    assert(empty.count() == 0, "empty dense array must scan empty")
+    // write rows 100–109 and 200–204 → non-empty domain [100, 204]
+    GraftArray.write(spark, uri, spark.range(100, 110)
+      .select(col("id").as("r"), col("id").as("v")))
+    GraftArray.write(spark, uri, spark.range(200, 205)
+      .select(col("id").as("r"), col("id").as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    assert(df.count() == 105) // 204 − 100 + 1, NOT a million
+    assert(df.filter(col("v") === 0L).count() == 90) // fills between
+    assert(df.agg(min("r"), max("r")).as[(Long, Long)].head() == ((100L, 204L)))
+  }
+
   test("UTF-8 string pushdown: non-ASCII dims prune without dropping rows") {
     // [t/utf8_pushdown.test] — ranges and prefixes over strings with
     // multi-byte and supplementary characters. Pruning compares in

@@ -78,6 +78,63 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** MinHash-LSH candidate pairs verified with exact set Jaccard ≥
+    * `threshold` — the shared edge generator for d3 (pair listing) and
+    * d5 (cluster dedup). Band key = 4 consecutive signature values. */
+  private[graft] def minhashVerifiedPairs(docsDf: DataFrame,
+      threshold: Double): DataFrame = {
+    val sig = docsDf.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), K), 64).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(15)), b =>
+        concat_ws("_", b,
+          element_at(col("sig"), b * 4 + 1),
+          element_at(col("sig"), b * 4 + 2),
+          element_at(col("sig"), b * 4 + 3),
+          element_at(col("sig"), b * 4 + 4)))).as("band"))
+    val cand = bands.as("a").join(bands.as("b"), "band")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    // exact verify on candidates only
+    val sets = docsDf.select(col("doc_id"), shingles(col("text"), K).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select("i", "j", "jac")
+  }
+
+  /** Distributed connected components by min-label propagation over an
+    * undirected edge list `(i, j)`: every vertex converges to the
+    * smallest id in its component. Each iteration is one shuffled
+    * join + aggregation; the loop runs until a fixpoint (≤ component
+    * diameter iterations), with lineage truncated per round so plans
+    * stay flat at any scale. */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("i"), col("j"))
+      .union(edges.select(col("j").as("i"), col("i").as("j")))
+    val verts = und.select(col("i").as("id")).distinct()
+    var labels = verts.withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = und
+        .join(labels.select(col("id").as("j"), col("lbl").as("nl")), "j")
+        .groupBy(col("i").as("id")).agg(min("nl").as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors + duplicate count per content fingerprint.
     "d1_exact_dedup" -> ((s, d) =>
@@ -99,33 +156,25 @@ object Dedup {
     // MinHash(64) + LSH(16 bands × 4 rows) candidates, verified with
     // exact Jaccard ≥ 0.8. Oracle is the *exact* pair set — LSH recall
     // at j≥0.8 with these parameters is 1 − (1−j⁴)¹⁶ ≥ 1 − 7·10⁻⁶.
-    "d3_minhash_lsh" -> ((s, d) => {
-      val sig = docs(s, d).select(col("doc_id"),
-        minhashSignature(shingles(col("text"), K), 64).as("sig"))
-      // band key = 4 consecutive signature values, string-joined
-      val bands = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(15)), b =>
-          concat_ws("_", b,
-            element_at(col("sig"), b * 4 + 1),
-            element_at(col("sig"), b * 4 + 2),
-            element_at(col("sig"), b * 4 + 3),
-            element_at(col("sig"), b * 4 + 4)))).as("band"))
-      val cand = bands.as("a").join(bands.as("b"), "band")
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
-      // exact verify on candidates only
-      val sets = docs(s, d).select(col("doc_id"),
-        shingles(col("text"), K).as("sh"))
-      cand
-        .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
-        .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
-        .withColumn("jac",
-          size(array_intersect(col("sa"), col("sb"))).cast("double") /
-            size(array_union(col("sa"), col("sb"))).cast("double"))
-        .filter(col("jac") >= 0.8)
+    "d3_minhash_lsh" -> ((s, d) =>
+      minhashVerifiedPairs(docs(s, d), 0.8)
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
-        .orderBy("i", "j")
+        .orderBy("i", "j")),
+
+    // Cluster-level dedup — the operator that survives HOT duplicate
+    // clusters: a cluster of m near-identical documents has m(m−1)/2
+    // pairs (quadratic to enumerate) but only m (doc → cluster-head)
+    // assignments. Connected components over the verified near-dup
+    // edges via distributed min-label propagation; every document in a
+    // cluster maps to the smallest doc_id it can reach — "keep one per
+    // duplicate cluster" at linear output cost. Iterations are bounded
+    // by component diameter; each is a plain shuffled join, so the loop
+    // scales to any corpus Spark can join.
+    "d5_dup_clusters" -> ((s, d) => {
+      val edges = minhashVerifiedPairs(docs(s, d), 0.8).select("i", "j")
+      connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
     }),
 
     // SimHash near-dup pairs: hamming(sig_i, sig_j) ≤ 6. Candidates via
@@ -167,7 +216,22 @@ object Dedup {
          WHERE len(list_intersect(a.sh, b.sh)) > 0)
        WHERE jac >= $threshold ORDER BY i, j"""
 
+  private val dupClustersSql =
+    s"""WITH RECURSIVE pairs AS (
+         SELECT i, j FROM (${exactJaccardSql(0.8)
+           .replace("ORDER BY i, j", "")})),
+       edges AS (SELECT i AS src, j AS dst FROM pairs
+                 UNION ALL SELECT j, i FROM pairs),
+       verts AS (SELECT DISTINCT src AS id FROM edges),
+       reach(id, root) AS (
+         SELECT id, id FROM verts
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+       SELECT id AS doc_id, min(root)::bigint AS cluster
+       FROM reach GROUP BY id ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "d5_dup_clusters" -> dupClustersSql,
     "d1_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_dups

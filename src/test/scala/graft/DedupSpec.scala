@@ -35,6 +35,23 @@ class DedupSpec extends SparkSpec {
     assert(capped >= 1)
   }
 
+  test("connected components: min-label propagation is transitive") {
+    // a 4-chain (1-2-3-4) plus a separate pair (10-11): every member
+    // must reach the smallest id in its component even without a
+    // direct edge to it
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("i", "j")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // order of endpoints must not matter
+    val rev = Dedup.connectedComponents(
+      Seq((4L, 3L), (2L, 1L), (3L, 2L)).toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    assert(rev.values.toSet == Set(1L))
+  }
+
   test("df cap leaves the reported near-dup pair set unchanged") {
     val uncapped = Dedup.jaccardPairsOn(corpus, 0.5, None)
       .select("i", "j").as[(Long, Long)].collect().toSet

@@ -77,20 +77,6 @@ object DimHash {
   def pmod(h: Int, m: Int): Int = ((h % m) + m) % m
 }
 
-class GraftBatch(
-    partitions: Seq[GraftInputPartition],
-    readSchema: StructType,
-    dimNames: Seq[String],
-    preds: Seq[Pred],
-    conf: SerializableConfiguration) extends Batch {
-
-  override def planInputPartitions(): Array[InputPartition] =
-    partitions.toArray
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(readSchema, dimNames, preds, conf)
-}
-
 /** Fill partition for a dense array: one dim0 slab of the coordinate
   * grid. The reader builds the set of WRITTEN coordinates from the
   * listed files' dim columns, then emits every grid cell in `ranges`

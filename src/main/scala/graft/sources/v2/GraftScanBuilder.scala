@@ -317,26 +317,33 @@ class GraftScanImpl(
     * for schedulable task counts. File lists come from the STATIC
     * constraints (not runtime filters): a cell pruned only by a
     * runtime filter is still WRITTEN, and must not resurface as fill. */
-  private def fillPartitions(): Seq[InputPartition] = {
-    if (initialConstraints.exists(_._2.definitelyEmpty)) return Nil
-    val staticFrags0 = FragmentPruning.select(allFrags, schema,
-      initialConstraints)
-    // the reference reads dense arrays over the NON-EMPTY domain (the
-    // bounding box of fragment subarrays, build_subarray
-    // mytile-range.cc:1189–1358), not the declared domain: an empty
-    // array scans empty, and a sparsely-written huge domain fills only
-    // its written bounding box
-    if (staticFrags0.isEmpty) return Nil
+  /** The dense read domain: declared bounds ∩ bounding box of written
+    * fragments (the reference's non-empty domain, build_subarray
+    * mytile-range.cc:1189–1358). None when no fragments survive the
+    * static constraints — an empty dense array scans empty. */
+  private def denseNonEmptyRanges(
+      frags: Seq[FragmentMeta]): Option[Seq[(Long, Long)]] = {
+    if (frags.isEmpty) return None
     val ranges = schema.dims.map { d =>
       val declared = (d.lowerBound.get.toLong, d.upperBound.get.toLong)
-      val mins = staticFrags0.flatMap(_.stats.get(d.name).flatMap(_.min))
+      val mins = frags.flatMap(_.stats.get(d.name).flatMap(_.min))
         .map(TypedValue.parse(d.dataType, _).asInstanceOf[Long])
-      val maxs = staticFrags0.flatMap(_.stats.get(d.name).flatMap(_.max))
+      val maxs = frags.flatMap(_.stats.get(d.name).flatMap(_.max))
         .map(TypedValue.parse(d.dataType, _).asInstanceOf[Long])
       if (mins.isEmpty || maxs.isEmpty) declared // statless → declared
       else (math.max(declared._1, mins.min), math.min(declared._2, maxs.max))
     }
-    if (ranges.exists(r => r._1 > r._2)) return Nil
+    if (ranges.exists(r => r._1 > r._2)) None else Some(ranges)
+  }
+
+  private def fillPartitions(): Seq[InputPartition] = {
+    if (initialConstraints.exists(_._2.definitelyEmpty)) return Nil
+    val staticFrags0 = FragmentPruning.select(allFrags, schema,
+      initialConstraints)
+    val ranges = denseNonEmptyRanges(staticFrags0) match {
+      case Some(r) => r
+      case None => return Nil
+    }
     val restCells = ranges.tail.foldLeft(1L) { (a, r) =>
       val w = r._2 - r._1 + 1
       if (a > 0 && w > 0 && a <= Long.MaxValue / w) a * w else -1L
@@ -519,12 +526,13 @@ class GraftScanImpl(
 
   private def denseGridCells: Option[Long] =
     if (!denseFillable) None
-    else schema.dims.foldLeft(Option(1L)) { (acc, d) =>
-      acc.flatMap { a =>
-        val w = d.upperBound.get.toLong - d.lowerBound.get.toLong + 1
-        if (w <= 0 || a > Long.MaxValue / w) None else Some(a * w)
-      }
-    }
+    else denseNonEmptyRanges(selectedFrags).flatMap(
+      _.foldLeft(Option(1L)) { (acc, r) =>
+        acc.flatMap { a =>
+          val w = r._2 - r._1 + 1
+          if (w <= 0 || a > Long.MaxValue / w) None else Some(a * w)
+        }
+      })
 
   // ---- SupportsRuntimeFiltering (DPP/BKA-MRR analog, J3) -----------
   override def filterAttributes(): Array[NamedReference] =

@@ -50,6 +50,28 @@ object Similarity {
     Array.tabulate(NdBands * NdBits, Dim)((p, dd) =>
       graft.functions.VectorFunctions.planeCoef(p, dd).toFloat)
 
+  /** Banded-LSH candidate pairs verified with the exact cosine —
+    * shared edge generator for v1b (pair listing) and v5 (clusters). */
+  private def lshVerifiedPairs(e: DataFrame): DataFrame = {
+    val bands = e.select(col("vec_id"),
+      explode(graft.functions.expressions.Kernels
+        .lshBands(col("embedding"), ndPlanes, NdBits)).as("band"))
+    val cand = bands.as("a").join(bands.as("b"), "band")
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    val vecs = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    cand
+      .join(vecs.select(col("vec_id").as("i"), col("embedding").as("va"),
+        col("nrm").as("na")), "i")
+      .join(vecs.select(col("vec_id").as("j"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "j")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.45)
+      .select("i", "j", "cos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs (exact, threshold 0.45).
     // O(n²/2) compare expressed as a range self-join — kept ONLY as the
@@ -84,27 +106,21 @@ object Similarity {
     // expected misses ≈ 0.002 × (#pairs near the threshold); callers
     // needing certainty should run v1 or raise NdBands until
     // n_pairs × miss-rate ≪ 1.
-    "v1b_neardup_lsh" -> ((s, d) => {
-      val e = emb(s, d)
-      val bands = e.select(col("vec_id"),
-          explode(graft.functions.expressions.Kernels
-            .lshBands(col("embedding"), ndPlanes, NdBits)).as("band"))
-      val cand = bands.as("a").join(bands.as("b"), "band")
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-        .distinct()
-      val vecs = e.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      cand
-        .join(vecs.select(col("vec_id").as("i"), col("embedding").as("va"),
-          col("nrm").as("na")), "i")
-        .join(vecs.select(col("vec_id").as("j"), col("embedding").as("vb"),
-          col("nrm").as("nb")), "j")
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.45)
+    "v1b_neardup_lsh" -> ((s, d) =>
+      lshVerifiedPairs(emb(s, d))
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
-        .orderBy("i", "j")
-    }),
+        .orderBy("i", "j")),
+
+    // Embedding duplicate CLUSTERS: connected components over the
+    // LSH-verified near-dup edges (same min-label propagation as the
+    // text-side d5) — a hot cluster of m near-identical embeddings
+    // costs m assignments, not m²/2 pairs. Oracle replays components
+    // over the exact cosine pair set with a recursive CTE.
+    "v5_embedding_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        lshVerifiedPairs(emb(s, d)).select("i", "j"))
+        .select(col("id").as("vec_id"), col("lbl").as("cluster"))
+        .orderBy("vec_id")),
 
     // Brute-force cosine top-k: 5 query vectors (vec_id < 5) broadcast
     // against the corpus; per-query top-10 via bounded heap aggregation
@@ -173,6 +189,18 @@ object Similarity {
        WHERE cos >= 0.45 ORDER BY i, j"""
 
   val oracles: Map[String, String] = Map(
+    "v5_embedding_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT i, j FROM (${neardupSql.replace("ORDER BY i, j", "")})),
+         edges AS (SELECT i AS src, j AS dst FROM pairs
+                   UNION ALL SELECT j, i FROM pairs),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, root) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS vec_id, min(root)::bigint AS cluster
+         FROM reach GROUP BY id ORDER BY vec_id""",
     "v1_cosine_neardup" -> neardupSql,
     // the LSH path must reproduce the exact pair set on this corpus
     // (deterministic planes → recall is a constant, not a sample)

@@ -115,8 +115,11 @@ object Dedup {
     * diameter iterations), with lineage truncated per round so plans
     * stay flat at any scale. */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    // materialize the edge list ONCE — without this every iteration
+    // re-executes the upstream candidate+verify pipeline
     val und = edges.select(col("i"), col("j"))
       .union(edges.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint()
     val verts = und.select(col("i").as("id")).distinct()
     var labels = verts.withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L

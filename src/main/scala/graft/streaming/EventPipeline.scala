@@ -62,6 +62,26 @@ object EventPipeline {
       }
   }
 
+  /** Streaming ingestion into a graft array: each micro-batch commits
+    * ONE immutable fragment, so the array's fragment timeline IS the
+    * stream's batch timeline — time travel, latest-wins upserts (equal
+    * coordinates across batches resolve to the newest), and fragment
+    * pruning all compose with streaming for free. Returns the started
+    * query; callers manage its lifecycle. Additive to reference parity
+    * (the reference has no streaming and no binlog). */
+  def writeStreamToArray(df: DataFrame, uri: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // empty micro-batches commit nothing (no empty fragments)
+        if (!batch.isEmpty)
+          graft.sources.GraftArray.write(batch.sparkSession, uri,
+            batch.toDF())
+        ()
+      }
+      .start()
+
   /** Run the windowed aggregation as a real micro-batch streaming query
     * over the events parquet and collect the complete result
     * (format("memory") + processAllAvailable → deterministic). */

@@ -20,6 +20,36 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.nonEmpty && streaming == batch)
   }
 
+  test("streaming ingestion commits one fragment per micro-batch") {
+    import graft.core._
+    import graft.sources.GraftArray
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val uri = java.nio.file.Files.createTempDirectory("graft_sink")
+      .toString + "/arr"
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType))))
+    val input = MemoryStream[(Long, Double)](spark)
+    val q = EventPipeline.writeStreamToArray(
+      input.toDF().toDF("k", "v"), uri)
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      input.addData((3L, 3.0), (1L, 10.0)) // k=1 upserted in batch 2
+      q.processAllAvailable()
+      val frags = GraftArray.store(spark, uri).listFragments()
+      assert(frags.size == 2, s"expected 2 fragments, got ${frags.size}")
+      // latest-wins across micro-batches: k=1 reads the batch-2 value
+      val got = spark.read.format("graftarray").option("path", uri).load()
+        .orderBy("k").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 10.0), (2L, 2.0), (3L, 3.0)))
+      // the fragment timeline is the batch timeline: as-of the first
+      // commit sees only batch 1
+      assert(GraftArray.load(spark, uri,
+        asOf = Some(frags.head.timestamp)).count() == 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer accumulates across batches") {
     val input = MemoryStream[Event](spark)
     val q = EventPipeline.sessionize(input.toDS(), withTimeout = false)

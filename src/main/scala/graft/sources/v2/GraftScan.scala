@@ -96,7 +96,16 @@ class GraftReaderFactory(
     /** Dense-fill context: when set, fill partitions may appear in the
       * scan, so every partition must report row-based (Spark rejects
       * mixed columnar/row partition sets). */
-    fillSchema: Option[graft.core.ArraySchema] = None)
+    fillSchema: Option[graft.core.ArraySchema] = None,
+    /** Scan-wide columnar eligibility, decided on the DRIVER over the
+      * full planned partition set (GraftScanImpl.columnarEligible).
+      * Spark requires every partition of a scan to agree on
+      * row-vs-columnar ("Cannot mix row-based and columnar input
+      * partitions"), so a per-partition answer would crash any scan
+      * that plans simple partitions next to slab/hash merge partitions
+      * — e.g. a sparse array with one disjoint fragment plus an
+      * overlapping pair. */
+    columnar: Boolean = false)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -109,33 +118,16 @@ class GraftReaderFactory(
           conf.value, keyHex)
     }
 
-  /** Simple partitions (no latest-wins merge, no slab/hash ownership)
-    * of local files with atomic column types stream ColumnarBatches
-    * through Spark's vectorized parquet reader — several× faster than
-    * the row-at-a-time Group path, which remains only where per-row
-    * merge logic is genuinely needed. Pushed predicates are re-applied
-    * by Spark's codegen Filter (pushPredicates returns everything as
-    * residual), so the columnar path needs no row filtering. */
-  override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case g: GraftInputPartition =>
-      // encrypted fragments decrypt on the row path only (the
-      // vectorized reader's simple initializer takes no key); dense
-      // scans stay row-based so data partitions can mix with fill
-      // partitions
-      keyHex.isEmpty && fillSchema.isEmpty &&
-        !g.needDedup && g.slabLo.isEmpty && g.slabHi.isEmpty &&
-        g.hashMod == 0 && g.limit < 0 &&
-        readSchema.fields.forall(f =>
-          GraftColumnarPartitionReader.supported(f.dataType)) &&
-        // the vectorized reader opens files with a fresh default
-        // Configuration — only safe for the local filesystem; any other
-        // scheme (s3a, custom aliases) takes the row path, which
-        // carries the session Hadoop configuration
-        g.files.forall { case (f, _) =>
-          val scheme = new Path(f).toUri.getScheme
-          scheme == null || scheme == "file" }
-    case _ => false
-  }
+  /** All-or-nothing per scan; see `columnar` above. When true, EVERY
+    * planned partition is a simple local-file partition (no latest-wins
+    * merge, no slab/hash ownership, no fill, no decryption) with
+    * atomic column types, and streams ColumnarBatches through Spark's
+    * vectorized parquet reader — several× faster than the row-at-a-time
+    * Group path, which remains only where per-row merge logic is
+    * genuinely needed. Pushed predicates are re-applied by Spark's
+    * codegen Filter (pushPredicates returns everything as residual),
+    * so the columnar path needs no row filtering. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -622,6 +614,14 @@ class GraftFillPartitionReader(
         case None => (attrStorage.getOrElse(f.name, null), f.dataType) match {
           case (null, _) => null
           case (s: String, StringType) => UTF8String.fromString(s)
+          // storage forms that differ from catalyst: manifest decimals
+          // are unscaled longs at the column's scale; binary fill
+          // values are base64 text (TypedValue.parse/show)
+          case (s: String, BinaryType) =>
+            java.util.Base64.getDecoder.decode(s)
+          case (l: Long, dt: DecimalType) =>
+            org.apache.spark.sql.types.Decimal(
+              java.math.BigDecimal.valueOf(l, dt.scale), dt.precision, dt.scale)
           case (l: Long, ByteType) => l.toByte
           case (l: Long, ShortType) => l.toShort
           case (l: Long, IntegerType | DateType) => l.toInt

@@ -502,6 +502,32 @@ class GraftScanImpl(
     frags.indices.groupBy(find).values.map(_.map(frags)).toSeq
   }
 
+  /** Scan-wide columnar eligibility: Spark rejects scans that mix
+    * row-based and columnar partitions, so the decision is made ONCE
+    * here over the full planned partition set and passed to the
+    * factory as a constant — columnar only when EVERY partition is a
+    * simple local-file partition (no merge/slab/hash/limit/fill/
+    * decryption) with vectorizable column types. Runtime filters only
+    * ever REMOVE fragments, which cannot introduce merge partitions
+    * into an overlap-free plan, so a true decision stays valid. */
+  private def columnarEligible: Boolean =
+    !schema.encrypted && !denseFillable &&
+      requiredStruct.fields.forall(f =>
+        GraftColumnarPartitionReader.supported(f.dataType)) &&
+      planDataPartitions().forall {
+        case g: GraftInputPartition =>
+          !g.needDedup && g.slabLo.isEmpty && g.slabHi.isEmpty &&
+            g.hashMod == 0 && g.limit < 0 &&
+            // the vectorized reader opens files with a fresh default
+            // Configuration — only safe for the local filesystem; any
+            // other scheme (s3a, custom aliases) takes the row path,
+            // which carries the session Hadoop configuration
+            g.files.forall { case (f, _) =>
+              val scheme = new org.apache.hadoop.fs.Path(f).toUri.getScheme
+              scheme == null || scheme == "file" }
+        case _ => false
+      }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(requiredStruct, schema.dimNames, preds,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
@@ -511,7 +537,8 @@ class GraftScanImpl(
       else Some(spark.conf.getOption(graft.core.EncryptionKeys.ConfKey)
         .getOrElse(throw new IllegalArgumentException(
           s"array is encrypted; set ${graft.core.EncryptionKeys.ConfKey}"))),
-      fillSchema = if (denseFillable) Some(schema) else None)
+      fillSchema = if (denseFillable) Some(schema) else None,
+      columnar = columnarEligible)
 
   // ---- SupportsReportStatistics [ref: records estimate §4] ---------
   override def estimateStatistics(): Statistics = new Statistics {

@@ -226,6 +226,39 @@ class ScanPlanningSpec extends SparkSpec {
     assert(df2.count() == 100)
   }
 
+  test("mixed disjoint + overlapping fragments scan row-based, not crash") {
+    // one disjoint fragment (columnar-eligible on its own) next to an
+    // overlapping pair (slab merge partitions): Spark rejects scans
+    // whose partitions disagree on row-vs-columnar, so the decision
+    // must be made scan-wide on the driver — a per-partition answer
+    // threw "Cannot mix row-based and columnar input partitions" here
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri, spark.range(0, 500).coalesce(1)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    GraftArray.write(spark, uri, spark.range(0, 500).coalesce(1)
+      .select(col("id").as("k"), lit(2.0).as("v")))
+    GraftArray.write(spark, uri, spark.range(5000, 5500).coalesce(1)
+      .select(col("id").as("k"), lit(3.0).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    val parts = scan.inputPartitions.collect {
+      case p: graft.sources.v2.GraftInputPartition => p }
+    // the plan genuinely mixes simple and merge partitions
+    assert(parts.exists(p => !p.needDedup && p.slabLo.isEmpty &&
+      p.slabHi.isEmpty && p.hashMod == 0), "no simple partition planned")
+    assert(parts.exists(p => p.needDedup || p.slabLo.isDefined ||
+      p.slabHi.isDefined || p.hashMod > 0), "no merge partition planned")
+    // uniform row-based execution, correct merge result
+    assert(!scan.supportsColumnar, "mixed plan must be uniformly row-based")
+    assert(df.count() == 1000)
+    assert(df.filter(col("k") < 500L).agg(min("v"), max("v"))
+      .as[(Double, Double)].head() == ((2.0, 2.0)))
+    assert(df.filter(col("k") >= 5000L).agg(min("v"), max("v"))
+      .as[(Double, Double)].head() == ((3.0, 3.0)))
+  }
+
   test("columnar scan handles schema evolution with null vectors") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)
@@ -278,6 +311,40 @@ class ScanPlanningSpec extends SparkSpec {
     assert(df2.count() == 100)
     assert(df2.filter(col("r") === 0L && col("c") === 0L)
       .select("v").as[Long].head() == 777L)
+  }
+
+  test("dense fill converts decimal and binary fill values to catalyst form") {
+    // fill values are stored in manifest string form (decimal = unscaled
+    // long, binary = base64); the fill reader must convert — raw storage
+    // values in the InternalRow threw ClassCastException downstream
+    val uri = tmp()
+    val fillBytes = Array[Byte](1, 2, 3)
+    val dsch = ArraySchema(ArrayKind.Dense,
+      Seq(DimensionSpec("r", LongType, Some("0"), Some("9"), Some(10L))),
+      Seq(AttributeSpec("price", DecimalType(10, 2), nullable = true,
+          fillValue = Some("1999")), // unscaled → 19.99
+        AttributeSpec("blob", BinaryType, nullable = true,
+          fillValue = Some(java.util.Base64.getEncoder
+            .encodeToString(fillBytes)))))
+    GraftArray.create(spark, uri, dsch)
+    GraftArray.write(spark, uri, Seq(
+      (0L, BigDecimal("1.50"), Array[Byte](9)),
+      (9L, BigDecimal("2.50"), Array[Byte](8)))
+      .toDF("r", "price", "blob")
+      .select(col("r"), col("price").cast(DecimalType(10, 2)).as("price"),
+        col("blob")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    assert(df.count() == 10)
+    val fills = df.filter(col("r") > 0L && col("r") < 9L)
+      .select("price", "blob").collect()
+    assert(fills.length == 8)
+    assert(fills.forall(_.getDecimal(0) ==
+      new java.math.BigDecimal("19.99")), fills.mkString(","))
+    assert(fills.forall(r =>
+      r.getAs[Array[Byte]](1).sameElements(fillBytes)))
+    // written cells unaffected
+    assert(df.filter(col("r") === 0L).select("price").collect()
+      .head.getDecimal(0) == new java.math.BigDecimal("1.50"))
   }
 
   test("dense fill covers the non-empty domain, not the declared domain") {

@@ -98,9 +98,15 @@ case class ArraySchema(
       * this FLAG persists; the key is supplied per session via
       * `spark.graft.encryption.key` and never written anywhere.
       * Divergences from the reference, both documented: fragment
-      * manifests (incl. min/max stats) stay plaintext — they are the
-      * pruning/agg index — and encrypted arrays read/write through the
-      * DSv2 path only. */
+      * manifests stay plaintext but carry DIMENSION stats only — the
+      * coordinate MBRs that drive pruning. Attribute min/max/sums are
+      * REDACTED from manifests of encrypted arrays (they would leak
+      * plaintext value extremes around the file encryption), which
+      * disables the stats-only aggregate fast path — encrypted
+      * aggregates always scan. Dim MBRs and row counts still disclose
+      * the key range and cardinality; callers who consider coordinates
+      * sensitive should encrypt at a coarser granularity. Encrypted
+      * arrays read/write through the DSv2 path only. */
     encrypted: Boolean = false) {
 
   codec.foreach(Codecs.normalize)
@@ -170,7 +176,13 @@ case class FragmentMeta(
     /** per-file column stats (file → col → stats): enables FILE-level
       * scan pruning when writes are cell-order clustered, the Spark
       * analog of tile-extent-aligned physical layout. */
-    fileStats: Map[String, Map[String, ColumnStats]] = Map.empty)
+    fileStats: Map[String, Map[String, ColumnStats]] = Map.empty,
+    /** Provenance tag, e.g. `stream:<sink>:<batchId>` from the
+      * streaming sink. Because the manifest commit is the single atomic
+      * file create, a replayed micro-batch can check for an existing
+      * fragment with its tag and skip — exactly-once under Structured
+      * Streaming's replay contract. */
+    origin: Option[String] = None)
 
 object ArraySchemaJson {
   private val M = new ObjectMapper()
@@ -253,6 +265,7 @@ object ArraySchemaJson {
     val root = M.createObjectNode()
     root.put("id", f.id); root.put("timestamp", f.timestamp)
     root.put("rows", f.rows)
+    f.origin.foreach(root.put("origin", _))
     val files = root.putArray("files"); f.files.foreach(files.add)
     putStats(root, "stats", f.stats)
     val fsNode = root.putObject("fileStats")
@@ -281,7 +294,8 @@ object ArraySchemaJson {
       else Map.empty[String, Map[String, ColumnStats]]
     FragmentMeta(r.get("id").asText, r.get("timestamp").asLong,
       r.get("files").elements().asScala.map(_.asText).toSeq,
-      r.get("rows").asLong, readStats(r.get("stats")), fileStats)
+      r.get("rows").asLong, readStats(r.get("stats")), fileStats,
+      origin = if (r.has("origin")) Some(r.get("origin").asText) else None)
   }
 
   def metaToJson(kv: Map[String, String]): String = {

@@ -62,7 +62,8 @@ object GraftArray {
   /** Append `df` as one fragment. Null dimension values are rejected
     * (dims are the coordinate key [ha_mytile.cc:3166–3171]). Returns
     * the fragment timestamp (time-travel handle). */
-  def write(spark: SparkSession, uri: String, df: DataFrame): Long = {
+  def write(spark: SparkSession, uri: String, df: DataFrame,
+      origin: Option[String] = None): Long = {
     val st = store(spark, uri)
     val schema = st.loadSchema()
     require(!schema.encrypted, "encrypted arrays write through the DSv2 " +
@@ -180,7 +181,8 @@ object GraftArray {
     st.commitFragment(FragmentMeta(fragId, ts,
       files.map(f => s"frag_$fragId/${f.getName}"), rows, stats,
       perFile.map { case (p, _, st0) =>
-        s"frag_$fragId/${p.getName}" -> st0 }.toMap))
+        s"frag_$fragId/${p.getName}" -> st0 }.toMap,
+      origin = origin))
     ts
   }
 
@@ -333,6 +335,11 @@ object GraftArray {
   }
 
   // ---- helpers ------------------------------------------------------
+
+  /** Visible fragment manifests (driver-side, manifest-sized — never
+    * touches data files). */
+  def fragments(spark: SparkSession, uri: String): Seq[FragmentMeta] =
+    store(spark, uri).listFragments()
 
   private[graft] def store(spark: SparkSession, uri: String): FragmentStore =
     new FragmentStore(uri, spark.sparkContext.hadoopConfiguration)

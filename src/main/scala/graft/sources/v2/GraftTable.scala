@@ -36,7 +36,19 @@ class GraftTable(
 
   private def project(s: ArraySchema): ArraySchema = projection match {
     case Some(cols) =>
-      s.copy(attrs = s.attrs.filter(a => cols.contains(a.name)))
+      // every registered column must still exist in the target array —
+      // a column later dropped (or renamed) from the target fails
+      // loudly instead of silently vanishing from the subset table
+      val known = s.columnNames.toSet
+      val missing = cols.filterNot(known)
+      require(missing.isEmpty,
+        s"subset registration over $uri references columns no longer " +
+          s"in the target array: ${missing.mkString(", ")} " +
+          "(drop and re-register the subset)")
+      // attrs surface in the REGISTERED order, not the array's attr
+      // order; dims keep leading in array order (they are the
+      // coordinate key — dim0 drives slab planning)
+      s.copy(attrs = cols.flatMap(c => s.attrs.find(_.name == c)))
     case None => s
   }
 
@@ -138,10 +150,18 @@ class GraftBatchWrite(
           if (per.nonEmpty && per.forall(_.sumDouble.isDefined))
             Some(per.flatMap(_.sumDouble).sum) else None)
       }.toMap
+    // encrypted arrays: attribute min/max/sums would leak plaintext
+    // value extremes around the AES-GCM file encryption — manifests
+    // keep DIMENSION stats only (the pruning index). Aggregate
+    // pushdown gates on stats presence, so encrypted aggregates
+    // correctly fall back to a real (decrypting) scan.
+    def redact(st: Map[String, ColumnStats]): Map[String, ColumnStats] =
+      if (!schema.encrypted) st
+      else st.view.filterKeys(schema.dimNames.contains).toMap
     GraftArray.store(spark, uri).commitFragment(FragmentMeta(
       fragId, GraftArray.now(), msgs.map(_.file).toSeq,
-      msgs.map(_.rows).sum, merged,
-      msgs.map(m => m.file -> m.stats).toMap))
+      msgs.map(_.rows).sum, redact(merged),
+      msgs.map(m => m.file -> redact(m.stats)).toMap))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

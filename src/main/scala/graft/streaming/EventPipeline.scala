@@ -68,19 +68,41 @@ object EventPipeline {
     * coordinates across batches resolve to the newest), and fragment
     * pruning all compose with streaming for free. Returns the started
     * query; callers manage its lifecycle. Additive to reference parity
-    * (the reference has no streaming and no binlog). */
-  def writeStreamToArray(df: DataFrame, uri: String)
+    * (the reference has no streaming and no binlog).
+    *
+    * Idempotent under Structured Streaming's replay contract: after a
+    * restart, foreachBatch re-delivers the last uncommitted batchId
+    * with the same data. Each fragment carries an origin tag
+    * `stream:<sinkId>:<batchId>`; a batch whose tag already exists in
+    * the fragment manifests is skipped, so replay never double-writes
+    * (the manifest commit is the single atomic file create). `sinkId`
+    * distinguishes multiple streams feeding one array. */
+  def writeStreamToArray(df: DataFrame, uri: String,
+      sinkId: String = "stream")
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // empty micro-batches commit nothing (no empty fragments)
-        if (!batch.isEmpty)
-          graft.sources.GraftArray.write(batch.sparkSession, uri,
-            batch.toDF())
+        commitStreamBatch(batch.toDF(), uri, sinkId, batchId)
         ()
       }
       .start()
+
+  /** One micro-batch commit (factored out so replay semantics are
+    * directly testable). Returns true iff a fragment was written. */
+  def commitStreamBatch(batch: DataFrame, uri: String,
+      sinkId: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val tag = s"stream:$sinkId:$batchId"
+    val replayed = graft.sources.GraftArray.fragments(spark, uri)
+      .exists(_.origin.contains(tag))
+    // empty micro-batches commit nothing (no empty fragments)
+    if (replayed || batch.isEmpty) false
+    else {
+      graft.sources.GraftArray.write(spark, uri, batch, origin = Some(tag))
+      true
+    }
+  }
 
   /** Run the windowed aggregation as a real micro-batch streaming query
     * over the events parquet and collect the complete result

@@ -325,6 +325,36 @@ class ArrayConnectorSpec extends SparkSpec {
     assert(spark.table("gs.base").count() == 3)
   }
 
+  test("subset tables keep registered column order and fail on dropped columns") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sub2").toString
+    val cat = "gso" + scala.util.Random.alphanumeric.take(4).mkString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(
+      s"""CREATE TABLE $cat.base (k BIGINT, a DOUBLE, b STRING, c BIGINT)
+         |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.base VALUES (1, 1.5, 'x', 10)")
+    // registered order (c before a) is the surfaced order, not the
+    // array's attr order (a, b, c)
+    spark.sql(
+      s"""CREATE TABLE $cat.sub (k BIGINT, c BIGINT, a DOUBLE)
+         |TBLPROPERTIES('graft.subset_of'='base',
+         |  'graft.allow_subset'='true')""".stripMargin)
+    assert(spark.table(s"$cat.sub").columns.toSeq == Seq("k", "c", "a"))
+    assert(spark.sql(s"SELECT * FROM $cat.sub").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 10L, 1.5)))
+    // dropping a registered column from the TARGET breaks the subset
+    // loudly — it must not silently vanish from the subset's schema
+    graft.sources.GraftArray.dropColumn(spark, s"$wh/base", "c")
+    val e = intercept[Exception] { spark.table(s"$cat.sub").collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("no longer") && m.contains("c")),
+      msgs(e).mkString(" | "))
+    // unregistered columns are unaffected
+    assert(spark.table(s"$cat.base").columns.toSeq == Seq("k", "a", "b"))
+  }
+
   test("enum attributes: DDL, discovery, write guard on both paths") {
     val wh = java.nio.file.Files.createTempDirectory("graft_enum").toString
     spark.conf.set("spark.sql.catalog.ge", "graft.sources.GraftCatalog")

@@ -90,4 +90,35 @@ class EncryptionSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("DSv2"))
   }
+
+  test("manifests of encrypted arrays carry no attribute stats") {
+    // attribute min/max/sums in plaintext manifests would leak actual
+    // data values (string extremes, numeric sums) around the AES-GCM
+    // file encryption — only dimension MBRs (the pruning index) persist
+    val (cat, wh) = mkTable()
+    val frags = GraftArray.store(spark, s"$wh/e").listFragments()
+    assert(frags.nonEmpty)
+    frags.foreach { f =>
+      assert(f.stats.keySet == Set("k"), s"leaked attr stats: ${f.stats.keySet}")
+      f.fileStats.values.foreach(st =>
+        assert(st.keySet.subsetOf(Set("k")), s"leaked file stats: $st"))
+    }
+    // raw manifest text contains no attribute values
+    val fragJsons = new java.io.File(s"$wh/e/_fragments").listFiles().toSeq
+    fragJsons.foreach { j =>
+      val content = new String(
+        java.nio.file.Files.readAllBytes(j.toPath), "UTF-8")
+      assert(!content.contains("alpha") && !content.contains("beta"),
+        s"attr values leaked into ${j.getName}")
+    }
+    // without attr stats, aggregates cannot use the stats-only fast
+    // path — they decrypt and scan, and stay correct
+    val agg = spark.table(s"$cat.e").agg(
+      sum("v").as("sv"), min("s").as("mn"), count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "encrypted aggregate must not answer from stats")
+    val r = agg.collect().head
+    assert(r.getDouble(0) == 4.0 && r.getString(1) == "alpha" &&
+      r.getLong(2) == 2L)
+  }
 }

@@ -50,6 +50,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sink is idempotent: a replayed batchId commits nothing") {
+    // Structured Streaming re-delivers the last uncommitted batchId
+    // after a restart; the sink must not write a second fragment for
+    // it (duplicates for allowsDups arrays, junk fragments otherwise)
+    import graft.core._
+    import graft.sources.GraftArray
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val uri = java.nio.file.Files.createTempDirectory("graft_replay")
+      .toString + "/arr"
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType)), allowsDups = true))
+    val batch = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    assert(EventPipeline.commitStreamBatch(batch, uri, "s", 0L))
+    // replay of the same (sink, batchId) — e.g. post-restart — no-ops
+    assert(!EventPipeline.commitStreamBatch(batch, uri, "s", 0L))
+    assert(GraftArray.fragments(spark, uri).size == 1)
+    // a NEW batchId commits; a different sink feeding the same array
+    // keeps its own ledger
+    assert(EventPipeline.commitStreamBatch(batch, uri, "s", 1L))
+    assert(EventPipeline.commitStreamBatch(batch, uri, "other", 0L))
+    val frags = GraftArray.fragments(spark, uri)
+    assert(frags.size == 3)
+    assert(frags.flatMap(_.origin).sorted ==
+      Seq("stream:other:0", "stream:s:0", "stream:s:1"))
+    // allowsDups array: rows exist once per committed batch, not per
+    // delivery attempt
+    assert(spark.read.format("graftarray").option("path", uri).load()
+      .count() == 6)
+  }
+
   test("flatMapGroupsWithState sessionizer accumulates across batches") {
     val input = MemoryStream[Event](spark)
     val q = EventPipeline.sessionize(input.toDS(), withTimeout = false)

@@ -73,14 +73,18 @@ class FragmentStore(uri: String, conf: Configuration) {
     write(new Path(fragDir, f"${meta.timestamp}%020d_${meta.id}.json"),
       ArraySchemaJson.fragmentToJson(meta))
 
-  /** Fragments visible at `asOf` (epoch-0 reads nothing, matching
-    * t/open_at.test). Ordered by commit timestamp. */
-  def listFragments(asOf: Option[Long] = None): Seq[FragmentMeta] = {
+  /** Fragments visible in the window `[since, asOf]`, both inclusive
+    * (epoch-0 asOf reads nothing, matching t/open_at.test; `since` is
+    * the open-range start — TileDB's timestamp_start/timestamp_end
+    * pair, of which the reference exposes only the end via open_at).
+    * A since-bounded read is an INCREMENTAL view: only fragments
+    * committed in the window exist, and latest-wins resolves within
+    * the window only. Ordered by commit timestamp. */
+  def listFragments(asOf: Option[Long] = None,
+      since: Option[Long] = None): Seq[FragmentMeta] = {
     val all = list(fragDir).map(p => ArraySchemaJson.fragmentFromJson(read(p)))
-    val vis = asOf match {
-      case Some(ts) => all.filter(_.timestamp <= ts)
-      case None => all
-    }
+    val vis = all.filter(f =>
+      asOf.forall(f.timestamp <= _) && since.forall(f.timestamp >= _))
     vis.sortBy(f => (f.timestamp, f.id))
   }
 

@@ -83,6 +83,31 @@ object ArrayOps {
         .orderBy("o_orderkey")
     }),
 
+    // S7 window reads: fragments committed in [since, asOf] only — the
+    // incremental "what changed since ts" view (TileDB timestamp_start/
+    // timestamp_end; the reference exposes only the end via open_at).
+    // f1 (keys ≤500) predates the window and is invisible; f2
+    // (500<keys≤1000) and the f3 upsert (keys ≤200, price×2) are in it.
+    "arr17_incremental" -> ((s, d) => {
+      val uri = freshUri("inc")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("o_orderkey", LongType)),
+        Seq(AttributeSpec("o_totalprice", DoubleType)))
+      GraftArray.create(s, uri, sch)
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+      GraftArray.write(s, uri, orders.filter(col("o_orderkey") <= 500L))
+      val t2 = GraftArray.write(s, uri,
+        orders.filter(col("o_orderkey") > 500L && col("o_orderkey") <= 1000L))
+      val t3 = GraftArray.write(s, uri, orders.filter(col("o_orderkey") <= 200L)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      s.read.format("graftarray").option("path", uri)
+        .option("sinceTimestamp", t2.toString)
+        .option("asOfTimestamp", t3.toString).load()
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Latest-wins fragment semantics: second overlapping fragment
     // overwrites every 10th customer's balance with 2×.
     "arr4_latest_wins" -> ((s, d) => {
@@ -414,6 +439,14 @@ object ArrayOps {
     "arr3_timetravel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
          WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
+    "arr17_incremental" ->
+      """SELECT o_orderkey, round(price, 2) AS price FROM (
+           SELECT o_orderkey, o_totalprice * 2 AS price FROM orders
+           WHERE o_orderkey <= 200
+           UNION ALL
+           SELECT o_orderkey, o_totalprice AS price FROM orders
+           WHERE o_orderkey > 500 AND o_orderkey <= 1000)
+         ORDER BY o_orderkey""",
     "arr4_latest_wins" ->
       """SELECT c_custkey,
          round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2

@@ -233,14 +233,17 @@ object GraftArray {
     *               after it are invisible [open_at semantics]
     * @param materializeFills dense arrays: generate unwritten cells of
     *               the bounded domain with attribute fill values
+    * @param since  window start (millis, inclusive) — incremental view
+    *               of fragments committed in `[since, asOf]`
     */
   def load(spark: SparkSession, uri: String, asOf: Option[Long] = None,
-      materializeFills: Boolean = false): DataFrame = {
+      materializeFills: Boolean = false,
+      since: Option[Long] = None): DataFrame = {
     val st = store(spark, uri)
     val schema = st.loadSchema(asOf)
     require(!schema.encrypted, "encrypted arrays read through the DSv2 " +
       "path only (spark.read.format(\"graftarray\") or the graft catalog)")
-    val frags = st.listFragments(asOf)
+    val frags = st.listFragments(asOf, since)
     val struct = schema.toStruct
     if (frags.isEmpty)
       return spark.createDataFrame(

@@ -45,39 +45,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def uriOf(ident: Identifier, base: String): String =
     (ident.namespace() :+ base).foldLeft(warehouse)(_ + "/" + _)
 
-  /** Split `name@suffix` sugar: (base, asOfMillis, isMetadata). */
-  private def parse(ident: Identifier): (String, Option[Long], Boolean) = {
+  /** Split `name@suffix` sugar: (base, sinceMillis, asOfMillis,
+    * isMetadata). `@<ts>` = as-of; `@<ts1>..<ts2>` = window (both
+    * inclusive — incremental read); `@<ts1>..` = everything since. */
+  private def parse(ident: Identifier)
+      : (String, Option[Long], Option[Long], Boolean) = {
     val n = ident.name()
     n.lastIndexOf('@') match {
-      case -1 => (n, None, false)
+      case -1 => (n, None, None, false)
       case i =>
         val suffix = n.substring(i + 1)
-        if (suffix == "metadata") (n.substring(0, i), None, true)
+        def num(s: String): Option[Long] =
+          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+        if (suffix == "metadata") (n.substring(0, i), None, None, true)
+        else if (suffix.contains("..")) {
+          val Array(lo, hi) = suffix.split("\\.\\.", -1)
+          (num(lo), if (hi.isEmpty) Some(None) else num(hi).map(Some(_))) match {
+            case (Some(s), Some(e)) => (n.substring(0, i), Some(s), e, false)
+            case _ => throw new IllegalArgumentException(
+              s"bad identifier suffix '@$suffix' — expected " +
+                "@<ts1>..<ts2> or @<ts1>.. (window, unix_millis)")
+          }
+        }
         else if (suffix.nonEmpty && suffix.forall(_.isDigit))
-          (n.substring(0, i), Some(suffix.toLong), false)
+          (n.substring(0, i), None, Some(suffix.toLong), false)
         else throw new IllegalArgumentException(
           s"bad identifier suffix '@$suffix' — expected @<unix_millis> " +
-            "(time travel) or @metadata")
+            "(time travel), @<ts1>..<ts2> (window) or @metadata")
     }
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val (base, asOf, isMeta) = parse(ident)
+    val (base, since, asOf, isMeta) = parse(ident)
     val uri = uriOf(ident, base)
     subsetRegistration(uri) match {
       case Some((target, cols)) =>
-        return new GraftTable(spark, target, asOf, Some(cols))
+        return new GraftTable(spark, target, asOf, Some(cols), since)
       case None => ()
     }
     if (!GraftArray.exists(spark, uri))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident)
     if (isMeta) new MetadataTable(spark, uri, ident.toString)
-    else new GraftTable(spark, uri, asOf)
+    else new GraftTable(spark, uri, asOf, since = since)
   }
 
   override def tableExists(ident: Identifier): Boolean = {
-    val (base, _, _) = parse(ident)
+    val (base, _, _, _) = parse(ident)
     val uri = uriOf(ident, base)
     GraftArray.exists(spark, uri) || subsetRegistration(uri).isDefined
   }

@@ -29,7 +29,13 @@ class GraftTable(
       * table surfaces only these columns of the underlying array.
       * Dims are always included (they are the key); subset tables are
       * read-only — writes go through the full table. */
-    val projection: Option[Seq[String]] = None) extends Table
+    val projection: Option[Seq[String]] = None,
+    /** Time-travel window START (inclusive, millis): only fragments
+      * committed in `[since, asOf]` are visible — an incremental
+      * "what changed since ts" view (TileDB's timestamp_start; the
+      * reference exposes only the end via open_at). Latest-wins
+      * resolves within the window. */
+    val since: Option[Long] = None) extends Table
   with SupportsRead with SupportsWrite {
 
   private lazy val store = GraftArray.store(spark, uri)
@@ -54,7 +60,12 @@ class GraftTable(
 
   lazy val arraySchema: ArraySchema = project(store.loadSchema(asOf))
 
-  override def name(): String = uri + asOf.map("@" + _).getOrElse("")
+  override def name(): String = uri + ((since, asOf) match {
+    case (Some(s), Some(e)) => s"@$s..$e"
+    case (None, Some(e)) => s"@$e"
+    case (Some(s), None) => s"@$s.."
+    case _ => ""
+  })
   override def schema(): StructType = arraySchema.toStruct
   override def capabilities(): util.Set[TableCapability] =
     (if (projection.isDefined) Set(TableCapability.BATCH_READ)
@@ -63,12 +74,15 @@ class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val scanAsOf = Option(options.get("asOfTimestamp")).map(_.toLong)
       .orElse(asOf)
+    val scanSince = Option(options.get("sinceTimestamp")).map(_.toLong)
+      .orElse(since)
     new GraftScanBuilder(spark, uri, project(store.loadSchema(scanAsOf)),
-      store.listFragments(scanAsOf), scanAsOf)
+      store.listFragments(scanAsOf, scanSince), scanAsOf)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(asOf.isEmpty, "cannot write to a time-travel view")
+    require(asOf.isEmpty && since.isEmpty,
+      "cannot write to a time-travel view")
     require(projection.isEmpty,
       "subset tables are read-only; write through the full table")
     new GraftWriteBuilder(spark, uri, arraySchema, info)

@@ -10,7 +10,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.GraftArray
 
 /** `spark.read.format("graftarray").option("path", uri)` entry point.
-  * Options: `path` (required), `asOfTimestamp` (time travel, S7).
+  * Options: `path` (required), `asOfTimestamp` (time travel, S7),
+  * `sinceTimestamp` (window start — incremental reads over
+  * `[sinceTimestamp, asOfTimestamp]`, both inclusive).
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister {
 
@@ -31,7 +33,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftTable(SparkSession.active, uriOf(opts), asOf(opts))
+    new GraftTable(SparkSession.active, uriOf(opts), asOf(opts),
+      since = Option(opts.get("sinceTimestamp")).map(_.toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = false

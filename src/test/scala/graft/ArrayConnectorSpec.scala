@@ -101,6 +101,70 @@ class ArrayConnectorSpec extends SparkSpec {
     assert(viaOption.count() == 1)
   }
 
+  test("window reads: [since, asOf] sees only in-window fragments") {
+    // TileDB timestamp_start/timestamp_end semantics: the window is an
+    // incremental view — pre-window versions do not exist, latest-wins
+    // resolves among in-window fragments only
+    val uri = tmp()
+    val sch = graft.core.ArraySchema(graft.core.ArrayKind.Sparse,
+      Seq(graft.core.DimensionSpec("k", org.apache.spark.sql.types.LongType)),
+      Seq(graft.core.AttributeSpec("v", org.apache.spark.sql.types.LongType)))
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri,
+      spark.range(0, 10).select(col("id").as("k"), lit(1L).as("v")))
+    val t2 = GraftArray.write(spark, uri,
+      spark.range(5, 15).select(col("id").as("k"), lit(2L).as("v")))
+    val t3 = GraftArray.write(spark, uri,
+      spark.range(0, 3).select(col("id").as("k"), lit(3L).as("v")))
+    // full view: latest-wins over all three
+    assert(GraftArray.load(spark, uri).count() == 15)
+    // window [t2, t2]: only fragment 2 — keys 5–14, all v=2; the f1
+    // version of keys 5–9 does NOT shadow or resurface
+    val w22 = GraftArray.load(spark, uri, asOf = Some(t2), since = Some(t2))
+    assert(w22.orderBy("k").as[(Long, Long)].collect().toSeq ==
+      (5L until 15L).map((_, 2L)))
+    // window [t2, t3]: f2 + f3; latest-wins within the window
+    val w23 = spark.read.format("graftarray").option("path", uri)
+      .option("sinceTimestamp", t2.toString)
+      .option("asOfTimestamp", t3.toString).load()
+    assert(w23.orderBy("k").as[(Long, Long)].collect().toSeq ==
+      ((0L until 3L).map((_, 3L)) ++ (5L until 15L).map((_, 2L))))
+    // since-only: everything committed at/after t3
+    assert(GraftArray.load(spark, uri, since = Some(t3))
+      .orderBy("k").as[(Long, Long)].collect().toSeq ==
+      (0L until 3L).map((_, 3L)))
+    // window views are read-only through DSv2 (require in WriteBuilder)
+    // and empty windows scan empty
+    assert(GraftArray.load(spark, uri, asOf = Some(t2 - 1),
+      since = Some(t2)).count() == 0)
+  }
+
+  test("catalog sugar t@ts1..ts2 opens a window view") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whw").toString
+    val cat = "gw" + scala.util.Random.alphanumeric.take(4).mkString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cat.w (k BIGINT, v BIGINT)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.w VALUES (1, 1)")
+    spark.sql(s"INSERT INTO $cat.w VALUES (2, 2)")
+    val frags = GraftArray.store(spark, s"$wh/w").listFragments()
+    val Seq(ta, tb) = frags.map(_.timestamp)
+    spark.sql(s"INSERT INTO $cat.w VALUES (3, 3)")
+    assert(spark.table(s"$cat.w").count() == 3)
+    assert(spark.sql(s"SELECT * FROM $cat.`w@$ta..$tb`")
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 1L), (2L, 2L)))
+    assert(spark.sql(s"SELECT * FROM $cat.`w@$tb..`")
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((2L, 2L), (3L, 3L)))
+    // malformed window suffix fails with a clear message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.`w@x..$tb`").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("window")), msgs(e).mkString(" | "))
+  }
+
   test("null dimension rejected on write") {
     val uri = tmp()
     GraftArray.create(spark, uri, schema2d)

@@ -182,7 +182,15 @@ case class FragmentMeta(
       * file create, a replayed micro-batch can check for an existing
       * fragment with its tag and skip — exactly-once under Structured
       * Streaming's replay contract. */
-    origin: Option[String] = None)
+    origin: Option[String] = None,
+    /** Consolidation: ids of the fragments this fragment supersedes
+      * (their latest-wins merge IS this fragment's content, committed
+      * at their max timestamp). A superseded fragment is hidden from
+      * any listing where its consolidated fragment is visible, and
+      * reclaimed by vacuum. The single manifest create is the atomic
+      * switch-over — readers see either the originals or the
+      * consolidated fragment, never both. */
+    replaces: Seq[String] = Nil)
 
 object ArraySchemaJson {
   private val M = new ObjectMapper()
@@ -266,6 +274,9 @@ object ArraySchemaJson {
     root.put("id", f.id); root.put("timestamp", f.timestamp)
     root.put("rows", f.rows)
     f.origin.foreach(root.put("origin", _))
+    if (f.replaces.nonEmpty) {
+      val rep = root.putArray("replaces"); f.replaces.foreach(rep.add)
+    }
     val files = root.putArray("files"); f.files.foreach(files.add)
     putStats(root, "stats", f.stats)
     val fsNode = root.putObject("fileStats")
@@ -295,7 +306,11 @@ object ArraySchemaJson {
     FragmentMeta(r.get("id").asText, r.get("timestamp").asLong,
       r.get("files").elements().asScala.map(_.asText).toSeq,
       r.get("rows").asLong, readStats(r.get("stats")), fileStats,
-      origin = if (r.has("origin")) Some(r.get("origin").asText) else None)
+      origin = if (r.has("origin")) Some(r.get("origin").asText) else None,
+      replaces =
+        if (r.has("replaces"))
+          r.get("replaces").elements().asScala.map(_.asText).toSeq
+        else Nil)
   }
 
   def metaToJson(kv: Map[String, String]): String = {

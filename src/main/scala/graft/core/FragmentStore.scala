@@ -82,10 +82,28 @@ class FragmentStore(uri: String, conf: Configuration) {
     * the window only. Ordered by commit timestamp. */
   def listFragments(asOf: Option[Long] = None,
       since: Option[Long] = None): Seq[FragmentMeta] = {
-    val all = list(fragDir).map(p => ArraySchemaJson.fragmentFromJson(read(p)))
+    val all = listFragmentsRaw()
     val vis = all.filter(f =>
       asOf.forall(f.timestamp <= _) && since.forall(f.timestamp >= _))
-    vis.sortBy(f => (f.timestamp, f.id))
+    // consolidation: a fragment superseded by a VISIBLE consolidated
+    // fragment is hidden (the consolidated fragment IS its content);
+    // if the consolidated fragment falls outside the window, the
+    // originals stay visible — historical views are exact until vacuum
+    val replaced = vis.flatMap(_.replaces).toSet
+    vis.filterNot(f => replaced.contains(f.id))
+      .sortBy(f => (f.timestamp, f.id))
+  }
+
+  /** Every fragment manifest, no window, no consolidation exclusion —
+    * vacuum's view of the world. */
+  def listFragmentsRaw(): Seq[FragmentMeta] =
+    list(fragDir).map(p => ArraySchemaJson.fragmentFromJson(read(p)))
+
+  /** Delete a fragment: manifest first (the atomic visibility switch),
+    * then its data directory. */
+  def removeFragment(f: FragmentMeta): Unit = {
+    fs.delete(new Path(fragDir, f"${f.timestamp}%020d_${f.id}.json"), false)
+    fs.delete(fragmentDataDir(f.id), true)
   }
 
   // ---- key/value metadata [ref: mytile-metadata.cc:40–105] ----------

@@ -127,6 +127,29 @@ object ArrayOps {
         .orderBy("c_custkey")
     }),
 
+    // Consolidation + vacuum (reference OPTIMIZE TABLE hook,
+    // HA_CONCURRENT_OPTIMIZE ha_mytile.cc:2948): three overlapping
+    // upsert fragments merge into one; query results must be
+    // indistinguishable from the unconsolidated latest-wins view.
+    "arr18_consolidate" -> ((s, d) => {
+      val uri = freshUri("cons")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("c_custkey", LongType)),
+        Seq(AttributeSpec("c_acctbal", DoubleType)))
+      GraftArray.create(s, uri, sch)
+      val cust = Tables.load(s, d, "customer").select("c_custkey", "c_acctbal")
+      GraftArray.write(s, uri, cust)
+      GraftArray.write(s, uri, cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2))
+      GraftArray.write(s, uri, cust.filter(col("c_custkey") <= 100L)
+        .withColumn("c_acctbal", lit(0.11)))
+      GraftArray.consolidate(s, uri)
+      GraftArray.vacuum(s, uri)
+      s.read.format("graftarray").option("path", uri).load()
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     // S12: add a column with a fill value; old fragment reads the fill,
     // new fragment carries real values.
     "arr5_evolution" -> ((s, d) => {
@@ -450,6 +473,12 @@ object ArrayOps {
     "arr4_latest_wins" ->
       """SELECT c_custkey,
          round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+                    ELSE c_acctbal END, 2) AS bal
+         FROM customer ORDER BY c_custkey""",
+    "arr18_consolidate" ->
+      """SELECT c_custkey,
+         round(CASE WHEN c_custkey <= 100 THEN 0.11
+                    WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
                     ELSE c_acctbal END, 2) AS bal
          FROM customer ORDER BY c_custkey""",
     "arr5_evolution" ->

@@ -63,7 +63,15 @@ object GraftArray {
     * (dims are the coordinate key [ha_mytile.cc:3166–3171]). Returns
     * the fragment timestamp (time-travel handle). */
   def write(spark: SparkSession, uri: String, df: DataFrame,
-      origin: Option[String] = None): Long = {
+      origin: Option[String] = None): Long =
+    writeFragment(spark, uri, df, origin, None, Nil)
+
+  /** Full write path; `commitTs`/`replaces` are consolidation's hooks
+    * (commit the merged fragment at the originals' max timestamp so
+    * the time-travel axis is preserved). */
+  private[graft] def writeFragment(spark: SparkSession, uri: String,
+      df: DataFrame, origin: Option[String],
+      commitTs: Option[Long], replaces: Seq[String]): Long = {
     val st = store(spark, uri)
     val schema = st.loadSchema()
     require(!schema.encrypted, "encrypted arrays write through the DSv2 " +
@@ -177,12 +185,12 @@ object GraftArray {
       val (sl, sd) = sums.getOrElse(c, (None, None))
       c -> s0.copy(sumLong = sl, sumDouble = sd)
     }
-    val ts = now()
+    val ts = commitTs.getOrElse(now())
     st.commitFragment(FragmentMeta(fragId, ts,
       files.map(f => s"frag_$fragId/${f.getName}"), rows, stats,
       perFile.map { case (p, _, st0) =>
         s"frag_$fragId/${p.getName}" -> st0 }.toMap,
-      origin = origin))
+      origin = origin, replaces = replaces))
     ts
   }
 
@@ -244,6 +252,16 @@ object GraftArray {
     require(!schema.encrypted, "encrypted arrays read through the DSv2 " +
       "path only (spark.read.format(\"graftarray\") or the graft catalog)")
     val frags = st.listFragments(asOf, since)
+    val deduped = mergedView(spark, uri, schema, frags)
+    if (materializeFills && schema.kind == ArrayKind.Dense)
+      materializeDense(spark, schema, deduped)
+    else deduped
+  }
+
+  /** Latest-wins merged view of an explicit fragment set (the
+    * building block of `load` and of consolidation). */
+  private def mergedView(spark: SparkSession, uri: String,
+      schema: ArraySchema, frags: Seq[FragmentMeta]): DataFrame = {
     val struct = schema.toStruct
     if (frags.isEmpty)
       return spark.createDataFrame(
@@ -263,29 +281,89 @@ object GraftArray {
       }
     }
 
-    val deduped =
-      if (schema.allowsDups || frags.size <= 1 ||
-        FragmentPruning.pairwiseDisjoint(frags, schema)) df
-      else {
-        // latest-wins: newer fragment overwrites equal coordinates.
-        // _frag_ts derived from the file path → no extra column storage.
-        val tsById = frags.map(f => (f.id, f.timestamp))
-        val tsMap = map(tsById.flatMap {
-          case (id, ts) => Seq(lit(id), lit(ts)) }: _*)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(schema.dimNames.map(col): _*)
-          .orderBy(col("_frag_ts").desc)
-        df.withColumn("_frag_id",
-            regexp_extract(input_file_name(), "frag_([^/]+)/", 1))
-          .withColumn("_frag_ts", element_at(tsMap, col("_frag_id")))
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
-          .drop("_frag_id", "_frag_ts", "_rn")
-      }
+    if (schema.allowsDups || frags.size <= 1 ||
+      FragmentPruning.pairwiseDisjoint(frags, schema)) df
+    else {
+      // latest-wins: newer fragment overwrites equal coordinates.
+      // _frag_ts derived from the file path → no extra column storage.
+      val tsById = frags.map(f => (f.id, f.timestamp))
+      val tsMap = map(tsById.flatMap {
+        case (id, ts) => Seq(lit(id), lit(ts)) }: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(schema.dimNames.map(col): _*)
+        .orderBy(col("_frag_ts").desc)
+      df.withColumn("_frag_id",
+          regexp_extract(input_file_name(), "frag_([^/]+)/", 1))
+        .withColumn("_frag_ts", element_at(tsMap, col("_frag_id")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_frag_id", "_frag_ts", "_rn")
+    }
+  }
 
-    if (materializeFills && schema.kind == ArrayKind.Dense)
-      materializeDense(spark, schema, deduped)
-    else deduped
+  // ---- consolidation & vacuum ---------------------------------------
+  // Fragment-count growth is the dominant metadata hazard at scale
+  // (every write is a fragment; object stores hate small files). The
+  // reference declares the OPTIMIZE TABLE capability for this
+  // [HA_CONCURRENT_OPTIMIZE, ha_mytile.cc:2948]; the underlying array
+  // storage model maintains arrays with consolidate-then-vacuum, which
+  // is what these implement Spark-side: one distributed merge job, one
+  // atomic manifest commit.
+
+  /** Merge the fragments visible in `[since, asOf]` into ONE new
+    * fragment committed at their max timestamp, superseding them
+    * (`replaces`). Readers atomically switch to the consolidated
+    * fragment; time travel to any instant before that max timestamp
+    * still sees the originals (until vacuum). Latest-wins against
+    * fragments outside the window is unchanged: within-window versions
+    * collapse to the window's winner at the window's max timestamp.
+    * The merge is a single distributed job (one shuffle on the dim
+    * key), and the rewrite re-clusters cells, restoring per-file MBR
+    * pruning that many small interleaved fragments had destroyed.
+    * Returns the consolidated fragment's timestamp, or None if fewer
+    * than two fragments were eligible. */
+  def consolidate(spark: SparkSession, uri: String,
+      since: Option[Long] = None, asOf: Option[Long] = None): Option[Long] = {
+    val st = store(spark, uri)
+    val schema = st.loadSchema(asOf)
+    require(!schema.encrypted,
+      "consolidation of encrypted arrays is not supported (their data " +
+        "round-trips through the DSv2 path only)")
+    val frags = st.listFragments(asOf, since)
+    if (frags.size < 2) return None
+    val maxTs = frags.map(_.timestamp).max
+    val merged = mergedView(spark, uri, schema, frags)
+    val ts = writeFragment(spark, uri, merged,
+      origin = Some(s"consolidate:${frags.size}"),
+      commitTs = Some(maxTs), replaces = frags.map(_.id))
+    Some(ts)
+  }
+
+  /** Reclaim fragments superseded by consolidation: delete their
+    * manifests and data directories. Irreversible — time travel to
+    * pre-consolidation instants afterwards sees the consolidated
+    * content only (the same history-for-space trade the storage
+    * model's vacuum makes). Returns the number removed. */
+  def vacuum(spark: SparkSession, uri: String): Int = {
+    val st = store(spark, uri)
+    val all = st.listFragmentsRaw()
+    val replaced = all.flatMap(_.replaces).toSet
+    val victims = all.filter(f => replaced.contains(f.id))
+    // deletion order matters under nested consolidation: a victim that
+    // itself replaces other victims (an intermediate consolidated
+    // fragment) must outlive them — if it were deleted first and
+    // vacuum crashed, its orphans would resurface next to the final
+    // consolidated fragment as duplicates. Post-order keeps every
+    // intermediate state readable.
+    val byId = victims.map(f => f.id -> f).toMap
+    val done = scala.collection.mutable.Set.empty[String]
+    def rm(f: FragmentMeta): Unit = if (!done.contains(f.id)) {
+      done += f.id // mark first: replaces cycles are malformed, not loops
+      f.replaces.flatMap(byId.get).foreach(rm)
+      st.removeFragment(f)
+    }
+    victims.foreach(rm)
+    victims.size
   }
 
   /** `uri@metadata` — key/value metadata as a 2-column table

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.util
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types._
@@ -21,11 +22,16 @@ import scala.jdk.CollectionConverters._
   *    `graft.capacity`, per-column `graft.fill.<col>` (S10)
   *  - `alterTable` ADD/DROP COLUMN → schema evolution (S12)
   *  - `dropTable` honoring `graft.delete_arrays` (S11)
+  *  - `CALL cat.consolidate('t')` / `CALL cat.vacuum('t')` — fragment
+  *    maintenance (the reference declares the OPTIMIZE TABLE hook,
+  *    HA_CONCURRENT_OPTIMIZE ha_mytile.cc:2948; the storage model's
+  *    consolidate/vacuum pair is its content)
   *
   * Register: `spark.sql.catalog.graft=graft.sources.GraftCatalog`
   *           `spark.sql.catalog.graft.warehouse=/path`
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -256,6 +262,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException()
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
     false
+
+  // ---- procedures: CALL cat.consolidate('t') / cat.vacuum('t') ------
+  // Fragment maintenance (the reference's OPTIMIZE TABLE hook,
+  // HA_CONCURRENT_OPTIMIZE ha_mytile.cc:2948). Executed at CALL time
+  // via the DSv2 procedure API; each returns a one-row result.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "consolidate"),
+      Identifier.of(namespace, "vacuum"))
+
+  override def loadProcedure(ident: Identifier)
+      : procedures.UnboundProcedure =
+    ident.name().toLowerCase match {
+      case op @ ("consolidate" | "vacuum") =>
+        new GraftMaintenanceProcedure(op, this)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure '$other' — expected consolidate or vacuum")
+    }
+
+  private[sources] def tableUriOf(dotted: String): String =
+    dotted.split('.').foldLeft(warehouse)(_ + "/" + _)
+}
+
+/** `CALL` surface for fragment maintenance: `consolidate(table)` merges
+  * all visible fragments into one (returns its timestamp, NULL when
+  * fewer than two fragments exist); `vacuum(table)` reclaims superseded
+  * fragments (returns the count removed). */
+class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
+  extends procedures.UnboundProcedure {
+  override def name(): String = op
+  override def description(): String =
+    if (op == "consolidate")
+      "merge all visible fragments of a graft array into one"
+    else "reclaim fragments superseded by consolidation"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = op
+      override def description(): String =
+        GraftMaintenanceProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(procedures.ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      override def call(input: InternalRow)
+          : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val spark = SparkSession.active
+        val uri = cat.tableUriOf(input.getUTF8String(0).toString)
+        val (outSchema, row) =
+          if (op == "consolidate") {
+            val ts = GraftArray.consolidate(spark, uri)
+            (StructType(Seq(StructField("consolidated_ts", LongType))),
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](ts.map(Long.box).orNull)))
+          } else {
+            val n = GraftArray.vacuum(spark, uri)
+            (StructType(Seq(StructField("removed_fragments", IntegerType))),
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](n)))
+          }
+        val scan: org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = outSchema
+          }
+        util.List.of(scan).iterator()
+      }
+    }
 }
 
 /** `t@metadata` virtual table: 2 columns (key, value)

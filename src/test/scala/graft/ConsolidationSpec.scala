@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.sources.GraftArray
+
+/** Fragment consolidation + vacuum (the reference's OPTIMIZE TABLE hook
+  * [HA_CONCURRENT_OPTIMIZE, ha_mytile.cc:2948]; the storage model's
+  * consolidate/vacuum pair): merging preserves query results and time
+  * travel, the manifest commit is the atomic switch-over, and vacuum
+  * reclaims superseded fragments in a crash-safe order. */
+class ConsolidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_cons").toString + "/arr"
+
+  private val sch = ArraySchema(ArrayKind.Sparse,
+    Seq(DimensionSpec("k", LongType)),
+    Seq(AttributeSpec("v", DoubleType)))
+
+  private def read(uri: String) =
+    spark.read.format("graftarray").option("path", uri).load()
+
+  test("consolidate merges fragments latest-wins; results unchanged") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    // 5 fragments: base + 4 upsert waves over overlapping key ranges
+    GraftArray.write(spark, uri,
+      spark.range(0, 1000).select(col("id").as("k"), lit(0.0).as("v")))
+    for (wave <- 1 to 4)
+      GraftArray.write(spark, uri,
+        spark.range(wave * 100L, wave * 100L + 300L)
+          .select(col("id").as("k"), lit(wave.toDouble).as("v")))
+    val before = read(uri).orderBy("k").as[(Long, Double)].collect().toSeq
+    val beforeFrags = GraftArray.fragments(spark, uri)
+    assert(beforeFrags.size == 5)
+    val maxTs = beforeFrags.map(_.timestamp).max
+
+    val ts = GraftArray.consolidate(spark, uri)
+    assert(ts.contains(maxTs), "consolidated fragment commits at max ts")
+    // one visible fragment; six manifests on disk until vacuum
+    val after = GraftArray.fragments(spark, uri)
+    assert(after.size == 1 && after.head.replaces.size == 5)
+    assert(GraftArray.store(spark, uri).listFragmentsRaw().size == 6)
+    // identical content through both read paths
+    assert(read(uri).orderBy("k").as[(Long, Double)].collect().toSeq == before)
+    assert(GraftArray.load(spark, uri).orderBy("k")
+      .as[(Long, Double)].collect().toSeq == before)
+    // stats-only aggregate pushdown works on the consolidated fragment
+    val agg = read(uri).agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(agg.as[(Long, Double)].head() ==
+      ((before.size.toLong, before.map(_._2).sum)))
+    // time travel BEFORE the consolidation timestamp sees the originals
+    val firstTs = beforeFrags.head.timestamp
+    assert(GraftArray.load(spark, uri, asOf = Some(firstTs))
+      .as[(Long, Double)].collect().forall(_._2 == 0.0))
+    // a write AFTER consolidation wins over the consolidated content
+    GraftArray.write(spark, uri,
+      Seq((0L, 99.0)).toDF("k", "v"))
+    assert(read(uri).filter(col("k") === 0L)
+      .select("v").as[Double].head() == 99.0)
+  }
+
+  test("vacuum reclaims superseded fragments; nested consolidation safe") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    for (i <- 0 until 3)
+      GraftArray.write(spark, uri, spark.range(i * 10L, i * 10L + 20L)
+        .select(col("id").as("k"), lit(i.toDouble).as("v")))
+    assert(GraftArray.consolidate(spark, uri).isDefined)
+    // second generation on top of the first consolidated fragment
+    GraftArray.write(spark, uri, spark.range(100, 120)
+      .select(col("id").as("k"), lit(9.0).as("v")))
+    assert(GraftArray.consolidate(spark, uri).isDefined)
+    val expected = read(uri).orderBy("k").as[(Long, Double)].collect().toSeq
+    val raw = GraftArray.store(spark, uri).listFragmentsRaw()
+    assert(raw.size == 6) // 3 + gen1 + wave + gen2
+    val removed = GraftArray.vacuum(spark, uri)
+    assert(removed == 5, s"expected 5 removed, got $removed")
+    val left = GraftArray.store(spark, uri).listFragmentsRaw()
+    assert(left.size == 1 && left.head.replaces.nonEmpty)
+    // data directories of removed fragments are gone
+    val dirs = new java.io.File(uri).listFiles()
+      .filter(_.getName.startsWith("frag_")).map(_.getName).toSeq
+    assert(dirs == Seq(s"frag_${left.head.id}"), dirs.mkString(","))
+    assert(read(uri).orderBy("k").as[(Long, Double)].collect().toSeq
+      == expected)
+    // vacuum is idempotent
+    assert(GraftArray.vacuum(spark, uri) == 0)
+    // fewer than two fragments → consolidation is a no-op
+    assert(GraftArray.consolidate(spark, uri).isEmpty)
+  }
+
+  test("windowed consolidation collapses only in-window fragments") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri, spark.range(0, 10)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    val t2 = GraftArray.write(spark, uri, spark.range(0, 10)
+      .select(col("id").as("k"), lit(2.0).as("v")))
+    val t3 = GraftArray.write(spark, uri, spark.range(5, 15)
+      .select(col("id").as("k"), lit(3.0).as("v")))
+    GraftArray.write(spark, uri, spark.range(0, 3)
+      .select(col("id").as("k"), lit(4.0).as("v")))
+    val before = read(uri).orderBy("k").as[(Long, Double)].collect().toSeq
+    // consolidate the middle window [t2, t3] only
+    assert(GraftArray.consolidate(spark, uri,
+      since = Some(t2), asOf = Some(t3)).contains(t3))
+    val frags = GraftArray.fragments(spark, uri)
+    assert(frags.size == 3, frags.map(_.id)) // f1, consolidated(f2,f3), f4
+    // full-view results unchanged: f4 still wins over the window's
+    // winner, f1 still loses to it
+    assert(read(uri).orderBy("k").as[(Long, Double)].collect().toSeq
+      == before)
+  }
+
+  test("CALL cat.consolidate / cat.vacuum procedures") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_proc").toString
+    val cat = "gp" + scala.util.Random.alphanumeric.take(4).mkString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 20.0), (3, 3.0)")
+    assert(GraftArray.fragments(spark, s"$wh/t").size == 2)
+    val ts = spark.sql(s"CALL $cat.consolidate('t')").collect()
+    assert(ts.length == 1 && !ts.head.isNullAt(0))
+    assert(GraftArray.fragments(spark, s"$wh/t").size == 1)
+    assert(spark.table(s"$cat.t").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    val n = spark.sql(s"CALL $cat.vacuum('t')").collect()
+    assert(n.head.getInt(0) == 2)
+    // consolidating a single fragment returns NULL
+    assert(spark.sql(s"CALL $cat.consolidate('t')").collect().head.isNullAt(0))
+  }
+}

@@ -127,13 +127,15 @@ object Dedup {
       val neighborMin = und
         .join(labels.select(col("id").as("j"), col("lbl").as("nl")), "j")
         .groupBy(col("i").as("id")).agg(min("nl").as("nl"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter over already-materialized data, not a second join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("lbl") < col("prev")).count()
+      labels = next.select("id", "lbl")
     }
     labels
   }

@@ -326,17 +326,34 @@ object GraftArray {
       since: Option[Long] = None, asOf: Option[Long] = None): Option[Long] = {
     val st = store(spark, uri)
     val schema = st.loadSchema(asOf)
-    require(!schema.encrypted,
-      "consolidation of encrypted arrays is not supported (their data " +
-        "round-trips through the DSv2 path only)")
     val frags = st.listFragments(asOf, since)
     if (frags.size < 2) return None
     val maxTs = frags.map(_.timestamp).max
-    val merged = mergedView(spark, uri, schema, frags)
-    val ts = writeFragment(spark, uri, merged,
-      origin = Some(s"consolidate:${frags.size}"),
-      commitTs = Some(maxTs), replaces = frags.map(_.id))
-    Some(ts)
+    if (schema.encrypted) {
+      // encrypted data round-trips through the DSv2 path only: the
+      // windowed DSv2 scan decrypts + merges, and the DSv2 writer
+      // re-encrypts; the consolidation hooks ride as internal write
+      // options. The session must hold the key for both halves.
+      // (Dense is excluded: the DSv2 scan of a fillable dense array
+      // materializes fills, which would persist virtual cells.)
+      require(schema.kind != ArrayKind.Dense,
+        "consolidation of encrypted dense arrays is not supported")
+      var r = spark.read.format("graftarray").option("path", uri)
+      since.foreach(t => r = r.option("sinceTimestamp", t.toString))
+      asOf.foreach(t => r = r.option("asOfTimestamp", t.toString))
+      r.load().write.format("graftarray").option("path", uri)
+        .option("graft.internal.commit_ts", maxTs.toString)
+        .option("graft.internal.replaces", frags.map(_.id).mkString(","))
+        .option("graft.internal.origin", s"consolidate:${frags.size}")
+        .mode("append").save()
+      Some(maxTs)
+    } else {
+      val merged = mergedView(spark, uri, schema, frags)
+      val ts = writeFragment(spark, uri, merged,
+        origin = Some(s"consolidate:${frags.size}"),
+        commitTs = Some(maxTs), replaces = frags.map(_.id))
+      Some(ts)
+    }
   }
 
   /** Reclaim fragments superseded by consolidation: delete their

@@ -101,7 +101,14 @@ class GraftWriteBuilder(
       val in = info.schema().fieldNames.toSeq
       require(in.sorted == schema.columnNames.sorted,
         s"schema mismatch: $in vs ${schema.columnNames}")
-      new GraftBatchWrite(spark, uri, schema, info.schema())
+      // consolidation hooks (trusted internal options, not user DDL):
+      // commit the fragment at an explicit timestamp superseding others
+      val opts = info.options()
+      new GraftBatchWrite(spark, uri, schema, info.schema(),
+        commitTs = Option(opts.get("graft.internal.commit_ts")).map(_.toLong),
+        replaces = Option(opts.get("graft.internal.replaces"))
+          .map(_.split(",").toSeq).getOrElse(Nil),
+        origin = Option(opts.get("graft.internal.origin")))
     }
   }
 }
@@ -118,7 +125,10 @@ class GraftBatchWrite(
     spark: SparkSession,
     uri: String,
     schema: ArraySchema,
-    writeSchema: StructType) extends BatchWrite {
+    writeSchema: StructType,
+    commitTs: Option[Long] = None,
+    replaces: Seq[String] = Nil,
+    origin: Option[String] = None) extends BatchWrite {
 
   private val fragId = java.util.UUID.randomUUID.toString.take(12)
 
@@ -173,9 +183,10 @@ class GraftBatchWrite(
       if (!schema.encrypted) st
       else st.view.filterKeys(schema.dimNames.contains).toMap
     GraftArray.store(spark, uri).commitFragment(FragmentMeta(
-      fragId, GraftArray.now(), msgs.map(_.file).toSeq,
+      fragId, commitTs.getOrElse(GraftArray.now()), msgs.map(_.file).toSeq,
       msgs.map(_.rows).sum, redact(merged),
-      msgs.map(m => m.file -> redact(m.stats)).toMap))
+      msgs.map(m => m.file -> redact(m.stats)).toMap,
+      origin = origin, replaces = replaces))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

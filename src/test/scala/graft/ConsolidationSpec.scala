@@ -117,6 +117,73 @@ class ConsolidationSpec extends SparkSpec {
       == before)
   }
 
+  test("consolidation preserves dense fill and allowsDups semantics") {
+    // dense: only WRITTEN cells are consolidated (fills stay virtual)
+    val dUri = tmp()
+    val dsch = ArraySchema(ArrayKind.Dense,
+      Seq(DimensionSpec("r", LongType, Some("0"), Some("9"), Some(10L))),
+      Seq(AttributeSpec("v", LongType, nullable = true, fillValue = Some("-1"))))
+    GraftArray.create(spark, dUri, dsch)
+    GraftArray.write(spark, dUri, Seq((0L, 10L), (3L, 30L)).toDF("r", "v"))
+    GraftArray.write(spark, dUri, Seq((3L, 33L), (7L, 70L)).toDF("r", "v"))
+    val before = read(dUri).orderBy("r").as[(Long, Long)].collect().toSeq
+    assert(GraftArray.consolidate(spark, dUri).isDefined)
+    GraftArray.vacuum(spark, dUri)
+    val frag = GraftArray.fragments(spark, dUri)
+    assert(frag.size == 1 && frag.head.rows == 3) // written cells only
+    assert(read(dUri).orderBy("r").as[(Long, Long)].collect().toSeq == before)
+    // fills still materialize in-scan over the non-empty domain [0, 7]
+    // (bounding box of written cells — unchanged by consolidation)
+    assert(read(dUri).count() == 8)
+
+    // allowsDups: duplicate coordinates survive consolidation verbatim
+    val aUri = tmp()
+    GraftArray.create(spark, aUri,
+      sch.copy(allowsDups = true))
+    GraftArray.write(spark, aUri, Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v"))
+    GraftArray.write(spark, aUri, Seq((1L, 3.0)).toDF("k", "v"))
+    assert(GraftArray.consolidate(spark, aUri).isDefined)
+    GraftArray.vacuum(spark, aUri)
+    assert(read(aUri).orderBy("v").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (1L, 2.0), (1L, 3.0)))
+  }
+
+  test("encrypted arrays consolidate through the DSv2 path") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ce").toString
+    val cat = "gce" + scala.util.Random.alphanumeric.take(4).mkString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set(graft.core.EncryptionKeys.ConfKey,
+      "000102030405060708090a0b0c0d0e0f")
+    spark.sql(s"""CREATE TABLE $cat.e (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k', 'graft.encrypted'='true')"""
+      .stripMargin)
+    spark.sql(s"INSERT INTO $cat.e VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"INSERT INTO $cat.e VALUES (2, 20.0), (3, 3.0)")
+    val uri = s"$wh/e"
+    assert(GraftArray.consolidate(spark, uri).isDefined)
+    assert(GraftArray.vacuum(spark, uri) == 2)
+    val frags = GraftArray.fragments(spark, uri)
+    assert(frags.size == 1)
+    // consolidated fragment is still ciphertext with dim-only stats
+    assert(frags.head.stats.keySet == Set("k"))
+    val pq = new java.io.File(uri).listFiles()
+      .filter(_.getName.startsWith("frag_")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = new java.io.RandomAccessFile(pq, "r")
+    val tail = new Array[Byte](4)
+    in.seek(pq.length() - 4); in.readFully(tail); in.close()
+    assert(new String(tail, "US-ASCII") == "PARE")
+    // merged content readable with the key
+    assert(spark.table(s"$cat.e").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    // CALL procedure reaches the same path
+    spark.sql(s"INSERT INTO $cat.e VALUES (4, 4.0)")
+    assert(!spark.sql(s"CALL $cat.consolidate('e')").collect().head.isNullAt(0))
+    assert(GraftArray.fragments(spark, uri).size == 1)
+    assert(spark.table(s"$cat.e").count() == 4)
+  }
+
   test("CALL cat.consolidate / cat.vacuum procedures") {
     val wh = java.nio.file.Files.createTempDirectory("graft_proc").toString
     val cat = "gp" + scala.util.Random.alphanumeric.take(4).mkString

@@ -334,11 +334,9 @@ object GraftArray {
       // windowed DSv2 scan decrypts + merges, and the DSv2 writer
       // re-encrypts; the consolidation hooks ride as internal write
       // options. The session must hold the key for both halves.
-      // (Dense is excluded: the DSv2 scan of a fillable dense array
-      // materializes fills, which would persist virtual cells.)
-      require(schema.kind != ArrayKind.Dense,
-        "consolidation of encrypted dense arrays is not supported")
+      // raw_cells keeps dense fills virtual (written cells only).
       var r = spark.read.format("graftarray").option("path", uri)
+        .option("graft.internal.raw_cells", "true")
       since.foreach(t => r = r.option("sinceTimestamp", t.toString))
       asOf.foreach(t => r = r.option("asOfTimestamp", t.toString))
       r.load().write.format("graftarray").option("path", uri)

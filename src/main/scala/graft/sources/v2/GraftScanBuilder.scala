@@ -31,7 +31,10 @@ class GraftScanBuilder(
     uri: String,
     schema: ArraySchema,
     frags: Seq[FragmentMeta],
-    asOf: Option[Long])
+    asOf: Option[Long],
+    /** Disable dense fill materialization: emit WRITTEN cells only
+      * (consolidation's view — fills must stay virtual). */
+    rawCells: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownV2Filters
@@ -246,7 +249,7 @@ class GraftScanBuilder(
         val constraints =
           PredicateSupport.dimConstraints(preds, schema)
         new GraftScanImpl(spark, uri, schema, frags, requiredStruct,
-          preds, constraints, limit)
+          preds, constraints, limit, rawCells)
     }
   }
 }
@@ -261,7 +264,8 @@ class GraftScanImpl(
     requiredStruct: StructType,
     preds: Seq[Pred],
     initialConstraints: Map[String, DimConstraint],
-    limit: Int = -1)
+    limit: Int = -1,
+    rawCells: Boolean = false)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -307,7 +311,7 @@ class GraftScanImpl(
     * ha_mytile.cc:1088–1164) — no opt-in flag. Unbounded or
     * non-integral dense domains keep written-cells-only (documented). */
   private def denseFillable: Boolean =
-    schema.kind == ArrayKind.Dense &&
+    !rawCells && schema.kind == ArrayKind.Dense &&
       schema.dims.forall(d => TypedValue.isIntegral(d.dataType) &&
         d.lowerBound.isDefined && d.upperBound.isDefined)
 

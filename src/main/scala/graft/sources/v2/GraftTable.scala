@@ -77,7 +77,9 @@ class GraftTable(
     val scanSince = Option(options.get("sinceTimestamp")).map(_.toLong)
       .orElse(since)
     new GraftScanBuilder(spark, uri, project(store.loadSchema(scanAsOf)),
-      store.listFragments(scanAsOf, scanSince), scanAsOf)
+      store.listFragments(scanAsOf, scanSince), scanAsOf,
+      rawCells = Option(options.get("graft.internal.raw_cells"))
+        .exists(_.toBoolean))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -182,6 +182,24 @@ class ConsolidationSpec extends SparkSpec {
     assert(!spark.sql(s"CALL $cat.consolidate('e')").collect().head.isNullAt(0))
     assert(GraftArray.fragments(spark, uri).size == 1)
     assert(spark.table(s"$cat.e").count() == 4)
+
+    // encrypted DENSE arrays: fills stay virtual through the raw-cells
+    // read — consolidation persists WRITTEN cells only
+    spark.sql(s"""CREATE TABLE $cat.ed (r BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='r', 'graft.dense'='true',
+      |  'graft.lower.r'='0', 'graft.upper.r'='9',
+      |  'graft.fill.v'='-1.0', 'graft.encrypted'='true')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.ed VALUES (0, 0.5), (3, 3.5)")
+    spark.sql(s"INSERT INTO $cat.ed VALUES (3, 33.5), (7, 7.5)")
+    val edBefore = spark.table(s"$cat.ed").orderBy("r")
+      .as[(Long, Double)].collect().toSeq
+    assert(!spark.sql(s"CALL $cat.consolidate('ed')").collect().head.isNullAt(0))
+    assert(spark.sql(s"CALL $cat.vacuum('ed')").collect().head.getInt(0) == 2)
+    val edFrag = GraftArray.fragments(spark, s"$wh/ed")
+    assert(edFrag.size == 1 && edFrag.head.rows == 3,
+      s"expected 3 written cells, got ${edFrag.head.rows}")
+    assert(spark.table(s"$cat.ed").orderBy("r")
+      .as[(Long, Double)].collect().toSeq == edBefore)
   }
 
   test("CALL cat.consolidate / cat.vacuum procedures") {

@@ -150,6 +150,29 @@ object ArrayOps {
         .orderBy("c_custkey")
     }),
 
+    // Fragment-provenance metadata columns (_frag_id/_commit_ts via
+    // SupportsMetadataColumns): after an upsert, per-fragment row
+    // counts and sums — fragment 1 keeps the rows the upsert did NOT
+    // touch, fragment 2 owns the upserted coordinates (latest-wins).
+    "arr19_provenance" -> ((s, d) => {
+      val uri = freshUri("prov")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("c_custkey", LongType)),
+        Seq(AttributeSpec("c_acctbal", DoubleType)))
+      GraftArray.create(s, uri, sch)
+      val cust = Tables.load(s, d, "customer").select("c_custkey", "c_acctbal")
+      GraftArray.write(s, uri, cust)
+      GraftArray.write(s, uri, cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("_commit_ts")
+      s.read.format("graftarray").option("path", uri).load()
+        .groupBy(col("_commit_ts"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .withColumn("src", row_number().over(w).cast("long"))
+        .select("src", "n", "bal")
+        .orderBy("src")
+    }),
+
     // S12: add a column with a fill value; old fragment reads the fill,
     // new fragment carries real values.
     "arr5_evolution" -> ((s, d) => {
@@ -481,6 +504,17 @@ object ArrayOps {
                     WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
                     ELSE c_acctbal END, 2) AS bal
          FROM customer ORDER BY c_custkey""",
+    "arr19_provenance" ->
+      """SELECT 1::BIGINT AS src,
+           count(*) FILTER (WHERE c_custkey % 10 <> 0)::BIGINT AS n,
+           round(sum(c_acctbal) FILTER (WHERE c_custkey % 10 <> 0), 2) AS bal
+         FROM customer
+         UNION ALL
+         SELECT 2::BIGINT,
+           count(*) FILTER (WHERE c_custkey % 10 = 0)::BIGINT,
+           round(sum(c_acctbal * 2) FILTER (WHERE c_custkey % 10 = 0), 2)
+         FROM customer
+         ORDER BY src""",
     "arr5_evolution" ->
       """SELECT n_nationkey, n_name,
          CASE WHEN n_nationkey < 10 THEN -1 ELSE n_regionkey END AS region

@@ -105,7 +105,10 @@ class GraftReaderFactory(
       * that plans simple partitions next to slab/hash merge partitions
       * — e.g. a sparse array with one disjoint fragment plus an
       * overlapping pair. */
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    /** Requested metadata columns that are NOT shadowed by user
+      * columns — the only names the readers synthesize. */
+    metaCols: Set[String] = Set.empty)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -115,7 +118,7 @@ class GraftReaderFactory(
           preds, conf.value, keyHex)
       case g: GraftInputPartition =>
         new GraftPartitionReader(g, readSchema, dimNames, preds,
-          conf.value, keyHex)
+          conf.value, keyHex, metaCols)
     }
 
   /** All-or-nothing per scan; see `columnar` above. When true, EVERY
@@ -132,7 +135,7 @@ class GraftReaderFactory(
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarPartitionReader(
-      p.asInstanceOf[GraftInputPartition], readSchema)
+      p.asInstanceOf[GraftInputPartition], readSchema, metaCols)
 }
 
 object GraftColumnarPartitionReader {
@@ -153,7 +156,8 @@ object GraftColumnarPartitionReader {
   * all-null constant vectors — same semantics as the row path. */
 class GraftColumnarPartitionReader(
     part: GraftInputPartition,
-    readSchema: StructType)
+    readSchema: StructType,
+    metaCols: Set[String] = Set.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
@@ -161,7 +165,7 @@ class GraftColumnarPartitionReader(
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val Capacity = 4096
-  private val files = part.files.map(_._1).iterator
+  private val files = part.files.iterator // (path, fragment ts)
   private var reader: VectorizedParquetRecordReader = _
   private var inner: ColumnarBatch = _ // reader-owned, wanted-col order
   private var out: ColumnarBatch = _ // permuted to readSchema order
@@ -177,10 +181,26 @@ class GraftColumnarPartitionReader(
     inner = null
   }
 
+  /** Constant vector for a non-file column: fragment-provenance
+    * metadata (file-constant by construction) or evolution null. */
+  private def constFor(f: StructField, path: String,
+      ts: Long): ConstantColumnVector = {
+    val c = new ConstantColumnVector(Capacity, f.dataType)
+    f.name match {
+      case GraftMetaCols.FragId if metaCols.contains(f.name) =>
+        c.setUtf8String(UTF8String.fromString(GraftMetaCols.fragIdOf(path)))
+      case GraftMetaCols.CommitTs if metaCols.contains(f.name) =>
+        c.setLong(ts)
+      case _ => c.setNull()
+    }
+    constVectors = constVectors :+ c
+    c
+  }
+
   private def openNext(): Boolean =
     if (!files.hasNext) false
     else {
-      val path = files.next()
+      val (path, fragTs) = files.next()
       val (fileFields, fileRows) = {
         val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
           new Path(path), new Configuration()))
@@ -193,13 +213,10 @@ class GraftColumnarPartitionReader(
       }
       val wanted = readSchema.fields.filter(f => fileFields.contains(f.name))
       if (wanted.isEmpty) {
-        // nothing to decode; rows still count
+        // nothing to decode; rows still count (constant vectors carry
+        // any requested provenance metadata)
         pendingNullRows = fileRows
-        val cs = readSchema.fields.map { f =>
-          val c = new ConstantColumnVector(Capacity, f.dataType)
-          c.setNull(); c
-        }
-        constVectors = cs.toSeq
+        val cs = readSchema.fields.map(constFor(_, path, fragTs))
         out = new ColumnarBatch(cs.toArray[ColumnVector])
         true
       } else {
@@ -215,12 +232,7 @@ class GraftColumnarPartitionReader(
               s"columnar type mismatch for ${f.name}: " +
                 s"file ${v.dataType()} vs schema ${f.dataType}")
             v
-          } else {
-            val c = new ConstantColumnVector(Capacity, f.dataType)
-            c.setNull()
-            constVectors = constVectors :+ c
-            c
-          }
+          } else constFor(f, path, fragTs)
         }.toArray
         out = new ColumnarBatch(vectors)
         true
@@ -265,7 +277,8 @@ class GraftPartitionReader(
     dimNames: Seq[String],
     preds: Seq[Pred],
     conf: Configuration,
-    keyHex: Option[String] = None) extends PartitionReader[InternalRow] {
+    keyHex: Option[String] = None,
+    metaCols: Set[String] = Set.empty) extends PartitionReader[InternalRow] {
 
   private def hasSlab: Boolean = part.slabLo.isDefined || part.slabHi.isDefined
   private def hasHash: Boolean = part.hashMod > 0
@@ -288,9 +301,31 @@ class GraftPartitionReader(
   private val colIdx: Map[String, Int] =
     readCols.map(_.name).zipWithIndex.toMap
 
+  // fragment-provenance metadata columns: injected per source file
+  // BEFORE the latest-wins merge, so a merged row reports the fragment
+  // its winning version came from. `metaCols` holds only names that
+  // are NOT user columns (a user column of the same name shadows the
+  // metadata column and must never be overwritten).
+  private val metaFragIdx =
+    if (metaCols.contains(GraftMetaCols.FragId))
+      colIdx.get(GraftMetaCols.FragId) else None
+  private val metaTsIdx =
+    if (metaCols.contains(GraftMetaCols.CommitTs))
+      colIdx.get(GraftMetaCols.CommitTs) else None
+
   private val iter: Iterator[Array[Any]] = {
     val raw = part.files.sortBy(_._2).iterator.flatMap {
-      case (file, _) => readFile(file)
+      case (file, ts) =>
+        val base = readFile(file)
+        if (metaFragIdx.isEmpty && metaTsIdx.isEmpty) base
+        else {
+          val fid = GraftMetaCols.fragIdOf(file)
+          base.map { r =>
+            metaFragIdx.foreach(i => r(i) = fid)
+            metaTsIdx.foreach(i => r(i) = ts)
+            r
+          }
+        }
     }
     // slab ownership: keep only rows whose dim0 falls in [slabLo, slabHi)
     // — a file spanning several slabs is read by each, but every row is

@@ -56,9 +56,13 @@ class GraftScanBuilder(
 
   // ---- P1: column pruning ------------------------------------------
   override def pruneColumns(required: StructType): Unit =
-    // preserve our field order/metadata; Spark's order, our types
+    // preserve our field order/metadata; Spark's order, our types.
+    // Metadata columns (_frag_id/_commit_ts) are not in fullStruct —
+    // resolve them from their definitions so provenance reads prune
+    // like any other projection
     requiredStruct = StructType(required.fieldNames.flatMap(n =>
-      fullStruct.fields.find(_.name == n)))
+      fullStruct.fields.find(_.name == n)
+        .orElse(GraftMetaCols.structField(n))))
 
   // ---- P2–P6: predicate pushdown -----------------------------------
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
@@ -542,7 +546,10 @@ class GraftScanImpl(
         .getOrElse(throw new IllegalArgumentException(
           s"array is encrypted; set ${graft.core.EncryptionKeys.ConfKey}"))),
       fillSchema = if (denseFillable) Some(schema) else None,
-      columnar = columnarEligible)
+      columnar = columnarEligible,
+      metaCols = requiredStruct.fieldNames.toSet
+        .intersect(GraftMetaCols.fields.keySet)
+        .diff(schema.columnNames.toSet))
 
   // ---- SupportsReportStatistics [ref: records estimate §4] ---------
   override def estimateStatistics(): Statistics = new Statistics {

@@ -36,7 +36,7 @@ class GraftTable(
       * reference exposes only the end via open_at). Latest-wins
       * resolves within the window. */
     val since: Option[Long] = None) extends Table
-  with SupportsRead with SupportsWrite {
+  with SupportsRead with SupportsWrite with SupportsMetadataColumns {
 
   private lazy val store = GraftArray.store(spark, uri)
 
@@ -70,6 +70,15 @@ class GraftTable(
   override def capabilities(): util.Set[TableCapability] =
     (if (projection.isDefined) Set(TableCapability.BATCH_READ)
      else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)).asJava
+
+  /** Per-row fragment provenance (`SELECT _frag_id, _commit_ts, …`):
+    * which fragment a row's winning version was committed in, and
+    * when. Composes with window reads into CDC-style pipelines —
+    * "rows that changed since ts, and where they came from". A user
+    * column of the same name shadows the metadata column (Spark's
+    * standard conflict rule). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    GraftMetaCols.columns
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val scanAsOf = Option(options.get("asOfTimestamp")).map(_.toLong)
@@ -113,6 +122,30 @@ class GraftWriteBuilder(
         origin = Option(opts.get("graft.internal.origin")))
     }
   }
+}
+
+/** The scan-side metadata column surface. Values are file-constant on
+  * the columnar path and injected per-file on the row path; dense fill
+  * cells (virtual, never committed) read NULL for both. */
+object GraftMetaCols {
+  val FragId = "_frag_id"
+  val CommitTs = "_commit_ts"
+  private val defs: Seq[(String, DataType, String)] = Seq(
+    (FragId, StringType, "id of the fragment the row was committed in"),
+    (CommitTs, LongType, "fragment commit timestamp (unix millis)"))
+  val fields: Map[String, StructField] =
+    defs.map { case (n, dt, _) => n -> StructField(n, dt) }.toMap
+  def structField(n: String): Option[StructField] = fields.get(n)
+  val columns: Array[MetadataColumn] = defs.map { case (n, dt, c) =>
+    new MetadataColumn {
+      override def name(): String = n
+      override def dataType(): DataType = dt
+      override def isNullable: Boolean = true
+      override def comment(): String = c
+    }: MetadataColumn
+  }.toArray
+  def fragIdOf(path: String): String =
+    "frag_([^/]+)/".r.findFirstMatchIn(path).map(_.group(1)).getOrElse("")
 }
 
 case class GraftCommitMessage(

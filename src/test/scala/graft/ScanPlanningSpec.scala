@@ -409,6 +409,78 @@ class ScanPlanningSpec extends SparkSpec {
     check(col("word") === "中文", _._1 == "中文")
   }
 
+  test("metadata columns _frag_id/_commit_ts report row provenance") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    val t1 = GraftArray.write(spark, uri, spark.range(0, 100).coalesce(1)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    val t2 = GraftArray.write(spark, uri, spark.range(500, 600).coalesce(1)
+      .select(col("id").as("k"), lit(2.0).as("v")))
+    val frags = GraftArray.fragments(spark, uri)
+    val idByTs = frags.map(f => f.timestamp -> f.id).toMap
+    val df = spark.read.format("graftarray").option("path", uri).load()
+      .select(col("k"), col("v"), col("_frag_id"), col("_commit_ts"))
+    // disjoint fragments: provenance rides the COLUMNAR path
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    assert(scan.supportsColumnar, "metadata read should stay columnar")
+    val rows = df.as[(Long, Double, String, Long)].collect()
+    assert(rows.length == 200)
+    assert(rows.filter(_._1 < 500).forall(r =>
+      r._3 == idByTs(t1) && r._4 == t1))
+    assert(rows.filter(_._1 >= 500).forall(r =>
+      r._3 == idByTs(t2) && r._4 == t2))
+    // latest-wins merge (row path): the winning version's fragment
+    val t3 = GraftArray.write(spark, uri, spark.range(0, 50).coalesce(1)
+      .select(col("id").as("k"), lit(3.0).as("v")))
+    val idByTs2 = GraftArray.fragments(spark, uri)
+      .map(f => f.timestamp -> f.id).toMap
+    val merged = spark.read.format("graftarray").option("path", uri).load()
+      .select(col("k"), col("_frag_id"), col("_commit_ts"))
+      .as[(Long, String, Long)].collect()
+    assert(merged.length == 200)
+    assert(merged.filter(_._1 < 50).forall(r =>
+      r._2 == idByTs2(t3) && r._3 == t3))
+    assert(merged.filter(r => r._1 >= 50 && r._1 < 500)
+      .forall(r => r._2 == idByTs2(t1)))
+    // provenance composes with window reads: CDC-style "changed rows"
+    val changed = spark.read.format("graftarray").option("path", uri)
+      .option("sinceTimestamp", t3.toString).load()
+    assert(changed.select("_commit_ts").distinct().as[Long]
+      .collect().toSeq == Seq(t3))
+    // predicates on metadata columns evaluate (residual-only, no prune)
+    assert(spark.read.format("graftarray").option("path", uri).load()
+      .filter(col("_commit_ts") === t2).count() == 100)
+  }
+
+  test("user columns shadow metadata column names; fills read null") {
+    // a REAL attribute named _frag_id must win over the metadata column
+    val uri = tmp()
+    val ssch = ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("_frag_id", StringType)))
+    GraftArray.create(spark, uri, ssch)
+    GraftArray.write(spark, uri,
+      Seq((1L, "mine")).toDF("k", "_frag_id"))
+    val got = spark.read.format("graftarray").option("path", uri).load()
+      .select("_frag_id").as[String].collect()
+    assert(got.toSeq == Seq("mine"))
+    // dense fill cells are virtual — never committed — so provenance
+    // reads null there, real values on written cells
+    val dUri = tmp()
+    val dsch = ArraySchema(ArrayKind.Dense,
+      Seq(DimensionSpec("r", LongType, Some("0"), Some("4"), Some(5L))),
+      Seq(AttributeSpec("v", LongType, nullable = true, fillValue = Some("-1"))))
+    GraftArray.create(spark, dUri, dsch)
+    GraftArray.write(spark, dUri, Seq((0L, 0L), (4L, 4L)).toDF("r", "v"))
+    val rows = spark.read.format("graftarray").option("path", dUri).load()
+      .select(col("r"), col("v"), col("_frag_id")).orderBy("r")
+      .as[(Long, Long, Option[String])].collect()
+    assert(rows.length == 5)
+    assert(rows.filter(_._2 >= 0).forall(_._3.isDefined))
+    assert(rows.filter(_._2 == -1L).forall(_._3.isEmpty))
+  }
+
   test("empty pushed range plans zero partitions (empty-scan path)") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

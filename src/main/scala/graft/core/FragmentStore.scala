@@ -23,10 +23,21 @@ class FragmentStore(uri: String, conf: Configuration) {
 
   def exists(): Boolean = fs.exists(schemaDir)
 
+  /** Atomic single-file commit: write to a `.tmp` sibling, then rename.
+    * `create` alone is NOT atomic — a concurrent lister (streaming
+    * source, parallel query) could read a half-written manifest.
+    * Listings filter on the `.json` suffix, so the tmp name is
+    * invisible until the rename lands. */
   private def write(p: Path, content: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"cannot commit $p")
+    }
   }
 
   private def read(p: Path): String = {

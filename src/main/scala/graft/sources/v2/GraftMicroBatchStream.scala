@@ -1,0 +1,112 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+import graft.core.ArraySchema
+import graft.sources.GraftArray
+import graft.sources.v2.PredicateSupport.Pred
+
+/** Offset on the fragment-commit timeline: "every fragment with
+  * timestamp ≤ ts has been delivered". JSON form is just the number. */
+case class GraftOffset(ts: Long) extends Offset {
+  override def json(): String = ts.toString
+}
+
+/** Micro-batch streaming SOURCE over a graft array — the read-side
+  * dual of the streaming sink (one immutable fragment per micro-batch,
+  * EventPipeline.writeStreamToArray): each batch emits the fragments
+  * committed in `(start, end]` of the commit timeline, so a consumer
+  * tails the array's append history exactly once. Combined with the
+  * provenance metadata columns this is a CDC feed: new versions of
+  * upserted coordinates arrive as they commit; no tombstones (arrays
+  * have no deletes, matching the reference's INSERT-only mutation
+  * model).
+  *
+  * Exactly-once notes:
+  *  - Commit timestamps from one writer JVM are strictly increasing
+  *    (GraftArray.now); with concurrent writers on skewed clocks a
+  *    fragment could commit with a timestamp ≤ a consumed offset and
+  *    be skipped — the usual single-logical-writer assumption of
+  *    timeline-offset sources.
+  *  - Consolidation commits at the originals' max timestamp: if the
+  *    stream has already passed it, the consolidated fragment is never
+  *    re-delivered; if not, the originals are hidden and the merged
+  *    content is delivered once at that offset.
+  *
+  * Pushed predicates prune fragments/files exactly as in batch scans;
+  * latest-wins does NOT apply across batches by design (every
+  * committed version is an event — dedup downstream if last-value
+  * semantics are wanted, e.g. with flatMapGroupsWithState).
+  */
+class GraftMicroBatchStream(
+    spark: SparkSession,
+    uri: String,
+    schema: ArraySchema,
+    requiredStruct: StructType,
+    preds: Seq[Pred]) extends MicroBatchStream {
+
+  private val store = GraftArray.store(spark, uri)
+  private val constraints = PredicateSupport.dimConstraints(preds, schema)
+
+  /** Streaming read schema. Spark's micro-batch planner never calls
+    * pruneColumns, and when a query references ANY metadata column it
+    * appends ALL non-conflicting metadata columns to the relation
+    * output (AddMetadataColumns → withMetadataColumns) — expecting the
+    * source rows to carry them. So the stream always emits
+    * `table schema ++ metadata columns`: when the query referenced
+    * them, ordinals line up exactly; when it didn't, the relation
+    * output binds ordinals 0..n-1 and the trailing extras are inert. */
+  private val metaFields: Seq[(String, org.apache.spark.sql.types.StructField)] =
+    GraftMetaCols.columns.toSeq.map(_.name)
+      .filterNot(schema.columnNames.contains)
+      .map(n => n -> GraftMetaCols.fields(n))
+  private val streamStruct: StructType =
+    StructType(schema.toStruct.fields.toSeq ++ metaFields.map(_._2))
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def latestOffset(): Offset = {
+    val frags = store.listFragments()
+    GraftOffset(if (frags.isEmpty) 0L else frags.map(_.timestamp).max)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftOffset].ts
+    val hi = end.asInstanceOf[GraftOffset].ts
+    if (hi <= lo) return Array.empty
+    // fragments in (lo, hi], then the same static pruning as batch
+    val frags = store.listFragments(asOf = Some(hi))
+      .filter(_.timestamp > lo)
+    val pruned =
+      if (constraints.exists(_._2.definitelyEmpty)) Nil
+      else graft.sources.FragmentPruning.select(frags, schema, constraints)
+    pruned.flatMap { f =>
+      f.files.map(rel =>
+        GraftInputPartition(Seq((s"$uri/$rel", f.timestamp)),
+          needDedup = false): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(streamStruct, schema.dimNames, preds,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      keyHex =
+        if (!schema.encrypted) None
+        else Some(spark.conf.getOption(graft.core.EncryptionKeys.ConfKey)
+          .getOrElse(throw new IllegalArgumentException(
+            s"array is encrypted; set ${graft.core.EncryptionKeys.ConfKey}"))),
+      // row path throughout: micro-batches are small by construction
+      columnar = false,
+      metaCols = metaFields.map(_._1).toSet)
+
+  override def commit(end: Offset): Unit = () // fragments are immutable
+
+  override def stop(): Unit = ()
+}

@@ -510,6 +510,14 @@ class GraftScanImpl(
     frags.indices.groupBy(find).values.map(_.map(frags)).toSeq
   }
 
+  /** Streaming source over the fragment timeline: each micro-batch
+    * emits the fragments committed in `(startOffset, endOffset]` — the
+    * read-side dual of the one-fragment-per-batch streaming sink. See
+    * [[GraftMicroBatchStream]] for semantics. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, uri, schema, requiredStruct, preds)
+
   /** Scan-wide columnar eligibility: Spark rejects scans that mix
     * row-based and columnar partitions, so the decision is made ONCE
     * here over the full planned partition set and passed to the

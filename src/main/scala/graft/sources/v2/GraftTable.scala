@@ -69,7 +69,10 @@ class GraftTable(
   override def schema(): StructType = arraySchema.toStruct
   override def capabilities(): util.Set[TableCapability] =
     (if (projection.isDefined) Set(TableCapability.BATCH_READ)
-     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)).asJava
+     else if (asOf.isDefined || since.isDefined)
+       Set(TableCapability.BATCH_READ) // frozen views don't stream
+     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+       TableCapability.MICRO_BATCH_READ)).asJava
 
   /** Per-row fragment provenance (`SELECT _frag_id, _commit_ts, …`):
     * which fragment a row's winning version was committed in, and

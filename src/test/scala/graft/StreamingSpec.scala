@@ -81,6 +81,76 @@ class StreamingSpec extends SparkSpec {
       .count() == 6)
   }
 
+  test("streaming source tails the fragment timeline exactly once") {
+    import graft.core._
+    import graft.sources.GraftArray
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val uri = java.nio.file.Files.createTempDirectory("graft_src")
+      .toString + "/arr"
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType))))
+    val t1 = GraftArray.write(spark, uri,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    val name = "graft_tail_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val stream = spark.readStream.format("graftarray")
+      .option("path", uri).load()
+      .select(col("k"), col("v"), col("_commit_ts"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2) // initial backlog
+      // new fragments arrive as new micro-batches — including an
+      // UPSERT of k=1: streamed as a new version (CDC), not merged
+      val t2 = GraftArray.write(spark, uri,
+        Seq((3L, 3.0), (1L, 10.0)).toDF("k", "v"))
+      q.processAllAvailable()
+      val got = spark.table(name).as[(Long, Double, Long)].collect()
+      assert(got.length == 4, got.mkString(","))
+      assert(got.count(_._1 == 1L) == 2) // both versions delivered
+      assert(got.filter(_._3 == t1).map(r => (r._1, r._2)).sorted.toSeq ==
+        Seq((1L, 1.0), (2L, 2.0)))
+      assert(got.filter(_._3 == t2).map(r => (r._1, r._2)).sorted.toSeq ==
+        Seq((1L, 10.0), (3L, 3.0)))
+      // no new fragments → empty batch, no duplicates
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 4)
+    } finally q.stop()
+  }
+
+  test("sink-to-source composition: arrays as a streaming relay") {
+    // write stream → array → read stream: the fragment timeline is the
+    // exactly-once handoff between two independent streaming queries
+    import graft.core._
+    import graft.sources.GraftArray
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val uri = java.nio.file.Files.createTempDirectory("graft_relay")
+      .toString + "/arr"
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType))))
+    val input = MemoryStream[(Long, Double)](spark)
+    val ingest = EventPipeline.writeStreamToArray(
+      input.toDF().toDF("k", "v"), uri)
+    val name = "graft_relay_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val out = spark.readStream.format("graftarray").option("path", uri)
+      .load().writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      input.addData((1L, 1.0))
+      ingest.processAllAvailable()
+      out.processAllAvailable()
+      input.addData((2L, 2.0), (3L, 3.0))
+      ingest.processAllAvailable()
+      out.processAllAvailable()
+      assert(spark.table(name).orderBy("k").as[(Long, Double)]
+        .collect().toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally { ingest.stop(); out.stop() }
+  }
+
   test("flatMapGroupsWithState sessionizer accumulates across batches") {
     val input = MemoryStream[Event](spark)
     val q = EventPipeline.sessionize(input.toDS(), withTimeout = false)

@@ -3,7 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 import graft.Tables
+import graft.core.{ArrayKind, ArraySchema, AttributeSpec, DimensionSpec}
+import graft.sources.GraftArray
 import graft.streaming.EventPipeline
 
 /** Event-stream operators. st1 runs a REAL micro-batch Structured
@@ -20,6 +23,35 @@ object StreamOps {
     "st1_stream_windowed" -> ((s, d) =>
       EventPipeline.runStreamingWindowed(s, d)
         .orderBy("win_start_us", "event_type")),
+
+    // Streaming SOURCE over an array: tail the fragment timeline with
+    // a real readStream (memory sink, processAllAvailable). Two
+    // fragments incl. an upsert — the stream delivers BOTH versions
+    // (CDC semantics), the oracle states the expected event log.
+    "st3_stream_tail" -> ((s, d) => {
+      val uri = java.nio.file.Files
+        .createTempDirectory("graft_st3").toString + "/arr"
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("n_nationkey", IntegerType)),
+        Seq(AttributeSpec("n_name", StringType),
+          AttributeSpec("n_regionkey", IntegerType)))
+      GraftArray.create(s, uri, sch)
+      val nation = Tables.load(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      GraftArray.write(s, uri, nation)
+      // upsert: region flipped to -1 for the first 5 nations
+      GraftArray.write(s, uri, nation.filter(col("n_nationkey") < 5)
+        .withColumn("n_regionkey", lit(-1)))
+      val name = "graft_st3_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.format("graftarray").option("path", uri).load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey", "n_regionkey")
+    }),
 
     // Sessionization: session breaks at >30 min inactivity per user.
     "st2_sessions" -> ((s, d) => {
@@ -47,6 +79,12 @@ object StreamOps {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    "st3_stream_tail" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         UNION ALL
+         SELECT n_nationkey, n_name, -1 AS n_regionkey FROM nation
+         WHERE n_nationkey < 5
+         ORDER BY n_nationkey, n_regionkey""",
     "st2_sessions" ->
       """WITH raw AS (
            SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

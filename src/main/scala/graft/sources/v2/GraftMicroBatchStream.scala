@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 import graft.core.ArraySchema
@@ -46,7 +46,14 @@ class GraftMicroBatchStream(
     uri: String,
     schema: ArraySchema,
     requiredStruct: StructType,
-    preds: Seq[Pred]) extends MicroBatchStream {
+    preds: Seq[Pred],
+    /** Admission-control defaults from read options: cap a micro-batch
+      * at N fragments / N rows (manifest row counts — no data I/O).
+      * Tailing an array with a deep backlog (100k fragments at scale)
+      * must not plan one giant first batch. */
+    maxFragsPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private val store = GraftArray.store(spark, uri)
   private val constraints = PredicateSupport.dimConstraints(preds, schema)
@@ -71,9 +78,60 @@ class GraftMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
 
-  override def latestOffset(): Offset = {
+  // admission-control sources are driven through
+  // latestOffset(Offset, ReadLimit); the no-arg form and
+  // reportLatestOffset both surface the true head for progress
+  override def latestOffset(): Offset = reportLatestOffset()
+
+  override def reportLatestOffset(): Offset = {
     val frags = store.listFragments()
     GraftOffset(if (frags.isEmpty) 0L else frags.map(_.timestamp).max)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    (maxFragsPerTrigger, maxRowsPerTrigger) match {
+      case (Some(f), Some(r)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxRows(r)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  /** Admit fragments (commit-timestamp order) until a cap is hit; at
+    * least one fragment is always admitted so the stream progresses
+    * (file-source semantics — a cap smaller than the next fragment
+    * delays, never deadlocks). The offset is the last admitted
+    * fragment's timestamp; equal-timestamp fragments (consolidation
+    * commits at an original's ts) are admitted together so an offset
+    * boundary never splits them. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[GraftOffset].ts
+    val pending = store.listFragments().filter(_.timestamp > lo)
+    if (pending.isEmpty) return GraftOffset(lo)
+    def caps(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+      case r: ReadMaxRows => (None, Some(r.maxRows()))
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.map(caps)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+      case _ => (None, None) // allAvailable / minRows → no cap
+    }
+    val (maxF, maxR) = caps(limit)
+    var admitted = 0
+    var rows = 0L
+    var hi = lo
+    val it = pending.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val f = it.next()
+      val overF = maxF.exists(m => admitted + 1 > m)
+      val overR = maxR.exists(m => rows + f.rows > m)
+      if (admitted > 0 && (overF || overR) && f.timestamp != hi) stop = true
+      else {
+        admitted += 1; rows += f.rows; hi = f.timestamp
+      }
+    }
+    GraftOffset(hi)
   }
 
   override def planInputPartitions(start: Offset, end: Offset)

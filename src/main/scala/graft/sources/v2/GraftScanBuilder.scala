@@ -34,7 +34,11 @@ class GraftScanBuilder(
     asOf: Option[Long],
     /** Disable dense fill materialization: emit WRITTEN cells only
       * (consolidation's view — fills must stay virtual). */
-    rawCells: Boolean = false)
+    rawCells: Boolean = false,
+    /** Streaming admission-control defaults (read options
+      * maxFragmentsPerTrigger / maxRowsPerTrigger). */
+    streamMaxFrags: Option[Int] = None,
+    streamMaxRows: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownV2Filters
@@ -253,7 +257,7 @@ class GraftScanBuilder(
         val constraints =
           PredicateSupport.dimConstraints(preds, schema)
         new GraftScanImpl(spark, uri, schema, frags, requiredStruct,
-          preds, constraints, limit, rawCells)
+          preds, constraints, limit, rawCells, streamMaxFrags, streamMaxRows)
     }
   }
 }
@@ -269,7 +273,9 @@ class GraftScanImpl(
     preds: Seq[Pred],
     initialConstraints: Map[String, DimConstraint],
     limit: Int = -1,
-    rawCells: Boolean = false)
+    rawCells: Boolean = false,
+    streamMaxFrags: Option[Int] = None,
+    streamMaxRows: Option[Long] = None)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -516,7 +522,8 @@ class GraftScanImpl(
     * [[GraftMicroBatchStream]] for semantics. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(spark, uri, schema, requiredStruct, preds)
+    new GraftMicroBatchStream(spark, uri, schema, requiredStruct, preds,
+      streamMaxFrags, streamMaxRows)
 
   /** Scan-wide columnar eligibility: Spark rejects scans that mix
     * row-based and columnar partitions, so the decision is made ONCE

@@ -91,7 +91,11 @@ class GraftTable(
     new GraftScanBuilder(spark, uri, project(store.loadSchema(scanAsOf)),
       store.listFragments(scanAsOf, scanSince), scanAsOf,
       rawCells = Option(options.get("graft.internal.raw_cells"))
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      streamMaxFrags =
+        Option(options.get("maxFragmentsPerTrigger")).map(_.toInt),
+      streamMaxRows =
+        Option(options.get("maxRowsPerTrigger")).map(_.toLong))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

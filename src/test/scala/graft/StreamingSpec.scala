@@ -120,6 +120,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming source admission control paces a deep backlog") {
+    // 5 backlogged fragments + maxFragmentsPerTrigger=2 → the first
+    // poll must NOT plan one giant batch; everything still arrives
+    // exactly once across ≥3 micro-batches
+    import graft.core._
+    import graft.sources.GraftArray
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val uri = java.nio.file.Files.createTempDirectory("graft_pace")
+      .toString + "/arr"
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType))))
+    for (i <- 0 until 5)
+      GraftArray.write(spark, uri,
+        Seq((i.toLong, i.toDouble)).toDF("k", "v"))
+    val name = "graft_pace_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.format("graftarray").option("path", uri)
+      .option("maxFragmentsPerTrigger", "2").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("k").as[(Long, Double)]
+        .collect().toSeq == (0 until 5).map(i => (i.toLong, i.toDouble)))
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"expected ≥3 paced batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 2))
+    } finally q.stop()
+    // row-capped variant: 5 fragments of 10 rows, 25-row cap → ≥2 batches
+    val uri2 = java.nio.file.Files.createTempDirectory("graft_pace2")
+      .toString + "/arr"
+    GraftArray.create(spark, uri2, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType))))
+    for (i <- 0 until 5)
+      GraftArray.write(spark, uri2, spark.range(i * 10L, i * 10L + 10L)
+        .select(col("id").as("k"), lit(i.toDouble).as("v")))
+    val name2 = "graft_pace2_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q2 = spark.readStream.format("graftarray").option("path", uri2)
+      .option("maxRowsPerTrigger", "25").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() == 50)
+      val batches2 = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(batches2.length >= 2 && batches2.forall(_.numInputRows <= 30),
+        batches2.map(_.numInputRows).mkString(","))
+    } finally q2.stop()
+  }
+
   test("sink-to-source composition: arrays as a streaming relay") {
     // write stream → array → read stream: the fragment timeline is the
     // exactly-once handoff between two independent streaming queries

@@ -69,11 +69,23 @@ class GraftScanBuilder(
         .orElse(GraftMetaCols.structField(n))))
 
   // ---- P2–P6: predicate pushdown -----------------------------------
+  /** Schema augmented with the provenance metadata columns (when not
+    * shadowed by user columns) so predicates on them convert:
+    * `_commit_ts > X` prunes whole FRAGMENTS from their manifest
+    * timestamps — an incremental read expressed as a plain WHERE. */
+  private val predSchema: ArraySchema = {
+    val extra = GraftMetaCols.fields.collect {
+      case (n, f) if !schema.columnNames.contains(n) =>
+        AttributeSpec(n, f.dataType)
+    }.toSeq
+    if (extra.isEmpty) schema else schema.copy(attrs = schema.attrs ++ extra)
+  }
+
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
     val accepted = predicates.filter(p =>
-      PredicateSupport.convert(p, schema).isDefined)
+      PredicateSupport.convert(p, predSchema).isDefined)
     pushed = accepted
-    preds = accepted.flatMap(PredicateSupport.convert(_, schema)).toSeq
+    preds = accepted.flatMap(PredicateSupport.convert(_, predSchema)).toSeq
     // ALL predicates are returned as residual: accepted ones still
     // drive fragment/file pruning (subarray analog) and are evaluated
     // in-reader on the row-based merge path, but Spark keeps its own
@@ -281,9 +293,60 @@ class GraftScanImpl(
 
   private var constraints = initialConstraints
 
+  /** Fragment pruning from provenance predicates: `_commit_ts` and
+    * `_frag_id` are fragment-CONSTANT, so conjunctive (AND-reachable)
+    * leaves on them eliminate whole fragments from the manifest alone
+    * — `WHERE _commit_ts > X` is an incremental read with zero I/O on
+    * older fragments. OR-subtrees never prune (same conservative rule
+    * as dim constraints). Inactive when a user column shadows the
+    * metadata name.
+    *
+    * Merge safety: the predicate's semantics are "filter the MERGED
+    * view", so pruning must never change which version wins.
+    *  - LOWER bounds (`>`, `>=`) prune only OLDER fragments — a winner
+    *    never loses to an older version, always safe.
+    *  - Upper bounds / `=` / `IN` could remove a NEWER fragment and
+    *    resurface the version it had overwritten — only safe when no
+    *    latest-wins merge can occur (allowsDups or pairwise-disjoint
+    *    fragments). Otherwise those leaves don't prune and Spark's
+    *    residual filter alone decides. */
+  private lazy val mergeFree: Boolean =
+    schema.allowsDups || allFrags.size <= 1 ||
+      FragmentPruning.pairwiseDisjoint(allFrags, schema)
+
+  private def provenanceOk(f: FragmentMeta): Boolean = {
+    import PredicateSupport._
+    def leaves(p: Pred): Seq[Pred] = p match {
+      case AndP(l, r) => leaves(l) ++ leaves(r)
+      case other => Seq(other)
+    }
+    val tsIsMeta = !schema.columnNames.contains(GraftMetaCols.CommitTs)
+    val idIsMeta = !schema.columnNames.contains(GraftMetaCols.FragId)
+    preds.flatMap(leaves).forall {
+      case Cmp(">", GraftMetaCols.CommitTs, v: Long) if tsIsMeta =>
+        f.timestamp > v
+      case Cmp(">=", GraftMetaCols.CommitTs, v: Long) if tsIsMeta =>
+        f.timestamp >= v
+      case Cmp("<", GraftMetaCols.CommitTs, v: Long)
+          if tsIsMeta && mergeFree => f.timestamp < v
+      case Cmp("<=", GraftMetaCols.CommitTs, v: Long)
+          if tsIsMeta && mergeFree => f.timestamp <= v
+      case Cmp("=", GraftMetaCols.CommitTs, v: Long)
+          if tsIsMeta && mergeFree => f.timestamp == v
+      case InSet(GraftMetaCols.CommitTs, vs)
+          if tsIsMeta && mergeFree => vs.contains(f.timestamp)
+      case Cmp("=", GraftMetaCols.FragId, v: String)
+          if idIsMeta && mergeFree => f.id == v
+      case InSet(GraftMetaCols.FragId, vs)
+          if idIsMeta && mergeFree => vs.contains(f.id)
+      case _ => true
+    }
+  }
+
   private def selectedFrags: Seq[FragmentMeta] =
     if (constraints.exists(_._2.definitelyEmpty)) Nil // empty-scan path
     else FragmentPruning.select(allFrags, schema, constraints)
+      .filter(provenanceOk)
 
   override def readSchema(): StructType = requiredStruct
 
@@ -562,7 +625,10 @@ class GraftScanImpl(
           s"array is encrypted; set ${graft.core.EncryptionKeys.ConfKey}"))),
       fillSchema = if (denseFillable) Some(schema) else None,
       columnar = columnarEligible,
-      metaCols = requiredStruct.fieldNames.toSet
+      // active metadata columns: requested OR referenced by a pushed
+      // predicate (the in-reader residual eval needs the value), never
+      // names shadowed by user columns
+      metaCols = (requiredStruct.fieldNames.toSet ++ preds.flatMap(_.refs))
         .intersect(GraftMetaCols.fields.keySet)
         .diff(schema.columnNames.toSet))
 

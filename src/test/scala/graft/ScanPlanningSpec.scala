@@ -481,6 +481,49 @@ class ScanPlanningSpec extends SparkSpec {
     assert(rows.filter(_._2 == -1L).forall(_._3.isEmpty))
   }
 
+  test("provenance predicates prune fragments only when merge-safe") {
+    def fragsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputPartitions }.flatten.collect {
+        case p: graft.sources.v2.GraftInputPartition =>
+          p.files.map(_._1.split("/frag_")(1).split("/")(0))
+      }.flatten.distinct.toSeq
+
+    // disjoint fragments (merge-free): equality prunes to one fragment
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    val t1 = GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    val t2 = GraftArray.write(spark, uri, spark.range(500, 600)
+      .select(col("id").as("k"), lit(2.0).as("v")))
+    val eq = spark.read.format("graftarray").option("path", uri).load()
+      .filter(col("_commit_ts") === t2)
+    assert(fragsOf(eq).size == 1, s"expected 1 fragment: ${fragsOf(eq)}")
+    assert(eq.count() == 100)
+    assert(eq.agg(min("k")).as[Long].head() == 500L)
+
+    // overlapping fragments (latest-wins): k 0–9 at t1, k 0–4
+    // overwritten at t2
+    val uri2 = tmp()
+    GraftArray.create(spark, uri2, sch)
+    val s1 = GraftArray.write(spark, uri2, spark.range(0, 10).coalesce(1)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    val s2 = GraftArray.write(spark, uri2, spark.range(0, 5).coalesce(1)
+      .select(col("id").as("k"), lit(2.0).as("v")))
+    val df2 = spark.read.format("graftarray").option("path", uri2).load()
+    // UPPER bound must NOT prune (it would resurface overwritten
+    // versions) — semantics are "winners committed ≤ t1" = k 5–9
+    val upper = df2.filter(col("_commit_ts") <= s1)
+    assert(fragsOf(upper).size == 2, s"unsafe prune: ${fragsOf(upper)}")
+    assert(upper.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      (5L until 10L).map((_, 1.0)))
+    // LOWER bound prunes the old fragment (always safe) = k 0–4
+    val lower = df2.filter(col("_commit_ts") >= s2)
+    assert(fragsOf(lower).size == 1, s"no prune: ${fragsOf(lower)}")
+    assert(lower.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      (0L until 5L).map((_, 2.0)))
+  }
+
   test("empty pushed range plans zero partitions (empty-scan path)") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

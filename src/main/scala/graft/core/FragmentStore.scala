@@ -13,6 +13,15 @@ import java.nio.charset.StandardCharsets
   * Time travel = filter commits by `timestamp <= asOf`
   * [ref: open_at, ha_mytile.cc:3440–3455].
   */
+object FragmentStore {
+  /** JVM-wide parsed-manifest cache keyed by absolute manifest path.
+    * Safe because manifests are write-once (tmp+rename commit, unique
+    * ts+id names); removeFragment invalidates. Sized by the metadata
+    * working set the driver holds anyway. */
+  private[core] val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FragmentMeta]()
+}
+
 class FragmentStore(uri: String, conf: Configuration) {
   private val root = new Path(uri)
   private val fs: FileSystem = root.getFileSystem(conf)
@@ -106,14 +115,23 @@ class FragmentStore(uri: String, conf: Configuration) {
   }
 
   /** Every fragment manifest, no window, no consolidation exclusion —
-    * vacuum's view of the world. */
+    * vacuum's view of the world. Listings re-read NAMES every call
+    * (freshness), but each manifest's JSON parses once per JVM: the
+    * files are immutable after the rename-in (names embed ts+id, never
+    * rewritten), so a tailing stream polling a 100k-fragment array
+    * pays one RPC-ish list per trigger, not 100k reads. */
   def listFragmentsRaw(): Seq[FragmentMeta] =
-    list(fragDir).map(p => ArraySchemaJson.fragmentFromJson(read(p)))
+    list(fragDir).map { p =>
+      FragmentStore.manifestCache.computeIfAbsent(p.toString,
+        _ => ArraySchemaJson.fragmentFromJson(read(p)))
+    }
 
   /** Delete a fragment: manifest first (the atomic visibility switch),
     * then its data directory. */
   def removeFragment(f: FragmentMeta): Unit = {
-    fs.delete(new Path(fragDir, f"${f.timestamp}%020d_${f.id}.json"), false)
+    val p = new Path(fragDir, f"${f.timestamp}%020d_${f.id}.json")
+    fs.delete(p, false)
+    FragmentStore.manifestCache.remove(p.toString)
     fs.delete(fragmentDataDir(f.id), true)
   }
 

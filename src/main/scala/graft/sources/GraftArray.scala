@@ -339,18 +339,56 @@ object GraftArray {
         .option("graft.internal.raw_cells", "true")
       since.foreach(t => r = r.option("sinceTimestamp", t.toString))
       asOf.foreach(t => r = r.option("asOfTimestamp", t.toString))
-      r.load().write.format("graftarray").option("path", uri)
-        .option("graft.internal.commit_ts", maxTs.toString)
-        .option("graft.internal.replaces", frags.map(_.id).mkString(","))
-        .option("graft.internal.origin", s"consolidate:${frags.size}")
-        .mode("append").save()
+      val df = r.load()
+      // open the maintenance window: the history-rewriting internal
+      // options are rejected on ordinary user writes
+      spark.conf.set(graft.sources.v2.GraftMaintenance.ConfFlag, "true")
+      try
+        df.write.format("graftarray").option("path", uri)
+          .option("graft.internal.commit_ts", maxTs.toString)
+          .option("graft.internal.replaces", frags.map(_.id).mkString(","))
+          .option("graft.internal.origin", s"consolidate:${frags.size}")
+          .mode("append").save()
+      finally spark.conf.unset(graft.sources.v2.GraftMaintenance.ConfFlag)
+      carryStreamLedger(spark, uri, frags)
       Some(maxTs)
     } else {
       val merged = mergedView(spark, uri, schema, frags)
       val ts = writeFragment(spark, uri, merged,
         origin = Some(s"consolidate:${frags.size}"),
         commitTs = Some(maxTs), replaces = frags.map(_.id))
+      carryStreamLedger(spark, uri, frags)
       Some(ts)
+    }
+  }
+
+  /** Consolidation absorbs fragments whose origin tags are the
+    * streaming sink's replay ledger; before vacuum can delete those
+    * manifests, promote each sink's max committed batchId into array
+    * metadata so a post-vacuum replay still recognizes it
+    * (EventPipeline.commitStreamBatch checks both layers). */
+  private def carryStreamLedger(spark: SparkSession, uri: String,
+      replaced: Seq[FragmentMeta]): Unit = {
+    val tags = replaced.flatMap(_.origin).flatMap { o =>
+      if (!o.startsWith("stream:")) None
+      else {
+        val rest = o.stripPrefix("stream:")
+        val cut = rest.lastIndexOf(':') // sinkId may itself contain ':'
+        if (cut < 0) None
+        else scala.util.Try(rest.take(cut) -> rest.drop(cut + 1).toLong)
+          .toOption
+      }
+    }
+    if (tags.nonEmpty) {
+      val st = store(spark, uri)
+      val cur = st.loadMetadata()
+      val updates = tags.groupBy(_._1).flatMap { case (sink, xs) =>
+        val hi = xs.map(_._2).max
+        val key = s"graft.stream.$sink.last_batch"
+        if (cur.get(key).exists(_.toLong >= hi)) None
+        else Some(key -> hi.toString)
+      }
+      if (updates.nonEmpty) putMetadata(spark, uri, updates)
     }
   }
 

@@ -65,12 +65,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
         if (suffix == "metadata") (n.substring(0, i), None, None, true)
         else if (suffix.contains("..")) {
-          val Array(lo, hi) = suffix.split("\\.\\.", -1)
-          (num(lo), if (hi.isEmpty) Some(None) else num(hi).map(Some(_))) match {
-            case (Some(s), Some(e)) => (n.substring(0, i), Some(s), e, false)
-            case _ => throw new IllegalArgumentException(
-              s"bad identifier suffix '@$suffix' — expected " +
-                "@<ts1>..<ts2> or @<ts1>.. (window, unix_millis)")
+          def bad() = throw new IllegalArgumentException(
+            s"bad identifier suffix '@$suffix' — expected " +
+              "@<ts1>..<ts2> or @<ts1>.. (window, unix_millis)")
+          suffix.split("\\.\\.", -1) match {
+            case Array(lo, hi) =>
+              (num(lo), if (hi.isEmpty) Some(None) else num(hi).map(Some(_))) match {
+                case (Some(s), Some(e)) => (n.substring(0, i), Some(s), e, false)
+                case _ => bad()
+              }
+            case _ => bad() // e.g. '1..2..3'
           }
         }
         else if (suffix.nonEmpty && suffix.forall(_.isDigit))

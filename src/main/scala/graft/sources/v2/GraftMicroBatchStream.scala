@@ -142,6 +142,27 @@ class GraftMicroBatchStream(
     // fragments in (lo, hi], then the same static pruning as batch
     val frags = store.listFragments(asOf = Some(hi))
       .filter(_.timestamp > lo)
+    // a consolidated fragment carries the MERGE of its originals at
+    // their max timestamp: if any original was committed at or below
+    // our consumed offset, delivering it would re-emit consumed rows.
+    // Detect from the originals' manifests (conservative once vacuum
+    // has removed them) and fail with guidance rather than silently
+    // duplicating the "exactly-once" tail.
+    if (lo > 0 && frags.exists(_.replaces.nonEmpty)) {
+      lazy val rawTs = store.listFragmentsRaw().map(f => f.id -> f.timestamp).toMap
+      frags.filter(_.replaces.nonEmpty).foreach { f =>
+        val minReplaced = f.replaces.flatMap(rawTs.get)
+        val overlapsConsumed =
+          minReplaced.isEmpty || minReplaced.min <= lo // vacuumed → unknown
+        if (overlapsConsumed) throw new IllegalStateException(
+          s"consolidated fragment ${f.id} (ts=${f.timestamp}) covers " +
+            s"history at or below this stream's consumed offset $lo — " +
+            "delivering it would duplicate consumed rows. Consolidate " +
+            "only fragments beyond the stream's committed offset " +
+            "(consolidate(since = <offset+1>)), or restart the stream " +
+            "from a fresh checkpoint.")
+      }
+    }
     val pruned =
       if (constraints.exists(_._2.definitelyEmpty)) Nil
       else graft.sources.FragmentPruning.select(frags, schema, constraints)

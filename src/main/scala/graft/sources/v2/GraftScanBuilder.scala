@@ -374,10 +374,22 @@ class GraftScanImpl(
       }
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val data = planDataPartitions()
-    if (denseFillable) (data ++ fillPartitions()).toArray else data
+  // planned-partition cache: planInputPartitions and columnarEligible
+  // both need the set; planning (overlap grouping, slab cutting,
+  // per-file MBR parsing) must run ONCE per runtime-filter state, not
+  // twice per scan
+  private var plannedCache: Array[InputPartition] = _
+
+  private def planAll(): Array[InputPartition] = {
+    if (plannedCache == null) {
+      val data = planDataPartitions()
+      plannedCache =
+        if (denseFillable) (data ++ fillPartitions()).toArray else data
+    }
+    plannedCache
   }
+
+  override def planInputPartitions(): Array[InputPartition] = planAll()
 
   /** Dense arrays with a bounded integral domain materialize fill
     * values INSIDE the scan (reference dense semantics,
@@ -600,7 +612,7 @@ class GraftScanImpl(
     !schema.encrypted && !denseFillable &&
       requiredStruct.fields.forall(f =>
         GraftColumnarPartitionReader.supported(f.dataType)) &&
-      planDataPartitions().forall {
+      planAll().forall {
         case g: GraftInputPartition =>
           !g.needDedup && g.slabLo.isEmpty && g.slabHi.isEmpty &&
             g.hashMod == 0 && g.limit < 0 &&
@@ -658,7 +670,8 @@ class GraftScanImpl(
     schema.dimNames.map(n =>
       org.apache.spark.sql.connector.expressions.Expressions.column(n)).toArray
 
-  override def filter(filters: Array[Filter]): Unit =
+  override def filter(filters: Array[Filter]): Unit = {
+    plannedCache = null // runtime filters narrow the partition set
     filters.foreach {
       case EqualTo(c, v) if schema.dimNames.contains(c) =>
         val dt = schema.dataTypeOf(c)
@@ -672,6 +685,7 @@ class GraftScanImpl(
           cur.andPoints(vs.toSeq.map(TypedValue.normalize(dt, _))))
       case _ => ()
     }
+  }
 }
 
 class GraftAggScan(values: Seq[Any], schema: StructType) extends Scan {

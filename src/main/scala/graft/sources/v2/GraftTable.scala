@@ -119,9 +119,23 @@ class GraftWriteBuilder(
       val in = info.schema().fieldNames.toSeq
       require(in.sorted == schema.columnNames.sorted,
         s"schema mismatch: $in vs ${schema.columnNames}")
-      // consolidation hooks (trusted internal options, not user DDL):
-      // commit the fragment at an explicit timestamp superseding others
+      // consolidation hooks: commit the fragment at an explicit
+      // timestamp superseding others. These can REWRITE HISTORY (mark
+      // live fragments superseded → vacuum deletes them), so they are
+      // honored only inside a maintenance window opened by
+      // GraftArray.consolidate (session conf flag) — a stray user
+      // write carrying them fails loudly instead of silently hiding
+      // live data
       val opts = info.options()
+      val internal = Seq("graft.internal.commit_ts",
+        "graft.internal.replaces", "graft.internal.origin")
+        .filter(opts.containsKey)
+      if (internal.nonEmpty && !spark.conf
+          .getOption(GraftMaintenance.ConfFlag).exists(_.toBoolean))
+        throw new IllegalArgumentException(
+          s"${internal.mkString(", ")} are maintenance-internal write " +
+            "options (set by consolidation); they are not accepted on " +
+            "user writes")
       new GraftBatchWrite(spark, uri, schema, info.schema(),
         commitTs = Option(opts.get("graft.internal.commit_ts")).map(_.toLong),
         replaces = Option(opts.get("graft.internal.replaces"))
@@ -129,6 +143,12 @@ class GraftWriteBuilder(
         origin = Option(opts.get("graft.internal.origin")))
     }
   }
+}
+
+/** Maintenance-window flag: consolidation sets it around its DSv2
+  * write so the history-rewriting internal options are accepted. */
+object GraftMaintenance {
+  val ConfFlag = "spark.graft.internal.maintenance"
 }
 
 /** The scan-side metadata column surface. Values are file-constant on

@@ -89,17 +89,31 @@ object EventPipeline {
       .start()
 
   /** One micro-batch commit (factored out so replay semantics are
-    * directly testable). Returns true iff a fragment was written. */
+    * directly testable). Returns true iff a fragment was written.
+    *
+    * The replay ledger is two-layered so it survives maintenance:
+    * the fragment's own origin tag (atomic with the data commit,
+    * checked against RAW manifests — consolidation hides superseded
+    * fragments from normal listings), plus a per-sink high-water
+    * batchId in array metadata written after the commit and carried
+    * forward by consolidation before vacuum can erase the tags.
+    * BatchIds are per-checkpoint monotonic: a query restarted with a
+    * FRESH checkpoint must use a fresh sinkId. */
   def commitStreamBatch(batch: DataFrame, uri: String,
       sinkId: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
     val tag = s"stream:$sinkId:$batchId"
-    val replayed = graft.sources.GraftArray.fragments(spark, uri)
-      .exists(_.origin.contains(tag))
+    val st = graft.sources.GraftArray.store(spark, uri)
+    val metaKey = s"graft.stream.$sinkId.last_batch"
+    val replayed =
+      st.loadMetadata().get(metaKey).exists(h => batchId <= h.toLong) ||
+        st.listFragmentsRaw().exists(_.origin.contains(tag))
     // empty micro-batches commit nothing (no empty fragments)
     if (replayed || batch.isEmpty) false
     else {
       graft.sources.GraftArray.write(spark, uri, batch, origin = Some(tag))
+      graft.sources.GraftArray.putMetadata(spark, uri,
+        Map(metaKey -> batchId.toString))
       true
     }
   }

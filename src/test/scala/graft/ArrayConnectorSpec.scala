@@ -156,13 +156,18 @@ class ArrayConnectorSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 1L), (2L, 2L)))
     assert(spark.sql(s"SELECT * FROM $cat.`w@$tb..`")
       .as[(Long, Long)].collect().toSeq.sorted == Seq((2L, 2L), (3L, 3L)))
-    // malformed window suffix fails with a clear message
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $cat.`w@x..$tb`").collect()
-    }
+    // malformed window suffixes fail with a clear message — including
+    // the extra-separator case ('1..2..3'), which must not escape as
+    // a bare MatchError
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("window")), msgs(e).mkString(" | "))
+    for (badSuffix <- Seq(s"x..$tb", s"$ta..$tb..$tb")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.`w@$badSuffix`").collect()
+      }
+      assert(msgs(e).exists(_.contains("window")),
+        s"@$badSuffix: ${msgs(e).mkString(" | ")}")
+    }
   }
 
   test("null dimension rejected on write") {

@@ -202,6 +202,28 @@ class ConsolidationSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == edBefore)
   }
 
+  test("history-rewriting internal write options are rejected on user writes") {
+    // graft.internal.replaces could mark live fragments superseded
+    // (vacuum would delete their data) — only consolidation's
+    // maintenance window may carry it
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri, Seq((1L, 1.0)).toDF("k", "v"))
+    val victim = GraftArray.fragments(spark, uri).head.id
+    val e = intercept[Exception] {
+      Seq((2L, 2.0)).toDF("k", "v")
+        .write.format("graftarray").option("path", uri)
+        .option("graft.internal.replaces", victim)
+        .mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maintenance")), msgs(e).mkString(" | "))
+    // nothing was hidden or written
+    assert(GraftArray.fragments(spark, uri).map(_.id) == Seq(victim))
+    assert(read(uri).count() == 1)
+  }
+
   test("CALL cat.consolidate / cat.vacuum procedures") {
     val wh = java.nio.file.Files.createTempDirectory("graft_proc").toString
     val cat = "gp" + scala.util.Random.alphanumeric.take(4).mkString

@@ -120,6 +120,97 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink replay ledger survives consolidation and vacuum") {
+    // consolidation hides the origin-tagged fragments and vacuum
+    // deletes them — the per-sink high-water in array metadata must
+    // keep replays idempotent anyway
+    import graft.core._
+    import graft.sources.GraftArray
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val uri = java.nio.file.Files.createTempDirectory("graft_ledger")
+      .toString + "/arr"
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType)), allowsDups = true))
+    assert(EventPipeline.commitStreamBatch(
+      Seq((1L, 1.0)).toDF("k", "v"), uri, "s", 0L))
+    assert(EventPipeline.commitStreamBatch(
+      Seq((2L, 2.0)).toDF("k", "v"), uri, "s", 1L))
+    assert(GraftArray.consolidate(spark, uri).isDefined)
+    assert(GraftArray.vacuum(spark, uri) == 2) // origin tags erased
+    // post-vacuum replay of either committed batch is still a no-op
+    assert(!EventPipeline.commitStreamBatch(
+      Seq((1L, 1.0)).toDF("k", "v"), uri, "s", 0L))
+    assert(!EventPipeline.commitStreamBatch(
+      Seq((2L, 2.0)).toDF("k", "v"), uri, "s", 1L))
+    assert(spark.read.format("graftarray").option("path", uri).load()
+      .count() == 2)
+    // genuinely new batches still commit
+    assert(EventPipeline.commitStreamBatch(
+      Seq((3L, 3.0)).toDF("k", "v"), uri, "s", 2L))
+  }
+
+  test("mid-backlog consolidation fails the stream instead of duplicating") {
+    import graft.core._
+    import graft.sources.GraftArray
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def mk(): String = {
+      val uri = java.nio.file.Files.createTempDirectory("graft_midc")
+        .toString + "/arr"
+      GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("k", LongType)),
+        Seq(AttributeSpec("v", DoubleType))))
+      uri
+    }
+    // UNSAFE: consolidation window overlaps consumed history → error.
+    // Stop the stream first (checkpointed offset survives) so the
+    // consolidation deterministically covers CONSUMED fragments.
+    val uri = mk()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_midc_ck")
+      .toString
+    GraftArray.write(spark, uri, Seq((1L, 1.0)).toDF("k", "v"))
+    GraftArray.write(spark, uri, Seq((2L, 2.0)).toDF("k", "v"))
+    // parquet sink: fault-tolerant, so the restart genuinely resumes
+    // from the checkpointed offset (the memory sink cannot recover)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_midc_out")
+      .toString
+    val q = spark.readStream.format("graftarray").option("path", uri)
+      .load().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sinkDir).start()
+    try { q.processAllAvailable() } finally q.stop() // consumed 2 frags
+    GraftArray.write(spark, uri, Seq((3L, 3.0)).toDF("k", "v"))
+    GraftArray.consolidate(spark, uri) // replaces CONSUMED fragments
+    val qRestart = spark.readStream.format("graftarray").option("path", uri)
+      .load().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sinkDir).start()
+    val e = intercept[Exception] {
+      try qRestart.processAllAvailable() finally qRestart.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("consumed offset")),
+      msgs(e).mkString(" | "))
+    // SAFE: consolidating only beyond the consumed offset streams on
+    val uri2 = mk()
+    GraftArray.write(spark, uri2, Seq((1L, 1.0)).toDF("k", "v"))
+    val name2 = "graft_midc2_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q2 = spark.readStream.format("graftarray").option("path", uri2)
+      .load().writeStream.outputMode("append")
+      .format("memory").queryName(name2).start()
+    try {
+      q2.processAllAvailable()
+      val t3 = GraftArray.write(spark, uri2, Seq((3L, 3.0)).toDF("k", "v"))
+      GraftArray.write(spark, uri2, Seq((4L, 4.0)).toDF("k", "v"))
+      assert(GraftArray.consolidate(spark, uri2, since = Some(t3)).isDefined)
+      q2.processAllAvailable()
+      assert(spark.table(name2).orderBy("k").as[(Long, Double)]
+        .collect().toSeq == Seq((1L, 1.0), (3L, 3.0), (4L, 4.0)))
+    } finally q2.stop()
+  }
+
   test("streaming source admission control paces a deep backlog") {
     // 5 backlogged fragments + maxFragmentsPerTrigger=2 → the first
     // poll must NOT plan one giant batch; everything still arrives

@@ -190,7 +190,14 @@ case class FragmentMeta(
       * reclaimed by vacuum. The single manifest create is the atomic
       * switch-over — readers see either the originals or the
       * consolidated fragment, never both. */
-    replaces: Seq[String] = Nil)
+    replaces: Seq[String] = Nil,
+    /** Tombstone (delete-condition) fragment: a PredJson-serialized
+      * predicate masking matching CELLS of every fragment committed
+      * BEFORE this one (the storage model's delete conditions —
+      * versions written after the delete are untouched; time travel
+      * below this timestamp still sees the rows). Tombstones carry no
+      * data files. */
+    deletePred: Option[String] = None)
 
 object ArraySchemaJson {
   private val M = new ObjectMapper()
@@ -274,6 +281,7 @@ object ArraySchemaJson {
     root.put("id", f.id); root.put("timestamp", f.timestamp)
     root.put("rows", f.rows)
     f.origin.foreach(root.put("origin", _))
+    f.deletePred.foreach(root.put("deletePred", _))
     if (f.replaces.nonEmpty) {
       val rep = root.putArray("replaces"); f.replaces.foreach(rep.add)
     }
@@ -310,7 +318,9 @@ object ArraySchemaJson {
       replaces =
         if (r.has("replaces"))
           r.get("replaces").elements().asScala.map(_.asText).toSeq
-        else Nil)
+        else Nil,
+      deletePred =
+        if (r.has("deletePred")) Some(r.get("deletePred").asText) else None)
   }
 
   def metaToJson(kv: Map[String, String]): String = {

@@ -150,6 +150,31 @@ object ArrayOps {
         .orderBy("c_custkey")
     }),
 
+    // DELETE FROM via delete-condition tombstones (the storage model's
+    // delete queries; the reference plugin is INSERT-only — additive):
+    // a tombstone masks matching cells of EARLIER fragments only, so
+    // rows re-inserted after the delete survive (latest-wins + delete
+    // ordering is the manifest timeline).
+    "arr20_delete" -> ((s, d) => {
+      val wh = freshUri("del").stripSuffix("/arr")
+      val cat = "gdel" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.ord (o_orderkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES('graft.dimensions'='o_orderkey')""")
+      Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .writeTo(s"$cat.ord").append()
+      s.sql(s"DELETE FROM $cat.ord WHERE o_totalprice < 50000.0")
+      // re-insert after the delete: these rows survive it
+      Tables.load(s, d, "orders").filter(col("o_orderkey") <= 100L)
+        .select(col("o_orderkey"), lit(1.23).as("o_totalprice"))
+        .writeTo(s"$cat.ord").append()
+      s.table(s"$cat.ord")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Fragment-provenance metadata columns (_frag_id/_commit_ts via
     // SupportsMetadataColumns): after an upsert, per-fragment row
     // counts and sums — fragment 1 keeps the rows the upsert did NOT
@@ -504,6 +529,13 @@ object ArrayOps {
                     WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
                     ELSE c_acctbal END, 2) AS bal
          FROM customer ORDER BY c_custkey""",
+    "arr20_delete" ->
+      """SELECT o_orderkey, round(p, 2) AS price FROM (
+           SELECT o_orderkey, 1.23 AS p FROM orders WHERE o_orderkey <= 100
+           UNION ALL
+           SELECT o_orderkey, o_totalprice AS p FROM orders
+           WHERE o_orderkey > 100 AND o_totalprice >= 50000.0)
+         ORDER BY o_orderkey""",
     "arr19_provenance" ->
       """SELECT 1::BIGINT AS src,
            count(*) FILTER (WHERE c_custkey % 10 <> 0)::BIGINT AS n,

@@ -252,6 +252,16 @@ object GraftArray {
     require(!schema.encrypted, "encrypted arrays read through the DSv2 " +
       "path only (spark.read.format(\"graftarray\") or the graft catalog)")
     val frags = st.listFragments(asOf, since)
+    // delete-condition tombstones need per-cell masking — that lives
+    // in the DSv2 readers, so tombstone-bearing arrays route there
+    if (frags.exists(_.deletePred.isDefined)) {
+      var r = spark.read.format("graftarray").option("path", uri)
+      asOf.foreach(t => r = r.option("asOfTimestamp", t.toString))
+      since.foreach(t => r = r.option("sinceTimestamp", t.toString))
+      if (!materializeFills && schema.kind == ArrayKind.Dense)
+        r = r.option("graft.internal.raw_cells", "true")
+      return r.load()
+    }
     val deduped = mergedView(spark, uri, schema, frags)
     if (materializeFills && schema.kind == ArrayKind.Dense)
       materializeDense(spark, schema, deduped)
@@ -327,39 +337,48 @@ object GraftArray {
     val st = store(spark, uri)
     val schema = st.loadSchema(asOf)
     val frags = st.listFragments(asOf, since)
-    if (frags.size < 2) return None
+    val dataN = frags.count(_.deletePred.isEmpty)
+    // worth doing iff there is a merge (≥2 data fragments) or a delete
+    // to apply physically (data + tombstone)
+    if (dataN == 0 || frags.size < 2) return None
     val maxTs = frags.map(_.timestamp).max
+    // Windowed consolidation must NOT absorb tombstones: an in-window
+    // tombstone also masks PRE-window fragments, and hiding it would
+    // unmask them. Full consolidation (no since) replaces every
+    // visible fragment, so nothing older remains to unmask. The
+    // merged fragment commits at maxTs ≥ every in-window tombstone's
+    // timestamp, so surviving tombstones never re-mask it.
+    val replaced =
+      if (since.isDefined) frags.filter(_.deletePred.isEmpty) else frags
+    // the DSv2 scan applies latest-wins AND tombstone masking;
+    // raw_cells keeps dense fills virtual (written cells only)
+    var r = spark.read.format("graftarray").option("path", uri)
+      .option("graft.internal.raw_cells", "true")
+    since.foreach(t => r = r.option("sinceTimestamp", t.toString))
+    asOf.foreach(t => r = r.option("asOfTimestamp", t.toString))
+    val merged = r.load()
+    val origin = s"consolidate:${replaced.size}"
     if (schema.encrypted) {
-      // encrypted data round-trips through the DSv2 path only: the
-      // windowed DSv2 scan decrypts + merges, and the DSv2 writer
-      // re-encrypts; the consolidation hooks ride as internal write
-      // options. The session must hold the key for both halves.
-      // raw_cells keeps dense fills virtual (written cells only).
-      var r = spark.read.format("graftarray").option("path", uri)
-        .option("graft.internal.raw_cells", "true")
-      since.foreach(t => r = r.option("sinceTimestamp", t.toString))
-      asOf.foreach(t => r = r.option("asOfTimestamp", t.toString))
-      val df = r.load()
-      // open the maintenance window: the history-rewriting internal
-      // options are rejected on ordinary user writes
+      // encrypted data round-trips through the DSv2 writer only (it
+      // re-encrypts); the consolidation hooks ride as internal write
+      // options inside the maintenance window — rejected on ordinary
+      // user writes. The session must hold the key for both halves.
       spark.conf.set(graft.sources.v2.GraftMaintenance.ConfFlag, "true")
       try
-        df.write.format("graftarray").option("path", uri)
+        merged.write.format("graftarray").option("path", uri)
           .option("graft.internal.commit_ts", maxTs.toString)
-          .option("graft.internal.replaces", frags.map(_.id).mkString(","))
-          .option("graft.internal.origin", s"consolidate:${frags.size}")
+          .option("graft.internal.replaces", replaced.map(_.id).mkString(","))
+          .option("graft.internal.origin", origin)
           .mode("append").save()
       finally spark.conf.unset(graft.sources.v2.GraftMaintenance.ConfFlag)
-      carryStreamLedger(spark, uri, frags)
-      Some(maxTs)
     } else {
-      val merged = mergedView(spark, uri, schema, frags)
-      val ts = writeFragment(spark, uri, merged,
-        origin = Some(s"consolidate:${frags.size}"),
-        commitTs = Some(maxTs), replaces = frags.map(_.id))
-      carryStreamLedger(spark, uri, frags)
-      Some(ts)
+      // the convenience writer re-clusters cells (restoring per-file
+      // MBR pruning), which the DSv2 INSERT path does not
+      writeFragment(spark, uri, merged, origin = Some(origin),
+        commitTs = Some(maxTs), replaces = replaced.map(_.id))
     }
+    carryStreamLedger(spark, uri, replaced)
+    Some(maxTs)
   }
 
   /** Consolidation absorbs fragments whose origin tags are the
@@ -474,6 +493,22 @@ object GraftArray {
     * touches data files). */
   def fragments(spark: SparkSession, uri: String): Seq[FragmentMeta] =
     store(spark, uri).listFragments()
+
+  /** Commit a delete-condition tombstone: cells of every EARLIER
+    * fragment matching `pred` are masked from reads at/after this
+    * commit (time travel below it is untouched). A manifest-only
+    * commit — no data I/O; consolidation+vacuum later reclaims the
+    * masked rows physically. */
+  def commitTombstone(spark: SparkSession, uri: String,
+      pred: graft.sources.v2.PredicateSupport.Pred): Long = {
+    val st = store(spark, uri)
+    st.loadSchema() // existence check
+    val ts = now()
+    st.commitFragment(FragmentMeta(
+      java.util.UUID.randomUUID.toString.take(12), ts, Nil, 0L, Map.empty,
+      deletePred = Some(graft.sources.v2.PredJson.toJson(pred))))
+    ts
+  }
 
   private[graft] def store(spark: SparkSession, uri: String): FragmentStore =
     new FragmentStore(uri, spark.sparkContext.hadoopConfiguration)

@@ -108,17 +108,21 @@ class GraftReaderFactory(
     columnar: Boolean = false,
     /** Requested metadata columns that are NOT shadowed by user
       * columns — the only names the readers synthesize. */
-    metaCols: Set[String] = Set.empty)
+    metaCols: Set[String] = Set.empty,
+    /** Visible delete-condition tombstones (commit ts, predicate):
+      * cells of fragments OLDER than a tombstone that match its
+      * predicate are masked in-reader. */
+    tombstones: Seq[(Long, Pred)] = Nil)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case f: GraftFillPartition =>
         new GraftFillPartitionReader(f, readSchema, fillSchema.get,
-          preds, conf.value, keyHex)
+          preds, conf.value, keyHex, tombstones)
       case g: GraftInputPartition =>
         new GraftPartitionReader(g, readSchema, dimNames, preds,
-          conf.value, keyHex, metaCols)
+          conf.value, keyHex, metaCols, tombstones)
     }
 
   /** All-or-nothing per scan; see `columnar` above. When true, EVERY
@@ -278,17 +282,19 @@ class GraftPartitionReader(
     preds: Seq[Pred],
     conf: Configuration,
     keyHex: Option[String] = None,
-    metaCols: Set[String] = Set.empty) extends PartitionReader[InternalRow] {
+    metaCols: Set[String] = Set.empty,
+    tombstones: Seq[(Long, Pred)] = Nil) extends PartitionReader[InternalRow] {
 
   private def hasSlab: Boolean = part.slabLo.isDefined || part.slabHi.isDefined
   private def hasHash: Boolean = part.hashMod > 0
 
   // columns physically read = requested ∪ merge dims ∪ predicate refs
+  // ∪ tombstone-predicate refs (masking evaluates them per cell)
   // (reference always reads dims, ha_mytile.cc:3013–3021)
   private val readCols: Seq[StructField] = {
     val extra =
       (if (part.needDedup || hasSlab || hasHash) dimNames else Nil) ++
-        preds.flatMap(_.refs)
+        preds.flatMap(_.refs) ++ tombstones.flatMap(_._2.refs)
     readSchema.fields.toSeq ++
       extra.distinct.filterNot(readSchema.fieldNames.contains)
         .map(n => StructField(n, NullType)) // type resolved from file
@@ -316,7 +322,16 @@ class GraftPartitionReader(
   private val iter: Iterator[Array[Any]] = {
     val raw = part.files.sortBy(_._2).iterator.flatMap {
       case (file, ts) =>
-        val base = readFile(file)
+        val base0 = readFile(file)
+        // delete-condition masking BEFORE the latest-wins merge:
+        // a tombstone masks matching cells of strictly older
+        // fragments only (versions written after it are untouched)
+        val active = tombstones.collect {
+          case (tts, p) if tts > ts => p }
+        val base =
+          if (active.isEmpty) base0
+          else base0.filter(r =>
+            !active.exists(_.eval(n => r(colIdx(n)))))
         if (metaFragIdx.isEmpty && metaTsIdx.isEmpty) base
         else {
           val fid = GraftMetaCols.fragIdOf(file)
@@ -559,7 +574,11 @@ class GraftFillPartitionReader(
     schema: graft.core.ArraySchema,
     preds: Seq[Pred],
     conf: Configuration,
-    keyHex: Option[String]) extends PartitionReader[InternalRow] {
+    keyHex: Option[String],
+    /** Delete-condition tombstones: a deleted written cell reverts to
+      * FILL (it leaves the seen-set, so this partition re-emits it). */
+    tombstones: Seq[(Long, Pred)] = Nil)
+  extends PartitionReader[InternalRow] {
 
   private val dims = schema.dims
   private val nDims = dims.size
@@ -581,7 +600,8 @@ class GraftFillPartitionReader(
       val dimStruct = StructType(dims.map(d => StructField(d.name, d.dataType)))
       val inner = new GraftPartitionReader(
         GraftInputPartition(part.files, needDedup = false),
-        dimStruct, schema.dimNames, Nil, conf, keyHex)
+        dimStruct, schema.dimNames, Nil, conf, keyHex,
+        tombstones = tombstones)
       while (inner.next()) {
         val r = inner.get()
         val coords = (0 until nDims).map(coordLong(r, _))

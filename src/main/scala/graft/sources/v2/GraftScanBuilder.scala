@@ -120,6 +120,9 @@ class GraftScanBuilder(
     */
   private def tryAggregate(agg: Aggregation): Option[(Seq[Any], StructType)] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    // delete-condition tombstones mask rows the fragment statistics
+    // still count — stats cannot answer anything exactly
+    if (frags.exists(_.deletePred.isDefined)) return None
     // a fillable dense array's scan materializes fill cells, which
     // written-cell statistics know nothing about — no aggregate may
     // answer from stats (superset of the reference's COUNT gate,
@@ -346,7 +349,21 @@ class GraftScanImpl(
   private def selectedFrags: Seq[FragmentMeta] =
     if (constraints.exists(_._2.definitelyEmpty)) Nil // empty-scan path
     else FragmentPruning.select(allFrags, schema, constraints)
-      .filter(provenanceOk)
+      // tombstones are exempt from provenance pruning: a _commit_ts
+      // predicate describes data rows, and dropping a tombstone would
+      // UNMASK the rows it deletes
+      .filter(f => f.deletePred.isDefined || provenanceOk(f))
+
+  /** Data fragments (tombstones excluded) — the partition-planning
+    * view. Tombstones contribute no partitions; their predicates ship
+    * to every reader for per-cell masking. */
+  private def dataFrags: Seq[FragmentMeta] =
+    selectedFrags.filter(_.deletePred.isEmpty)
+
+  /** Visible delete-condition tombstones as (commit ts, predicate). */
+  private def tombstones: Seq[(Long, PredicateSupport.Pred)] =
+    selectedFrags.flatMap(f =>
+      f.deletePred.map(j => (f.timestamp, PredJson.fromJson(j))))
 
   override def readSchema(): StructType = requiredStruct
 
@@ -428,7 +445,7 @@ class GraftScanImpl(
   private def fillPartitions(): Seq[InputPartition] = {
     if (initialConstraints.exists(_._2.definitelyEmpty)) return Nil
     val staticFrags0 = FragmentPruning.select(allFrags, schema,
-      initialConstraints)
+      initialConstraints).filter(_.deletePred.isEmpty)
     val ranges = denseNonEmptyRanges(staticFrags0) match {
       case Some(r) => r
       case None => return Nil
@@ -469,7 +486,7 @@ class GraftScanImpl(
   }
 
   private def planDataPartitions(): Array[InputPartition] = {
-    val frags = selectedFrags
+    val frags = dataFrags
     val anyOverlap = !schema.allowsDups && frags.size > 1 &&
       !FragmentPruning.pairwiseDisjoint(frags, schema)
     if (anyOverlap) {
@@ -609,7 +626,7 @@ class GraftScanImpl(
     * ever REMOVE fragments, which cannot introduce merge partitions
     * into an overlap-free plan, so a true decision stays valid. */
   private def columnarEligible: Boolean =
-    !schema.encrypted && !denseFillable &&
+    !schema.encrypted && !denseFillable && tombstones.isEmpty &&
       requiredStruct.fields.forall(f =>
         GraftColumnarPartitionReader.supported(f.dataType)) &&
       planAll().forall {
@@ -642,7 +659,8 @@ class GraftScanImpl(
       // names shadowed by user columns
       metaCols = (requiredStruct.fieldNames.toSet ++ preds.flatMap(_.refs))
         .intersect(GraftMetaCols.fields.keySet)
-        .diff(schema.columnNames.toSet))
+        .diff(schema.columnNames.toSet),
+      tombstones = tombstones)
 
   // ---- SupportsReportStatistics [ref: records estimate §4] ---------
   override def estimateStatistics(): Statistics = new Statistics {

@@ -36,7 +36,8 @@ class GraftTable(
       * reference exposes only the end via open_at). Latest-wins
       * resolves within the window. */
     val since: Option[Long] = None) extends Table
-  with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+  with SupportsRead with SupportsWrite with SupportsMetadataColumns
+  with SupportsDeleteV2 {
 
   private lazy val store = GraftArray.store(spark, uri)
 
@@ -104,6 +105,39 @@ class GraftTable(
     require(projection.isEmpty,
       "subset tables are read-only; write through the full table")
     new GraftWriteBuilder(spark, uri, arraySchema, info)
+  }
+
+  // ---- DELETE FROM (delete-condition tombstones) --------------------
+  // The storage model's delete conditions: a tombstone fragment whose
+  // predicate masks matching cells of every EARLIER fragment. Versions
+  // written after the delete are untouched; time travel below the
+  // tombstone still sees the rows; vacuum-after-consolidation
+  // physically removes them. Additive to the reference (the MariaDB
+  // plugin is INSERT-only).
+
+  /** All predicates must be expressible in the manifest (our Pred
+    * algebra); encrypted arrays refuse — a plaintext predicate in the
+    * manifest would leak the very values the files encrypt. */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    asOf.isEmpty && since.isEmpty && projection.isEmpty &&
+      !arraySchema.encrypted &&
+      predicates.forall(p =>
+        PredicateSupport.convert(p, arraySchema).isDefined)
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    require(canDeleteWhere(predicates), "unsupported DELETE predicate")
+    val pred = predicates.flatMap(PredicateSupport.convert(_, arraySchema))
+      .reduceOption(PredicateSupport.AndP).getOrElse(PredicateSupport.TrueP)
+    GraftArray.commitTombstone(spark, uri, pred)
+  }
+
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty && since.isEmpty && projection.isEmpty,
+      "cannot truncate a view")
+    GraftArray.commitTombstone(spark, uri, PredicateSupport.TrueP)
+    true
   }
 }
 

@@ -31,7 +31,12 @@ object PredicateSupport {
       case AndP(l, r) => l.refs ++ r.refs
       case OrP(l, r) => l.refs ++ r.refs
       case NotP(p) => p.refs
+      case TrueP => Set.empty
     }
+  }
+  /** Matches every row (unconditional DELETE / TRUNCATE tombstones). */
+  case object TrueP extends Pred {
+    def eval(get: String => Any): Boolean = true
   }
   case class StartsWith(col: String, prefix: String) extends Pred {
     def eval(get: String => Any): Boolean = get(col) match {
@@ -103,6 +108,7 @@ object PredicateSupport {
     case g: V2Predicate =>
       val ch = g.children()
       g.name() match {
+        case "ALWAYS_TRUE" => Some(TrueP)
         case "IS_NULL" | "IS_NOT_NULL" if ch.length == 1 =>
           fieldName(ch(0)).filter(schemaHas(schema, _))
             .map(IsNull(_, g.name() == "IS_NULL"))
@@ -211,5 +217,89 @@ object PredicateSupport {
       val out = cps.take(i) :+ next
       Some(new String(out, 0, out.length))
     }
+  }
+}
+
+/** Compact JSON codec for [[PredicateSupport.Pred]] trees so tombstone
+  * (delete-condition) predicates persist in fragment manifests and
+  * replay identically on read. Values are the storage domain
+  * (TypedValue.normalize output: Long / Double / String / Boolean /
+  * BigDecimal / bytes), each carried with a one-letter type tag. */
+object PredJson {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.databind.node.ObjectNode
+  import PredicateSupport._
+  import scala.jdk.CollectionConverters._
+
+  private val M = new ObjectMapper()
+
+  def toJson(p: Pred): String = M.writeValueAsString(node(p))
+  def fromJson(s: String): Pred = pred(M.readTree(s))
+
+  private def node(p: Pred): ObjectNode = {
+    val o = M.createObjectNode()
+    p match {
+      case Cmp(op, c, v) =>
+        o.put("k", "cmp"); o.put("op", op); o.put("c", c)
+        o.set[JsonNode]("v", valNode(v))
+      case InSet(c, vs) =>
+        o.put("k", "in"); o.put("c", c)
+        val arr = o.putArray("vs"); vs.toSeq.foreach(v => arr.add(valNode(v)))
+      case StartsWith(c, pre) =>
+        o.put("k", "sw"); o.put("c", c); o.put("p", pre)
+      case IsNull(c, n) =>
+        o.put("k", "nul"); o.put("c", c); o.put("n", n)
+      case AndP(l, r) =>
+        o.put("k", "and")
+        o.set[JsonNode]("l", node(l)); o.set[JsonNode]("r", node(r))
+      case OrP(l, r) =>
+        o.put("k", "or")
+        o.set[JsonNode]("l", node(l)); o.set[JsonNode]("r", node(r))
+      case NotP(q) => o.put("k", "not"); o.set[JsonNode]("p", node(q))
+      case TrueP => o.put("k", "true")
+    }
+    o
+  }
+
+  private def valNode(v: Any): ObjectNode = {
+    val o = M.createObjectNode()
+    v match {
+      case l: Long => o.put("t", "l"); o.put("v", l.toString)
+      case d: Double => o.put("t", "d"); o.put("v", d.toString)
+      case s: String => o.put("t", "s"); o.put("v", s)
+      case b: Boolean => o.put("t", "b"); o.put("v", b.toString)
+      case bd: BigDecimal =>
+        o.put("t", "bd"); o.put("v", bd.bigDecimal.toPlainString)
+      case bd: java.math.BigDecimal =>
+        o.put("t", "bd"); o.put("v", bd.toPlainString)
+      case a: Array[Byte] =>
+        o.put("t", "x")
+        o.put("v", java.util.Base64.getEncoder.encodeToString(a))
+      case other => throw new IllegalArgumentException(
+        s"unsupported tombstone literal type: ${other.getClass}")
+    }
+    o
+  }
+
+  private def value(n: JsonNode): Any = n.get("t").asText match {
+    case "l" => n.get("v").asText.toLong
+    case "d" => n.get("v").asText.toDouble
+    case "s" => n.get("v").asText
+    case "b" => n.get("v").asText.toBoolean
+    case "bd" => BigDecimal(n.get("v").asText)
+    case "x" => java.util.Base64.getDecoder.decode(n.get("v").asText)
+  }
+
+  private def pred(n: JsonNode): Pred = n.get("k").asText match {
+    case "cmp" =>
+      Cmp(n.get("op").asText, n.get("c").asText, value(n.get("v")))
+    case "in" => InSet(n.get("c").asText,
+      n.get("vs").elements().asScala.map(value).toSet)
+    case "sw" => StartsWith(n.get("c").asText, n.get("p").asText)
+    case "nul" => IsNull(n.get("c").asText, n.get("n").asBoolean)
+    case "and" => AndP(pred(n.get("l")), pred(n.get("r")))
+    case "or" => OrP(pred(n.get("l")), pred(n.get("r")))
+    case "not" => NotP(pred(n.get("p")))
+    case "true" => TrueP
   }
 }

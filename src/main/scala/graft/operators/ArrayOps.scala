@@ -165,7 +165,10 @@ object ArrayOps {
         TBLPROPERTIES('graft.dimensions'='o_orderkey')""")
       Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
         .writeTo(s"$cat.ord").append()
-      s.sql(s"DELETE FROM $cat.ord WHERE o_totalprice < 50000.0")
+      // SQL DELETE takes dimension predicates (exact row semantics on
+      // the latest-wins view; attribute conditions go through
+      // GraftArray.commitTombstone — DeleteSpec)
+      s.sql(s"DELETE FROM $cat.ord WHERE o_orderkey >= 2000")
       // re-insert after the delete: these rows survive it
       Tables.load(s, d, "orders").filter(col("o_orderkey") <= 100L)
         .select(col("o_orderkey"), lit(1.23).as("o_totalprice"))
@@ -534,7 +537,7 @@ object ArrayOps {
            SELECT o_orderkey, 1.23 AS p FROM orders WHERE o_orderkey <= 100
            UNION ALL
            SELECT o_orderkey, o_totalprice AS p FROM orders
-           WHERE o_orderkey > 100 AND o_totalprice >= 50000.0)
+           WHERE o_orderkey > 100 AND o_orderkey < 2000)
          ORDER BY o_orderkey""",
     "arr19_provenance" ->
       """SELECT 1::BIGINT AS src,

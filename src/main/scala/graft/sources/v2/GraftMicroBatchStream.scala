@@ -35,6 +35,12 @@ case class GraftOffset(ts: Long) extends Offset {
   *    stream has already passed it, the consolidated fragment is never
   *    re-delivered; if not, the originals are hidden and the merged
   *    content is delivered once at that offset.
+  *  - Delete-condition tombstones: rows not yet consumed are delivered
+  *    post-delete (the readers mask them, tombstone set snapshotted at
+  *    reader-factory creation); rows already delivered cannot be
+  *    recalled, and no delete event is emitted — downstream state must
+  *    tolerate deletes happening "behind" the stream, or deletes
+  *    should be applied upstream of ingestion.
   *
   * Pushed predicates prune fragments/files exactly as in batch scans;
   * latest-wins does NOT apply across batches by design (every
@@ -183,7 +189,11 @@ class GraftMicroBatchStream(
             s"array is encrypted; set ${graft.core.EncryptionKeys.ConfKey}"))),
       // row path throughout: micro-batches are small by construction
       columnar = false,
-      metaCols = metaFields.map(_._1).toSet)
+      metaCols = metaFields.map(_._1).toSet,
+      // snapshot of the visible tombstones: unconsumed rows deliver
+      // post-delete (see class doc for the freshness caveat)
+      tombstones = store.listFragments().flatMap(f =>
+        f.deletePred.map(j => (f.timestamp, PredJson.fromJson(j)))))
 
   override def commit(end: Offset): Unit = () // fragments are immutable
 

@@ -346,13 +346,25 @@ class GraftScanImpl(
     }
   }
 
-  private def selectedFrags: Seq[FragmentMeta] =
-    if (constraints.exists(_._2.definitelyEmpty)) Nil // empty-scan path
-    else FragmentPruning.select(allFrags, schema, constraints)
-      // tombstones are exempt from provenance pruning: a _commit_ts
-      // predicate describes data rows, and dropping a tombstone would
-      // UNMASK the rows it deletes
-      .filter(f => f.deletePred.isDefined || provenanceOk(f))
+  // selection + tombstone parsing cached per runtime-filter state:
+  // estimateStatistics, planning, columnar eligibility and the reader
+  // factory all consult them — recomputing per call site re-filters
+  // the fragment list and re-parses predicate JSON several times per
+  // scan (invalidated in filter(), alongside plannedCache)
+  private var selectedCache: Seq[FragmentMeta] = _
+  private var tombstoneCache: Seq[(Long, PredicateSupport.Pred)] = _
+
+  private def selectedFrags: Seq[FragmentMeta] = {
+    if (selectedCache == null)
+      selectedCache =
+        if (constraints.exists(_._2.definitelyEmpty)) Nil // empty scan
+        else FragmentPruning.select(allFrags, schema, constraints)
+          // tombstones are exempt from provenance pruning: a
+          // _commit_ts predicate describes data rows, and dropping a
+          // tombstone would UNMASK the rows it deletes
+          .filter(f => f.deletePred.isDefined || provenanceOk(f))
+    selectedCache
+  }
 
   /** Data fragments (tombstones excluded) — the partition-planning
     * view. Tombstones contribute no partitions; their predicates ship
@@ -361,9 +373,12 @@ class GraftScanImpl(
     selectedFrags.filter(_.deletePred.isEmpty)
 
   /** Visible delete-condition tombstones as (commit ts, predicate). */
-  private def tombstones: Seq[(Long, PredicateSupport.Pred)] =
-    selectedFrags.flatMap(f =>
-      f.deletePred.map(j => (f.timestamp, PredJson.fromJson(j))))
+  private def tombstones: Seq[(Long, PredicateSupport.Pred)] = {
+    if (tombstoneCache == null)
+      tombstoneCache = selectedFrags.flatMap(f =>
+        f.deletePred.map(j => (f.timestamp, PredJson.fromJson(j))))
+    tombstoneCache
+  }
 
   override def readSchema(): StructType = requiredStruct
 
@@ -689,7 +704,8 @@ class GraftScanImpl(
       org.apache.spark.sql.connector.expressions.Expressions.column(n)).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
-    plannedCache = null // runtime filters narrow the partition set
+    // runtime filters narrow the partition/fragment sets
+    plannedCache = null; selectedCache = null; tombstoneCache = null
     filters.foreach {
       case EqualTo(c, v) if schema.dimNames.contains(c) =>
         val dt = schema.dataTypeOf(c)

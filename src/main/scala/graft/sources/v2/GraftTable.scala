@@ -115,19 +115,44 @@ class GraftTable(
   // physically removes them. Additive to the reference (the MariaDB
   // plugin is INSERT-only).
 
-  /** All predicates must be expressible in the manifest (our Pred
-    * algebra); encrypted arrays refuse — a plaintext predicate in the
-    * manifest would leak the very values the files encrypt. */
+  /** SQL DELETE gates — each one guards a correctness or security
+    * property:
+    *  - predicates must convert to the manifest Pred algebra;
+    *  - no NOT subtree: Pred.eval is two-valued (false on NULL), so
+    *    NOT(p) would evaluate TRUE on NULL cells and delete rows SQL
+    *    three-valued logic must keep (positive leaves are safe —
+    *    false-on-NULL means "keep", which matches SQL);
+    *  - DIMENSION columns only: dims are identical across every stored
+    *    version of a coordinate, so per-version tombstone masking
+    *    deletes exactly the visible rows. An attribute predicate could
+    *    mask the visible version while an older version survives and
+    *    resurfaces — storage-model delete-condition semantics, offered
+    *    via GraftArray.commitTombstone but not as SQL DELETE;
+    *  - encrypted arrays refuse (ALL forms incl. TRUNCATE, for
+    *    consistency): the predicate would sit in plaintext next to
+    *    the encrypted files. */
   override def canDeleteWhere(predicates: Array[
-      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
+    def noNot(p: PredicateSupport.Pred): Boolean = p match {
+      case PredicateSupport.NotP(_) => false
+      case PredicateSupport.AndP(l, r) => noNot(l) && noNot(r)
+      case PredicateSupport.OrP(l, r) => noNot(l) && noNot(r)
+      case _ => true
+    }
+    val dims = arraySchema.dimNames.toSet
     asOf.isEmpty && since.isEmpty && projection.isEmpty &&
       !arraySchema.encrypted &&
       predicates.forall(p =>
-        PredicateSupport.convert(p, arraySchema).isDefined)
+        PredicateSupport.convert(p, arraySchema).exists(c =>
+          noNot(c) && c.refs.subsetOf(dims)))
+  }
 
   override def deleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    require(canDeleteWhere(predicates), "unsupported DELETE predicate")
+    require(canDeleteWhere(predicates),
+      "unsupported DELETE predicate (dimension columns only, no NOT; " +
+        "attribute-condition deletes go through " +
+        "GraftArray.commitTombstone)")
     val pred = predicates.flatMap(PredicateSupport.convert(_, arraySchema))
       .reduceOption(PredicateSupport.AndP).getOrElse(PredicateSupport.TrueP)
     GraftArray.commitTombstone(spark, uri, pred)
@@ -136,6 +161,8 @@ class GraftTable(
   override def truncateTable(): Boolean = {
     require(asOf.isEmpty && since.isEmpty && projection.isEmpty,
       "cannot truncate a view")
+    require(!arraySchema.encrypted,
+      "TRUNCATE of encrypted arrays is not supported (DELETE parity)")
     GraftArray.commitTombstone(spark, uri, PredicateSupport.TrueP)
     true
   }

@@ -28,7 +28,7 @@ class DeleteSpec extends SparkSpec {
       |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
     spark.sql(s"INSERT INTO $cat.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
     val preDelete = GraftArray.fragments(spark, s"$wh/t").map(_.timestamp).max
-    spark.sql(s"DELETE FROM $cat.t WHERE v < 2.5")
+    spark.sql(s"DELETE FROM $cat.t WHERE k < 3")
     assert(spark.table(s"$cat.t").orderBy("k").as[(Long, Double)]
       .collect().toSeq == Seq((3L, 3.0)))
     // the tombstone is manifest-only: no data files
@@ -136,6 +136,89 @@ class DeleteSpec extends SparkSpec {
     assert(GraftArray.fragments(spark, uri).exists(_.deletePred.isDefined))
     assert(spark.read.format("graftarray").option("path", uri).load()
       .orderBy("k").as[(Long, Double)].collect().toSeq == before)
+  }
+
+  test("SQL DELETE rejects attribute and NOT predicates (exactness gates)") {
+    // attribute predicate: per-version masking could resurrect an
+    // older version of an upserted coordinate — SQL DELETE must not
+    val (cat, wh) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.g (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.g VALUES (1, 10.0)")
+    spark.sql(s"INSERT INTO $cat.g VALUES (1, 20.0)") // upsert
+    val e1 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.g WHERE v = 20.0")
+    }
+    assert(e1 != null)
+    assert(spark.table(s"$cat.g").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 20.0)))
+    // NOT predicate: two-valued eval would delete NULL rows SQL keeps
+    val e2 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.g WHERE k NOT IN (1, 2)")
+    }
+    assert(e2 != null)
+    // the storage-model API documents the per-version semantics: the
+    // attribute delete masks the visible v=20 version and the older
+    // v=10 version resurfaces (delete-condition behavior, NOT SQL row
+    // deletion — which is exactly why the SQL gate above exists)
+    GraftArray.commitTombstone(spark, s"$wh/g",
+      PredicateSupport.Cmp("=", "v", 20.0))
+    assert(spark.table(s"$cat.g").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0)))
+    // unknown columns rejected at commit, not silently no-op'd
+    val e3 = intercept[IllegalArgumentException] {
+      GraftArray.commitTombstone(spark, s"$wh/g",
+        PredicateSupport.Cmp("=", "nope", 1L))
+    }
+    assert(e3.getMessage.contains("unknown"))
+  }
+
+  test("full consolidation reclaims tombstone-only arrays") {
+    val uri = java.nio.file.Files.createTempDirectory("graft_dto")
+      .toString + "/arr"
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType))))
+    GraftArray.write(spark, uri, Seq((1L, 1.0)).toDF("k", "v"))
+    spark.read.format("graftarray").option("path", uri).load() // warm
+    GraftArray.commitTombstone(spark, uri, PredicateSupport.TrueP)
+    assert(spark.read.format("graftarray").option("path", uri).load()
+      .count() == 0)
+    // data fragment + tombstone consolidate into one empty fragment
+    assert(GraftArray.consolidate(spark, uri).isDefined)
+    assert(GraftArray.vacuum(spark, uri) == 2)
+    val left = GraftArray.fragments(spark, uri)
+    assert(left.size == 1 && left.head.deletePred.isEmpty
+      && left.head.rows == 0, left)
+    assert(spark.read.format("graftarray").option("path", uri).load()
+      .count() == 0)
+    // and the array is still writable afterwards
+    GraftArray.write(spark, uri, Seq((9L, 9.0)).toDF("k", "v"))
+    assert(spark.read.format("graftarray").option("path", uri).load()
+      .count() == 1)
+  }
+
+  test("streaming source masks deleted rows not yet consumed") {
+    val uri = java.nio.file.Files.createTempDirectory("graft_dstr")
+      .toString + "/arr"
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("v", DoubleType))))
+    GraftArray.write(spark, uri,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v"))
+    GraftArray.commitTombstone(spark, uri,
+      PredicateSupport.Cmp("<", "k", 3L))
+    val name = "graft_dstr_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.format("graftarray").option("path", uri)
+      .load().writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // the backlog delivers post-delete: k<3 never reaches the sink
+      assert(spark.table(name).orderBy("k").as[(Long, Double)]
+        .collect().toSeq == Seq((3L, 3.0)))
+    } finally q.stop()
   }
 
   test("DELETE on encrypted arrays is refused (plaintext predicate leak)") {

@@ -243,5 +243,12 @@ class ConsolidationSpec extends SparkSpec {
     assert(n.head.getInt(0) == 2)
     // consolidating a single fragment returns NULL
     assert(spark.sql(s"CALL $cat.consolidate('t')").collect().head.isNullAt(0))
+    // discovery surface: SHOW PROCEDURES lists both, DESCRIBE resolves
+    val shown = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
+      .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
+    assert(shown.contains("consolidate") && shown.contains("vacuum"), shown)
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.vacuum").collect()
+      .map(_.toSeq.mkString(" ")).mkString("\n")
+    assert(desc.contains("vacuum"), desc)
   }
 }

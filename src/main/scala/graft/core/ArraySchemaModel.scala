@@ -197,7 +197,14 @@ case class FragmentMeta(
       * versions written after the delete are untouched; time travel
       * below this timestamp still sees the rows). Tombstones carry no
       * data files. */
-    deletePred: Option[String] = None)
+    deletePred: Option[String] = None,
+    /** Row-level (MERGE/UPDATE/DELETE) coordinate deletes: parquet
+      * files of DIMENSION tuples, relative to the table URI. Versions
+      * of these coordinates committed BEFORE this fragment are masked;
+      * this fragment's own `files` (the updated/inserted versions)
+      * are not. Riding the same manifest as the data files makes the
+      * whole row-level operation one atomic commit. */
+    deleteCoordFiles: Seq[String] = Nil)
 
 object ArraySchemaJson {
   private val M = new ObjectMapper()
@@ -282,6 +289,10 @@ object ArraySchemaJson {
     root.put("rows", f.rows)
     f.origin.foreach(root.put("origin", _))
     f.deletePred.foreach(root.put("deletePred", _))
+    if (f.deleteCoordFiles.nonEmpty) {
+      val dcf = root.putArray("deleteCoordFiles")
+      f.deleteCoordFiles.foreach(dcf.add)
+    }
     if (f.replaces.nonEmpty) {
       val rep = root.putArray("replaces"); f.replaces.foreach(rep.add)
     }
@@ -320,7 +331,11 @@ object ArraySchemaJson {
           r.get("replaces").elements().asScala.map(_.asText).toSeq
         else Nil,
       deletePred =
-        if (r.has("deletePred")) Some(r.get("deletePred").asText) else None)
+        if (r.has("deletePred")) Some(r.get("deletePred").asText) else None,
+      deleteCoordFiles =
+        if (r.has("deleteCoordFiles"))
+          r.get("deleteCoordFiles").elements().asScala.map(_.asText).toSeq
+        else Nil)
   }
 
   def metaToJson(kv: Map[String, String]): String = {

@@ -178,6 +178,42 @@ object ArrayOps {
         .orderBy("o_orderkey")
     }),
 
+    // Row-level UPDATE + MERGE via the delta rewrite (SupportsDelta):
+    // updates are upserted versions, MERGE's delete branch writes
+    // coordinate files in the same atomic fragment commit. Additive —
+    // the reference plugin is INSERT-only.
+    "arr21_update_merge" -> ((s, d) => {
+      val wh = freshUri("rl").stripSuffix("/arr")
+      val cat = "grl" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.cust (c_custkey BIGINT, c_acctbal DOUBLE)
+        TBLPROPERTIES('graft.dimensions'='c_custkey')""")
+      Tables.load(s, d, "customer").select("c_custkey", "c_acctbal")
+        .writeTo(s"$cat.cust").append()
+      s.sql(s"UPDATE $cat.cust SET c_acctbal = c_acctbal + 100.0 " +
+        "WHERE c_custkey % 7 = 0")
+      val src = "rl_src_" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") <= 50L)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 2 === 0, -1.0).otherwise(55.5).as("nv"))
+        .union(s.createDataFrame(Seq((1000001L, 1.0), (1000002L, 2.0)))
+          .toDF("k", "nv"))
+        .createOrReplaceTempView(src)
+      s.sql(
+        s"""MERGE INTO $cat.cust t USING $src ON t.c_custkey = $src.k
+           |WHEN MATCHED AND $src.nv < 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = $src.nv
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
+           |  VALUES ($src.k, $src.nv)""".stripMargin)
+      s.table(s"$cat.cust")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     // Fragment-provenance metadata columns (_frag_id/_commit_ts via
     // SupportsMetadataColumns): after an upsert, per-fragment row
     // counts and sums — fragment 1 keeps the rows the upsert did NOT
@@ -539,6 +575,19 @@ object ArrayOps {
            SELECT o_orderkey, o_totalprice AS p FROM orders
            WHERE o_orderkey > 100 AND o_orderkey < 2000)
          ORDER BY o_orderkey""",
+    "arr21_update_merge" ->
+      """WITH upd AS (
+           SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS bal
+           FROM customer),
+         merged AS (
+           SELECT k,
+             CASE WHEN k <= 50 AND k % 2 <> 0 THEN 55.5 ELSE bal END AS bal
+           FROM upd WHERE NOT (k <= 50 AND k % 2 = 0)
+           UNION ALL SELECT 1000001, 1.0 UNION ALL SELECT 1000002, 2.0)
+       SELECT k AS c_custkey, round(bal, 2) AS bal FROM merged
+       ORDER BY c_custkey""",
     "arr19_provenance" ->
       """SELECT 1::BIGINT AS src,
            count(*) FILTER (WHERE c_custkey % 10 <> 0)::BIGINT AS n,

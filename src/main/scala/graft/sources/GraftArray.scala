@@ -252,9 +252,10 @@ object GraftArray {
     require(!schema.encrypted, "encrypted arrays read through the DSv2 " +
       "path only (spark.read.format(\"graftarray\") or the graft catalog)")
     val frags = st.listFragments(asOf, since)
-    // delete-condition tombstones need per-cell masking — that lives
-    // in the DSv2 readers, so tombstone-bearing arrays route there
-    if (frags.exists(_.deletePred.isDefined)) {
+    // delete tombstones need per-cell masking — that lives in the
+    // DSv2 readers, so tombstone-bearing arrays route there
+    if (frags.exists(f =>
+      f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty)) {
       var r = spark.read.format("graftarray").option("path", uri)
       asOf.foreach(t => r = r.option("asOfTimestamp", t.toString))
       since.foreach(t => r = r.option("sinceTimestamp", t.toString))
@@ -337,12 +338,20 @@ object GraftArray {
     val st = store(spark, uri)
     val schema = st.loadSchema(asOf)
     val frags = st.listFragments(asOf, since)
-    val dataN = frags.count(_.deletePred.isEmpty)
+    def isTomb(f: FragmentMeta) =
+      f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty
+    val dataN = frags.count(!isTomb(_))
     // worth doing iff there is a merge (≥2 data fragments), a delete
     // to apply physically, or (full only) pure tombstones to reclaim
-    val anyTomb = frags.exists(_.deletePred.isDefined)
+    val anyTomb = frags.exists(isTomb)
     if (frags.isEmpty || (dataN < 2 && !anyTomb)) return None
     if (dataN == 0 && since.isDefined) return None // tombstone-only window
+    // a windowed merge cannot absorb a coordinate-delete fragment
+    // (its tombstone masks pre-window rows) but also cannot leave it
+    // out of the merge (its DATA files would then surface twice) —
+    // full consolidation handles these
+    if (since.isDefined && frags.exists(_.deleteCoordFiles.nonEmpty))
+      return None
     val maxTs = frags.map(_.timestamp).max
     // Windowed consolidation must NOT absorb tombstones: an in-window
     // tombstone also masks PRE-window fragments, and hiding it would
@@ -353,7 +362,7 @@ object GraftArray {
     // The merged fragment commits at maxTs ≥ every in-window
     // tombstone's timestamp, so surviving tombstones never re-mask it.
     val replaced =
-      if (since.isDefined) frags.filter(_.deletePred.isEmpty) else frags
+      if (since.isDefined) frags.filterNot(isTomb) else frags
     val merged =
       if (!schema.encrypted && !anyTomb)
         // tombstone-free: Spark's vectorized parquet read (mergedView)

@@ -192,8 +192,13 @@ class GraftMicroBatchStream(
       metaCols = metaFields.map(_._1).toSet,
       // snapshot of the visible tombstones: unconsumed rows deliver
       // post-delete (see class doc for the freshness caveat)
-      tombstones = store.listFragments().flatMap(f =>
-        f.deletePred.map(j => (f.timestamp, PredJson.fromJson(j)))))
+      tombstones = store.listFragments().collect {
+        case f if f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty =>
+          TombstoneSpec(f.timestamp, f.deletePred.map(PredJson.fromJson),
+            f.deleteCoordFiles.map(rel => s"$uri/$rel"))
+      },
+      dimStruct = org.apache.spark.sql.types.StructType(schema.dims.map(d =>
+        org.apache.spark.sql.types.StructField(d.name, d.dataType))))
 
   override def commit(end: Offset): Unit = () // fragments are immutable
 

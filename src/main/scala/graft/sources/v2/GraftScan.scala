@@ -49,6 +49,16 @@ case class GraftInputPartition(
     hashMod: Int = 0,
     hashIdx: Int = 0) extends InputPartition
 
+/** One visible delete marker shipped to the readers: either a
+  * delete-condition predicate (DELETE FROM / commitTombstone) or
+  * coordinate files (row-level MERGE/UPDATE/DELETE). Both mask
+  * matching cells of fragments committed STRICTLY BEFORE `ts`. */
+case class TombstoneSpec(
+    ts: Long,
+    pred: Option[Pred],
+    /** absolute paths of parquet files holding deleted dim tuples */
+    coordFiles: Seq[String])
+
 /** Deterministic, JVM-stable hash of a dim coordinate tuple in the
   * storage domain (the spec'd hashCodes of Long/Double/String/Boolean
   * plus BigInteger for decimals — never identity hashes). */
@@ -109,20 +119,23 @@ class GraftReaderFactory(
     /** Requested metadata columns that are NOT shadowed by user
       * columns — the only names the readers synthesize. */
     metaCols: Set[String] = Set.empty,
-    /** Visible delete-condition tombstones (commit ts, predicate):
-      * cells of fragments OLDER than a tombstone that match its
-      * predicate are masked in-reader. */
-    tombstones: Seq[(Long, Pred)] = Nil)
+    /** Visible delete markers: cells of fragments OLDER than a
+      * tombstone that match its predicate / coordinate set are masked
+      * in-reader. */
+    tombstones: Seq[TombstoneSpec] = Nil,
+    /** Dimension columns in array order with their types — needed to
+      * decode coordinate-tombstone files. */
+    dimStruct: StructType = new StructType())
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case f: GraftFillPartition =>
         new GraftFillPartitionReader(f, readSchema, fillSchema.get,
-          preds, conf.value, keyHex, tombstones)
+          preds, conf.value, keyHex, tombstones, dimStruct)
       case g: GraftInputPartition =>
         new GraftPartitionReader(g, readSchema, dimNames, preds,
-          conf.value, keyHex, metaCols, tombstones)
+          conf.value, keyHex, metaCols, tombstones, dimStruct)
     }
 
   /** All-or-nothing per scan; see `columnar` above. When true, EVERY
@@ -283,18 +296,23 @@ class GraftPartitionReader(
     conf: Configuration,
     keyHex: Option[String] = None,
     metaCols: Set[String] = Set.empty,
-    tombstones: Seq[(Long, Pred)] = Nil) extends PartitionReader[InternalRow] {
+    tombstones: Seq[TombstoneSpec] = Nil,
+    dimStruct: StructType = new StructType())
+  extends PartitionReader[InternalRow] {
 
   private def hasSlab: Boolean = part.slabLo.isDefined || part.slabHi.isDefined
   private def hasHash: Boolean = part.hashMod > 0
 
   // columns physically read = requested ∪ merge dims ∪ predicate refs
-  // ∪ tombstone-predicate refs (masking evaluates them per cell)
+  // ∪ tombstone refs (masking evaluates predicates per cell and
+  // coordinate deletes need the dim tuple)
   // (reference always reads dims, ha_mytile.cc:3013–3021)
   private val readCols: Seq[StructField] = {
     val extra =
       (if (part.needDedup || hasSlab || hasHash) dimNames else Nil) ++
-        preds.flatMap(_.refs) ++ tombstones.flatMap(_._2.refs)
+        preds.flatMap(_.refs) ++
+        tombstones.flatMap(_.pred.map(_.refs).getOrElse(Set.empty)) ++
+        (if (tombstones.exists(_.coordFiles.nonEmpty)) dimNames else Nil)
     readSchema.fields.toSeq ++
       extra.distinct.filterNot(readSchema.fieldNames.contains)
         .map(n => StructField(n, NullType)) // type resolved from file
@@ -319,19 +337,57 @@ class GraftPartitionReader(
     if (metaCols.contains(GraftMetaCols.CommitTs))
       colIdx.get(GraftMetaCols.CommitTs) else None
 
+  /** Coordinate-delete sets (storage domain), loaded once per
+    * partition and shared across its files. Bounded by the number of
+    * row-level-deleted coordinates still unreclaimed by consolidation. */
+  private lazy val coordSets: Seq[(Long, java.util.HashSet[Seq[Any]])] =
+    tombstones.filter(_.coordFiles.nonEmpty).map { t =>
+      val set = new java.util.HashSet[Seq[Any]]()
+      val inner = new GraftPartitionReader(
+        GraftInputPartition(t.coordFiles.map((_, t.ts)), needDedup = false),
+        dimStruct, dimNames, Nil, conf, keyHex)
+      while (inner.next()) {
+        val r = inner.get()
+        set.add((0 until dimStruct.length).map(i => catalystToStorage(
+          r.get(i, dimStruct(i).dataType), dimStruct(i).dataType)))
+      }
+      inner.close()
+      (t.ts, set)
+    }
+
+  /** Inverse of toCatalyst for dim values (coordinate-set keys must
+    * live in the storage domain the decoded rows use). */
+  private def catalystToStorage(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case b: java.lang.Byte => b.longValue()
+    case s: java.lang.Short => s.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case f: java.lang.Float => f.doubleValue()
+    case u: UTF8String => u.toString
+    case other => other // Long, Double, String, Boolean, Decimal
+  }
+
   private val iter: Iterator[Array[Any]] = {
     val raw = part.files.sortBy(_._2).iterator.flatMap {
       case (file, ts) =>
         val base0 = readFile(file)
-        // delete-condition masking BEFORE the latest-wins merge:
-        // a tombstone masks matching cells of strictly older
-        // fragments only (versions written after it are untouched)
-        val active = tombstones.collect {
-          case (tts, p) if tts > ts => p }
+        // delete masking BEFORE the latest-wins merge: a tombstone
+        // masks matching cells of strictly older fragments only
+        // (versions written at/after it are untouched)
+        val activePred = tombstones.collect {
+          case t if t.ts > ts && t.pred.isDefined => t.pred.get }
+        val activeCoord = coordSets.collect {
+          case (tts, set) if tts > ts => set }
         val base =
-          if (active.isEmpty) base0
-          else base0.filter(r =>
-            !active.exists(_.eval(n => r(colIdx(n)))))
+          if (activePred.isEmpty && activeCoord.isEmpty) base0
+          else base0.filter { r =>
+            !activePred.exists(_.eval(n => r(colIdx(n)))) && {
+              activeCoord.isEmpty || {
+                val key = dimIdx.map(r(_)).toSeq
+                !activeCoord.exists(_.contains(key))
+              }
+            }
+          }
         if (metaFragIdx.isEmpty && metaTsIdx.isEmpty) base
         else {
           val fid = GraftMetaCols.fragIdOf(file)
@@ -575,9 +631,10 @@ class GraftFillPartitionReader(
     preds: Seq[Pred],
     conf: Configuration,
     keyHex: Option[String],
-    /** Delete-condition tombstones: a deleted written cell reverts to
-      * FILL (it leaves the seen-set, so this partition re-emits it). */
-    tombstones: Seq[(Long, Pred)] = Nil)
+    /** Delete tombstones: a deleted written cell reverts to FILL (it
+      * leaves the seen-set, so this partition re-emits it). */
+    tombstones: Seq[TombstoneSpec] = Nil,
+    dimStruct: StructType = new StructType())
   extends PartitionReader[InternalRow] {
 
   private val dims = schema.dims
@@ -597,11 +654,11 @@ class GraftFillPartitionReader(
   private val seen: java.util.HashSet[Seq[Long]] = {
     val s = new java.util.HashSet[Seq[Long]]()
     if (part.files.nonEmpty) {
-      val dimStruct = StructType(dims.map(d => StructField(d.name, d.dataType)))
+      val dimStruct0 = StructType(dims.map(d => StructField(d.name, d.dataType)))
       val inner = new GraftPartitionReader(
         GraftInputPartition(part.files, needDedup = false),
-        dimStruct, schema.dimNames, Nil, conf, keyHex,
-        tombstones = tombstones)
+        dimStruct0, schema.dimNames, Nil, conf, keyHex,
+        tombstones = tombstones, dimStruct = dimStruct0)
       while (inner.next()) {
         val r = inner.get()
         val coords = (0 until nDims).map(coordLong(r, _))

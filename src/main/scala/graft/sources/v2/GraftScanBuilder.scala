@@ -120,9 +120,10 @@ class GraftScanBuilder(
     */
   private def tryAggregate(agg: Aggregation): Option[(Seq[Any], StructType)] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
-    // delete-condition tombstones mask rows the fragment statistics
-    // still count — stats cannot answer anything exactly
-    if (frags.exists(_.deletePred.isDefined)) return None
+    // delete tombstones (predicate or coordinate) mask rows the
+    // fragment statistics still count — stats cannot answer exactly
+    if (frags.exists(f =>
+      f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty)) return None
     // a fillable dense array's scan materializes fill cells, which
     // written-cell statistics know nothing about — no aggregate may
     // answer from stats (superset of the reference's COUNT gate,
@@ -352,31 +353,41 @@ class GraftScanImpl(
   // the fragment list and re-parses predicate JSON several times per
   // scan (invalidated in filter(), alongside plannedCache)
   private var selectedCache: Seq[FragmentMeta] = _
-  private var tombstoneCache: Seq[(Long, PredicateSupport.Pred)] = _
+  private var tombstoneCache: Seq[TombstoneSpec] = _
 
   private def selectedFrags: Seq[FragmentMeta] = {
     if (selectedCache == null)
       selectedCache =
         if (constraints.exists(_._2.definitelyEmpty)) Nil // empty scan
         else FragmentPruning.select(allFrags, schema, constraints)
-          // tombstones are exempt from provenance pruning: a
-          // _commit_ts predicate describes data rows, and dropping a
-          // tombstone would UNMASK the rows it deletes
-          .filter(f => f.deletePred.isDefined || provenanceOk(f))
+          // tombstone-bearing fragments are exempt from provenance
+          // pruning: a _commit_ts predicate describes data rows, and
+          // dropping a tombstone would UNMASK the rows it deletes
+          .filter(f => f.deletePred.isDefined ||
+            f.deleteCoordFiles.nonEmpty || provenanceOk(f))
     selectedCache
   }
 
-  /** Data fragments (tombstones excluded) — the partition-planning
-    * view. Tombstones contribute no partitions; their predicates ship
-    * to every reader for per-cell masking. */
+  /** Data fragments (pure tombstones excluded) — the partition-
+    * planning view. A row-level (MERGE) fragment carries BOTH data
+    * files and coordinate deletes: it plans partitions like any data
+    * fragment AND contributes a tombstone below. */
   private def dataFrags: Seq[FragmentMeta] =
-    selectedFrags.filter(_.deletePred.isEmpty)
+    selectedFrags.filter(f => f.deletePred.isEmpty &&
+      // a files-less coordinate tombstone plans no partitions and has
+      // no stats — keeping it out of overlap analysis avoids spurious
+      // merge partitions
+      !(f.files.isEmpty && f.deleteCoordFiles.nonEmpty))
 
-  /** Visible delete-condition tombstones as (commit ts, predicate). */
-  private def tombstones: Seq[(Long, PredicateSupport.Pred)] = {
+  /** Visible delete markers (predicate and/or coordinate files). */
+  private def tombstones: Seq[TombstoneSpec] = {
     if (tombstoneCache == null)
-      tombstoneCache = selectedFrags.flatMap(f =>
-        f.deletePred.map(j => (f.timestamp, PredJson.fromJson(j))))
+      tombstoneCache = selectedFrags.collect {
+        case f if f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty =>
+          TombstoneSpec(f.timestamp,
+            f.deletePred.map(PredJson.fromJson),
+            f.deleteCoordFiles.map(rel => s"$uri/$rel"))
+      }
     tombstoneCache
   }
 
@@ -675,7 +686,9 @@ class GraftScanImpl(
       metaCols = (requiredStruct.fieldNames.toSet ++ preds.flatMap(_.refs))
         .intersect(GraftMetaCols.fields.keySet)
         .diff(schema.columnNames.toSet),
-      tombstones = tombstones)
+      tombstones = tombstones,
+      dimStruct = StructType(schema.dims.map(d =>
+        StructField(d.name, d.dataType))))
 
   // ---- SupportsReportStatistics [ref: records estimate §4] ---------
   override def estimateStatistics(): Statistics = new Statistics {

@@ -37,7 +37,7 @@ class GraftTable(
       * resolves within the window. */
     val since: Option[Long] = None) extends Table
   with SupportsRead with SupportsWrite with SupportsMetadataColumns
-  with SupportsDeleteV2 {
+  with SupportsDeleteV2 with SupportsRowLevelOperations {
 
   private lazy val store = GraftArray.store(spark, uri)
 
@@ -166,6 +166,15 @@ class GraftTable(
     GraftArray.commitTombstone(spark, uri, PredicateSupport.TrueP)
     true
   }
+
+  /** Row-level UPDATE / MERGE / attribute-predicate DELETE via the
+    * delta rewrite — see [[GraftRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(asOf.isEmpty && since.isEmpty && projection.isEmpty,
+      "row-level operations write through the plain table, not views")
+    () => new GraftRowLevelOperation(spark, uri, arraySchema, info.command)
+  }
 }
 
 class GraftWriteBuilder(
@@ -240,6 +249,47 @@ case class GraftCommitMessage(
     file: String, rows: Long,
     stats: Map[String, ColumnStats]) extends WriterCommitMessage
 
+/** Cross-task fragment-stat assembly shared by the batch and delta
+  * (row-level) commit paths. */
+object GraftWriteStats {
+  def merge(schema: ArraySchema,
+      msgs: Seq[GraftCommitMessage]): Map[String, ColumnStats] = {
+    val ord = TypedValue.ordering
+    schema.columnNames.map { c =>
+      val per = msgs.flatMap(_.stats.get(c))
+      def opt(vs: Seq[String], min: Boolean): Option[String] = {
+        val dt = schema.dataTypeOf(c)
+        val parsed = vs.map(TypedValue.parse(dt, _))
+        if (parsed.isEmpty) None
+        else Some(TypedValue.show(
+          if (min) parsed.min(ord) else parsed.max(ord)))
+      }
+      c -> ColumnStats(
+        opt(per.flatMap(_.min).toSeq, min = true),
+        opt(per.flatMap(_.max).toSeq, min = false),
+        per.map(_.nullCount).sum,
+        if (per.nonEmpty && per.forall(_.sumLong.isDefined))
+          // exact addition: cross-task overflow drops the stat rather
+          // than recording a wrapped sum
+          try Some(per.flatMap(_.sumLong).foldLeft(0L)(Math.addExact))
+          catch { case _: ArithmeticException => None }
+        else None,
+        if (per.nonEmpty && per.forall(_.sumDouble.isDefined))
+          Some(per.flatMap(_.sumDouble).sum) else None)
+    }.toMap
+  }
+
+  /** Encrypted arrays: attribute min/max/sums would leak plaintext
+    * value extremes around the AES-GCM file encryption — manifests
+    * keep DIMENSION stats only (the pruning index). Aggregate
+    * pushdown gates on stats presence, so encrypted aggregates
+    * correctly fall back to a real (decrypting) scan. */
+  def redact(schema: ArraySchema,
+      st: Map[String, ColumnStats]): Map[String, ColumnStats] =
+    if (!schema.encrypted) st
+    else st.view.filterKeys(schema.dimNames.contains).toMap
+}
+
 /** One fragment per commit; every task writes one parquet part file and
   * reports exact column stats gathered in-stream (rows are seen once —
   * the same trick the reference uses to buffer columns during
@@ -273,42 +323,12 @@ class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftCommitMessage])
       .filter(_.rows > 0)
-    val ord = TypedValue.ordering
-    val merged: Map[String, ColumnStats] =
-      schema.columnNames.map { c =>
-        val per = msgs.flatMap(_.stats.get(c))
-        def opt(vs: Seq[String], min: Boolean): Option[String] = {
-          val dt = schema.dataTypeOf(c)
-          val parsed = vs.map(TypedValue.parse(dt, _))
-          if (parsed.isEmpty) None
-          else Some(TypedValue.show(
-            if (min) parsed.min(ord) else parsed.max(ord)))
-        }
-        c -> ColumnStats(
-          opt(per.flatMap(_.min).toSeq, min = true),
-          opt(per.flatMap(_.max).toSeq, min = false),
-          per.map(_.nullCount).sum,
-          if (per.nonEmpty && per.forall(_.sumLong.isDefined))
-            // exact addition: cross-task overflow drops the stat rather
-            // than recording a wrapped sum
-            try Some(per.flatMap(_.sumLong).foldLeft(0L)(Math.addExact))
-            catch { case _: ArithmeticException => None }
-          else None,
-          if (per.nonEmpty && per.forall(_.sumDouble.isDefined))
-            Some(per.flatMap(_.sumDouble).sum) else None)
-      }.toMap
-    // encrypted arrays: attribute min/max/sums would leak plaintext
-    // value extremes around the AES-GCM file encryption — manifests
-    // keep DIMENSION stats only (the pruning index). Aggregate
-    // pushdown gates on stats presence, so encrypted aggregates
-    // correctly fall back to a real (decrypting) scan.
-    def redact(st: Map[String, ColumnStats]): Map[String, ColumnStats] =
-      if (!schema.encrypted) st
-      else st.view.filterKeys(schema.dimNames.contains).toMap
+    val merged = GraftWriteStats.merge(schema, msgs)
+    import GraftWriteStats.redact
     GraftArray.store(spark, uri).commitFragment(FragmentMeta(
       fragId, commitTs.getOrElse(GraftArray.now()), msgs.map(_.file).toSeq,
-      msgs.map(_.rows).sum, redact(merged),
-      msgs.map(m => m.file -> redact(m.stats)).toMap,
+      msgs.map(_.rows).sum, redact(schema, merged),
+      msgs.map(m => m.file -> redact(schema, m.stats)).toMap,
       origin = origin, replaces = replaces))
   }
 
@@ -338,12 +358,16 @@ class GraftDataWriter(
     uri: String, fragId: String, partitionId: Int,
     schema: ArraySchema, writeSchema: StructType,
     taskConf: org.apache.hadoop.conf.Configuration,
-    keyHex: Option[String] = None)
+    keyHex: Option[String] = None,
+    /** `part` for data files; `del` for row-level-delete coordinate
+      * files (never listed in FragmentMeta.files). */
+    filePrefix: String = "part")
   extends DataWriter[InternalRow] {
 
   import org.apache.spark.sql.execution.datasources.parquet.GraftParquetWriteShim
 
-  private val relFile = f"frag_$fragId/part-$partitionId%05d.parquet"
+  private val relFile =
+    f"frag_$fragId/$filePrefix%s-$partitionId%05d.parquet"
   private val path = new Path(uri, relFile)
   private val conf = new org.apache.hadoop.conf.Configuration(taskConf)
 

@@ -138,29 +138,19 @@ class DeleteSpec extends SparkSpec {
       .orderBy("k").as[(Long, Double)].collect().toSeq == before)
   }
 
-  test("SQL DELETE rejects attribute and NOT predicates (exactness gates)") {
-    // attribute predicate: per-version masking could resurrect an
-    // older version of an upserted coordinate — SQL DELETE must not
+  test("metadata-path gates route attribute/NOT deletes to row-level") {
+    // attribute and NOT predicates fail canDeleteWhere (the metadata
+    // path cannot give exact SQL semantics for them) — they execute
+    // via the row-level rewrite instead (UpdateMergeSpec). The
+    // storage-model API below keeps the raw per-version semantics:
     val (cat, wh) = mkCat()
     spark.sql(s"""CREATE TABLE $cat.g (k BIGINT, v DOUBLE)
       |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
     spark.sql(s"INSERT INTO $cat.g VALUES (1, 10.0)")
     spark.sql(s"INSERT INTO $cat.g VALUES (1, 20.0)") // upsert
-    val e1 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.g WHERE v = 20.0")
-    }
-    assert(e1 != null)
-    assert(spark.table(s"$cat.g").as[(Long, Double)].collect().toSeq ==
-      Seq((1L, 20.0)))
-    // NOT predicate: two-valued eval would delete NULL rows SQL keeps
-    val e2 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.g WHERE k NOT IN (1, 2)")
-    }
-    assert(e2 != null)
-    // the storage-model API documents the per-version semantics: the
-    // attribute delete masks the visible v=20 version and the older
-    // v=10 version resurfaces (delete-condition behavior, NOT SQL row
-    // deletion — which is exactly why the SQL gate above exists)
+    // the per-version delete condition masks the visible v=20 version
+    // and the older v=10 version RESURFACES (delete-condition
+    // behavior, deliberately not offered as SQL DELETE)
     GraftArray.commitTombstone(spark, s"$wh/g",
       PredicateSupport.Cmp("=", "v", 20.0))
     assert(spark.table(s"$cat.g").as[(Long, Double)].collect().toSeq ==
@@ -221,19 +211,37 @@ class DeleteSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("DELETE on encrypted arrays is refused (plaintext predicate leak)") {
-    val (cat, _) = mkCat()
+  test("encrypted DELETE avoids plaintext tombstones (row-level path)") {
+    // the metadata path would persist the predicate in plaintext, so
+    // canDeleteWhere refuses encrypted arrays — Spark then routes the
+    // DELETE through the row-level rewrite, whose deleted coordinates
+    // live inside ENCRYPTED parquet: the delete works, nothing leaks
+    val (cat, wh) = mkCat()
     spark.conf.set(graft.core.EncryptionKeys.ConfKey,
       "000102030405060708090a0b0c0d0e0f")
     spark.sql(s"""CREATE TABLE $cat.e (k BIGINT, v DOUBLE)
       |TBLPROPERTIES('graft.dimensions'='k',
       |  'graft.encrypted'='true')""".stripMargin)
-    spark.sql(s"INSERT INTO $cat.e VALUES (1, 1.0)")
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.e WHERE v = 1.0")
+    spark.sql(s"INSERT INTO $cat.e VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"DELETE FROM $cat.e WHERE v = 1.0")
+    assert(spark.table(s"$cat.e").as[(Long, Double)].collect().toSeq ==
+      Seq((2L, 2.0)))
+    // no predicate tombstone in any manifest; coord files are PARE
+    val frags = GraftArray.fragments(spark, s"$wh/e")
+    assert(frags.forall(_.deletePred.isEmpty))
+    val del = frags.flatMap(_.deleteCoordFiles)
+    assert(del.nonEmpty)
+    val pq = new java.io.File(s"$wh/e/${del.head}")
+    val in = new java.io.RandomAccessFile(pq, "r")
+    val tail = new Array[Byte](4)
+    in.seek(pq.length() - 4); in.readFully(tail); in.close()
+    assert(new String(tail, "US-ASCII") == "PARE", new String(tail))
+    // the RAW plaintext-tombstone API still refuses encrypted arrays
+    val e2 = intercept[IllegalArgumentException] {
+      GraftArray.commitTombstone(spark, s"$wh/e",
+        PredicateSupport.Cmp("=", "v", 2.0))
     }
-    assert(e != null)
-    assert(spark.table(s"$cat.e").count() == 1)
+    assert(e2.getMessage.contains("plaintext"))
   }
 
   test("tombstone predicates round-trip through PredJson") {

@@ -214,6 +214,36 @@ object ArrayOps {
         .orderBy("c_custkey")
     }),
 
+    // INSERT OVERWRITE: the committed fragment carries the new data
+    // files AND the delete predicate that unmasks the replaced rows —
+    // one atomic manifest commit. Dim-range overwrite replaces a key
+    // range; rows outside it are untouched. Additive — the reference
+    // plugin is INSERT-only.
+    "arr22_overwrite" -> ((s, d) => {
+      val wh = freshUri("ow").stripSuffix("/arr")
+      val cat = "gow" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.cust (c_custkey BIGINT, c_acctbal DOUBLE)
+        TBLPROPERTIES('graft.dimensions'='c_custkey')""")
+      Tables.load(s, d, "customer").select("c_custkey", "c_acctbal")
+        .writeTo(s"$cat.cust").append()
+      // replace the key range ≤200 with doubled balances plus one new
+      // key — atomically (delete-pred + data in one fragment)
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") <= 200L)
+        .select(col("c_custkey"),
+          (col("c_acctbal") * 2).as("c_acctbal"))
+        .union(s.createDataFrame(Seq((2000001L, 42.0)))
+          .toDF("c_custkey", "c_acctbal"))
+        .writeTo(s"$cat.cust")
+        .overwrite(col("c_custkey") <= 200L)
+      s.table(s"$cat.cust")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     // Fragment-provenance metadata columns (_frag_id/_commit_ts via
     // SupportsMetadataColumns): after an upsert, per-fragment row
     // counts and sums — fragment 1 keeps the rows the upsert did NOT
@@ -588,6 +618,13 @@ object ArrayOps {
            UNION ALL SELECT 1000001, 1.0 UNION ALL SELECT 1000002, 2.0)
        SELECT k AS c_custkey, round(bal, 2) AS bal FROM merged
        ORDER BY c_custkey""",
+    "arr22_overwrite" ->
+      """SELECT c_custkey,
+           round(CASE WHEN c_custkey <= 200 THEN c_acctbal * 2
+                 ELSE c_acctbal END, 2) AS bal
+         FROM customer
+         UNION ALL SELECT 2000001::BIGINT, 42.0
+         ORDER BY c_custkey""",
     "arr19_provenance" ->
       """SELECT 1::BIGINT AS src,
            count(*) FILTER (WHERE c_custkey % 10 <> 0)::BIGINT AS n,

@@ -346,11 +346,14 @@ object GraftArray {
     val anyTomb = frags.exists(isTomb)
     if (frags.isEmpty || (dataN < 2 && !anyTomb)) return None
     if (dataN == 0 && since.isDefined) return None // tombstone-only window
-    // a windowed merge cannot absorb a coordinate-delete fragment
-    // (its tombstone masks pre-window rows) but also cannot leave it
-    // out of the merge (its DATA files would then surface twice) —
-    // full consolidation handles these
-    if (since.isDefined && frags.exists(_.deleteCoordFiles.nonEmpty))
+    // a windowed merge cannot absorb a fragment that carries BOTH
+    // data and a delete marker (row-level MERGE coordinate files,
+    // INSERT OVERWRITE predicate): its tombstone masks pre-window
+    // rows, but leaving it out of the merge would surface its DATA
+    // files twice — full consolidation handles these
+    if (since.isDefined && frags.exists(f =>
+      f.deleteCoordFiles.nonEmpty ||
+        (f.deletePred.isDefined && f.files.nonEmpty)))
       return None
     val maxTs = frags.map(_.timestamp).max
     // Windowed consolidation must NOT absorb tombstones: an in-window
@@ -528,7 +531,10 @@ object GraftArray {
       pred: graft.sources.v2.PredicateSupport.Pred): Long = {
     val st = store(spark, uri)
     val schema = st.loadSchema()
-    require(!schema.encrypted,
+    // TrueP (TRUNCATE) carries no values, so the plaintext leak that
+    // blocks value-bearing predicates does not apply to it
+    require(!schema.encrypted ||
+        pred == graft.sources.v2.PredicateSupport.TrueP,
       "delete conditions on encrypted arrays are not supported (the " +
         "predicate would persist in plaintext next to encrypted files)")
     val unknown = pred.refs.diff(schema.columnNames.toSet)

@@ -359,30 +359,54 @@ class GraftScanImpl(
     if (selectedCache == null)
       selectedCache =
         if (constraints.exists(_._2.definitelyEmpty)) Nil // empty scan
-        else FragmentPruning.select(allFrags, schema, constraints)
-          // tombstone-bearing fragments are exempt from provenance
-          // pruning: a _commit_ts predicate describes data rows, and
-          // dropping a tombstone would UNMASK the rows it deletes
-          .filter(f => f.deletePred.isDefined ||
-            f.deleteCoordFiles.nonEmpty || provenanceOk(f))
+        else {
+          val sel = FragmentPruning.select(allFrags, schema, constraints)
+            // tombstone-bearing fragments are exempt from provenance
+            // pruning: a _commit_ts predicate describes data rows, and
+            // dropping a tombstone would UNMASK the rows it deletes
+            .filter(f => f.deletePred.isDefined ||
+              f.deleteCoordFiles.nonEmpty || provenanceOk(f))
+          // TRUNCATE / full INSERT OVERWRITE prune at the manifest: a
+          // TrueP tombstone masks EVERY cell of strictly older
+          // fragments, so those fragments (and any older delete
+          // markers, which then have nothing left to mask) never plan
+          // partitions — a truncated table's history costs zero I/O
+          // instead of scan-and-mask-every-row. Computed from the
+          // UNPRUNED tombstone list (see `tombstones`); allFrags is
+          // already asOf-filtered, so time travel below the truncate
+          // is untouched. Narrower tombstones can only mask per-cell.
+          val fullMaskTs = tombstones.collect {
+            case t if t.pred.contains(PredicateSupport.TrueP) => t.ts
+          }.maxOption
+          fullMaskTs match {
+            case Some(ts) => sel.filter(_.timestamp >= ts)
+            case None => sel
+          }
+        }
     selectedCache
   }
 
   /** Data fragments (pure tombstones excluded) — the partition-
-    * planning view. A row-level (MERGE) fragment carries BOTH data
-    * files and coordinate deletes: it plans partitions like any data
-    * fragment AND contributes a tombstone below. */
+    * planning view. A fragment can carry BOTH data files and a delete
+    * marker (row-level MERGE → coordinate files, INSERT OVERWRITE →
+    * predicate): it plans partitions like any data fragment AND
+    * contributes a tombstone below. Files-less delete markers plan no
+    * partitions and have no stats — keeping them out of overlap
+    * analysis avoids spurious merge partitions. */
   private def dataFrags: Seq[FragmentMeta] =
-    selectedFrags.filter(f => f.deletePred.isEmpty &&
-      // a files-less coordinate tombstone plans no partitions and has
-      // no stats — keeping it out of overlap analysis avoids spurious
-      // merge partitions
-      !(f.files.isEmpty && f.deleteCoordFiles.nonEmpty))
+    selectedFrags.filter(f => f.files.nonEmpty ||
+      (f.deletePred.isEmpty && f.deleteCoordFiles.isEmpty))
 
-  /** Visible delete markers (predicate and/or coordinate files). */
+  /** Visible delete markers (predicate and/or coordinate files) —
+    * from the UNPRUNED fragment list: a fragment carrying both data
+    * and a delete marker (MERGE, INSERT OVERWRITE) has data-derived
+    * MBR stats, so dim pruning can deselect it even though the rows
+    * it DELETES lie inside the scanned range (the marker masks
+    * coordinates unrelated to the fragment's own data). Pruning
+    * decides which files plan partitions, never which deletes apply. */
   private def tombstones: Seq[TombstoneSpec] = {
     if (tombstoneCache == null)
-      tombstoneCache = selectedFrags.collect {
+      tombstoneCache = allFrags.collect {
         case f if f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty =>
           TombstoneSpec(f.timestamp,
             f.deletePred.map(PredJson.fromJson),
@@ -471,7 +495,8 @@ class GraftScanImpl(
   private def fillPartitions(): Seq[InputPartition] = {
     if (initialConstraints.exists(_._2.definitelyEmpty)) return Nil
     val staticFrags0 = FragmentPruning.select(allFrags, schema,
-      initialConstraints).filter(_.deletePred.isEmpty)
+      initialConstraints).filter(f => f.files.nonEmpty ||
+        (f.deletePred.isEmpty && f.deleteCoordFiles.isEmpty))
     val ranges = denseNonEmptyRanges(staticFrags0) match {
       case Some(r) => r
       case None => return Nil

@@ -73,6 +73,8 @@ class GraftTable(
      else if (asOf.isDefined || since.isDefined)
        Set(TableCapability.BATCH_READ) // frozen views don't stream
      else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+       TableCapability.OVERWRITE_DYNAMIC,
        TableCapability.MICRO_BATCH_READ)).asJava
 
   /** Per-row fragment provenance (`SELECT _frag_id, _commit_ts, …`):
@@ -128,9 +130,11 @@ class GraftTable(
     *    mask the visible version while an older version survives and
     *    resurfaces — storage-model delete-condition semantics, offered
     *    via GraftArray.commitTombstone but not as SQL DELETE;
-    *  - encrypted arrays refuse (ALL forms incl. TRUNCATE, for
-    *    consistency): the predicate would sit in plaintext next to
-    *    the encrypted files. */
+    *  - encrypted arrays refuse everything except TrueP (truncate):
+    *    any other predicate would sit in plaintext next to the
+    *    encrypted files; TrueP carries no values. Value-bearing
+    *    deletes on encrypted arrays run row-level instead (deleted
+    *    coordinates inside encrypted parquet). */
   override def canDeleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
     def noNot(p: PredicateSupport.Pred): Boolean = p match {
@@ -141,10 +145,10 @@ class GraftTable(
     }
     val dims = arraySchema.dimNames.toSet
     asOf.isEmpty && since.isEmpty && projection.isEmpty &&
-      !arraySchema.encrypted &&
       predicates.forall(p =>
         PredicateSupport.convert(p, arraySchema).exists(c =>
-          noNot(c) && c.refs.subsetOf(dims)))
+          noNot(c) && c.refs.subsetOf(dims) &&
+            (!arraySchema.encrypted || c == PredicateSupport.TrueP)))
   }
 
   override def deleteWhere(predicates: Array[
@@ -161,8 +165,9 @@ class GraftTable(
   override def truncateTable(): Boolean = {
     require(asOf.isEmpty && since.isEmpty && projection.isEmpty,
       "cannot truncate a view")
-    require(!arraySchema.encrypted,
-      "TRUNCATE of encrypted arrays is not supported (DELETE parity)")
+    // encrypted arrays allowed: a TrueP tombstone carries no values,
+    // so the plaintext-predicate leak that blocks other delete forms
+    // does not exist for TRUNCATE
     GraftArray.commitTombstone(spark, uri, PredicateSupport.TrueP)
     true
   }
@@ -181,7 +186,56 @@ class GraftWriteBuilder(
     spark: SparkSession,
     uri: String,
     schema: ArraySchema,
-    info: LogicalWriteInfo) extends WriteBuilder {
+    info: LogicalWriteInfo) extends WriteBuilder
+  with SupportsOverwriteV2 with SupportsDynamicOverwrite {
+
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Pred}
+
+  /** INSERT OVERWRITE / `writeTo(..).overwrite(cond)`: the committed
+    * fragment carries this delete predicate ALONGSIDE its data files —
+    * replaced rows (strictly older versions matching the predicate)
+    * unmask the moment the new data commits, one atomic manifest write
+    * for the whole statement. `None` = plain append. */
+  private var overwritePred: Option[PredicateSupport.Pred] = None
+
+  /** Same gates as SQL DELETE (GraftTable.canDeleteWhere), same
+    * reasons: the predicate masks PER VERSION, so exact SQL overwrite
+    * semantics need NOT-free dimension predicates (an attribute
+    * predicate could mask the visible version of a coordinate and
+    * resurface an older one); encrypted arrays take only TrueP (other
+    * predicates would persist plaintext values in the manifest). */
+  override def canOverwrite(predicates: Array[V2Pred]): Boolean = {
+    def noNot(p: PredicateSupport.Pred): Boolean = p match {
+      case PredicateSupport.NotP(_) => false
+      case PredicateSupport.AndP(l, r) => noNot(l) && noNot(r)
+      case PredicateSupport.OrP(l, r) => noNot(l) && noNot(r)
+      case _ => true
+    }
+    val dims = schema.dimNames.toSet
+    predicates.forall(p =>
+      PredicateSupport.convert(p, schema).exists(c =>
+        noNot(c) && c.refs.subsetOf(dims) &&
+          (!schema.encrypted || c == PredicateSupport.TrueP)))
+  }
+
+  override def overwrite(predicates: Array[V2Pred]): WriteBuilder = {
+    require(canOverwrite(predicates),
+      "unsupported OVERWRITE predicate (dimension columns only, no " +
+        "NOT; TrueP only on encrypted arrays)")
+    overwritePred = Some(predicates
+      .flatMap(PredicateSupport.convert(_, schema))
+      .reduceOption(PredicateSupport.AndP)
+      .getOrElse(PredicateSupport.TrueP))
+    this
+  }
+
+  /** Graft arrays have no partitioning exposed to Spark, so dynamic
+    * partition overwrite degenerates to replace-everything — same as
+    * INSERT OVERWRITE without a predicate. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwritePred = Some(PredicateSupport.TrueP)
+    this
+  }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
@@ -210,7 +264,9 @@ class GraftWriteBuilder(
         commitTs = Option(opts.get("graft.internal.commit_ts")).map(_.toLong),
         replaces = Option(opts.get("graft.internal.replaces"))
           .map(_.split(",").toSeq).getOrElse(Nil),
-        origin = Option(opts.get("graft.internal.origin")))
+        origin = Option(opts.get("graft.internal.origin"))
+          .orElse(overwritePred.map(_ => "overwrite")),
+        overwrite = overwritePred)
     }
   }
 }
@@ -301,7 +357,11 @@ class GraftBatchWrite(
     writeSchema: StructType,
     commitTs: Option[Long] = None,
     replaces: Seq[String] = Nil,
-    origin: Option[String] = None) extends BatchWrite {
+    origin: Option[String] = None,
+    /** INSERT OVERWRITE: committed as this fragment's delete
+      * predicate — masks matching cells of strictly older fragments,
+      * never this fragment's own files (same-timestamp rule). */
+    overwrite: Option[PredicateSupport.Pred] = None) extends BatchWrite {
 
   private val fragId = java.util.UUID.randomUUID.toString.take(12)
 
@@ -329,7 +389,8 @@ class GraftBatchWrite(
       fragId, commitTs.getOrElse(GraftArray.now()), msgs.map(_.file).toSeq,
       msgs.map(_.rows).sum, redact(schema, merged),
       msgs.map(m => m.file -> redact(schema, m.stats)).toMap,
-      origin = origin, replaces = replaces))
+      origin = origin, replaces = replaces,
+      deletePred = overwrite.map(PredJson.toJson)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -152,7 +152,7 @@ class GraftReaderFactory(
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarPartitionReader(
-      p.asInstanceOf[GraftInputPartition], readSchema, metaCols)
+      p.asInstanceOf[GraftInputPartition], readSchema, conf.value, metaCols)
 }
 
 object GraftColumnarPartitionReader {
@@ -168,16 +168,20 @@ object GraftColumnarPartitionReader {
 
 /** ColumnarBatch reader over one partition's fragment files using
   * Spark's VectorizedParquetRecordReader (the engine the built-in
-  * parquet source runs on). Columns are permuted to the requested
-  * order; columns a file predates (schema evolution) surface as
-  * all-null constant vectors — same semantics as the row path. */
+  * parquet source runs on). Files open through the session Hadoop
+  * configuration (GraftParquetReadShim), so the vectorized path works
+  * on any Hadoop filesystem, not just `file:`. Columns are permuted to
+  * the requested order; columns a file predates (schema evolution)
+  * surface as all-null constant vectors — same semantics as the row
+  * path. */
 class GraftColumnarPartitionReader(
     part: GraftInputPartition,
     readSchema: StructType,
+    conf: Configuration,
     metaCols: Set[String] = Set.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.datasources.parquet.{GraftParquetReadShim, VectorizedParquetRecordReader}
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -218,20 +222,17 @@ class GraftColumnarPartitionReader(
     if (!files.hasNext) false
     else {
       val (path, fragTs) = files.next()
-      val (fileFields, fileRows) = {
-        val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
-          new Path(path), new Configuration()))
-        try {
-          val md = fr.getFooter
-          (md.getFileMetaData.getSchema.getFields.asScala
-            .map(_.getName).toSet,
-            md.getBlocks.asScala.map(_.getRowCount).sum)
-        } finally fr.close()
-      }
+      val fr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(path), conf))
+      val md = fr.getFooter
+      val fileSchema = md.getFileMetaData.getSchema
+      val fileFields = fileSchema.getFields.asScala.map(_.getName).toSet
+      val fileRows = md.getBlocks.asScala.map(_.getRowCount).sum
       val wanted = readSchema.fields.filter(f => fileFields.contains(f.name))
       if (wanted.isEmpty) {
         // nothing to decode; rows still count (constant vectors carry
         // any requested provenance metadata)
+        fr.close()
         pendingNullRows = fileRows
         val cs = readSchema.fields.map(constFor(_, path, fragTs))
         out = new ColumnarBatch(cs.toArray[ColumnVector])
@@ -239,7 +240,12 @@ class GraftColumnarPartitionReader(
       } else {
         reader = new VectorizedParquetRecordReader(
           null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
-        reader.initialize(path, wanted.map(_.name).toList.asJava)
+        val byName = fileSchema.getFields.asScala.map(t => t.getName -> t).toMap
+        val requested = new org.apache.parquet.schema.MessageType(
+          fileSchema.getName, wanted.map(f => byName(f.name)): _*)
+        // hands fr's ownership to the vectorized reader (closes it)
+        GraftParquetReadShim.initVectorized(
+          reader, fileSchema, requested, fr, fileRows)
         inner = reader.resultBatch()
         val vectors: Array[ColumnVector] = readSchema.fields.map { f =>
           val i = wanted.indexWhere(_.name == f.name)

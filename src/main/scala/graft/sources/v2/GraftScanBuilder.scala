@@ -683,14 +683,7 @@ class GraftScanImpl(
       planAll().forall {
         case g: GraftInputPartition =>
           !g.needDedup && g.slabLo.isEmpty && g.slabHi.isEmpty &&
-            g.hashMod == 0 && g.limit < 0 &&
-            // the vectorized reader opens files with a fresh default
-            // Configuration — only safe for the local filesystem; any
-            // other scheme (s3a, custom aliases) takes the row path,
-            // which carries the session Hadoop configuration
-            g.files.forall { case (f, _) =>
-              val scheme = new org.apache.hadoop.fs.Path(f).toUri.getScheme
-              scheme == null || scheme == "file" }
+            g.hashMod == 0 && g.limit < 0
         case _ => false
       }
 

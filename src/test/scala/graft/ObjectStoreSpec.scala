@@ -36,13 +36,16 @@ class ObjectStoreSpec extends SparkSpec {
         concat(lit("x"), col("id")).as("s")))
     // convenience load (Spark parquet source via session conf)
     assert(GraftArray.load(spark, uri).count() == 200)
-    // DSv2 scan: non-file scheme must take the row path (the vectorized
-    // reader cannot see the session conf) and still answer correctly
+    // DSv2 scan: the vectorized columnar path opens files through the
+    // session Hadoop configuration (GraftParquetReadShim), so it
+    // engages on non-file schemes too — this is the path a real
+    // s3a/abfs/gcs deployment scans through
     val df = spark.read.format("graftarray").option("path", uri).load()
     val scan = df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.head
-    assert(!scan.supportsColumnar, "non-file scheme must use the row path")
+    assert(scan.supportsColumnar,
+      "non-file scheme must still vectorize (conf-carrying reader)")
     assert(df.count() == 200)
     assert(df.filter(col("k") >= 100L && col("v") < 75.0).count() == 50)
     // aggregate pushdown from manifest stats is storage-agnostic

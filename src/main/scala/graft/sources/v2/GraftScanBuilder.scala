@@ -120,10 +120,31 @@ class GraftScanBuilder(
     */
   private def tryAggregate(agg: Aggregation): Option[(Seq[Any], StructType)] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
-    // delete tombstones (predicate or coordinate) mask rows the
-    // fragment statistics still count — stats cannot answer exactly
-    if (frags.exists(f =>
-      f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty)) return None
+    // Delete markers mask rows that fragment statistics still count —
+    // stats cannot answer exactly while anything OLDER than a marker
+    // is live. But a marker with nothing older to mask is inert: drop
+    // history behind the newest TrueP tombstone (TRUNCATE / full
+    // INSERT OVERWRITE — same manifest-level pruning the scan does),
+    // then gate only if a remaining marker still has older data rows
+    // in range. The common refresh pattern — rewrite the table via
+    // INSERT OVERWRITE — keeps O(1) stats aggregates this way.
+    val fullMaskTs = this.frags.collect {
+      case f if f.deletePred.exists(
+          PredJson.fromJson(_) == PredicateSupport.TrueP) => f.timestamp
+    }.maxOption
+    val visible = fullMaskTs match {
+      case Some(ts) => this.frags.filter(_.timestamp >= ts)
+      case None => this.frags
+    }
+    def isMarker(f: FragmentMeta) =
+      f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty
+    if (visible.exists(m => isMarker(m) &&
+        visible.exists(f => f.timestamp < m.timestamp && f.rows > 0)))
+      return None
+    // surviving markers are inert; files-less ones carry no stats and
+    // would otherwise fail the per-fragment stats-presence checks
+    val frags = visible.filterNot(f => // shadows the full list below
+      f.files.isEmpty && isMarker(f))
     // a fillable dense array's scan materializes fill cells, which
     // written-cell statistics know nothing about — no aggregate may
     // answer from stats (superset of the reference's COUNT gate,

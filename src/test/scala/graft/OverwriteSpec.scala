@@ -145,6 +145,39 @@ class OverwriteSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("stats aggregates stay pushed across the overwrite-refresh cycle") {
+    // the refresh pattern: periodically rewrite the table via INSERT
+    // OVERWRITE. The overwrite's TrueP marker has nothing older left
+    // to mask once planning drops truncated history, so stats-only
+    // aggregation keeps answering with zero I/O — only a marker that
+    // still masks live older rows disables it
+    val (cat, _) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.s (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.s VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"INSERT OVERWRITE $cat.s VALUES (1, 10.0), (3, 30.0)")
+    // appends AFTER the overwrite are newer than the marker — pushable
+    spark.sql(s"INSERT INTO $cat.s VALUES (4, 2.0)")
+    val agg = spark.table(s"$cat.s")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"), "overwrite must not disable stats aggs")
+    assert(agg.as[(Double, Long)].head() == ((42.0, 3L)))
+    // a dim DELETE with live older rows DOES disable the stats path
+    spark.sql(s"DELETE FROM $cat.s WHERE k = 1")
+    val agg2 = spark.table(s"$cat.s").agg(sum("v").as("sv"))
+    assert(!agg2.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"))
+    assert(agg2.as[Double].head() == 32.0)
+    // COUNT(*) straight after TRUNCATE answers from the manifest
+    spark.sql(s"TRUNCATE TABLE $cat.s")
+    val agg3 = spark.table(s"$cat.s")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"))
+    assert(agg3.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"))
+    assert(agg3.as[(Long, Option[Double])].head() == ((0L, None)))
+  }
+
   test("delete markers survive dim pruning of their carrying fragment") {
     // regression: a MERGE/OVERWRITE fragment's MBR covers its DATA
     // rows, not the rows it DELETES — dim pruning that deselects the

@@ -244,6 +244,36 @@ object ArrayOps {
         .orderBy("c_custkey")
     }),
 
+    // Heterogeneous dimensions (reference t/heterogeneus_dimensions
+    // .test): a (string, long) composite coordinate drives latest-wins
+    // upserts and per-dim pushdown — string-prefix range on dim0, long
+    // range on dim1.
+    "arr23_hetero_dims" -> ((s, d) => {
+      val wh = freshUri("het").stripSuffix("/arr")
+      val cat = "ghet" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.het
+        (c_mktsegment STRING, c_custkey BIGINT, c_acctbal DOUBLE)
+        TBLPROPERTIES('graft.dimensions'='c_mktsegment,c_custkey')""")
+      val cust = Tables.load(s, d, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+      cust.writeTo(s"$cat.het").append()
+      // upsert newer versions for part of the composite key space
+      cust.filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey") <= 100L)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          lit(0.0).as("c_acctbal"))
+        .writeTo(s"$cat.het").append()
+      s.table(s"$cat.het")
+        .filter(col("c_mktsegment") >= "B" && col("c_mktsegment") < "G" &&
+          col("c_custkey") <= 500L)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // Fragment-provenance metadata columns (_frag_id/_commit_ts via
     // SupportsMetadataColumns): after an upsert, per-fragment row
     // counts and sums — fragment 1 keeps the rows the upsert did NOT
@@ -625,6 +655,14 @@ object ArrayOps {
          FROM customer
          UNION ALL SELECT 2000001::BIGINT, 42.0
          ORDER BY c_custkey""",
+    "arr23_hetero_dims" ->
+      """SELECT c_mktsegment, c_custkey,
+           round(CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey <= 100
+                 THEN 0.0 ELSE c_acctbal END, 2) AS bal
+         FROM customer
+         WHERE c_mktsegment >= 'B' AND c_mktsegment < 'G'
+           AND c_custkey <= 500
+         ORDER BY c_mktsegment, c_custkey""",
     "arr19_provenance" ->
       """SELECT 1::BIGINT AS src,
            count(*) FILTER (WHERE c_custkey % 10 <> 0)::BIGINT AS n,

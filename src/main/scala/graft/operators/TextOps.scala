@@ -68,7 +68,27 @@ object TextOps {
       docs(s, d).select(
         col("doc_id"),
         simhash(col("text")).as("sim"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // The DSv2 FunctionCatalog surface (SURVEY §2.7 — additive): the
+    // same kernels as pure SQL through a graft catalog, no Scala
+    // imports. Per-row JVM replicas of the Column builders; the
+    // md5-derived ones replay in DuckDB identically.
+    "t6_sql_functions" -> ((s, d) => {
+      val cat = "gfn" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_fncat").toString)
+      val v = s"docs_$cat"
+      docs(s, d).createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT doc_id,
+           |  CAST($cat.token_count(text) AS BIGINT) AS n_tokens,
+           |  $cat.fingerprint(text) AS fp,
+           |  $cat.simhash(text) AS sim
+           |FROM $v ORDER BY doc_id""".stripMargin)
+    })
   )
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
@@ -119,6 +139,19 @@ object TextOps {
                         THEN (1::bigint << j) ELSE 0::bigint END
                    for j in range(0, 60)])::bigint AS sim
          FROM (SELECT doc_id,
+           [('0x' || substr(md5(t), 1, 15))::bigint
+            for t in string_split_regex(trim(text), '\s+')] AS hashes
+           FROM documents)
+         ORDER BY doc_id""",
+    "t6_sql_functions" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                                       for h in hashes]) > 0
+                        THEN (1::bigint << j) ELSE 0::bigint END
+                   for j in range(0, 60)])::bigint AS sim
+         FROM (SELECT doc_id, text,
            [('0x' || substr(md5(t), 1, 15))::bigint
             for t in string_split_regex(trim(text), '\s+')] AS hashes
            FROM documents)

@@ -31,7 +31,7 @@ import scala.jdk.CollectionConverters._
   *           `spark.sql.catalog.graft.warehouse=/path`
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -287,6 +287,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private[sources] def tableUriOf(dotted: String): String =
     dotted.split('.').foldLeft(warehouse)(_ + "/" + _)
+
+  // ---- FunctionCatalog: the engine's kernels as SQL functions -------
+  // `SELECT cat.cosine(a, b)`, `cat.simhash(text)`, … — see
+  // GraftSqlFunctions for the inventory and parity guarantees.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    graft.functions.GraftSqlFunctions.all
+      .map(f => Identifier.of(namespace, f.name)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    graft.functions.GraftSqlFunctions.byName(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 }
 
 /** `CALL` surface for fragment maintenance: `consolidate(table)` merges

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** DSv2 catalog functions (`SELECT cat.cosine(a,b)`, …): each SQL
+  * function must agree exactly with the Column builder it mirrors —
+  * any drift would silently split the SQL and Scala surfaces. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkCat(): String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_fn").toString
+    val cat = "gf" + scala.util.Random.alphanumeric.take(4).mkString.toLowerCase
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    cat
+  }
+
+  private val texts = Seq(
+    "The quick brown fox jumps over the lazy dog",
+    "  leading and   trailing   whitespace  ",
+    "punctuation, heavy; text! with? marks: everywhere.",
+    "short",
+    "a an and of to in is on for the",
+    "Ünïcode tőkens — émoji 🎉 and CJK 漢字 here")
+
+  test("string functions agree with their Column builders") {
+    val cat = mkCat()
+    val df = texts.toDF("t")
+    df.createOrReplaceTempView("fn_txt")
+    val viaSql = spark.sql(
+      s"""SELECT $cat.hash60(t) AS h, $cat.token_count(t) AS n,
+         |$cat.simhash(t) AS sh, $cat.fingerprint(t) AS fp
+         |FROM fn_txt""".stripMargin).collect()
+    val viaCol = df.select(
+      TextFunctions.hash60(col("t")).as("h"),
+      TextFunctions.tokenCount(col("t")).as("n"),
+      TextFunctions.simhash(col("t")).as("sh"),
+      TextFunctions.fingerprint(col("t")).as("fp")).collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("vector functions agree bit-for-bit with the codegen kernels") {
+    val cat = mkCat()
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 2.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)), // zero norm
+      (Array(0.1f, 0.2f, 0.3f), Array(0.1f, 0.2f, 0.3f)))
+    val df = vecs.toDF("a", "b")
+    df.createOrReplaceTempView("fn_vec")
+    val viaSql = spark.sql(
+      s"SELECT $cat.dot(a, b) AS d, $cat.cosine(a, b) AS c FROM fn_vec")
+      .as[(Double, Double)].collect().toSeq
+    val viaCol = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[(Double, Double)].collect().toSeq
+    assert(viaSql == viaCol) // includes the zero-norm → 0.0 guard
+  }
+
+  test("hilbert2d matches the clustering kernel; discovery works") {
+    val cat = mkCat()
+    val pts = Seq((0L, 0L), (3L, 5L), (1023L, 1L), (512L, 512L))
+    val df = pts.toDF("x", "y")
+    df.createOrReplaceTempView("fn_pts")
+    val viaSql = spark.sql(
+      s"SELECT $cat.hilbert2d(x, y, 10) AS h FROM fn_pts")
+      .as[Long].collect().toSeq
+    val viaCol = df.select(graft.functions.expressions.Kernels
+      .hilbert2d(col("x"), col("y"), 10).as("h")).as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+    // discovery: SHOW FUNCTIONS lists the catalog surface (DESCRIBE
+    // FUNCTION remains session-catalog-only in Spark 4.1 —
+    // ResolveSessionCatalog rejects v2 catalogs for it)
+    val shown = spark.sql(s"SHOW FUNCTIONS IN $cat").collect()
+      .map(_.getString(0)).toSet
+    assert(Seq("cosine", "dot", "hash60", "simhash", "fingerprint",
+      "token_count", "hilbert2d").forall(f => shown.exists(_.endsWith(f))),
+      shown.mkString(", "))
+  }
+
+  test("type mismatches fail loudly at bind time") {
+    val cat = mkCat()
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("fn_bad")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT $cat.dot(k, s) FROM fn_bad").collect()
+    }
+    assert(e.getMessage.contains("dot") ||
+      e.getCause != null)
+  }
+}

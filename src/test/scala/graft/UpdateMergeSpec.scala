@@ -75,6 +75,22 @@ class UpdateMergeSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, 100.0), (2L, 2.0), (9L, 9.0)))
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE updates and deletes") {
+    val (cat, _) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.s (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.s VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    Seq((2L, 20.0)).toDF("k", "nv").createOrReplaceTempView("src_nmbs")
+    spark.sql(
+      s"""MERGE INTO $cat.s t USING src_nmbs u ON t.k = u.k
+         |WHEN MATCHED THEN UPDATE SET v = u.nv
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -v
+         |""".stripMargin)
+    assert(spark.table(s"$cat.s").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, -1.0), (2L, 20.0)))
+  }
+
   test("attribute-predicate DELETE executes row-level with SQL semantics") {
     // the metadata path refuses attribute predicates (per-version
     // masking could resurrect older versions); the row-level rewrite

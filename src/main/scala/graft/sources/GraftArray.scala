@@ -560,27 +560,97 @@ object GraftArray {
   * disjointness test that lets scans skip latest-wins dedup. */
 object FragmentPruning {
 
-  /** Do any two fragments overlap in dim-MBR space? O(n²) over fragment
-    * *metadata* (manifest-sized, not data-sized). */
-  def pairwiseDisjoint(frags: Seq[FragmentMeta], schema: ArraySchema): Boolean = {
-    val ord = TypedValue.ordering
-    val boxes = frags.map { f =>
+  /** Parsed dim MBRs, one per fragment; `None` bound = unknown stats
+    * (conservatively overlaps everything on that side). Parsed ONCE —
+    * overlap analysis runs over these, never re-reading manifests. */
+  type Box = IndexedSeq[(Option[Any], Option[Any])]
+
+  def parseBoxes(frags: Seq[FragmentMeta],
+      schema: ArraySchema): IndexedSeq[Box] =
+    frags.map { f =>
       schema.dims.map { d =>
         val st = f.stats.get(d.name)
         (st.flatMap(_.min).map(TypedValue.parse(d.dataType, _)),
           st.flatMap(_.max).map(TypedValue.parse(d.dataType, _)))
+      }.toIndexedSeq
+    }.toIndexedSeq
+
+  /** Do boxes `a` and `b` overlap in every dim from index `from` on?
+    * A dim separates iff a KNOWN max lies strictly below a KNOWN min —
+    * an unknown bound on the other side cannot undo that separation
+    * (a recorded max is the actual max), so partially-known stats
+    * still prune; fully-unknown dims overlap conservatively. */
+  private def boxesOverlap(a: Box, b: Box, from: Int,
+      ord: Ordering[Any]): Boolean =
+    !(from until a.size).exists { d =>
+      val ((mn1, mx1), (mn2, mx2)) = (a(d), b(d))
+      (for (x <- mx1; n <- mn2) yield ord.compare(x, n) < 0)
+        .getOrElse(false) ||
+        (for (x <- mx2; n <- mn1) yield ord.compare(x, n) < 0)
+          .getOrElse(false)
+    }
+
+  /** Visit every overlapping fragment pair via a dim0 sweep: sort by
+    * dim0 lower bound, keep an active set pruned by dim0 upper bound,
+    * and full-check only dim0-overlapping candidates. O(n log n + k·d)
+    * for k true overlap pairs — a streaming-ingested table with tens
+    * of thousands of time/key-ordered fragments plans in linear-ish
+    * driver time instead of the naive O(n²·d) with per-pair stat
+    * re-parsing. Worst case (all fragments mutually overlapping in
+    * dim0) degrades to O(n²) CHEAP comparisons, no parsing.
+    * `onPair` returns false to stop the sweep early. */
+  def forEachOverlappingPair(boxes: IndexedSeq[Box],
+      onPair: (Int, Int) => Boolean): Unit = {
+    if (boxes.size < 2) return
+    val ord = TypedValue.ordering
+    // None lower bound = -inf → sorts first
+    val order = boxes.indices.sortWith { (i, j) =>
+      (boxes(i).head._1, boxes(j).head._1) match {
+        case (None, None) => i < j
+        case (None, _) => true
+        case (_, None) => false
+        case (Some(a), Some(b)) =>
+          val c = ord.compare(a, b); if (c != 0) c < 0 else i < j
       }
     }
-    boxes.indices.forall { i =>
-      (i + 1 until boxes.size).forall { j =>
-        // disjoint iff some dim's intervals don't overlap
-        boxes(i).zip(boxes(j)).exists {
-          case ((Some(mn1), Some(mx1)), (Some(mn2), Some(mx2))) =>
-            ord.compare(mx1, mn2) < 0 || ord.compare(mx2, mn1) < 0
-          case _ => false // unknown stats → assume overlap
+    val active = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- order) {
+      val lo = boxes(i).head._1
+      // evict actives whose dim0 max is strictly below i's dim0 min
+      // (None max = +inf, never evicted; None lo = -inf, evicts none)
+      lo.foreach { l =>
+        var w = 0
+        var r = 0
+        while (r < active.size) {
+          val keep = boxes(active(r)).head._2 match {
+            case Some(mx) => ord.compare(mx, l) >= 0
+            case None => true
+          }
+          if (keep) { active(w) = active(r); w += 1 }
+          r += 1
         }
+        active.takeInPlace(w)
       }
+      // actives have dim0 lower ≤ lo and dim0 upper ≥ lo → dim0
+      // overlaps; check the remaining dims only
+      var a = 0
+      while (a < active.size) {
+        val j = active(a)
+        if (boxesOverlap(boxes(i), boxes(j), 1, ord) &&
+          !onPair(math.min(i, j), math.max(i, j))) return
+        a += 1
+      }
+      active += i
     }
+  }
+
+  /** Do any two fragments overlap in dim-MBR space? Sweep-based over
+    * fragment *metadata* (manifest-sized, not data-sized). */
+  def pairwiseDisjoint(frags: Seq[FragmentMeta], schema: ArraySchema): Boolean = {
+    var disjoint = true
+    forEachOverlappingPair(parseBoxes(frags, schema),
+      (_, _) => { disjoint = false; false })
+    disjoint
   }
 
   /** Fragments whose MBR intersects every pushed dim constraint. */

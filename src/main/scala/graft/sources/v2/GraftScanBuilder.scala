@@ -669,14 +669,18 @@ class GraftScanImpl(
   }
 
   private def overlapGroups(frags: Seq[FragmentMeta]): Seq[Seq[FragmentMeta]] = {
-    // union-find over pairwise MBR overlap
+    // union-find over MBR overlap; pairs enumerated by the dim0 sweep
+    // (parse-once, near-linear for time/key-ordered fragment layouts —
+    // the shape a streaming-ingested 100 TB table has)
     val parent = Array.tabulate(frags.size)(identity)
     def find(x: Int): Int =
       if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
-    for (i <- frags.indices; j <- i + 1 until frags.size)
-      if (!FragmentPruning.pairwiseDisjoint(Seq(frags(i), frags(j)), schema)) {
+    FragmentPruning.forEachOverlappingPair(
+      FragmentPruning.parseBoxes(frags, schema),
+      (i, j) => {
         val (a, b) = (find(i), find(j)); if (a != b) parent(a) = b
-      }
+        true
+      })
     frags.indices.groupBy(find).values.map(_.map(frags)).toSeq
   }
 

@@ -119,12 +119,27 @@ class FragmentStore(uri: String, conf: Configuration) {
     * (freshness), but each manifest's JSON parses once per JVM: the
     * files are immutable after the rename-in (names embed ts+id, never
     * rewritten), so a tailing stream polling a 100k-fragment array
-    * pays one RPC-ish list per trigger, not 100k reads. */
-  def listFragmentsRaw(): Seq[FragmentMeta] =
-    list(fragDir).map { p =>
+    * pays one RPC-ish list per trigger, not 100k reads. A COLD driver
+    * (fresh JVM over a deep manifest) loads the uncached tail in
+    * parallel — sequential per-manifest GETs against an object store
+    * would turn table open into minutes (Hadoop FileSystem and the
+    * Jackson mapper are thread-safe here). */
+  def listFragmentsRaw(): Seq[FragmentMeta] = {
+    val paths = list(fragDir)
+    val cold = paths.filterNot(p =>
+      FragmentStore.manifestCache.containsKey(p.toString))
+    if (cold.size > 8) {
+      import scala.jdk.CollectionConverters._
+      cold.asJava.parallelStream().forEach { p =>
+        FragmentStore.manifestCache.computeIfAbsent(p.toString,
+          _ => ArraySchemaJson.fragmentFromJson(read(p)))
+      }
+    }
+    paths.map { p =>
       FragmentStore.manifestCache.computeIfAbsent(p.toString,
         _ => ArraySchemaJson.fragmentFromJson(read(p)))
     }
+  }
 
   /** Delete a fragment: manifest first (the atomic visibility switch),
     * then its data directory. */

@@ -116,6 +116,46 @@ class UpdateMergeSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, Some(1.0)), (2L, None)))
   }
 
+  test("UPDATE after ADD COLUMN writes full-width versions") {
+    val (cat, wh) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.ev VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN s STRING")
+    // pre-evolution rows surface s=NULL; the UPDATE rewrites matching
+    // rows at the evolved width
+    spark.sql(s"UPDATE $cat.ev SET s = 'x' WHERE k = 1")
+    assert(spark.table(s"$cat.ev").orderBy("k")
+      .as[(Long, Double, Option[String])].collect().toSeq ==
+      Seq((1L, 1.0, Some("x")), (2L, 2.0, None)))
+    // and MERGE keys still resolve post-evolution
+    Seq((2L, "y")).toDF("k", "ns").createOrReplaceTempView("ev_src")
+    spark.sql(s"""MERGE INTO $cat.ev t USING ev_src u ON t.k = u.k
+      |WHEN MATCHED THEN UPDATE SET s = u.ns""".stripMargin)
+    assert(spark.table(s"$cat.ev").orderBy("k")
+      .as[(Long, Double, Option[String])].collect().toSeq ==
+      Seq((1L, 1.0, Some("x")), (2L, 2.0, Some("y"))))
+    assert(GraftArray.fragments(spark, s"$wh/ev").size == 3)
+  }
+
+  test("concurrent appends both commit (no lost fragments)") {
+    val (cat, wh) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.cc (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 4).map { i =>
+      Future {
+        Seq((i.toLong * 100, i.toDouble)).toDF("k", "v")
+          .writeTo(s"$cat.cc").append()
+      }
+    }
+    Await.result(Future.sequence(writes), 2.minutes)
+    assert(GraftArray.fragments(spark, s"$wh/cc").size == 4)
+    assert(spark.table(s"$cat.cc").count() == 4)
+  }
+
   test("row-level operations on encrypted arrays round-trip") {
     val (cat, _) = mkCat()
     spark.conf.set(graft.core.EncryptionKeys.ConfKey,

@@ -77,6 +77,37 @@ class GraftTable(
        TableCapability.OVERWRITE_DYNAMIC,
        TableCapability.MICRO_BATCH_READ)).asJava
 
+  /** The complete `graft.*` option set, reconstructed from the stored
+    * array schema — `SHOW CREATE TABLE` emits DDL a user can replay to
+    * re-create the array (the reference's discovery generates full
+    * CREATE TABLE statements the same way, mytile-discovery.cc:42–473).
+    * The encryption KEY never appears (flag only; key rides the
+    * session conf). */
+  override def properties(): util.Map[String, String] = {
+    val s = arraySchema
+    val m = new util.HashMap[String, String]()
+    m.put("graft.dimensions", s.dimNames.mkString(","))
+    if (s.kind == ArrayKind.Dense) m.put("graft.dense", "true")
+    s.dims.foreach { d =>
+      d.lowerBound.foreach(m.put(s"graft.lower.${d.name}", _))
+      d.upperBound.foreach(m.put(s"graft.upper.${d.name}", _))
+      d.tileExtent.foreach(e => m.put(s"graft.extent.${d.name}", e.toString))
+      d.storageType.foreach(m.put(s"graft.type.${d.name}", _))
+    }
+    s.attrs.foreach { a =>
+      a.fillValue.foreach(m.put(s"graft.fill.${a.name}", _))
+      if (a.enumValues.nonEmpty)
+        m.put(s"graft.enum.${a.name}", a.enumValues.mkString(","))
+      a.storageType.foreach(m.put(s"graft.type.${a.name}", _))
+      a.codec.foreach(m.put(s"graft.codec.${a.name}", _))
+    }
+    if (s.capacity != 10000L) m.put("graft.capacity", s.capacity.toString)
+    if (s.allowsDups) m.put("graft.allows_dups", "true")
+    s.codec.foreach(m.put("graft.codec", _))
+    if (s.encrypted) m.put("graft.encrypted", "true")
+    m
+  }
+
   /** Per-row fragment provenance (`SELECT _frag_id, _commit_ts, …`):
     * which fragment a row's winning version was committed in, and
     * when. Composes with window reads into CDC-style pipelines —

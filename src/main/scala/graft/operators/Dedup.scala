@@ -66,7 +66,10 @@ object Dedup {
     * exact set Jaccard over full shingle sets on candidates only. */
   private[graft] def jaccardPairsOn(docsDf: DataFrame, threshold: Double,
       dfCap: Option[Long]): DataFrame = {
+    // shingle sets are referenced twice by the verify joins —
+    // materialize once instead of re-tokenizing the corpus per side
     val sets = docsDf.select(col("doc_id"), shingles(col("text"), K).as("sh"))
+      .localCheckpoint()
     candidatePairs(docsDf, dfCap)
       .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
       .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
@@ -83,8 +86,11 @@ object Dedup {
     * d5 (cluster dedup). Band key = 4 consecutive signature values. */
   private[graft] def minhashVerifiedPairs(docsDf: DataFrame,
       threshold: Double): DataFrame = {
+    // the band self-join references its input twice — materialize the
+    // signatures once instead of running shingle+minhash on both sides
     val sig = docsDf.select(col("doc_id"),
       minhashSignature(shingles(col("text"), K), 64).as("sig"))
+      .localCheckpoint()
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(15)), b =>
         concat_ws("_", b,
@@ -96,8 +102,10 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    // exact verify on candidates only
+    // exact verify on candidates only (sets referenced by two joins —
+    // materialized once)
     val sets = docsDf.select(col("doc_id"), shingles(col("text"), K).as("sh"))
+      .localCheckpoint()
     cand
       .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
       .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
@@ -187,8 +195,11 @@ object Dedup {
     // flipped bits always leave ≥1 band identical, so the banded join
     // has guaranteed recall (the oracle is the exact O(n²) answer).
     "d4_simhash_pairs" -> ((s, d) => {
+      // materialize signatures ONCE: the band self-join references its
+      // input twice, and without this the whole tokenize+md5-per-token
+      // pipeline (the expensive part) executes on BOTH sides
       val sig = docs(s, d).select(col("doc_id"),
-        simhash(col("text")).as("sim"))
+        simhash(col("text")).as("sim")).localCheckpoint()
       val bands = sig.select(col("doc_id"), col("sim"),
         explode(transform(sequence(lit(0), lit(6)), b =>
           concat_ws("_", b, call_function("shiftright", col("sim"), b * 9)

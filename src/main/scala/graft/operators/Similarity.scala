@@ -53,15 +53,20 @@ object Similarity {
   /** Banded-LSH candidate pairs verified with the exact cosine —
     * shared edge generator for v1b (pair listing) and v5 (clusters). */
   private def lshVerifiedPairs(e: DataFrame): DataFrame = {
+    // the band self-join and the two verify joins each reference their
+    // input twice — materialize bands and norms once instead of
+    // re-reading embeddings and re-hashing planes per side
     val bands = e.select(col("vec_id"),
       explode(graft.functions.expressions.Kernels
         .lshBands(col("embedding"), ndPlanes, NdBits)).as("band"))
+      .localCheckpoint()
     val cand = bands.as("a").join(bands.as("b"), "band")
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .distinct()
     val vecs = e.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
     cand
       .join(vecs.select(col("vec_id").as("i"), col("embedding").as("va"),
         col("nrm").as("na")), "i")

@@ -29,6 +29,11 @@ class DmlModelSpec extends SparkSpec {
       |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
     var model = Map.empty[Long, Double]
     val keys = 0L until 40L
+    // (commit ts, model at that instant) — verified via `t@ts` reads.
+    // Cleared on vacuum: reclaiming superseded fragments deliberately
+    // trades pre-consolidation history (documented vacuum semantics).
+    val snapshots = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[Long, Double])]
 
     def checkEq(step: String): Unit = {
       val actual = spark.table(s"$cat.t").as[(Long, Double)]
@@ -36,6 +41,17 @@ class DmlModelSpec extends SparkSpec {
       assert(actual == model,
         s"seed=$seed after $step:\n actual=${actual.toSeq.sorted}\n " +
           s"model=${model.toSeq.sorted}")
+      GraftArray.fragments(spark, uri).map(_.timestamp).maxOption
+        .foreach(ts => snapshots += ((ts, model)))
+      // recorded instants must still read exactly — sample 2 per step
+      // (checking all of them is O(steps²) table reads)
+      rnd.shuffle(snapshots.toSeq).take(2).foreach { case (ts, m) =>
+        val at = spark.sql(s"SELECT * FROM $cat.`t@$ts`")
+          .as[(Long, Double)].collect().toMap
+        assert(at == m,
+          s"seed=$seed after $step: time travel @$ts diverged:\n " +
+            s"actual=${at.toSeq.sorted}\n model=${m.toSeq.sorted}")
+      }
     }
 
     for (step <- 1 to steps) {
@@ -101,7 +117,8 @@ class DmlModelSpec extends SparkSpec {
           }
         case 9 => // maintenance must never change the visible state
           GraftArray.consolidate(spark, uri)
-          GraftArray.vacuum(spark, uri)
+          if (GraftArray.vacuum(spark, uri) > 0)
+            snapshots.clear() // vacuum trades history for space
       }
       checkEq(s"step $step (op $op)")
     }

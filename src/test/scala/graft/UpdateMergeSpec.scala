@@ -116,6 +116,24 @@ class UpdateMergeSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, Some(1.0)), (2L, None)))
   }
 
+  test("DELETE and UPDATE with subquery conditions run row-level") {
+    val (cat, _) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.sq (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.sq VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    Seq(1L, 3L).toDF("kk").createOrReplaceTempView("sq_keys")
+    // a subquery condition cannot be pushed to the metadata path —
+    // Spark rewrites through the row-level (SupportsDelta) plan
+    spark.sql(s"DELETE FROM $cat.sq WHERE k IN (SELECT kk FROM sq_keys)")
+    assert(spark.table(s"$cat.sq").as[(Long, Double)].collect().toSeq ==
+      Seq((2L, 2.0)))
+    spark.sql(s"INSERT INTO $cat.sq VALUES (5, 5.0)")
+    spark.sql(s"UPDATE $cat.sq SET v = 0 " +
+      s"WHERE k NOT IN (SELECT kk FROM sq_keys)")
+    assert(spark.table(s"$cat.sq").orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((2L, 0.0), (5L, 0.0)))
+  }
+
   test("UPDATE after ADD COLUMN writes full-width versions") {
     val (cat, wh) = mkCat()
     spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, v DOUBLE)

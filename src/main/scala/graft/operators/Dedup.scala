@@ -137,10 +137,23 @@ object Dedup {
         .groupBy(col("i").as("id")).agg(min("nl").as("nl"))
       // carry the previous label through the checkpoint so convergence
       // is a filter over already-materialized data, not a second join
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
+        .localCheckpoint()
+      // pointer doubling: also adopt the label OF my label — the
+      // effective propagation distance doubles every round, so a
+      // chain of length m converges in O(log m) rounds instead of
+      // O(m). Each round costs one extra self-join over the (small)
+      // label table; at 100 TB graph diameters this is the difference
+      // between ~40 and ~6 shuffle rounds. Fixpoint unchanged
+      // (labels only ever decrease within the component).
+      val next = prop.as("x")
+        .join(prop.select(col("id").as("lbl"), col("lbl").as("ll")),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("ll"), col("lbl")).as("lbl"),
+          col("prev"))
         .localCheckpoint()
       changed = next.filter(col("lbl") < col("prev")).count()
       labels = next.select("id", "lbl")

@@ -145,6 +145,21 @@ class OverwriteSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("empty-source overwrite still deletes the range") {
+    // INSERT OVERWRITE with zero input rows commits a files-less
+    // fragment carrying only the delete predicate — the range empties
+    val (cat, wh) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.z (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.z VALUES (1, 1.0), (5, 5.0)")
+    Seq.empty[(Long, Double)].toDF("k", "v").writeTo(s"$cat.z")
+      .overwrite(col("k") >= 5L)
+    assert(spark.table(s"$cat.z").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0)))
+    val ow = GraftArray.fragments(spark, s"$wh/z").maxBy(_.timestamp)
+    assert(ow.files.isEmpty && ow.rows == 0 && ow.deletePred.isDefined)
+  }
+
   test("stats aggregates stay pushed across the overwrite-refresh cycle") {
     // the refresh pattern: periodically rewrite the table via INSERT
     // OVERWRITE. The overwrite's TrueP marker has nothing older left

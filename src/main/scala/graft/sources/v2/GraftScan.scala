@@ -243,9 +243,11 @@ class GraftColumnarPartitionReader(
         val byName = fileSchema.getFields.asScala.map(t => t.getName -> t).toMap
         val requested = new org.apache.parquet.schema.MessageType(
           fileSchema.getName, wanted.map(f => byName(f.name)): _*)
-        // hands fr's ownership to the vectorized reader (closes it)
-        GraftParquetReadShim.initVectorized(
+        // hands fr's ownership to the vectorized reader (closes it);
+        // until that succeeds the file reader is still ours to close
+        try GraftParquetReadShim.initVectorized(
           reader, fileSchema, requested, fr, fileRows)
+        catch { case e: Throwable => fr.close(); reader = null; throw e }
         inner = reader.resultBatch()
         val vectors: Array[ColumnVector] = readSchema.fields.map { f =>
           val i = wanted.indexWhere(_.name == f.name)

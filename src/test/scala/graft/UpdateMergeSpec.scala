@@ -174,6 +174,29 @@ class UpdateMergeSpec extends SparkSpec {
     assert(spark.table(s"$cat.cc").count() == 4)
   }
 
+  test("coordinate deletes match on decimal and timestamp dims") {
+    // coordinate-tombstone keys must live in the same storage domain
+    // as decoded rows for every dim type — decimal scale and µs
+    // timestamps are where representations could silently diverge
+    val (cat, _) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.dt (
+      |  price DECIMAL(10,2), at TIMESTAMP, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='price,at')""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.dt VALUES
+      |(1.50, TIMESTAMP'2024-01-01 00:00:00', 1.0),
+      |(2.25, TIMESTAMP'2024-06-15 12:30:45.123456', 2.0),
+      |(3.00, TIMESTAMP'2024-12-31 23:59:59', 3.0)""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.dt WHERE v = 2.0") // row-level path
+    assert(spark.table(s"$cat.dt").orderBy("price")
+      .select(col("price").cast("string"), col("v"))
+      .as[(String, Double)].collect().toSeq ==
+      Seq(("1.50", 1.0), ("3.00", 3.0)))
+    // and an upsert of a deleted coordinate resurfaces (newer version)
+    spark.sql(s"""INSERT INTO $cat.dt VALUES
+      |(2.25, TIMESTAMP'2024-06-15 12:30:45.123456', 22.0)""".stripMargin)
+    assert(spark.table(s"$cat.dt").count() == 3)
+  }
+
   test("row-level operations on encrypted arrays round-trip") {
     val (cat, _) = mkCat()
     spark.conf.set(graft.core.EncryptionKeys.ConfKey,

@@ -290,9 +290,23 @@ class GraftColumnarPartitionReader(
   override def close(): Unit = closeCurrent()
 }
 
-/** Reads fragment parquet with the parquet-hadoop Group API (column
-  * projection via requested schema → only needed pages are decoded,
-  * the Spark-side analog of the reference's read_set buffers P1).
+/** Per-reader decode-path counters, exposed for plan/path assertions
+  * in specs (which run in-process on local[n]). Cheap LongAdders —
+  * incremented once per FILE, not per row. */
+object GraftScanMetrics {
+  val vectorizedFiles = new java.util.concurrent.atomic.LongAdder
+  val groupFiles = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = { vectorizedFiles.reset(); groupFiles.reset() }
+}
+
+/** Row-path reader over fragment parquet. Decoding is vectorized:
+  * each file streams through Spark's VectorizedParquetRecordReader
+  * (page-level columnar decode) and batch rows are surfaced as
+  * storage-domain value arrays — the same contract the old Group
+  * decode had, so all merge machinery downstream is untouched, at a
+  * fraction of the per-row cost. The parquet-hadoop Group API remains
+  * only as the fallback for what the vectorized reader cannot decode
+  * (LIST columns in the projection, encrypted files).
   * Latest-wins merge: files arrive ts-ascending; a hash map keyed by
   * the dim tuple keeps the last (newest) row [SURVEY §1.1].
   */
@@ -455,6 +469,11 @@ class GraftPartitionReader(
 
   private var current: Array[Any] = _
 
+  /** The reader of the file currently being streamed (files decode
+    * strictly sequentially) — closed here if the scan is abandoned
+    * early (pushed LIMIT, cancelled task) before the iterator drains. */
+  private var openReader: AutoCloseable = _
+
   override def next(): Boolean =
     if (filtered.hasNext) { current = filtered.next(); true } else false
 
@@ -468,7 +487,9 @@ class GraftPartitionReader(
     new GenericInternalRow(out)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    if (openReader != null) { openReader.close(); openReader = null }
+  }
 
   /** storage-domain → catalyst value. */
   private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
@@ -487,8 +508,96 @@ class GraftPartitionReader(
 
   /** Stream one parquet file as storage-domain value arrays aligned to
     * `readCols`; columns missing from the file (schema evolution) are
-    * null. */
-  private def readFile(file: String): Iterator[Array[Any]] = {
+    * null. Vectorized decode unless the file is encrypted or the
+    * projection needs a LIST column. */
+  private def readFile(file: String): Iterator[Array[Any]] =
+    (if (keyHex.isEmpty) readFileVectorized(file) else None).getOrElse {
+      GraftScanMetrics.groupFiles.increment()
+      readFileGroup(file)
+    }
+
+  /** Vectorized decode of one file: Spark's VectorizedParquetRecordReader
+    * streams ColumnarBatches; per-column extractors (dispatched once on
+    * the decoded vector types) convert batch cells to the storage
+    * domain readFileGroup produces, so merge/slab/tombstone logic and
+    * predicate eval downstream are byte-identical. None → Group path
+    * (LIST column in the projection, INT96, or >2^31-row part file). */
+  private def readFileVectorized(file: String): Option[Iterator[Array[Any]]] = {
+    import org.apache.spark.sql.execution.datasources.parquet.{GraftParquetReadShim, VectorizedParquetRecordReader}
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    val md = fr.getFooter
+    val fileSchema = md.getFileMetaData.getSchema
+    val wanted = readCols.map(_.name).filter(fileSchema.containsField)
+    val parquetFields = wanted.map(n =>
+      fileSchema.getType(Array(n): _*))
+    val fileRows = md.getBlocks.asScala.map(_.getRowCount).sum
+    val vectorizable = wanted.nonEmpty && fileRows <= Int.MaxValue &&
+      parquetFields.forall(t => t.isPrimitive &&
+        t.asPrimitiveType().getPrimitiveTypeName != PrimitiveTypeName.INT96)
+    if (!vectorizable) { fr.close(); return None }
+    GraftScanMetrics.vectorizedFiles.increment()
+    val requested = new MessageType(fileSchema.getName, parquetFields: _*)
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    // reader takes ownership of fr on success; until then it is ours
+    try GraftParquetReadShim.initVectorized(
+      reader, fileSchema, requested, fr, fileRows)
+    catch { case e: Throwable => fr.close(); throw e }
+    openReader = reader
+    val batch = reader.resultBatch()
+    val target: Array[Int] = wanted.map(colIdx).toArray
+    val extract: Array[Int => Any] = Array.tabulate(wanted.size) { c =>
+      val v = batch.column(c)
+      val targetType = readCols(target(c)).dataType
+      v.dataType() match {
+        case ByteType => i => if (v.isNullAt(i)) null else v.getByte(i).toLong
+        case ShortType => i => if (v.isNullAt(i)) null else v.getShort(i).toLong
+        case IntegerType | DateType =>
+          i => if (v.isNullAt(i)) null else v.getInt(i).toLong
+        case LongType | TimestampType =>
+          i => if (v.isNullAt(i)) null else v.getLong(i)
+        case FloatType =>
+          i => if (v.isNullAt(i)) null else v.getFloat(i).toDouble
+        case DoubleType => i => if (v.isNullAt(i)) null else v.getDouble(i)
+        case BooleanType => i => if (v.isNullAt(i)) null else v.getBoolean(i)
+        case StringType =>
+          i => if (v.isNullAt(i)) null else v.getUTF8String(i).toString
+        case BinaryType => targetType match {
+          // mirror the Group path: unannotated binary read into a
+          // string/untyped slot surfaces as UTF-8 text
+          case StringType | NullType => i =>
+            if (v.isNullAt(i)) null
+            else new String(v.getBinary(i), java.nio.charset.StandardCharsets.UTF_8)
+          case _ => i => if (v.isNullAt(i)) null else v.getBinary(i)
+        }
+        case dt: DecimalType =>
+          i => if (v.isNullAt(i)) null else v.getDecimal(i, dt.precision, dt.scale)
+        case other => throw new UnsupportedOperationException(
+          s"vectorized extractor for $other")
+      }
+    }
+    Some(new Iterator[Array[Any]] {
+      private var rows = 0
+      private var i = 0
+      private var done = false
+      private def advance(): Unit =
+        while (i >= rows && !done) {
+          if (reader.nextBatch()) { rows = batch.numRows(); i = 0 }
+          else { done = true; reader.close(); openReader = null }
+        }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): Array[Any] = {
+        if (!hasNext) throw new NoSuchElementException
+        val out = new Array[Any](readCols.size)
+        var c = 0
+        while (c < target.length) { out(target(c)) = extract(c)(i); c += 1 }
+        i += 1
+        out
+      }
+    })
+  }
+
+  private def readFileGroup(file: String): Iterator[Array[Any]] = {
     val inputFile = HadoopInputFile.fromPath(new Path(file), conf)
     val reader = keyHex match {
       case Some(k) => ParquetFileReader.open(inputFile,
@@ -500,6 +609,7 @@ class GraftPartitionReader(
           .build())
       case None => ParquetFileReader.open(inputFile)
     }
+    openReader = reader
     val fileSchema = reader.getFooter.getFileMetaData.getSchema
     val wanted = readCols.map(_.name).filter(fileSchema.containsField)
     val fieldByName = fileSchema.getFields.asScala
@@ -520,7 +630,9 @@ class GraftPartitionReader(
       private def advanceIfNeeded(): Unit = {
         while (remaining == 0L && pages != null) {
           pages = reader.readNextRowGroup()
-          if (pages == null) { recordReader = null; reader.close() }
+          if (pages == null) {
+            recordReader = null; reader.close(); openReader = null
+          }
           else {
             recordReader = new ColumnIOFactory().getColumnIO(requested)
               .getRecordReader(pages, new GroupRecordConverter(requested))

@@ -536,4 +536,57 @@ class ScanPlanningSpec extends SparkSpec {
       case b: BatchScanExec => b.inputPartitions }.flatten
     assert(parts.isEmpty, s"expected 0 partitions, got ${parts.size}")
   }
+
+  test("latest-wins merge path decodes files vectorized, not via Groups") {
+    import graft.sources.v2.GraftScanMetrics
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    // overlapping fragments → slab-merge partitions on the row path
+    GraftArray.write(spark, uri, spark.range(0, 2000).coalesce(2)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    GraftArray.write(spark, uri, spark.range(0, 2000).coalesce(2)
+      .select(col("id").as("k"), lit(2.0).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    assert(!scan.supportsColumnar, "merge plan reports row-based to Spark")
+    GraftScanMetrics.reset()
+    // merged result stays exact AND every file decoded vectorized
+    assert(df.count() == 2000)
+    assert(df.agg(min("v"), max("v")).as[(Double, Double)].head() ==
+      ((2.0, 2.0)))
+    assert(GraftScanMetrics.vectorizedFiles.sum() > 0,
+      "merge partitions did not use the vectorized decoder")
+    assert(GraftScanMetrics.groupFiles.sum() == 0,
+      "merge partitions fell back to the Group reader")
+  }
+
+  test("LIST columns in the projection fall back to the Group decoder") {
+    import graft.sources.v2.GraftScanMetrics
+    val uri = tmp()
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("k", LongType)),
+      Seq(AttributeSpec("emb", ArrayType(FloatType)))))
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(col("id").as("k"),
+        array(col("id").cast("float"), lit(1.0f)).as("emb")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    GraftScanMetrics.reset()
+    assert(df.select("emb").count() == 100)
+    assert(df.selectExpr("aggregate(emb, 0D, (a, x) -> a + x)")
+      .as[Double].collect().sum > 0)
+    assert(GraftScanMetrics.groupFiles.sum() > 0,
+      "LIST projection should use the Group decoder")
+    // but pruning the LIST column away re-enables vectorized decode
+    // (disjoint single fragment scans columnar; force the row path
+    // with a second overlapping fragment)
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(col("id").as("k"),
+        array(lit(9.0f), lit(9.0f)).as("emb")))
+    val df2 = spark.read.format("graftarray").option("path", uri).load()
+    GraftScanMetrics.reset()
+    assert(df2.select("k").count() == 100)
+    assert(GraftScanMetrics.vectorizedFiles.sum() > 0,
+      "dim-only projection of merge scan should decode vectorized")
+  }
 }

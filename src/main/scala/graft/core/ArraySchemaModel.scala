@@ -177,6 +177,12 @@ case class FragmentMeta(
       * scan pruning when writes are cell-order clustered, the Spark
       * analog of tile-extent-aligned physical layout. */
     fileStats: Map[String, Map[String, ColumnStats]] = Map.empty,
+    /** per-file row counts: with fileStats, lets aggregates under
+      * pushed dim ranges answer from statistics alone when the range
+      * covers whole files [ref: group_by_handler aggregates under the
+      * pushed subarray, ha_mytile.cc:156–194]. Empty on pre-round-5
+      * manifests → those scans fall back to data reads. */
+    fileRows: Map[String, Long] = Map.empty,
     /** Provenance tag, e.g. `stream:<sink>:<batchId>` from the
       * streaming sink. Because the manifest commit is the single atomic
       * file create, a replayed micro-batch can check for an existing
@@ -300,6 +306,10 @@ object ArraySchemaJson {
     putStats(root, "stats", f.stats)
     val fsNode = root.putObject("fileStats")
     f.fileStats.foreach { case (file, st) => putStats(fsNode, file, st) }
+    if (f.fileRows.nonEmpty) {
+      val frNode = root.putObject("fileRows")
+      f.fileRows.foreach { case (file, n) => frNode.put(file, n) }
+    }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -322,9 +332,15 @@ object ArraySchemaJson {
           e.getKey -> readStats(e.getValue)
         }.toMap
       else Map.empty[String, Map[String, ColumnStats]]
+    val fileRows =
+      if (r.has("fileRows"))
+        r.get("fileRows").properties().asScala.map { e =>
+          e.getKey -> e.getValue.asLong
+        }.toMap
+      else Map.empty[String, Long]
     FragmentMeta(r.get("id").asText, r.get("timestamp").asLong,
       r.get("files").elements().asScala.map(_.asText).toSeq,
-      r.get("rows").asLong, readStats(r.get("stats")), fileStats,
+      r.get("rows").asLong, readStats(r.get("stats")), fileStats, fileRows,
       origin = if (r.has("origin")) Some(r.get("origin").asText) else None,
       replaces =
         if (r.has("replaces"))

@@ -64,6 +64,27 @@ object ArrayOps {
           round(avg(col("l_extendedprice")), 4).as("avg_price"))
     }),
 
+    // A1 under pushed ranges (round 5): aggregates over a dim range
+    // answer from the stats of the covered files alone
+    // [ha_mytile.cc:156–194] — the fragment split on the same bound
+    // guarantees whole-fragment coverage at any sf.
+    "arr24_agg_range" -> ((s, d) => {
+      val uri = freshUri("aggr")
+      GraftArray.create(s, uri, lineitemSchema)
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
+      GraftArray.write(s, uri, li.filter(col("l_orderkey") <= 3000L))
+      GraftArray.write(s, uri, li.filter(col("l_orderkey") > 3000L))
+      s.read.format("graftarray").option("path", uri).load()
+        .filter(col("l_orderkey") > 3000L)
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"))
+    }),
+
     // S7: two fragments, read as-of the first commit.
     "arr3_timetravel" -> ((s, d) => {
       val uri = freshUri("tt")
@@ -606,6 +627,11 @@ object ArrayOps {
       """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
          min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
          round(avg(l_extendedprice), 4) AS avg_price FROM lineitem""",
+    "arr24_agg_range" ->
+      """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         round(avg(l_extendedprice), 4) AS avg_price FROM lineitem
+         WHERE l_orderkey > 3000""",
     "arr3_timetravel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
          WHERE o_orderkey <= 500 ORDER BY o_orderkey""",

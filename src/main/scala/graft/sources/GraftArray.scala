@@ -190,6 +190,8 @@ object GraftArray {
       files.map(f => s"frag_$fragId/${f.getName}"), rows, stats,
       perFile.map { case (p, _, st0) =>
         s"frag_$fragId/${p.getName}" -> st0 }.toMap,
+      perFile.map { case (p, n, _) =>
+        s"frag_$fragId/${p.getName}" -> n }.toMap,
       origin = origin, replaces = replaces))
     ts
   }

@@ -103,6 +103,7 @@ class GraftDeltaBatchWrite(
       dataMsgs.map(_.rows).sum,
       redact(schema, GraftWriteStats.merge(schema, dataMsgs)),
       dataMsgs.map(m => m.file -> redact(schema, m.stats)).toMap,
+      dataMsgs.map(m => m.file -> m.rows).toMap,
       origin = Some(s"rowlevel"),
       deleteCoordFiles = coordMsgs.map(_.file)))
   }

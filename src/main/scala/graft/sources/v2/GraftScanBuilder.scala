@@ -82,20 +82,73 @@ class GraftScanBuilder(
   }
 
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
-    val accepted = predicates.filter(p =>
-      PredicateSupport.convert(p, predSchema).isDefined)
-    pushed = accepted
-    preds = accepted.flatMap(PredicateSupport.convert(_, predSchema)).toSeq
-    // ALL predicates are returned as residual: accepted ones still
-    // drive fragment/file pruning (subarray analog) and are evaluated
-    // in-reader on the row-based merge path, but Spark keeps its own
-    // codegen Filter — the same contract as the built-in parquet
-    // source. This lets simple partitions return ColumnarBatches and
-    // have the filter run vectorized inside WholeStageCodegen instead
-    // of row-at-a-time inside the reader.
-    predicates
+    val converted: Array[(V2Predicate, Option[Pred])] =
+      predicates.map(p => p -> PredicateSupport.convert(p, predSchema))
+    pushed = converted.collect { case (p, Some(_)) => p }
+    preds = converted.flatMap(_._2).toSeq
+    // Predicates are returned as residual BY DEFAULT: accepted ones
+    // still drive fragment/file pruning (subarray analog) and are
+    // evaluated in-reader on the row-based merge path, but Spark keeps
+    // its own codegen Filter — the same contract as the built-in
+    // parquet source, letting simple partitions stream ColumnarBatches
+    // with the filter vectorized inside WholeStageCodegen.
+    //
+    // EXCEPTION — exact coverage: a dim predicate PROVABLY true on
+    // every file that survives MBR pruning is enforced entirely by the
+    // pruning itself, so it is consumed (no residual). Row/fill paths
+    // still evaluate it in-reader (free safety); the columnar path
+    // needs no filtering because no surviving row can violate it.
+    // Consumption is what unlocks Spark's aggregate pushdown under dim
+    // ranges — Spark only pushes aggregates when no post-scan filter
+    // remains — matching the reference's aggregates-under-pushed-
+    // subarray [ha_mytile.cc:156–194, 634–640].
+    val constraints = PredicateSupport.dimConstraints(preds, schema)
+    lazy val files = survivingFiles(constraints)
+    def mbrOf(f: FragmentMeta, rel: String)(c: String): Option[(Any, Any)] =
+      f.fileStats.get(rel).flatMap(_.get(c)).flatMap { cs =>
+        val dt = schema.dataTypeOf(c)
+        for (mn <- cs.min; mx <- cs.max)
+          yield (TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
+      }
+    val (consumedPairs, residual) = converted.partition {
+      case (_, Some(pr)) => files.forall { case (f, rel) =>
+        PredicateSupport.provablyTrueOnMbr(pr, schema, mbrOf(f, rel)) }
+      case (_, None) => false
+    }
+    consumed = consumedPairs.flatMap(_._2).toSeq
+    residual.map(_._1)
   }
   override def pushedPredicates(): Array[V2Predicate] = pushed
+
+  /** Preds fully enforced by file-level pruning (no residual left with
+    * Spark) — when nonempty, tryAggregate answers from the stats of
+    * the SELECTED files rather than whole fragments. */
+  private var consumed: Seq[Pred] = Nil
+
+  /** Data files surviving fragment+file MBR pruning under
+    * `constraints` — the same per-file test partition planning applies
+    * (GraftScanImpl.selectFiles), paired with their owning fragment. */
+  private def survivingFiles(constraints: Map[String, DimConstraint])
+      : Seq[(FragmentMeta, String)] =
+    if (constraints.exists(_._2.definitelyEmpty)) Nil
+    else FragmentPruning.select(frags, schema, constraints).flatMap { f =>
+      f.files.filter { rel =>
+        f.fileStats.get(rel) match {
+          case Some(st) => constraints.forall { case (dim, c) =>
+            val dt = schema.dataTypeOf(dim)
+            st.get(dim) match {
+              case Some(cs) => (cs.min, cs.max) match {
+                case (Some(mn), Some(mx)) => c.overlapsMbr(
+                  TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
+                case _ => true
+              }
+              case None => true
+            }
+          }
+          case None => true // no per-file stats → keep (can't prune)
+        }
+      }.map(f -> _)
+    }
 
   // ---- A1–A7: aggregate pushdown from fragment stats ----------------
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -111,7 +164,9 @@ class GraftScanBuilder(
   /** Stats-only evaluation, or None when any gate fails. Gates follow
     * the reference [aggregate_is_supported, ha_mytile.cc:567–605] plus
     * exactness requirements of the stats path:
-    *  - no GROUP BY, no pushed/residual predicates (full-table only)
+    *  - no GROUP BY; no predicates EXCEPT consumed dim ranges (whose
+    *    truth was proven file-level — aggregate-under-range,
+    *    ha_mytile.cc:156–194)
     *  - latest-wins must be a no-op (dups allowed or disjoint MBRs)
     *  - COUNT not on dense (fill-value semantics)
     *  - MIN/MAX numeric/datetime/decimal always; strings gated by the
@@ -119,7 +174,14 @@ class GraftScanBuilder(
     *    way, ha_mytile.cc:316–339)
     */
   private def tryAggregate(agg: Aggregation): Option[(Seq[Any], StructType)] = {
-    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    // pushed predicates block the stats path unless EVERY one was
+    // consumed (fully enforced by file-level pruning) — then the
+    // aggregate answers from the stats of the selected files alone
+    // (aggregate-under-range; reference ha_mytile.cc:156–194). Any
+    // residual predicate means Spark keeps a Filter and never offers
+    // the aggregate anyway; this gate is the defensive mirror.
+    if (pushed.length > consumed.length) return None
     // Delete markers mask rows that fragment statistics still count —
     // stats cannot answer exactly while anything OLDER than a marker
     // is live. But a marker with nothing older to mask is inert: drop
@@ -154,7 +216,37 @@ class GraftScanBuilder(
         d.lowerBound.isDefined && d.upperBound.isDefined)) return None
     if (!schema.allowsDups && frags.size > 1 &&
       !FragmentPruning.pairwiseDisjoint(frags, schema)) return None
-    val totalRows = frags.map(_.rows).sum
+    // Stat units: whole fragments normally; the SELECTED FILES when
+    // the scan consumed dim-range predicates — only data inside the
+    // pushed range may contribute. Consumption proved every row of
+    // every selected file satisfies the predicates, so file-level
+    // min/max/sum/nullCount answer the range aggregate exactly. A
+    // selected file without per-file rows/stats (pre-round-5 manifest)
+    // forces the real-scan fallback.
+    val units: Seq[(Long, Map[String, ColumnStats])] =
+      if (consumed.isEmpty) frags.map(f => (f.rows, f.stats))
+      else {
+        val visibleIds = frags.map(_.id).toSet
+        val picked = survivingFiles(
+          PredicateSupport.dimConstraints(preds, schema))
+          .filter { case (f, _) => visibleIds.contains(f.id) }
+        var missing = false
+        val us = picked.groupBy(_._1.id).values.toSeq.flatMap { fs =>
+          val f = fs.head._1
+          // fragment fully inside the range → its fragment-level stats
+          // are exact (and carry sums even when per-file stats don't,
+          // e.g. footer-derived fileStats from the convenience writer)
+          if (fs.size == f.files.size) Seq((f.rows, f.stats))
+          else fs.map { case (_, rel) =>
+            if (!f.fileRows.contains(rel) || !f.fileStats.contains(rel)) {
+              missing = true; (0L, Map.empty[String, ColumnStats])
+            } else (f.fileRows(rel), f.fileStats(rel))
+          }
+        }
+        if (missing) return None
+        us
+      }
+    val totalRows = units.map(_._1).sum
     val ord = TypedValue.ordering
 
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -163,7 +255,7 @@ class GraftScanBuilder(
         Some(r.fieldNames.head).filter(schema.columnNames.contains)
       case _ => None
     }
-    def statsOf(c: String): Seq[ColumnStats] = frags.flatMap(_.stats.get(c))
+    def statsOf(c: String): Seq[ColumnStats] = units.flatMap(_._2.get(c))
     def minMaxable(c: String): Boolean = schema.dataTypeOf(c) match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | DateType | TimestampType | _: DecimalType => true
@@ -184,7 +276,7 @@ class GraftScanBuilder(
     def minMax(c: String, wantMin: Boolean): Option[Any] = {
       val dt = schema.dataTypeOf(c)
       val ss = statsOf(c)
-      if (ss.size != frags.size) return None // a fragment lacks stats
+      if (ss.size != units.size) return None // a unit lacks stats
       val vals = ss.flatMap(s => (if (wantMin) s.min else s.max)
         .map(TypedValue.parse(dt, _)))
       // all-null fragments contribute no value; need ≥1 overall or null
@@ -195,7 +287,7 @@ class GraftScanBuilder(
     }
     def sumOf(c: String): Option[Any] = {
       val ss = statsOf(c)
-      if (ss.size != frags.size) return None
+      if (ss.size != units.size) return None
       // SQL sum over zero non-null values is NULL, not 0
       if (totalRows - ss.map(_.nullCount).sum == 0) return Some(null)
       // cross-fragment addition must not wrap: Spark's sum(decimal) has
@@ -232,7 +324,7 @@ class GraftScanBuilder(
         colName(c.column).flatMap { n =>
           if (schema.kind == ArrayKind.Dense) None
           else statsOf(n) match {
-            case ss if ss.size == frags.size =>
+            case ss if ss.size == units.size =>
               Some((totalRows - ss.map(_.nullCount).sum, LongType))
             case _ => None
           }
@@ -261,7 +353,7 @@ class GraftScanBuilder(
         colName(a.column).filterNot(n =>
           schema.dataTypeOf(n).isInstanceOf[DecimalType]).flatMap { n =>
           val cnt = statsOf(n) match {
-            case ss if ss.size == frags.size =>
+            case ss if ss.size == units.size =>
               Some(totalRows - ss.map(_.nullCount).sum)
             case _ => None
           }

@@ -420,6 +420,7 @@ class GraftBatchWrite(
       fragId, commitTs.getOrElse(GraftArray.now()), msgs.map(_.file).toSeq,
       msgs.map(_.rows).sum, redact(schema, merged),
       msgs.map(m => m.file -> redact(schema, m.stats)).toMap,
+      msgs.map(m => m.file -> m.rows).toMap,
       origin = origin, replaces = replaces,
       deletePred = overwrite.map(PredJson.toJson)))
   }

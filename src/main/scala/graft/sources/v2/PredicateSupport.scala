@@ -199,6 +199,57 @@ object PredicateSupport {
     }
   }
 
+  /** Can `p` be PROVEN true for every row of a file, from the file's
+    * per-dimension MBRs alone? Sound but not complete — used to decide
+    * when an accepted dim predicate needs no residual re-evaluation
+    * (its truth is decided entirely by file-level pruning), which is
+    * what unlocks aggregate pushdown under pushed ranges [ref:
+    * group_by_handler aggregates under the pushed subarray,
+    * ha_mytile.cc:156–194]. Only dimension columns qualify (dims are
+    * non-nullable, so three-valued-logic corner cases cannot arise).
+    * `mbr(dim)` returns the file's (min, max) in the storage domain,
+    * or None when stats are missing (→ not provable). */
+  def provablyTrueOnMbr(p: Pred, schema: ArraySchema,
+      mbr: String => Option[(Any, Any)]): Boolean = {
+    val dims = schema.dimNames.toSet
+    // interval containment of both MBR endpoints implies containment
+    // of everything between (intervals are contiguous in the order)
+    def within(c: String, i: Interval): Boolean =
+      mbr(c).exists { case (mn, mx) => i.contains(mn) && i.contains(mx) }
+    p match {
+      case TrueP => true
+      case AndP(l, r) =>
+        provablyTrueOnMbr(l, schema, mbr) && provablyTrueOnMbr(r, schema, mbr)
+      case OrP(l, r) => // sound: MBR inside one branch's region suffices
+        provablyTrueOnMbr(l, schema, mbr) || provablyTrueOnMbr(r, schema, mbr)
+      case Cmp(op, c, v) if dims(c) =>
+        val dt = schema.dataTypeOf(c)
+        op match {
+          case "=" => within(c, Interval.point(v))
+          case ">" => within(c, Interval.gt(dt, v))
+          case ">=" => within(c, Interval.ge(v))
+          case "<" => within(c, Interval.lt(dt, v))
+          case "<=" => within(c, Interval.le(v))
+          case _ => false // <> is not an interval
+        }
+      case StartsWith(c, pre) if dims(c) && pre.nonEmpty =>
+        within(c, prefixSuccessor(pre) match {
+          case Some(s) => Interval(Some(pre), Some(s), hiInc = false)
+          case None => Interval.ge(pre)
+        })
+      case InSet(c, vs)
+          if dims(c) && TypedValue.isIntegral(schema.dataTypeOf(c)) =>
+        // every integer in the MBR span must be listed; span-capped so
+        // a huge MBR cannot stall planning
+        mbr(c).exists {
+          case (mn: Long, mx: Long) =>
+            mx - mn >= 0 && mx - mn < 4096 && (mn to mx).forall(vs.contains)
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
   /** Smallest string greater than every string with prefix `p`, in
     * code-point (≡ UTF-8 byte) order: increment the last code point
     * below U+10FFFF, dropping what follows. The increment skips the

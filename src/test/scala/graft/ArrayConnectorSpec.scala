@@ -299,6 +299,70 @@ class ArrayConnectorSpec extends SparkSpec {
     assert(grouped == Seq((false, 100L), (true, 100L)))
   }
 
+  test("aggregate pushdown under pushed dim ranges (whole-file coverage)") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    // one file per fragment → file MBRs are [0,99] and [200,299]
+    GraftArray.write(spark, uri, spark.range(0, 100).coalesce(1)
+      .select(col("id").as("rows"), col("id").as("cols"),
+        (col("id") * 3).as("a"), lit("s").as("s")))
+    GraftArray.write(spark, uri, spark.range(200, 300).coalesce(1)
+      .select(col("id").as("rows"), col("id").as("cols"),
+        (col("id") * 3).as("a"), lit("s").as("s")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    // range covering one whole file: stats answer, zero data I/O
+    val agg = df.filter(col("rows") >= 150L && col("rows") <= 350L)
+      .agg(count(lit(1)).as("cnt"), sum(col("a")).as("sm"),
+        min(col("rows")).as("mn"), max(col("rows")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      agg.queryExecution.executedPlan.toString.take(1500))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 100)
+    assert(r.getLong(1) == (200 until 300).map(_ * 3L).sum)
+    assert(r.getLong(2) == 200L && r.getLong(3) == 299L)
+    // plain COUNT(*) under the range (the most common shape)
+    val cnt = df.filter(col("rows") >= 150L)
+    assert(cnt.count() == 100)
+    // range cutting INTO a file: falls back to a real scan, stays exact
+    val partial = df.filter(col("rows") >= 250L)
+      .agg(count(lit(1)).as("cnt"), sum(col("a")).as("sm"))
+    assert(!partial.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val pr = partial.collect()(0)
+    assert(pr.getLong(0) == 50 && pr.getLong(1) == (250 until 300).map(_ * 3L).sum)
+    // a consumed predicate must still filter NON-aggregate reads
+    // exactly (columnar path relies on the containment proof)
+    assert(df.filter(col("rows") >= 150L && col("rows") <= 350L)
+      .select("rows").as[Long].collect().toSeq.sorted ==
+      (200L until 300L))
+    // attr predicates are never consumed → no stats aggregate
+    val attrAgg = df.filter(col("a") >= 600L).agg(count(lit(1)))
+    assert(!attrAgg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(attrAgg.collect()(0).getLong(0) == 100)
+
+    // PARTIALLY-selected fragment: the DSv2 writer records per-file
+    // sums in-stream, so a range covering only some files of one
+    // fragment still answers SUM from the per-file stats
+    val wh = java.nio.file.Files.createTempDirectory("graft_aur").toString
+    spark.conf.set("spark.sql.catalog.gaur", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gaur.warehouse", wh)
+    spark.sql("CREATE TABLE gaur.t (k BIGINT, a BIGINT) " +
+      "TBLPROPERTIES('graft.dimensions'='k')")
+    // 2 tasks → 2 files, [0,499] and [500,999], one fragment
+    spark.range(0, 1000).coalesce(2)
+      .select(col("id").as("k"), (col("id") * 3).as("a"))
+      .writeTo("gaur.t").append()
+    val t = spark.table("gaur.t")
+    val half = t.filter(col("k") >= 500L)
+      .agg(count(lit(1)).as("cnt"), sum(col("a")).as("sm"),
+        min(col("k")).as("mn"), max(col("k")).as("mx"))
+    assert(half.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      half.queryExecution.executedPlan.toString.take(1500))
+    val hr = half.collect()(0)
+    assert(hr.getLong(0) == 500)
+    assert(hr.getLong(1) == (500 until 1000).map(_ * 3L).sum)
+    assert(hr.getLong(2) == 500L && hr.getLong(3) == 999L)
+  }
+
   test("decimal attributes round-trip losslessly (divergence from ref)") {
     val uri = tmp()
     GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,

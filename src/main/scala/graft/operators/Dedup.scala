@@ -207,26 +207,82 @@ object Dedup {
     // 9-bit band join — 7 bands cover 60 bits, and by pigeonhole ≤6
     // flipped bits always leave ≥1 band identical, so the banded join
     // has guaranteed recall (the oracle is the exact O(n²) answer).
-    "d4_simhash_pairs" -> ((s, d) => {
-      // materialize signatures ONCE: the band self-join references its
-      // input twice, and without this the whole tokenize+md5-per-token
-      // pipeline (the expensive part) executes on BOTH sides
-      val sig = docs(s, d).select(col("doc_id"),
-        simhash(col("text")).as("sim")).localCheckpoint()
-      val bands = sig.select(col("doc_id"), col("sim"),
-        explode(transform(sequence(lit(0), lit(6)), b =>
-          concat_ws("_", b, call_function("shiftright", col("sim"), b * 9)
-            .bitwiseAND(lit(0x1ffL))))).as("band"))
-      bands.as("a").join(bands.as("b"), "band")
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long")
-            .as("hamming"))
-        .filter(col("hamming") <= 6)
-        .distinct()
-        .orderBy("i", "j")
-    })
+    // Hot-bucket hardening (collapse + df-cap) in [[simhashPairs]].
+    "d4_simhash_pairs" -> ((s, d) =>
+      simhashPairs(docs(s, d).select(col("doc_id"),
+        simhash(col("text")).as("sim"))))
   )
+
+  /** Default per-band distinct-signature frequency cap for the banded
+    * LSH joins (d4 / v1b). Accounting: identical signatures collapse
+    * before the band join, so a band exceeds the cap only when > cap
+    * DISTINCT signatures share it; a true pair is LOST only if every
+    * band it agrees on is that hot. At hamming ≤ 6 over 60 bits a pair
+    * shares ≥1 of 7 bands (pigeonhole), so the miss condition is "all
+    * its agreeing bands are shared by >1024 distinct sigs each" —
+    * corpus-statistics territory the d2 shingle cap already accepts,
+    * and spec-asserted to not fire on the test corpus. */
+  private[graft] val HotBandCap = 1024L
+
+  /** Distinct-signature groups: one row per distinct simhash with the
+    * member doc ids. A hot cluster of m duplicate documents is ONE row
+    * in the band join (the round-4 quadratic-bucket hazard), and its
+    * m·(m−1)/2 output pairs are emitted directly — output-bound work,
+    * not join-bound. */
+  private[graft] def simhashGroups(sig: DataFrame): DataFrame =
+    sig.groupBy("sim").agg(collect_list(col("doc_id")).as("ids"))
+
+  /** 9-bit band keys over DISTINCT signatures, with hot bands (> cap
+    * distinct sigs) dropped from candidate generation (recall
+    * accounting at [[HotBandCap]]). */
+  private[graft] def simhashBandRows(groups: DataFrame,
+      dfCap: Option[Long]): DataFrame = {
+    val bands0 = groups.select(col("sim"),
+      explode(transform(sequence(lit(0), lit(6)), b =>
+        concat_ws("_", b, call_function("shiftright", col("sim"), b * 9)
+          .bitwiseAND(lit(0x1ffL))))).as("band"))
+    dfCap match {
+      case Some(cap) =>
+        // hot set is tiny by construction (≤ 7·distinct/cap keys) →
+        // broadcast anti-join, no extra shuffle of the band rows
+        val hot = bands0.groupBy("band").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("band")
+        bands0.join(broadcast(hot), Seq("band"), "left_anti")
+      case None => bands0
+    }
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 6) over `(doc_id, sim)`. */
+  private[graft] def simhashPairs(sig: DataFrame,
+      dfCap: Option[Long] = Some(HotBandCap)): DataFrame = {
+    // groups feed the band self-join (twice), the hot-band count and
+    // the two member expansions — materialize once; this also runs the
+    // tokenize+md5 signature pipeline exactly once
+    val groups = simhashGroups(sig).localCheckpoint()
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("i"), col("ids"))
+      .select(col("i"), explode(col("ids")).as("j"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), lit(0L).as("hamming"))
+    val bands = simhashBandRows(groups, dfCap)
+    val sigPairs = bands.as("a").join(bands.as("b"), "band")
+      .filter(col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("sa"), col("b.sim").as("sb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 6)
+    // member expansion AFTER the hamming cut: only true signature
+    // pairs inflate to doc pairs (output-sized)
+    val cross = sigPairs
+      .join(groups.select(col("sim").as("sa"), col("ids").as("ia")), "sa")
+      .join(groups.select(col("sim").as("sb"), col("ids").as("ib")), "sb")
+      .select(explode(col("ia")).as("x"), col("ib"), col("hamming"))
+      .select(col("x"), explode(col("ib")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("i"),
+        greatest(col("x"), col("y")).as("j"), col("hamming"))
+    intra.unionByName(cross).orderBy("i", "j")
+  }
 
   private val shingleSql =
     """SELECT doc_id, list_distinct(

@@ -51,19 +51,55 @@ object Similarity {
       graft.functions.VectorFunctions.planeCoef(p, dd).toFloat)
 
   /** Banded-LSH candidate pairs verified with the exact cosine —
-    * shared edge generator for v1b (pair listing) and v5 (clusters). */
-  private def lshVerifiedPairs(e: DataFrame): DataFrame = {
-    // the band self-join and the two verify joins each reference their
-    // input twice — materialize bands and norms once instead of
-    // re-reading embeddings and re-hashing planes per side
-    val bands = e.select(col("vec_id"),
-      explode(graft.functions.expressions.Kernels
-        .lshBands(col("embedding"), ndPlanes, NdBits)).as("band"))
+    * shared edge generator for v1b (pair listing) and v5 (clusters).
+    *
+    * Hot-bucket hardening (round 5): vectors with IDENTICAL 128-bit
+    * sketches (all 32 band keys equal — near-duplicate embeddings)
+    * collapse to one group before the band self-join, so a hot cluster
+    * of m copies costs one join row, with its pairs expanded
+    * afterwards (output-bound). Bands shared by > [[Dedup.HotBandCap]]
+    * DISTINCT sketches are dropped from candidate generation: a true
+    * pair is lost only if every band it agrees on is that hot —
+    * same accounting as d2/d4, spec-asserted inert on the corpus.
+    * All candidates (intra- and cross-group) still verify with the
+    * exact cosine, so precision is unaffected. */
+  private[graft] def lshVerifiedPairs(e: DataFrame,
+      dfCap: Option[Long] = Some(Dedup.HotBandCap)): DataFrame = {
+    // groups feed the band join (twice), the hot count and two member
+    // expansions; vecs feed the two verify joins — materialize each
+    // once instead of re-reading embeddings and re-hashing planes
+    val groups = e.select(col("vec_id"),
+      graft.functions.expressions.Kernels
+        .lshBands(col("embedding"), ndPlanes, NdBits).as("bands"))
+      .groupBy("bands").agg(collect_list(col("vec_id")).as("ids"))
+      // scalar group key for the self-join ordering: member vec_ids
+      // are globally unique, so the min id identifies the group
+      .withColumn("gid", array_min(col("ids")))
       .localCheckpoint()
-    val cand = bands.as("a").join(bands.as("b"), "band")
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("i"), col("ids"))
+      .select(col("i"), explode(col("ids")).as("j"))
+      .filter(col("i") < col("j"))
+    val bandRows0 = groups.select(col("gid"),
+      explode(col("bands")).as("band"))
+    val bandRows = dfCap match {
+      case Some(cap) =>
+        val hot = bandRows0.groupBy("band").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("band")
+        bandRows0.join(broadcast(hot), Seq("band"), "left_anti")
+      case None => bandRows0
+    }
+    val cross = bandRows.as("a").join(bandRows.as("b"), "band")
+      .filter(col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
       .distinct()
+      .join(groups.select(col("gid").as("ga"), col("ids").as("ia")), "ga")
+      .join(groups.select(col("gid").as("gb"), col("ids").as("ib")), "gb")
+      .select(explode(col("ia")).as("x"), col("ib"))
+      .select(col("x"), explode(col("ib")).as("y"))
+      .select(least(col("x"), col("y")).as("i"),
+        greatest(col("x"), col("y")).as("j"))
+    val cand = intra.unionByName(cross)
     val vecs = e.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
       .localCheckpoint()

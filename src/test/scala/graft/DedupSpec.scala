@@ -60,4 +60,38 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == capped)
     assert(capped.contains((58L, 59L)), s"lost the genuine pair: $capped")
   }
+
+  test("simhash degenerate band: identical sigs collapse, result exact") {
+    // 500 identical signatures (one hot duplicate cluster) + 40
+    // distinct ones, several within hamming ≤ 6 of each other
+    val m = 500
+    val dup = (0 until m).map(i => (i.toLong, 0x0123456789ABCDEL))
+    val near = (0 until 40).map(i =>
+      (1000L + i, 0x0123456789ABCDEL ^ (1L << (i % 60)) ^ (1L << 59)))
+    val sig = (dup ++ near).toDF("doc_id", "sim")
+    // the band join input is DISTINCT signatures: 41 groups × 7 bands,
+    // not 540 × 7 — the m-identical bucket costs ONE join row
+    val groups = Dedup.simhashGroups(sig)
+    assert(groups.count() == 41)
+    assert(Dedup.simhashBandRows(groups, Some(Dedup.HotBandCap)).count()
+      == 41L * 7)
+    // and the reported pair set equals the brute-force O(n²) answer
+    val all = sig.as[(Long, Long)].collect()
+    val exact = (for {
+      (i, si) <- all; (j, sj) <- all
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 6
+    } yield (i, j)).toSet
+    val got = Dedup.simhashPairs(sig)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got == exact,
+      s"missed=${(exact -- got).size} spurious=${(got -- exact).size}")
+    assert(got.size >= m * (m - 1) / 2) // the dup cluster's pairs
+    // a hot band (> cap distinct sigs sharing it) is dropped from
+    // candidate generation: craft 20 distinct sigs sharing band 0
+    val shared = (0 until 20).map(i => (2000L + i, (i.toLong << 9) | 0x155L))
+    val sig2 = shared.toDF("doc_id", "sim")
+    val g2 = Dedup.simhashGroups(sig2)
+    val kept = Dedup.simhashBandRows(g2, Some(8L)).count()
+    assert(kept < 20L * 7, s"hot band not dropped: $kept rows")
+  }
 }

@@ -57,6 +57,34 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact, s"missed: ${exact -- lsh}; spurious: ${lsh -- exact}")
   }
 
+  test("v1b hot bucket: identical embeddings collapse before the band join") {
+    import spark.implicits._
+    // 100 copies of one embedding (identical 128-bit sketch) + 20
+    // scattered vectors — the duplicate cluster must cost ONE row in
+    // the band self-join, with its 4950 pairs expanded afterwards
+    val base = (0 until 64).map(i => math.sin(i + 1.0).toFloat).toArray
+    val dup = (0 until 100).map(i => (i.toLong, base))
+    val others = (0 until 20).map(i => (1000L + i,
+      (0 until 64).map(d => math.sin((i + 3.0) * 64 + d).toFloat).toArray))
+    val e = (dup ++ others).toDF("vec_id", "embedding")
+    val pairs = operators.Similarity.lshVerifiedPairs(e)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // all intra-cluster pairs present (cos = 1), verified exactly
+    val intra = (for (i <- 0 until 100; j <- i + 1 until 100)
+      yield (i.toLong, j.toLong)).toSet
+    assert(intra.subsetOf(pairs), s"lost ${(intra -- pairs).size} dup pairs")
+    // and every reported pair really clears the cosine threshold
+    // (precision is exact-verified regardless of bucketing)
+    val vecs = (dup ++ others).toMap
+    pairs.foreach { case (i, j) =>
+      val (a, b) = (vecs(i), vecs(j))
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      val cos = dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+      assert(cos >= 0.45, s"pair ($i,$j) below threshold: $cos")
+    }
+  }
+
   test("similarity top-k is bounded aggregation, not a global window") {
     for (q <- Seq("v2_ann_topk", "v4_ann_ivf")) {
       // toString traverses into the AQE-wrapped plan (node collect doesn't)

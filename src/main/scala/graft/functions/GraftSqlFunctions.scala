@@ -22,7 +22,7 @@ object GraftSqlFunctions {
 
   val all: Seq[UnboundFunction] = Seq(
     DotFn, CosineFn, Hash60Fn, TokenCountFn, SimhashFn, FingerprintFn,
-    Hilbert2dFn)
+    Hilbert2dFn, StPointFn, StGeomFromWkbFn, StIntersectsFn, StWithinFn)
 
   def byName(name: String): Option[UnboundFunction] =
     all.find(_.name == name.toLowerCase)
@@ -231,5 +231,103 @@ object GraftSqlFunctions {
       graft.functions.expressions.Hilbert2D.xy2d(x, y, bits)
     override def produceResult(input: InternalRow): java.lang.Long =
       invoke(input.getLong(0), input.getLong(1), input.getInt(2))
+  }
+
+  // ---- spatial (reference P7, ha_mytile.cc:2312–2507) ---------------
+  // Geometry values are WKB binary. The predicate functions define
+  // intersection/containment on geometry MBRs — exact for points and
+  // axis-aligned boxes, and precisely the region the reference's
+  // storage pushdown answers. Constant-geometry calls over dimension
+  // columns are additionally rewritten to dim ranges at pushdown time
+  // (PredicateSupport.convert), so they prune fragments/files like any
+  // BETWEEN.
+
+  object StPointFn extends UnboundFunction {
+    override def name: String = "st_point"
+    override def description: String =
+      "st_point(x double, y double) -> binary: WKB point"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType.forall(_.dataType == DoubleType),
+        s"st_point expects (double, double), got " +
+          inputType.map(_.dataType.simpleString).mkString(", "))
+      StPointBound
+    }
+  }
+
+  object StPointBound extends ScalarFunction[Array[Byte]] {
+    override def inputTypes(): Array[DataType] = Array(DoubleType, DoubleType)
+    override def resultType(): DataType = BinaryType
+    override def name(): String = "st_point"
+    def invoke(x: Double, y: Double): Array[Byte] = Wkb.point(x, y)
+    override def produceResult(input: InternalRow): Array[Byte] =
+      invoke(input.getDouble(0), input.getDouble(1))
+  }
+
+  abstract class BinFn(val name: String, arity: Int) extends UnboundFunction {
+    def bound: BoundFunction
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == arity &&
+        inputType.forall(_.dataType == BinaryType),
+        s"$name expects $arity WKB binary argument(s), got " +
+          inputType.map(_.dataType.simpleString).mkString(", "))
+      bound
+    }
+  }
+
+  object StGeomFromWkbFn extends BinFn("st_geomfromwkb", 1) {
+    override def description: String =
+      "st_geomfromwkb(wkb binary) -> binary: validates and returns the " +
+        "WKB geometry (graft's geometry representation IS WKB)"
+    override def bound: BoundFunction = StGeomFromWkbBound
+  }
+
+  object StGeomFromWkbBound extends ScalarFunction[Array[Byte]] {
+    override def inputTypes(): Array[DataType] = Array(BinaryType)
+    override def resultType(): DataType = BinaryType
+    override def name(): String = "st_geomfromwkb"
+    def invoke(wkb: Array[Byte]): Array[Byte] = { Wkb.mbr(wkb); wkb }
+    override def produceResult(input: InternalRow): Array[Byte] =
+      invoke(input.getBinary(0))
+  }
+
+  object StIntersectsFn extends BinFn("st_intersects", 2) {
+    override def description: String =
+      "st_intersects(a binary, b binary) -> boolean: MBR overlap of " +
+        "two WKB geometries (exact for points/boxes)"
+    override def bound: BoundFunction = StIntersectsBound
+  }
+
+  object StIntersectsBound extends ScalarFunction[java.lang.Boolean] {
+    override def inputTypes(): Array[DataType] = Array(BinaryType, BinaryType)
+    override def resultType(): DataType = BooleanType
+    override def name(): String = "st_intersects"
+    def invoke(a: Array[Byte], b: Array[Byte]): Boolean = {
+      val (ax0, ay0, ax1, ay1) = Wkb.mbr(a)
+      val (bx0, by0, bx1, by1) = Wkb.mbr(b)
+      ax0 <= bx1 && ax1 >= bx0 && ay0 <= by1 && ay1 >= by0
+    }
+    override def produceResult(input: InternalRow): java.lang.Boolean =
+      invoke(input.getBinary(0), input.getBinary(1))
+  }
+
+  object StWithinFn extends BinFn("st_within", 2) {
+    override def description: String =
+      "st_within(a binary, b binary) -> boolean: a's MBR contained in " +
+        "b's MBR (exact for points within boxes)"
+    override def bound: BoundFunction = StWithinBound
+  }
+
+  object StWithinBound extends ScalarFunction[java.lang.Boolean] {
+    override def inputTypes(): Array[DataType] = Array(BinaryType, BinaryType)
+    override def resultType(): DataType = BooleanType
+    override def name(): String = "st_within"
+    def invoke(a: Array[Byte], b: Array[Byte]): Boolean = {
+      val (ax0, ay0, ax1, ay1) = Wkb.mbr(a)
+      val (bx0, by0, bx1, by1) = Wkb.mbr(b)
+      ax0 >= bx0 && ax1 <= bx1 && ay0 >= by0 && ay1 <= by1
+    }
+    override def produceResult(input: InternalRow): java.lang.Boolean =
+      invoke(input.getBinary(0), input.getBinary(1))
   }
 }

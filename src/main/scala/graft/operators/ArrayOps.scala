@@ -85,6 +85,36 @@ object ArrayOps {
           round(avg(col("l_extendedprice")), 4).as("avg_price"))
     }),
 
+    // P7 via the SQL surface (round 5): a constant-geometry
+    // ST_INTERSECTS call over double dims is RECOGNIZED and rewritten
+    // to dim ranges (PredicateSupport.spatialRewrite — the reference's
+    // WKB→MBR→subarray path, ha_mytile.cc:2312–2507), pruning
+    // fragments/files; same answer as p7_spatial_mbr's manual helper.
+    "p7b_spatial_fn" -> ((s, d) => {
+      val uri = freshUri("spat")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("x", DoubleType), DimensionSpec("y", DoubleType)),
+        Seq(AttributeSpec("p_partkey", LongType)), allowsDups = true)
+      GraftArray.create(s, uri, sch)
+      GraftArray.write(s, uri, Tables.load(s, d, "part").select(
+        col("p_size").cast("double").as("x"),
+        col("p_retailprice").as("y"), col("p_partkey")))
+      val cat = "gsp" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_spat").toString)
+      val v = s"spat_$cat"
+      s.read.format("graftarray").option("path", uri).load()
+        .createOrReplaceTempView(v)
+      val hex = graft.functions.Wkb.box(10.0, 500.0, 40.0, 1500.0)
+        .map(b => f"${b & 0xff}%02X").mkString
+      s.sql(
+        s"""SELECT p_partkey, x, y FROM $v
+           |WHERE $cat.st_intersects($cat.st_point(x, y), X'$hex')
+           |ORDER BY p_partkey, x, y""".stripMargin)
+    }),
+
     // S7: two fragments, read as-of the first commit.
     "arr3_timetravel" -> ((s, d) => {
       val uri = freshUri("tt")
@@ -632,6 +662,12 @@ object ArrayOps {
          min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
          round(avg(l_extendedprice), 4) AS avg_price FROM lineitem
          WHERE l_orderkey > 3000""",
+    "p7b_spatial_fn" ->
+      """SELECT p_partkey, CAST(p_size AS DOUBLE) AS x,
+         p_retailprice AS y FROM part
+         WHERE p_size BETWEEN 10 AND 40
+           AND p_retailprice BETWEEN 500.0 AND 1500.0
+         ORDER BY p_partkey, x, y""",
     "arr3_timetravel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
          WHERE o_orderkey <= 500 ORDER BY o_orderkey""",

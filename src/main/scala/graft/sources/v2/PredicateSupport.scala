@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference, UserDefinedScalarFunc}
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
 import org.apache.spark.sql.types._
 import graft.core.{ArraySchema, RangeAlgebra, TypedValue}
@@ -141,7 +141,62 @@ object PredicateSupport {
               case p: String => StartsWith(c, p)
             }
           }
+        // boolean V2 function calls (the FunctionCatalog surface):
+        // constant-geometry ST_* predicates rewrite to dim ranges
+        case "BOOLEAN_EXPRESSION" if ch.length == 1 =>
+          spatialRewrite(ch(0), schema)
         case _ => None
+      }
+    case _ => None
+  }
+
+  /** `st_intersects(st_point(xcol, ycol), <const wkb>)` (either
+    * argument order; also `st_within(point, geom)`) → the x/y range
+    * conjunction over the constant geometry's MBR — the reference's
+    * spatial pushdown rewrite [ha_mytile.cc:2312–2507, routing
+    * 2825–2830]. Graft's ST_* functions are MBR-defined
+    * ([[graft.functions.GraftSqlFunctions]]), so the rewrite is EXACT,
+    * not just a pruning approximation: the produced ranges prune
+    * fragments/files AND fully replace row-wise evaluation. The
+    * constant side may be a binary literal or `st_geomfromwkb(lit)`. */
+  private def spatialRewrite(e: Expression, schema: ArraySchema)
+      : Option[Pred] = e match {
+    case f: UserDefinedScalarFunc if f.children().length == 2 =>
+      def pointCols(x: Expression): Option[(String, String)] = x match {
+        case p: UserDefinedScalarFunc if p.name() == "st_point" &&
+            p.children().length == 2 =>
+          (fieldName(p.children()(0)), fieldName(p.children()(1))) match {
+            case (Some(a), Some(b)) if schemaHas(schema, a) &&
+              schemaHas(schema, b) &&
+              schema.dataTypeOf(a) == DoubleType &&
+              schema.dataTypeOf(b) == DoubleType => Some((a, b))
+            case _ => None
+          }
+        case _ => None
+      }
+      def constGeom(x: Expression): Option[Array[Byte]] = x match {
+        case l: Literal[_] if l.dataType() == BinaryType =>
+          Option(l.value).map(_.asInstanceOf[Array[Byte]])
+        case w: UserDefinedScalarFunc if w.name() == "st_geomfromwkb" &&
+            w.children().length == 1 => constGeom(w.children()(0))
+        case _ => None
+      }
+      val args = f.children()
+      val shaped = f.name() match {
+        case "st_intersects" => // symmetric: point side in either slot
+          pointCols(args(0)).map((_, args(1)))
+            .orElse(pointCols(args(1)).map((_, args(0))))
+        case "st_within" => pointCols(args(0)).map((_, args(1)))
+        case _ => None
+      }
+      shaped.flatMap { case ((xc, yc), g) =>
+        constGeom(g).flatMap { wkb =>
+          scala.util.Try(graft.functions.Wkb.mbr(wkb)).toOption.map {
+            case (x0, y0, x1, y1) =>
+              AndP(AndP(Cmp(">=", xc, x0), Cmp("<=", xc, x1)),
+                AndP(Cmp(">=", yc, y0), Cmp("<=", yc, y1)))
+          }
+        }
       }
     case _ => None
   }

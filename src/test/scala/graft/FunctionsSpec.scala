@@ -89,4 +89,34 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("dot") ||
       e.getCause != null)
   }
+
+  test("WKB codec: MBRs of points, polygons, multi and both endians") {
+    import graft.functions.Wkb
+    assert(Wkb.mbr(Wkb.point(3.5, -2.0)) == ((3.5, -2.0, 3.5, -2.0)))
+    assert(Wkb.mbr(Wkb.box(1, 2, 3, 4)) == ((1.0, 2.0, 3.0, 4.0)))
+    // big-endian point (hand-built): order byte 0, type 1, coords
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0: Byte).putInt(1).putDouble(7.0).putDouble(8.0)
+    assert(Wkb.mbr(be.array()) == ((7.0, 8.0, 7.0, 8.0)))
+    // multipoint: nested full WKBs
+    val mp = java.nio.ByteBuffer.allocate(9 + 2 * 21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    mp.put(1: Byte).putInt(4).putInt(2)
+    mp.put(Wkb.point(-1, 0)).put(Wkb.point(5, 9))
+    assert(Wkb.mbr(mp.array()) == ((-1.0, 0.0, 5.0, 9.0)))
+    // EWKB SRID flag skipped
+    val ew = java.nio.ByteBuffer.allocate(25)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ew.put(1: Byte).putInt(1 | 0x20000000).putInt(4326)
+      .putDouble(1.0).putDouble(2.0)
+    assert(Wkb.mbr(ew.array()) == ((1.0, 2.0, 1.0, 2.0)))
+    // malformed input throws (predicate rewrite must leave it residual)
+    intercept[Exception](Wkb.mbr(Array[Byte](1, 99)))
+    // SQL-surface MBR semantics
+    import graft.functions.GraftSqlFunctions._
+    assert(StIntersectsBound.invoke(Wkb.point(2, 2), Wkb.box(0, 0, 5, 5)))
+    assert(!StIntersectsBound.invoke(Wkb.point(9, 2), Wkb.box(0, 0, 5, 5)))
+    assert(StWithinBound.invoke(Wkb.box(1, 1, 2, 2), Wkb.box(0, 0, 5, 5)))
+    assert(!StWithinBound.invoke(Wkb.box(1, 1, 9, 2), Wkb.box(0, 0, 5, 5)))
+  }
 }

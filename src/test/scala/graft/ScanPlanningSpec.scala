@@ -537,6 +537,46 @@ class ScanPlanningSpec extends SparkSpec {
     assert(parts.isEmpty, s"expected 0 partitions, got ${parts.size}")
   }
 
+  test("ST_* constant-geometry predicates rewrite to dim ranges and prune") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
+      Seq(DimensionSpec("x", DoubleType), DimensionSpec("y", DoubleType)),
+      Seq(AttributeSpec("v", LongType))))
+    // two disjoint spatial fragments: x∈[0,10) and x∈[100,110)
+    GraftArray.write(spark, uri, spark.range(0, 10).select(
+      col("id").cast("double").as("x"), col("id").cast("double").as("y"),
+      col("id").as("v")))
+    GraftArray.write(spark, uri, spark.range(100, 110).select(
+      col("id").cast("double").as("x"), col("id").cast("double").as("y"),
+      col("id").as("v")))
+    val cat = "gst"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_st").toString)
+    spark.read.format("graftarray").option("path", uri).load()
+      .createOrReplaceTempView("st_pts")
+    val hex = graft.functions.Wkb.box(2.0, 2.0, 7.0, 7.0)
+      .map(b => f"${b & 0xff}%02X").mkString
+    val df = spark.sql(s"SELECT v FROM st_pts WHERE " +
+      s"$cat.st_intersects($cat.st_point(x, y), X'$hex')")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (2L to 7L))
+    // the far fragment never plans a partition (MBR rewrite pruned it)
+    val frags = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions }.flatten.collect {
+      case p: graft.sources.v2.GraftInputPartition =>
+        p.files.map(_._1.split("/frag_")(1).split("/")(0))
+    }.flatten.distinct
+    assert(frags.size <= 1, s"spatial rewrite did not prune: $frags")
+    // st_within over st_geomfromwkb takes the same path
+    val df2 = spark.sql(s"SELECT v FROM st_pts WHERE " +
+      s"$cat.st_within($cat.st_point(x, y), $cat.st_geomfromwkb(X'$hex'))")
+    assert(df2.collect().map(_.getLong(0)).sorted.toSeq == (2L to 7L))
+    // non-constant geometry stays a row-wise function (still correct)
+    val df3 = spark.sql(s"SELECT v FROM st_pts WHERE " +
+      s"$cat.st_intersects($cat.st_point(x, y), $cat.st_point(x, y))")
+    assert(df3.count() == 20)
+  }
+
   test("latest-wins merge path decodes files vectorized, not via Groups") {
     import graft.sources.v2.GraftScanMetrics
     val uri = tmp()

@@ -854,17 +854,41 @@ class GraftScanImpl(
   override def filter(filters: Array[Filter]): Unit = {
     // runtime filters narrow the partition/fragment sets
     plannedCache = null; selectedCache = null; tombstoneCache = null
-    filters.foreach {
-      case EqualTo(c, v) if schema.dimNames.contains(c) =>
+    filters.foreach(applyRuntime)
+  }
+
+  /** Fold one runtime filter into the dim constraints. Point shapes
+    * (EqualTo/In — the common DPP product) intersect the point set;
+    * range shapes (round 5 — the reference's MRR also merges RANGES
+    * into super-ranges, ha_mytile.cc:4079–4221) intersect the
+    * interval; And recurses into both sides. Anything else is ignored
+    * (runtime filters are an optimization — the join itself stays
+    * correct). */
+  private def applyRuntime(f: Filter): Unit = {
+    import org.apache.spark.sql.sources._
+    def narrow(c: String)(g: DimConstraint => DimConstraint): Unit =
+      constraints = constraints.updated(c,
+        g(constraints.getOrElse(c, DimConstraint())))
+    def dim(c: String): Boolean = schema.dimNames.contains(c)
+    f match {
+      case EqualTo(c, v) if dim(c) =>
+        narrow(c)(_.andPoints(Seq(TypedValue.normalize(schema.dataTypeOf(c), v))))
+      case In(c, vs) if dim(c) =>
+        narrow(c)(_.andPoints(vs.toSeq.map(
+          TypedValue.normalize(schema.dataTypeOf(c), _))))
+      case GreaterThan(c, v) if dim(c) =>
         val dt = schema.dataTypeOf(c)
-        val cur = constraints.getOrElse(c, DimConstraint())
-        constraints = constraints.updated(c,
-          cur.andPoints(Seq(TypedValue.normalize(dt, v))))
-      case In(c, vs) if schema.dimNames.contains(c) =>
+        narrow(c)(_.and(RangeAlgebra.Interval.gt(dt, TypedValue.normalize(dt, v))))
+      case GreaterThanOrEqual(c, v) if dim(c) =>
         val dt = schema.dataTypeOf(c)
-        val cur = constraints.getOrElse(c, DimConstraint())
-        constraints = constraints.updated(c,
-          cur.andPoints(vs.toSeq.map(TypedValue.normalize(dt, _))))
+        narrow(c)(_.and(RangeAlgebra.Interval.ge(TypedValue.normalize(dt, v))))
+      case LessThan(c, v) if dim(c) =>
+        val dt = schema.dataTypeOf(c)
+        narrow(c)(_.and(RangeAlgebra.Interval.lt(dt, TypedValue.normalize(dt, v))))
+      case LessThanOrEqual(c, v) if dim(c) =>
+        val dt = schema.dataTypeOf(c)
+        narrow(c)(_.and(RangeAlgebra.Interval.le(TypedValue.normalize(dt, v))))
+      case And(l, r) => applyRuntime(l); applyRuntime(r)
       case _ => ()
     }
   }

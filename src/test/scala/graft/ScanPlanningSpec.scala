@@ -64,6 +64,33 @@ class ScanPlanningSpec extends SparkSpec {
     }
   }
 
+  test("range-shaped runtime filters prune fragments (MRR super-ranges)") {
+    import org.apache.spark.sql.sources.{And => SAnd, GreaterThanOrEqual, LessThan}
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    for (base <- Seq(0L, 1000L, 2000L, 3000L))
+      GraftArray.write(spark, uri, spark.range(base, base + 100)
+        .select(col("id").as("k"), lit(1.0).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+      .asInstanceOf[graft.sources.v2.GraftScanImpl]
+    def fragsNow(): Seq[String] = scan.planInputPartitions().collect {
+      case p: graft.sources.v2.GraftInputPartition => p }
+      .flatMap(_.files.map(_._1.split("/frag_")(1).split("/")(0)))
+      .distinct.toSeq
+    assert(fragsNow().size == 4)
+    // a range filter (as a DPP-style join would produce) prunes to the
+    // two fragments overlapping [1000, 3000)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      SAnd(GreaterThanOrEqual("k", 1000L), LessThan("k", 3000L))))
+    val frags = fragsNow()
+    assert(frags.size == 2, s"range runtime filter did not prune: $frags")
+    // further narrowing composes (intervals intersect)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](LessThan("k", 1100L)))
+    assert(fragsNow().size == 1, s"narrowing did not compose: ${fragsNow()}")
+  }
+
   test("limit pushdown caps per-partition rows and stays exact") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

@@ -20,33 +20,58 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("v3_ann_lsh results are a subset of v2 brute-force ranking pool") {
-    val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)
-      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = operators.Similarity.queries("v3_ann_lsh")(spark, sf)
-      .select("query_id", "vec_id", "cos").collect()
-    assert(lsh.nonEmpty, "LSH returned nothing")
-    // every LSH hit with cos >= the brute-force 10th cos must be in brute set
-    val bruteMin = operators.Similarity.queries("v2_ann_topk")(spark, sf)
-      .groupBy("query_id").agg(min("cos").as("mn"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    lsh.foreach { r =>
-      val (q, v, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
-      if (c > bruteMin(q))
-        assert(brute.contains((q, v)), s"LSH pair ($q,$v) cos=$c missing from brute force")
+  test("v3/v4 driver queries self-assert recall_ok for all 5 queries") {
+    for (name <- Seq("v3_ann_lsh", "v4_ann_ivf")) {
+      val rows = operators.Similarity.queries(name)(spark, sf).collect()
+      assert(rows.map(_.getLong(0)).toSeq == (0L to 4L),
+        s"$name query_ids wrong: ${rows.mkString(",")}")
+      rows.foreach(r => assert(r.getBoolean(1),
+        s"$name recall bound violated for query ${r.getLong(0)}"))
     }
   }
 
-  test("v4_ann_ivf achieves high recall vs brute-force top-10") {
+  test("multi-table LSH ANN beats its stated recall bound with margin") {
+    val e = Tables.load(spark, sf, "embeddings")
     val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = operators.Similarity.queries("v4_ann_ivf")(spark, sf)
+    val lsh = operators.Similarity.annLshTopK(e, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH returned nothing")
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH mean recall $recall too low") // 32 tables x 6 bits
+  }
+
+  test("v4_ann_ivf raw surface achieves high recall vs brute-force top-10") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.Similarity.ivfTopK(e)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall $recall too low") // nprobe=2 of 16
+  }
+
+  test("O(n^2) exact near-dup anchor refuses large corpora without opt-in") {
+    import spark.implicits._
+    val e = (0 until 20).map(i => (i.toLong,
+      Array.fill(4)((i + 1).toFloat))).toDF("vec_id", "embedding")
+    spark.conf.set("graft.similarity.exactNeardupMaxRows", "10")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        operators.Similarity.exactNeardupPairs(spark, e)
+      }
+      assert(ex.getMessage.contains("opt in"))
+      spark.conf.set("graft.similarity.allowExactNeardup", "true")
+      assert(operators.Similarity.exactNeardupPairs(spark, e).count() > 0)
+    } finally {
+      spark.conf.unset("graft.similarity.exactNeardupMaxRows")
+      spark.conf.unset("graft.similarity.allowExactNeardup")
+    }
   }
 
   test("v1b LSH near-dup reproduces the exact pair set at threshold 0.45") {

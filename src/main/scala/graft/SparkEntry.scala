@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
+      operators.Pipeline.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.ArrayOps.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
+      operators.Pipeline.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.ArrayOps.oracles ++

@@ -291,7 +291,7 @@ object Dedup {
        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
              FROM documents)"""
 
-  private def exactJaccardSql(threshold: Double): String =
+  private[graft] def exactJaccardSql(threshold: Double): String =
     s"""WITH sh AS ($shingleSql)
        SELECT i, j, round(jac, 6) AS jac FROM (
          SELECT a.doc_id AS i, b.doc_id AS j,

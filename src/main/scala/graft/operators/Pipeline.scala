@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Training-data pipeline operators over `documents`: reproducible
+  * splits, mixture sampling, sequence packing, and leakage-safe
+  * cluster-aware splits — the assembly steps between a cleaned corpus
+  * and a training run.
+  *
+  * Determinism is the design constraint: every assignment derives from
+  * md5 of a stable id (no RNG, no partition-order dependence), so a
+  * split computed on 1000 executors over 100 TB is bit-identical to
+  * the oracle's replay — and to a re-run after adding data, for the
+  * rows that existed before.
+  */
+object Pipeline {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Hex-prefix threshold selector: md5 of the id's first two hex
+    * chars are uniform over 256 values; `id_hex <= threshold` selects
+    * a deterministic (threshold+1)/256 fraction. String-compare on
+    * lowercase hex replays identically in any engine with md5. */
+  private def hexBucket(id: org.apache.spark.sql.Column) =
+    substring(md5(id.cast("string")), 1, 2)
+
+  // train ≈ 204/256 (79.7%), val ≈ 26/256 (10.2%), test ≈ 26/256
+  private def splitOf(id: org.apache.spark.sql.Column) = {
+    val h = hexBucket(id)
+    when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reproducible train/val/test split: assignment is a pure function
+    // of doc_id (md5 hex prefix vs threshold), so it's stable across
+    // cluster sizes, re-runs and incremental corpus growth. Narrow,
+    // shuffle-free scan + one small aggregation.
+    "x1_hash_split" -> ((s, d) =>
+      docs(s, d)
+        .select(splitOf(col("doc_id")).as("split"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("split")),
+
+    // Concat-and-chunk sequence packing: documents in doc_id order
+    // form one token stream per shard; each document is assigned the
+    // 2048-token context window containing its start offset. The
+    // running sum is per-shard (PARTITION BY doc_id/10000), so packing
+    // parallelizes across shards at 100 TB instead of funneling the
+    // corpus through one globally-ordered window task.
+    "x2_seq_packing" -> ((s, d) => {
+      val shard = floor(col("doc_id") / 10000L)
+      val w = Window.partitionBy(shard.as("shard")).orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          (shard * 1000000L + floor(col("off") / 2048L)).as("win"))
+        .groupBy("win")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("win_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("win")
+    }),
+
+    // Weighted mixture sampling: per-source rates (100% / 50% / 12.5%
+    // by source tier) via the same md5-threshold trick — deterministic
+    // dataset mixing without an RNG seed to disagree about across
+    // executors. Output is the realized mixture histogram.
+    "x3_mixture_sample" -> ((s, d) => {
+      val tier = substring(col("source"), 4, 10).cast("int")
+      val threshold = when(tier < 5, "ff")
+        .when(tier < 10, "7f").otherwise("1f")
+      docs(s, d)
+        .filter(hexBucket(col("doc_id")) <= threshold)
+        .select(col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // Leakage-safe split: near-duplicate documents must not straddle
+    // train/test, so the split key is the duplicate CLUSTER head (d5's
+    // connected components over MinHash-verified Jaccard ≥ 0.8 edges),
+    // not the document — singletons are their own head. Composes the
+    // dedup graph with the hash split; all bulk work is the banded
+    // LSH join + O(log diameter) component rounds.
+    "x4_cluster_split" -> ((s, d) => {
+      val dd = docs(s, d)
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(dd, 0.8).select("i", "j"))
+      dd.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster"))
+        .withColumn("split", splitOf(col("cluster")))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val tokSql = """len(string_split_regex(trim(text), '\s+'))"""
+  private val splitSql =
+    """CASE WHEN substr(md5(CAST(%s AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+            WHEN substr(md5(CAST(%s AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+            ELSE 'test' END"""
+
+  val oracles: Map[String, String] = Map(
+    "x1_hash_split" ->
+      s"""SELECT split, count(*) AS n_docs, sum(n_tokens)::bigint AS n_tokens
+         FROM (SELECT ${splitSql.format("doc_id", "doc_id")} AS split,
+                 $tokSql AS n_tokens FROM documents)
+         GROUP BY split ORDER BY split""",
+    "x2_seq_packing" ->
+      s"""SELECT win, count(*) AS n_docs, sum(n_tokens)::bigint AS win_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM (SELECT doc_id, n_tokens,
+             (doc_id // 10000) * 1000000
+               + (coalesce(sum(n_tokens) OVER (PARTITION BY doc_id // 10000
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) // 2048)::bigint AS win
+           FROM (SELECT doc_id, $tokSql AS n_tokens FROM documents))
+         GROUP BY win ORDER BY win""",
+    "x3_mixture_sample" ->
+      s"""SELECT source, count(*) AS n_sampled, sum(n_tokens)::bigint AS n_tokens
+         FROM (SELECT source, $tokSql AS n_tokens FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+                 CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'ff'
+                      WHEN CAST(substr(source, 4) AS INT) < 10 THEN '7f'
+                      ELSE '1f' END)
+         GROUP BY source ORDER BY source""",
+    "x4_cluster_split" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT i, j FROM (${Dedup.exactJaccardSql(0.8)
+             .replace("ORDER BY i, j", "")})),
+         edges AS (SELECT i AS src, j AS dst FROM pairs
+                   UNION ALL SELECT j, i FROM pairs),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, root) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+         comp AS (SELECT id, min(root)::bigint AS lbl FROM reach GROUP BY id)
+         SELECT d.doc_id,
+           coalesce(c.lbl, d.doc_id) AS cluster,
+           ${splitSql.format("coalesce(c.lbl, d.doc_id)",
+             "coalesce(c.lbl, d.doc_id)")} AS split
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id"""
+  )
+}

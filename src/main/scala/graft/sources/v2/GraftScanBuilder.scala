@@ -410,6 +410,19 @@ class GraftScanImpl(
 
   private var constraints = initialConstraints
 
+  /** Per-ATTRIBUTE value constraints from the AND-decomposition of the
+    * pushed predicates (plus runtime filters below) — used ONLY to
+    * skip whole files from their per-file min/max stats, the
+    * parquet-row-group-pruning analog for attributes. Sound because
+    * every extracted leaf is null-rejecting (a NULL attr fails the
+    * predicate), so deciding from non-null min/max cannot drop a
+    * passing row. Gated on `mergeFree`: under latest-wins merge,
+    * skipping a NEWER file could resurface the older version of a
+    * coordinate it shadows (same rule as provenance pruning). */
+  private var attrCons: Map[String, DimConstraint] =
+    PredicateSupport.columnConstraints(preds, schema,
+      c => !schema.dimNames.contains(c))
+
   /** Fragment pruning from provenance predicates: `_commit_ts` and
     * `_frag_id` are fragment-CONSTANT, so conjunctive (AND-reachable)
     * leaves on them eliminate whole fragments from the manifest alone
@@ -535,24 +548,34 @@ class GraftScanImpl(
   /** Files of `f` whose per-file dim MBRs intersect the constraints.
     * Dim-only pruning is latest-wins-safe: a newer row for the same
     * coordinates has identical dim values, so any file holding a newer
-    * version of a surviving coordinate also survives. */
-  private def selectFiles(f: FragmentMeta): Seq[String] =
+    * version of a surviving coordinate also survives. Attribute-stats
+    * pruning additionally skips files no row of which can satisfy the
+    * pushed/runtime attr constraints — merge-gated (see `attrCons`)
+    * and off for raw-cell (consolidation) reads, which must rewrite
+    * every stored cell. */
+  private def selectFiles(f: FragmentMeta): Seq[String] = {
+    def overlaps(st: Map[String, ColumnStats])(
+        cons: Map[String, DimConstraint]): Boolean =
+      cons.forall { case (colName, c) =>
+        val dt = schema.dataTypeOf(colName)
+        st.get(colName) match {
+          case Some(cs) => (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) => c.overlapsMbr(
+              TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
+            case _ => true
+          }
+          case None => true
+        }
+      }
+    val attrTest: Map[String, DimConstraint] =
+      if (mergeFree && !rawCells) attrCons else Map.empty
     f.files.filter { rel =>
       f.fileStats.get(rel) match {
-        case Some(st) => constraints.forall { case (dim, c) =>
-          val dt = schema.dataTypeOf(dim)
-          st.get(dim) match {
-            case Some(cs) => (cs.min, cs.max) match {
-              case (Some(mn), Some(mx)) => c.overlapsMbr(
-                TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
-              case _ => true
-            }
-            case None => true
-          }
-        }
+        case Some(st) => overlaps(st)(constraints) && overlaps(st)(attrTest)
         case None => true // no per-file stats recorded → keep
       }
     }
+  }
 
   // planned-partition cache: planInputPartitions and columnarEligible
   // both need the set; planning (overlap grouping, slab cutting,
@@ -847,9 +870,18 @@ class GraftScanImpl(
       })
 
   // ---- SupportsRuntimeFiltering (DPP/BKA-MRR analog, J3) -----------
-  override def filterAttributes(): Array[NamedReference] =
-    schema.dimNames.map(n =>
+  /** Dims (fragment/file MBR pruning); attributes too when the scan is
+    * merge-free, so a DPP-style join on an attr key can skip files
+    * from their stats. Restricted to the scan's OUTPUT columns —
+    * Spark's PartitionPruning resolves these refs against the
+    * projected schema and raises on anything pruned away. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val out = requiredStruct.fieldNames.toSet
+    val cols = schema.dimNames ++
+      (if (mergeFree && !rawCells) schema.attrs.map(_.name) else Nil)
+    cols.filter(out.contains).map(n =>
       org.apache.spark.sql.connector.expressions.Expressions.column(n)).toArray
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     // runtime filters narrow the partition/fragment sets
@@ -866,26 +898,33 @@ class GraftScanImpl(
     * correct). */
   private def applyRuntime(f: Filter): Unit = {
     import org.apache.spark.sql.sources._
+    // dims narrow `constraints` (fragment/file MBR pruning); known
+    // comparable attrs narrow `attrCons` (merge-gated file skipping)
     def narrow(c: String)(g: DimConstraint => DimConstraint): Unit =
-      constraints = constraints.updated(c,
-        g(constraints.getOrElse(c, DimConstraint())))
-    def dim(c: String): Boolean = schema.dimNames.contains(c)
+      if (schema.dimNames.contains(c))
+        constraints = constraints.updated(c,
+          g(constraints.getOrElse(c, DimConstraint())))
+      else
+        attrCons = attrCons.updated(c,
+          g(attrCons.getOrElse(c, DimConstraint())))
+    def known(c: String): Boolean = schema.columnNames.contains(c) &&
+      PredicateSupport.comparableType(schema.dataTypeOf(c))
     f match {
-      case EqualTo(c, v) if dim(c) =>
+      case EqualTo(c, v) if known(c) =>
         narrow(c)(_.andPoints(Seq(TypedValue.normalize(schema.dataTypeOf(c), v))))
-      case In(c, vs) if dim(c) =>
+      case In(c, vs) if known(c) =>
         narrow(c)(_.andPoints(vs.toSeq.map(
           TypedValue.normalize(schema.dataTypeOf(c), _))))
-      case GreaterThan(c, v) if dim(c) =>
+      case GreaterThan(c, v) if known(c) =>
         val dt = schema.dataTypeOf(c)
         narrow(c)(_.and(RangeAlgebra.Interval.gt(dt, TypedValue.normalize(dt, v))))
-      case GreaterThanOrEqual(c, v) if dim(c) =>
+      case GreaterThanOrEqual(c, v) if known(c) =>
         val dt = schema.dataTypeOf(c)
         narrow(c)(_.and(RangeAlgebra.Interval.ge(TypedValue.normalize(dt, v))))
-      case LessThan(c, v) if dim(c) =>
+      case LessThan(c, v) if known(c) =>
         val dt = schema.dataTypeOf(c)
         narrow(c)(_.and(RangeAlgebra.Interval.lt(dt, TypedValue.normalize(dt, v))))
-      case LessThanOrEqual(c, v) if dim(c) =>
+      case LessThanOrEqual(c, v) if known(c) =>
         val dt = schema.dataTypeOf(c)
         narrow(c)(_.and(RangeAlgebra.Interval.le(TypedValue.normalize(dt, v))))
       case And(l, r) => applyRuntime(l); applyRuntime(r)

@@ -116,16 +116,16 @@ object PredicateSupport {
           // column-vs-literal in either order (flip for literal-first)
           (fieldName(ch(0)), fieldName(ch(1))) match {
             case (Some(c), None) if schemaHas(schema, c) &&
-              comparable(schema.dataTypeOf(c)) =>
+              comparableType(schema.dataTypeOf(c)) =>
               literal(ch(1), schema.dataTypeOf(c)).map(Cmp(op, c, _))
             case (None, Some(c)) if schemaHas(schema, c) &&
-              comparable(schema.dataTypeOf(c)) =>
+              comparableType(schema.dataTypeOf(c)) =>
               literal(ch(0), schema.dataTypeOf(c)).map(Cmp(flip(op), c, _))
             case _ => None
           }
         case "IN" if ch.length >= 2 =>
           fieldName(ch(0)).filter(c => schemaHas(schema, c) &&
-            comparable(schema.dataTypeOf(c))).flatMap { c =>
+            comparableType(schema.dataTypeOf(c))).flatMap { c =>
             val dt = schema.dataTypeOf(c)
             val vs = ch.tail.map(literal(_, dt))
             if (vs.forall(_.isDefined)) Some(InSet(c, vs.flatten.toSet))
@@ -209,7 +209,7 @@ object PredicateSupport {
   private def schemaHas(s: ArraySchema, c: String): Boolean =
     s.columnNames.contains(c)
 
-  private def comparable(dt: DataType): Boolean = dt match {
+  private[v2] def comparableType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | FloatType | DoubleType | StringType |
          BooleanType => true
@@ -220,8 +220,17 @@ object PredicateSupport {
     * accepted predicates (OR/NOT subtrees contribute nothing — they are
     * still evaluated row-wise, just not used for pruning). */
   def dimConstraints(preds: Seq[Pred], schema: ArraySchema)
-      : Map[String, DimConstraint] = {
-    val dims = schema.dimNames.toSet
+      : Map[String, DimConstraint] =
+    columnConstraints(preds, schema, schema.dimNames.toSet)
+
+  /** Same extraction for an arbitrary column set — used with ATTRIBUTE
+    * columns to skip whole files from their per-file min/max stats
+    * (parquet-row-group-style pruning; sound because every extracted
+    * leaf is null-rejecting, so non-null min/max bounds decide). */
+  def columnConstraints(preds: Seq[Pred], schema: ArraySchema,
+      cols: String => Boolean): Map[String, DimConstraint] = {
+    val dims: String => Boolean = c => cols(c) &&
+      schemaHas(schema, c) && comparableType(schema.dataTypeOf(c))
     def leaves(p: Pred): Seq[Pred] = p match {
       case AndP(l, r) => leaves(l) ++ leaves(r)
       case other => Seq(other)

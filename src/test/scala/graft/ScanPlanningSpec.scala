@@ -91,6 +91,53 @@ class ScanPlanningSpec extends SparkSpec {
     assert(fragsNow().size == 1, s"narrowing did not compose: ${fragsNow()}")
   }
 
+  test("attribute-stats pruning skips files on merge-free scans") {
+    val uri = tmp()
+    // disjoint k ranges AND disjoint v ranges per fragment; dim preds
+    // would not prune on v, so any skipping here is attr-stats-driven
+    GraftArray.create(spark, uri, sch)
+    for (i <- 0 until 4)
+      GraftArray.write(spark, uri, spark.range(i * 100L, i * 100L + 100)
+        .select(col("id").as("k"), (col("id").cast("double")).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    def files(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .head.scan.asInstanceOf[graft.sources.v2.GraftScanImpl]
+        .planInputPartitions().collect {
+          case p: graft.sources.v2.GraftInputPartition => p }
+        .flatMap(_.files.map(_._1)).toSeq
+    val all = files(df)
+    val pruned = files(df.filter(col("v") >= 150.0 && col("v") <= 250.0))
+    assert(pruned.size < all.size,
+      s"attr pred pruned nothing: ${pruned.size} of ${all.size}")
+    // correctness: pruned plan returns exactly the matching rows
+    assert(df.filter(col("v") >= 150.0 && col("v") <= 250.0).count() == 101)
+    // runtime attr filters (DPP on an attr join key) prune the same way
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+      .asInstanceOf[graft.sources.v2.GraftScanImpl]
+    assert(scan.filterAttributes().map(_.describe()).contains("v"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("v", 100.0)))
+    assert(scan.planInputPartitions().length < all.size,
+      "runtime attr filter pruned nothing")
+  }
+
+  test("attribute-stats pruning disables itself under latest-wins merge") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch) // no dups: overlap = merge
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(col("id").as("k"), lit(2.0).as("v"))) // newer, shadows all
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    // v <= 1.0 matches no MERGED row (every latest row has v=2.0); if
+    // the newer file were skipped from its stats, the old rows would
+    // resurface and wrongly match
+    assert(df.filter(col("v") <= 1.0).count() == 0)
+    assert(df.filter(col("v") === 2.0).count() == 100)
+  }
+
   test("limit pushdown caps per-partition rows and stays exact") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

@@ -64,6 +64,22 @@ object ArrayOps {
           round(avg(col("l_extendedprice")), 4).as("avg_price"))
     }),
 
+    // TopN pushdown (round 5): ORDER BY dim0 LIMIT k plans only the
+    // files that can contribute to the first k rows (clustered-index-
+    // order reads, partial push — Spark re-sorts the kept superset, so
+    // the secondary key stays exact).
+    "arr25_topn" -> ((s, d) => {
+      val uri = freshUri("topn")
+      GraftArray.create(s, uri, lineitemSchema)
+      GraftArray.write(s, uri, Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate"))
+      s.read.format("graftarray").option("path", uri).load()
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty"))
+        .orderBy("l_orderkey", "l_linenumber").limit(20)
+    }),
+
     // A1 under pushed ranges (round 5): aggregates over a dim range
     // answer from the stats of the covered files alone
     // [ha_mytile.cc:156–194] — the fragment split on the same bound
@@ -657,6 +673,9 @@ object ArrayOps {
       """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
          min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
          round(avg(l_extendedprice), 4) AS avg_price FROM lineitem""",
+    "arr25_topn" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""",
     "arr24_agg_range" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
          min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import java.util.OptionalLong
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read._
@@ -43,7 +43,8 @@ class GraftScanBuilder(
   with SupportsPushDownRequiredColumns
   with SupportsPushDownV2Filters
   with SupportsPushDownAggregates
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   private val fullStruct = schema.toStruct
   private var requiredStruct: StructType = fullStruct
@@ -52,11 +53,33 @@ class GraftScanBuilder(
   private var aggValues: Option[Seq[Any]] = None
   private var aggSchema: StructType = _
   private var limit: Int = -1
+  private var topN: Option[(Boolean, Int)] = None
 
   // ---- LIMIT pushdown: per-partition early termination -------------
   override def pushLimit(n: Int): Boolean = { limit = n; false }
   // false → Spark keeps its own Limit on top (per-partition cap is a
   // row-count reduction, not a global limit)
+
+  // ---- TopN pushdown: ORDER BY dim0 LIMIT k file pruning -----------
+  /** Accept when the PRIMARY sort key is the first dimension (the
+    * cell-order clustering key — the reference reads LIMIT queries in
+    * clustered-index order the same way): planning can then drop every
+    * file that provably cannot contribute to the first k rows. Partial
+    * push — Spark re-sorts and re-limits on top, so deeper sort keys
+    * and tie-breaking stay exact. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val accepted = orders.headOption.flatMap { o =>
+      o.expression() match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            r.fieldNames.head == schema.dims.head.name =>
+          Some(o.direction() == SortDirection.ASCENDING)
+        case _ => None
+      }
+    }
+    accepted.foreach(asc => topN = Some((asc, n)))
+    accepted.isDefined
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   // ---- P1: column pruning ------------------------------------------
   override def pruneColumns(required: StructType): Unit =
@@ -386,7 +409,8 @@ class GraftScanBuilder(
         val constraints =
           PredicateSupport.dimConstraints(preds, schema)
         new GraftScanImpl(spark, uri, schema, frags, requiredStruct,
-          preds, constraints, limit, rawCells, streamMaxFrags, streamMaxRows)
+          preds, constraints, limit, rawCells, streamMaxFrags,
+          streamMaxRows, topN)
     }
   }
 }
@@ -404,9 +428,15 @@ class GraftScanImpl(
     limit: Int = -1,
     rawCells: Boolean = false,
     streamMaxFrags: Option[Int] = None,
-    streamMaxRows: Option[Long] = None)
+    streamMaxRows: Option[Long] = None,
+    topN: Option[(Boolean, Int)] = None)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Set once any runtime filter narrows this scan: runtime-filtered
+    * row counts are no longer the planning-time counts, so count-based
+    * top-N file pruning stands down (constraint pruning still runs). */
+  private var runtimeNarrowed = false
 
   private var constraints = initialConstraints
 
@@ -688,11 +718,68 @@ class GraftScanImpl(
       }.filter(_.files.nonEmpty).toArray
     } else {
       // disjoint → one partition per surviving file, maximal parallelism
-      frags.flatMap(f =>
-        selectFiles(f).map(rel =>
+      topNPrune(frags.flatMap(f => selectFiles(f).map(f -> _)))
+        .map { case (f, rel) =>
           GraftInputPartition(Seq((s"$uri/$rel", f.timestamp)),
-            needDedup = false, limit = limit))).toArray
+            needDedup = false, limit = limit): InputPartition
+        }.toArray
     }
+  }
+
+  /** ORDER BY dim0 LIMIT k file pruning (partial TopN push): a file is
+    * dropped when ≥ k rows provably sort STRICTLY before every row it
+    * holds (asc: rows of files whose max < this file's min; desc
+    * mirrored) — ties can never be dropped, so Spark's re-sort on top
+    * of the kept superset is exact under any deeper sort keys. Counts
+    * are planning-time `fileRows`, so this stands down whenever rows
+    * may be filtered from "before" files: residual predicates block
+    * Spark's TopN push already (consumed dim preds filter nothing on
+    * surviving files), and runtime narrowing disables it here. Needs
+    * stats + row counts on every candidate file; O(F log F). */
+  private def topNPrune(pairs: Seq[(FragmentMeta, String)])
+      : Seq[(FragmentMeta, String)] = topN match {
+    case Some((asc, k))
+        if mergeFree && !rawCells && !denseFillable && !runtimeNarrowed =>
+      val d0 = schema.dims.head
+      val ord = TypedValue.ordering
+      val infos = pairs.map { case (f, rel) =>
+        for {
+          st <- f.fileStats.get(rel)
+          cs <- st.get(d0.name)
+          mn <- cs.min; mx <- cs.max
+          n <- f.fileRows.get(rel)
+        } yield (TypedValue.parse(d0.dataType, mn),
+          TypedValue.parse(d0.dataType, mx), n)
+      }
+      if (infos.exists(_.isEmpty)) pairs // stats/counts incomplete
+      else {
+        val info = infos.map(_.get)
+        // "entirely before file i" = max < mn_i (asc) / min > mx_i
+        // (desc). Sort each file's LAST value in scan order, prefix-sum
+        // rows, binary-search each file's FIRST value.
+        val byLast = info.map { case (mn, mx, n) =>
+          (if (asc) mx else mn, n) }
+          .sortWith((a, b) =>
+            (if (asc) ord.compare(a._1, b._1) < 0
+             else ord.compare(a._1, b._1) > 0))
+        val keys = byLast.map(_._1).toArray
+        val cum = byLast.scanLeft(0L)(_ + _._2).toArray // cum(i) = rows in first i
+        def rowsStrictlyBefore(first: Any): Long = {
+          // count entries whose key sorts strictly before `first`
+          var lo = 0; var hi = keys.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            val c = ord.compare(keys(mid), first)
+            if (if (asc) c < 0 else c > 0) lo = mid + 1 else hi = mid
+          }
+          cum(lo)
+        }
+        pairs.zip(info).collect {
+          case (pair, (mn, mx, _))
+              if rowsStrictlyBefore(if (asc) mn else mx) < k => pair
+        }
+      }
+    case _ => pairs
   }
 
   /** Split a transitive-overlap fragment group into half-open range
@@ -886,6 +973,7 @@ class GraftScanImpl(
   override def filter(filters: Array[Filter]): Unit = {
     // runtime filters narrow the partition/fragment sets
     plannedCache = null; selectedCache = null; tombstoneCache = null
+    runtimeNarrowed = true
     filters.foreach(applyRuntime)
   }
 

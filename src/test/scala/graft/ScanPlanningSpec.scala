@@ -138,6 +138,32 @@ class ScanPlanningSpec extends SparkSpec {
     assert(df.filter(col("v") === 2.0).count() == 100)
   }
 
+  test("ORDER BY dim0 LIMIT k prunes tail files (partial TopN push)") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    for (base <- Seq(0L, 1000L, 2000L, 3000L))
+      GraftArray.write(spark, uri, spark.range(base, base + 100)
+        .select(col("id").as("k"), col("id").cast("double").as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    def nFiles(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .head.scan.asInstanceOf[graft.sources.v2.GraftScanImpl]
+        .planInputPartitions().collect {
+          case p: graft.sources.v2.GraftInputPartition => p }
+        .map(_.files.size).sum
+    val all = nFiles(df)
+    val asc = df.orderBy("k").limit(50)
+    assert(nFiles(asc) < all, s"TopN pruned nothing of $all files")
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 50L).toSeq)
+    val desc = df.orderBy(col("k").desc).limit(50)
+    assert(nFiles(desc) < all, "desc TopN pruned nothing")
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (3050L until 3100L).reverse.toSeq)
+    // secondary sort keys ride along: primary-key pruning stays exact
+    val multi = df.orderBy(col("k"), col("v").desc).limit(50)
+    assert(multi.collect().map(_.getLong(0)).toSeq == (0L until 50L).toSeq)
+  }
+
   test("limit pushdown caps per-partition rows and stays exact") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

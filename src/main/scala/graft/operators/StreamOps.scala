@@ -53,6 +53,13 @@ object StreamOps {
         .orderBy("n_nationkey", "n_regionkey")
     }),
 
+    // Streaming stateful dedup: dropDuplicates state suppresses key
+    // re-deliveries across micro-batches (streaming analog of d1).
+    "st4_stream_dedup" -> ((s, d) =>
+      EventPipeline.runStreamingDedup(s, d)
+        .select(col("event_type"), col("count").as("n_users"))
+        .orderBy("event_type")),
+
     // Sessionization: session breaks at >30 min inactivity per user.
     "st2_sessions" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
@@ -85,6 +92,9 @@ object StreamOps {
          SELECT n_nationkey, n_name, -1 AS n_regionkey FROM nation
          WHERE n_nationkey < 5
          ORDER BY n_nationkey, n_regionkey""",
+    "st4_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "st2_sessions" ->
       """WITH raw AS (
            SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

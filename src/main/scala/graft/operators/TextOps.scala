@@ -70,6 +70,43 @@ object TextOps {
         simhash(col("text")).as("sim"))
         .orderBy("doc_id")),
 
+    // BM25 ranked retrieval (Robertson/Sparck Jones; the standard
+    // training-corpus search/quality-filter primitive): per-term tf
+    // from one narrow pass, corpus stats (N, avgdl, per-term df) as a
+    // broadcast single row, score fully codegen'd. Scale shape: no
+    // shuffle on the corpus side at all — two tiny aggregated rows
+    // broadcast back, then a k-bounded TakeOrdered. Determinism: tf /
+    // df / dl are integer-valued doubles (exact under any partial-sum
+    // order) and term contributions add in fixed query order, so the
+    // DuckDB oracle replays the identical float sequence.
+    "t7_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "join", "merge")
+      val dd = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val withTf = terms.foldLeft(dd)((acc, t) =>
+        acc.withColumn(s"tf_$t",
+          size(filter(col("toks"), x => x === t)).cast("double")))
+      val aggCols = count(lit(1)).cast("double").as("n") +:
+        avg(col("dl")).as("avgdl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0))
+          .as(s"df_$t"))
+      val stats = withTf.agg(aggCols.head, aggCols.tail: _*)
+      val joined = withTf.crossJoin(broadcast(stats))
+      val score = terms.map { t =>
+        val tf = col(s"tf_$t"); val dfc = col(s"df_$t")
+        val idf = log(lit(1.0) + (col("n") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+        when(tf > 0,
+          idf * tf * (lit(1.2) + lit(1.0)) /
+            (tf + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") / col("avgdl"))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      joined.withColumn("score", round(score, 4))
+        .filter(col("score") > 0)
+        .select("doc_id", "score")
+        .orderBy(col("score").desc, col("doc_id")).limit(30)
+    }),
+
     // The DSv2 FunctionCatalog surface (SURVEY §2.7 — additive): the
     // same kernels as pure SQL through a graft catalog, no Scala
     // imports. Per-row JVM replicas of the Column builders; the
@@ -93,7 +130,37 @@ object TextOps {
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB replay of t7_bm25 — identical literals, operation order and
+    * fixed-order term addition, so doubles match bit-for-bit. */
+  private val bm25Sql: String = {
+    val terms = Seq("spark", "join", "merge")
+    val tfCols = terms.map(t =>
+      s"len([x for x in toks if x = '$t'])::double AS tf_$t").mkString(",\n      ")
+    val dfCols = terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t")
+      .mkString(",\n        ")
+    val contrib = terms.map(t =>
+      s"""(CASE WHEN tf_$t > 0
+            THEN ln(1.0 + (n - df_$t + 0.5)/(df_$t + 0.5)) * tf_$t * (1.2 + 1.0)
+                 / (tf_$t + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl))
+            ELSE 0.0 END)""").mkString("\n    + ")
+    s"""WITH d AS (
+      SELECT doc_id, len(toks)::double AS dl,
+      $tfCols
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)),
+    s AS (SELECT count(*)::double AS n, avg(dl) AS avgdl,
+        $dfCols
+        FROM d)
+    SELECT doc_id, score FROM (
+      SELECT doc_id, round(
+        $contrib, 4) AS score
+      FROM d, s)
+    WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 30"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t7_bm25" -> bm25Sql,
     "t1_token_count" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

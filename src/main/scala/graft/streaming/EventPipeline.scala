@@ -136,4 +136,27 @@ object EventPipeline {
     try { q.processAllAvailable() } finally q.stop()
     spark.table(name)
   }
+
+  /** Streaming exact-dedup: `dropDuplicates` keeps per-key state in
+    * the state store, so re-deliveries of a key are suppressed across
+    * micro-batches — the streaming analog of d1's hash-dedup. Here the
+    * key is (user_id, event_type) and the output is the per-type
+    * distinct-user count, which a batch COUNT(DISTINCT) replays
+    * exactly. Unbounded streams would use `dropDuplicatesWithinWatermark`
+    * to cap the key state; this surface takes the exact variant since
+    * the driver compares complete output. */
+  def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val name = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
 }

@@ -58,6 +58,30 @@ object Multimodal {
     MediaMeta(id, w, h, bytes.length.toLong, mean)
   }
 
+  /** Typed metadata for a resized media payload. */
+  case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+      n_bytes: Long, mean_byte: Double)
+
+  /** STUB resize — stands in for a real image rescale: nearest-
+    * neighbor-style byte subsampling (every `stride`-th payload byte)
+    * to a fixed target geometry, deterministic for the oracle. A real
+    * deployment swaps the body for a codec resample; the partition-
+    * parallel, shuffle-free plumbing is the deliverable. */
+  def resizeBatch(spark: SparkSession, media: DataFrame,
+      w: Int, h: Int, stride: Int): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val body = bytes.drop(8)
+        var i = 0; var sum = 0L; var n = 0L
+        while (i < body.length) {
+          sum += (body(i) & 0xff); n += 1; i += stride
+        }
+        ResizedMeta(id, w, h, 8L + n,
+          if (n == 0) 0.0 else sum.toDouble / n)
+      })
+  }
+
   /** Frame sampling stub: every `stride`-th 16-byte block of the payload
     * as a "frame" (video analog; keeps the explode-shaped plumbing). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
@@ -87,7 +111,28 @@ object Multimodal {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_bytes"), round(col("mean_byte"), 4).as("mean_byte"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Resize via the partition-parallel stub (fixed 16×12 target,
+    // stride-4 byte subsample) — the subsample rule is SQL-derivable,
+    // so the oracle checks the full resize round-trip.
+    "m3_resize" -> ((s, d) => {
+      val rs = resizeBatch(s, fakeMedia(Tables.load(s, d, "documents")),
+        w = 16, h = 12, stride = 4)
+      rs.toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_bytes"), round(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling (video analog): every 4th 16-byte payload block;
+    // the payload is UTF-8 text, so frames decode back to substrings
+    // the oracle reconstructs directly.
+    "m4_frame_sample" -> ((s, d) =>
+      sampleFrames(fakeMedia(Tables.load(s, d, "documents")), stride = 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          decode(col("frame"), "UTF-8").as("frame_txt"))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -107,6 +152,24 @@ object Multimodal {
          8 + octet_length(text::blob) AS n_bytes,
          round(list_sum([ascii(c)::double for c in split(text, '')]) /
                octet_length(text::blob), 4) AS mean_byte
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // stride-4 byte subsample = text positions 1, 5, 9, … (1-based)
+    "m3_resize" ->
+      """SELECT doc_id, 16::int AS width, 12::int AS height,
+         8 + ((octet_length(text::blob) + 3) // 4) AS n_bytes,
+         round(list_sum([ascii(substr(text, i::int, 1))::double
+                 for i in range(1, octet_length(text::blob) + 1)
+                 if (i % 4) = 1]) /
+               ((octet_length(text::blob) + 3) // 4), 4) AS mean_byte
+         FROM documents ORDER BY doc_id""",
+    // frame i (stride 4) = 16 payload bytes from offset i*64 =
+    // text substring at 1-based position 1 + i*64
+    "m4_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+         substr(text, (1 + i * 64)::int, 16) AS frame_txt
+         FROM (SELECT doc_id, text,
+             unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS i
+           FROM documents)
+         ORDER BY doc_id, frame_idx"""
   )
 }

@@ -164,6 +164,35 @@ class ScanPlanningSpec extends SparkSpec {
     assert(multi.collect().map(_.getLong(0)).toSeq == (0L until 50L).toSeq)
   }
 
+  test("TopN pruning is exact under randomized disjoint layouts") {
+    val rnd = new scala.util.Random(12345)
+    for (_ <- 1 to 3) {
+      val uri = tmp()
+      GraftArray.create(spark, uri, sch)
+      var lo = 0L
+      val ranges = (0 until 2 + rnd.nextInt(3)).map { _ =>
+        val start = lo + rnd.nextInt(100)
+        val n = 50 + rnd.nextInt(200)
+        lo = start + n + rnd.nextInt(50)
+        (start, start + n)
+      }
+      rnd.shuffle(ranges).foreach { case (a, b) =>
+        GraftArray.write(spark, uri, spark.range(a, b)
+          .select(col("id").as("k"), col("id").cast("double").as("v")))
+      }
+      val df = spark.read.format("graftarray").option("path", uri).load()
+      val expected = ranges.flatMap(r => r._1 until r._2).sorted
+      for (asc <- Seq(true, false);
+           k <- Seq(1, 7, 60, expected.size)) {
+        val q = if (asc) df.orderBy("k").limit(k)
+                else df.orderBy(col("k").desc).limit(k)
+        val got = q.collect().map(_.getLong(0)).toSeq
+        val want = if (asc) expected.take(k) else expected.reverse.take(k)
+        assert(got == want, s"asc=$asc k=$k: got ${got.take(5)}…")
+      }
+    }
+  }
+
   test("limit pushdown caps per-partition rows and stays exact") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

@@ -86,6 +86,25 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // Dataset profile ("dataset card" stats): per-column row/null/
+    // distinct counts and min/max, one aggregation pass per profiled
+    // column (exact COUNT DISTINCT so the oracle can replay it; a
+    // 100 TB profile would swap in approx_count_distinct and fuse the
+    // passes — the shape stays one shuffle of partial aggregates).
+    "x5_profile" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      def prof(c: String) = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+      Seq("l_orderkey", "l_returnflag", "l_shipdate")
+        .map(prof).reduce(_ unionByName _).orderBy("col_name")
+    }),
+
     // Leakage-safe split: near-duplicate documents must not straddle
     // train/test, so the split key is the duplicate CLUSTER head (d5's
     // connected components over MinHash-verified Jaccard ≥ 0.8 edges),
@@ -135,6 +154,13 @@ object Pipeline {
                       WHEN CAST(substr(source, 4) AS INT) < 10 THEN '7f'
                       ELSE '1f' END)
          GROUP BY source ORDER BY source""",
+    "x5_profile" -> Seq("l_orderkey", "l_returnflag", "l_shipdate").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::bigint AS n_null,
+         count(DISTINCT $c) AS n_distinct,
+         CAST(min($c) AS VARCHAR) AS min_s,
+         CAST(max($c) AS VARCHAR) AS max_s FROM lineitem""")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "x4_cluster_split" ->
       s"""WITH RECURSIVE pairs AS (
            SELECT i, j FROM (${Dedup.exactJaccardSql(0.8)

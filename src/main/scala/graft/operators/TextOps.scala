@@ -107,6 +107,32 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id")).limit(30)
     }),
 
+    // Unigram log-probability scoring (model-based quality filter: a
+    // document's mean token log-prob under the corpus unigram model —
+    // low scorers are gibberish/outliers, the classic perplexity-style
+    // cut). Corpus pass builds the frequency table (one shuffle on
+    // tokens); docs join it and reduce per-doc in TOKEN ORDER
+    // (sort_array by position + fold) so the float sum is replayable.
+    // At 100 TB the freq table is vocabulary-sized (Zipf: ≪ corpus) —
+    // the join stays a broadcast for any real vocabulary.
+    "t8_unigram_logprob" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val freq = toks.groupBy("tok")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("t"))
+      toks.join(broadcast(freq), "tok").crossJoin(broadcast(tot))
+        .withColumn("logp", log(col("cnt") / col("t")))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("logp"))))
+          .as("ps"))
+        .select(col("doc_id"), round(
+          aggregate(col("ps"), lit(0.0),
+            (acc, x) => acc + x.getField("logp")) / size(col("ps")),
+          4).as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     // The DSv2 FunctionCatalog surface (SURVEY §2.7 — additive): the
     // same kernels as pure SQL through a graft catalog, no Scala
     // imports. Per-row JVM replicas of the Column builders; the
@@ -161,6 +187,18 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t7_bm25" -> bm25Sql,
+    // per-doc fold over tokens in order via list comprehension; the
+    // unigram table as a MAP so the lookup replays Spark's join
+    "t8_unigram_logprob" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         f AS (SELECT map(list(tok), list(cnt)) AS m, sum(cnt)::double AS t
+               FROM (SELECT tok, count(*)::double AS cnt
+                     FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok))
+       SELECT doc_id,
+         round(list_sum([ln(map_extract(m, x)[1] / t) for x in toks])
+               / len(toks), 4) AS logprob
+       FROM d, f ORDER BY doc_id""",
     "t1_token_count" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

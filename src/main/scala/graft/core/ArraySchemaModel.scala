@@ -107,7 +107,17 @@ case class ArraySchema(
       * the key range and cardinality; callers who consider coordinates
       * sensitive should encrypt at a coarser granularity. Encrypted
       * arrays read/write through the DSv2 path only. */
-    encrypted: Boolean = false) {
+    encrypted: Boolean = false,
+    /** Hash-bucketed layout on the FIRST dimension: library writes
+      * place each row in file `pmod(hash(dim0), n)` (Spark murmur3,
+      * seed 42 — replicated by the catalog's `bucket` SQL function),
+      * so two arrays bucketed the same way join WITHOUT a shuffle via
+      * Spark's storage-partitioned joins (the scan reports
+      * KeyGroupedPartitioning over `bucket(n, dim0)`). Only integral
+      * first dimensions; DSv2/DML writes don't bucket their fragments,
+      * which simply disables the co-located path until consolidation
+      * rewrites them. */
+    buckets: Option[Int] = None) {
 
   codec.foreach(Codecs.normalize)
 
@@ -183,6 +193,12 @@ case class FragmentMeta(
       * pushed subarray, ha_mytile.cc:156–194]. Empty on pre-round-5
       * manifests → those scans fall back to data reads. */
     fileRows: Map[String, Long] = Map.empty,
+    /** Bucketed fragment: every file holds exactly the rows whose
+      * `pmod(hash(dim0), buckets)` equals its `fileBuckets` entry.
+      * Set only by the bucketing library write path; its absence on
+      * any visible fragment disables the co-located scan layout. */
+    buckets: Option[Int] = None,
+    fileBuckets: Map[String, Int] = Map.empty,
     /** Provenance tag, e.g. `stream:<sink>:<batchId>` from the
       * streaming sink. Because the manifest commit is the single atomic
       * file create, a replayed micro-batch can check for an existing
@@ -224,6 +240,7 @@ object ArraySchemaJson {
     root.put("allowsDups", s.allowsDups)
     s.codec.foreach(root.put("codec", _))
     if (s.encrypted) root.put("encrypted", true)
+    s.buckets.foreach(root.put("buckets", _))
     val dims = root.putArray("dims")
     s.dims.foreach { d =>
       val n = dims.addObject()
@@ -274,7 +291,8 @@ object ArraySchemaJson {
       r.get("capacity").asLong, r.get("cellOrder").asText,
       r.get("tileOrder").asText, r.get("allowsDups").asBoolean,
       optS(r, "codec"),
-      r.has("encrypted") && r.get("encrypted").asBoolean)
+      r.has("encrypted") && r.get("encrypted").asBoolean,
+      if (r.has("buckets")) Some(r.get("buckets").asInt) else None)
   }
 
   private def putStats(parent: ObjectNode, key: String,
@@ -310,6 +328,11 @@ object ArraySchemaJson {
       val frNode = root.putObject("fileRows")
       f.fileRows.foreach { case (file, n) => frNode.put(file, n) }
     }
+    f.buckets.foreach(root.put("buckets", _))
+    if (f.fileBuckets.nonEmpty) {
+      val fbNode = root.putObject("fileBuckets")
+      f.fileBuckets.foreach { case (file, b) => fbNode.put(file, b) }
+    }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -341,6 +364,13 @@ object ArraySchemaJson {
     FragmentMeta(r.get("id").asText, r.get("timestamp").asLong,
       r.get("files").elements().asScala.map(_.asText).toSeq,
       r.get("rows").asLong, readStats(r.get("stats")), fileStats, fileRows,
+      buckets = if (r.has("buckets")) Some(r.get("buckets").asInt) else None,
+      fileBuckets =
+        if (r.has("fileBuckets"))
+          r.get("fileBuckets").properties().asScala.map { e =>
+            e.getKey -> e.getValue.asInt
+          }.toMap
+        else Map.empty,
       origin = if (r.has("origin")) Some(r.get("origin").asText) else None,
       replaces =
         if (r.has("replaces"))

@@ -22,7 +22,8 @@ object GraftSqlFunctions {
 
   val all: Seq[UnboundFunction] = Seq(
     DotFn, CosineFn, Hash60Fn, TokenCountFn, SimhashFn, FingerprintFn,
-    Hilbert2dFn, StPointFn, StGeomFromWkbFn, StIntersectsFn, StWithinFn)
+    Hilbert2dFn, BucketFn, StPointFn, StGeomFromWkbFn, StIntersectsFn,
+    StWithinFn)
 
   def byName(name: String): Option[UnboundFunction] =
     all.find(_.name == name.toLowerCase)
@@ -231,6 +232,43 @@ object GraftSqlFunctions {
       graft.functions.expressions.Hilbert2D.xy2d(x, y, bits)
     override def produceResult(input: InternalRow): java.lang.Long =
       invoke(input.getLong(0), input.getLong(1), input.getInt(2))
+  }
+
+  // ---- bucket (storage-partitioned-join transform) ------------------
+  // The `graft.buckets` layout function: file i of a bucketed fragment
+  // holds exactly the rows with bucket(n, dim0) == i. The scan reports
+  // KeyGroupedPartitioning over this transform; Spark resolves it
+  // through this catalog, so two co-bucketed arrays join with no
+  // shuffle (storage-partitioned joins, spark.sql.sources.v2.bucketing).
+
+  object BucketFn extends UnboundFunction {
+    override def name: String = "bucket"
+    override def description: String =
+      "bucket(n int, key bigint) -> int: pmod(murmur3(key, seed 42), n) " +
+        "— the graft.buckets layout transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType(0).dataType == IntegerType &&
+        (inputType(1).dataType == LongType ||
+          inputType(1).dataType == IntegerType),
+        s"bucket expects (int, bigint), got " +
+          inputType.map(_.dataType.simpleString).mkString(", "))
+      BucketBound
+    }
+  }
+
+  object BucketBound extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    /** MUST match the write path exactly: pmod(hash(cast(dim0 as
+      * bigint)), n) — Spark murmur3 of the long value, seed 42. */
+    def invoke(n: Int, key: Long): Int =
+      Math.floorMod(org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(key, 42), n)
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      invoke(input.getInt(0), input.getLong(1))
   }
 
   // ---- spatial (reference P7, ha_mytile.cc:2312–2507) ---------------

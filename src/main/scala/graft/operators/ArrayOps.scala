@@ -64,6 +64,39 @@ object ArrayOps {
           round(avg(col("l_extendedprice")), 4).as("avg_price"))
     }),
 
+    // Storage-partitioned join (round 5): two arrays hash-bucketed the
+    // same way on their join dimension (`graft.buckets`) join task-by-
+    // task with NO shuffle on either side — the scan reports
+    // KeyGroupedPartitioning over the catalog's `bucket(n, dim0)`
+    // function. BucketedJoinSpec proves the shuffle-free plan; this
+    // query proves the bucketed write→scan→join path end-to-end.
+    "j8_bucketed_join" -> ((s, d) => {
+      val cat = "gbk" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val wh = java.nio.file.Files.createTempDirectory("graft_bktq").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.sql(s"""CREATE TABLE $cat.cust (c_custkey BIGINT, c_acctbal DOUBLE)
+        |TBLPROPERTIES('graft.dimensions'='c_custkey', 'graft.buckets'='8',
+        |  'graft.allows_dups'='true')""".stripMargin)
+      s.sql(s"""CREATE TABLE $cat.ords (o_custkey BIGINT, n_orders BIGINT,
+        |  total DOUBLE)
+        |TBLPROPERTIES('graft.dimensions'='o_custkey', 'graft.buckets'='8',
+        |  'graft.allows_dups'='true')""".stripMargin)
+      GraftArray.write(s, s"$wh/cust",
+        Tables.load(s, d, "customer").select("c_custkey", "c_acctbal"))
+      GraftArray.write(s, s"$wh/ords",
+        Tables.load(s, d, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total")))
+      s.sql(s"""SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal,
+        |  o.n_orders, o.total
+        |FROM $cat.cust c JOIN $cat.ords o ON o.o_custkey = c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
     // TopN pushdown (round 5): ORDER BY dim0 LIMIT k plans only the
     // files that can contribute to the first k rows (clustered-index-
     // order reads, partial push — Spark re-sorts the kept superset, so
@@ -676,6 +709,15 @@ object ArrayOps {
     "arr25_topn" ->
       """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
          FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""",
+    "j8_bucketed_join" ->
+      """SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal,
+         o.n_orders, o.total
+         FROM customer c
+         JOIN (SELECT o_custkey, count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS total
+               FROM orders GROUP BY o_custkey) o
+           ON o.o_custkey = c.c_custkey
+         ORDER BY c.c_custkey""",
     "arr24_agg_range" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
          min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

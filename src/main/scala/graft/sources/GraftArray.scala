@@ -141,7 +141,14 @@ object GraftArray {
       case _ => false
     })
     val obs = org.apache.spark.sql.Observation(s"graft_write_$fragId")
-    val clustered = clusterByCellOrder(schema, guarded)
+    val clustered = schema.buckets match {
+      // bucketed layout: task i holds exactly bucket i (identity
+      // partitioner — `repartition(n, expr)` would re-hash the bucket
+      // id and mix buckets per task), rows sorted by dims within. The
+      // file written by task i is bucket i, recorded in the manifest.
+      case Some(n) => bucketByDim0(schema, guarded, n)
+      case None => clusterByCellOrder(schema, guarded)
+    }
     val observed =
       if (numeric.isEmpty) clustered
       else clustered.observe(obs,
@@ -186,14 +193,55 @@ object GraftArray {
       c -> s0.copy(sumLong = sl, sumDouble = sd)
     }
     val ts = commitTs.getOrElse(now())
+    // bucketed fragments record file→bucket from the task index in the
+    // part file name (identity partitioner ⇒ task index == bucket)
+    val fileBuckets: Map[String, Int] = schema.buckets match {
+      case Some(_) => files.flatMap { f =>
+        "part-(\\d{5})".r.findFirstMatchIn(f.getName)
+          .map(m => s"frag_$fragId/${f.getName}" -> m.group(1).toInt)
+      }.toMap
+      case None => Map.empty
+    }
     st.commitFragment(FragmentMeta(fragId, ts,
       files.map(f => s"frag_$fragId/${f.getName}"), rows, stats,
       perFile.map { case (p, _, st0) =>
         s"frag_$fragId/${p.getName}" -> st0 }.toMap,
       perFile.map { case (p, n, _) =>
         s"frag_$fragId/${p.getName}" -> n }.toMap,
+      buckets = schema.buckets.filter(_ =>
+        fileBuckets.size == files.size),
+      fileBuckets = fileBuckets,
       origin = origin, replaces = replaces))
     ts
+  }
+
+  /** Bucketed physical layout: `pmod(hash(dim0), n)` (Spark murmur3,
+    * seed 42) routed through an IDENTITY partitioner so RDD partition
+    * i — and therefore part file i — holds exactly bucket i; rows sort
+    * by the dim tuple within each bucket. The same hash is exposed as
+    * the catalog SQL function `bucket(n, key)`, which the scan reports
+    * in its KeyGroupedPartitioning so Spark can plan storage-
+    * partitioned (shuffle-free) joins between co-bucketed arrays. */
+  private def bucketByDim0(schema: ArraySchema, df: DataFrame,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val d0 = schema.dims.head.name
+    require(TypedValue.isIntegral(schema.dims.head.dataType),
+      s"graft.buckets requires an integral first dimension, got ${schema.dims.head.dataType}")
+    val bCol = "_graft_bucket"
+    val withB = df.withColumn(bCol,
+      pmod(hash(col(d0).cast("long")), lit(n)))
+    val bIdx = withB.schema.fieldIndex(bCol)
+    val parted = withB.rdd
+      .keyBy(_.getInt(bIdx))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataFrame(parted, withB.schema)
+      .drop(bCol)
+      .sortWithinPartitions(schema.dimNames.map(col): _*)
   }
 
   /** Physical clustering per the array's `cell_order` before a fragment

@@ -203,7 +203,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       codec = props.get("graft.codec").map(Codecs.normalize),
       // flag only — the AES key rides the session conf
       // (spark.graft.encryption.key), never the DDL or the manifest
-      encrypted = props.get("graft.encrypted").exists(_.toBoolean))
+      encrypted = props.get("graft.encrypted").exists(_.toBoolean),
+      buckets = props.get("graft.buckets").map(_.toInt))
     val uri = uriOf(ident, ident.name())
     GraftArray.create(spark, uri, arr)
     new GraftTable(spark, uri)

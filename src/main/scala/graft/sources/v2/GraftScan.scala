@@ -47,7 +47,18 @@ case class GraftInputPartition(
       * holds only ~1/hashMod of the merge state. 0 = disabled. Equal
       * coordinates hash identically, so latest-wins stays exact. */
     hashMod: Int = 0,
-    hashIdx: Int = 0) extends InputPartition
+    hashIdx: Int = 0,
+    /** Bucket id under the array's `graft.buckets` layout — set only
+      * when the scan reports KeyGroupedPartitioning (storage-
+      * partitioned joins); Spark groups partitions sharing a key. */
+    bucket: Option[Int] = None)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket.getOrElse(throw new IllegalStateException(
+        "partitionKey requested on a non-bucketed partition"))))
+}
 
 /** One visible delete marker shipped to the readers: either a
   * delete-condition predicate (DELETE FROM / commitTombstone) or

@@ -431,7 +431,8 @@ class GraftScanImpl(
     streamMaxRows: Option[Long] = None,
     topN: Option[(Boolean, Int)] = None)
   extends Scan with Batch
-  with SupportsReportStatistics with SupportsRuntimeFiltering {
+  with SupportsReportStatistics with SupportsRuntimeFiltering
+  with SupportsReportPartitioning {
 
   /** Set once any runtime filter narrows this scan: runtime-filtered
     * row counts are no longer the planning-time counts, so count-based
@@ -717,14 +718,52 @@ class GraftScanImpl(
         else slabPartitions(g)
       }.filter(_.files.nonEmpty).toArray
     } else {
-      // disjoint → one partition per surviving file, maximal parallelism
+      // disjoint → one partition per surviving file, maximal
+      // parallelism; under a bucketed layout each partition also
+      // carries its bucket key so Spark can group them for
+      // storage-partitioned joins
+      val buckets = bucketedReady
       topNPrune(frags.flatMap(f => selectFiles(f).map(f -> _)))
         .map { case (f, rel) =>
           GraftInputPartition(Seq((s"$uri/$rel", f.timestamp)),
-            needDedup = false, limit = limit): InputPartition
+            needDedup = false, limit = limit,
+            bucket = buckets.flatMap(_ => f.fileBuckets.get(rel)))
+            : InputPartition
         }.toArray
     }
   }
+
+  /** Bucketed (storage-partitioned-join) layout is reportable iff the
+    * schema declares buckets, the scan has no merge / raw-cell / fill /
+    * TopN concerns, and EVERY visible data fragment was written
+    * bucket-complete with the same count — DSv2/DML fragments are not,
+    * so their presence degrades to the normal layout until
+    * consolidation rewrites them through the bucketing write path. */
+  private def bucketedReady: Option[Int] = schema.buckets.filter { n =>
+    mergeFree && !rawCells && !denseFillable && topN.isEmpty && {
+      val frags = dataFrags
+      frags.nonEmpty && frags.forall(f => f.buckets.contains(n) &&
+        f.files.forall(f.fileBuckets.contains))
+    }
+  }
+
+  /** Report `bucket(n, dim0)` key grouping when the layout holds —
+    * Spark's storage-partitioned joins then align two co-bucketed
+    * arrays task-by-task with NO shuffle on either side (the `bucket`
+    * function resolves through the graft FunctionCatalog, so this
+    * engages on catalog table reads). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketedReady match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, schema.dims.head.name)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** ORDER BY dim0 LIMIT k file pruning (partial TopN push): a file is
     * dropped when ≥ k rows provably sort STRICTLY before every row it

@@ -105,6 +105,7 @@ class GraftTable(
     if (s.allowsDups) m.put("graft.allows_dups", "true")
     s.codec.foreach(m.put("graft.codec", _))
     if (s.encrypted) m.put("graft.encrypted", "true")
+    s.buckets.foreach(n => m.put("graft.buckets", n.toString))
     m
   }
 

@@ -74,6 +74,32 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("consolidation restores the bucketed layout after DSv2 writes") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val (cat, wh) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.tc (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k', 'graft.buckets'='4',
+      |  'graft.allows_dups'='true')""".stripMargin)
+    GraftArray.write(spark, s"$wh/tc", spark.range(0, 200)
+      .select(col("id").as("k"), col("id").cast("double").as("v")))
+    def keyGrouped(): Boolean = spark.table(s"$cat.tc")
+      .queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.v2.GraftScanImpl]
+      .outputPartitioning()
+      .isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+    assert(keyGrouped(), "bucketed table must report key grouping")
+    // a DSv2 INSERT commits an unbucketed fragment → layout degrades
+    spark.sql(s"INSERT INTO $cat.tc VALUES (1000, 1.5)")
+    assert(!keyGrouped(), "unbucketed fragment must disable key grouping")
+    // consolidation rewrites through the bucketing library write path
+    GraftArray.consolidate(spark, s"$wh/tc")
+    assert(keyGrouped(), "consolidation must restore the bucketed layout")
+    assert(spark.table(s"$cat.tc").count() == 201)
+    val frag = GraftArray.store(spark, s"$wh/tc").listFragments(None)
+      .filter(_.replaces.nonEmpty).head
+    assert(frag.buckets.contains(4))
+  }
+
   test("bucketed layout never changes answers; SQL bucket() matches layout") {
     val (cat, wh) = mkCat()
     spark.sql(s"""CREATE TABLE $cat.tb (k BIGINT, v DOUBLE)

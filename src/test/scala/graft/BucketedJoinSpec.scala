@@ -100,6 +100,30 @@ class BucketedJoinSpec extends SparkSpec {
     assert(frag.buckets.contains(4))
   }
 
+  test("GROUP BY the bucket dimension aggregates without a shuffle") {
+    val (cat, wh) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.ta (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k', 'graft.buckets'='8',
+      |  'graft.allows_dups'='true')""".stripMargin)
+    GraftArray.write(spark, s"$wh/ta", spark.range(0, 1000)
+      .select(col("id").as("k"), col("id").cast("double").as("v")))
+    val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = spark.sql(s"SELECT k, sum(v) AS s FROM $cat.ta GROUP BY k")
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"bucketed GROUP BY shuffled:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == 1000)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed layout never changes answers; SQL bucket() matches layout") {
     val (cat, wh) = mkCat()
     spark.sql(s"""CREATE TABLE $cat.tb (k BIGINT, v DOUBLE)

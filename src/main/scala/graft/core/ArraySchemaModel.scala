@@ -120,6 +120,11 @@ case class ArraySchema(
     buckets: Option[Int] = None) {
 
   codec.foreach(Codecs.normalize)
+  buckets.foreach { n =>
+    require(n >= 1, s"graft.buckets must be >= 1, got $n")
+    require(dims.nonEmpty && TypedValue.isIntegral(dims.head.dataType),
+      "graft.buckets requires an integral first dimension")
+  }
 
   def dimNames: Seq[String] = dims.map(_.name)
   def columnNames: Seq[String] = dims.map(_.name) ++ attrs.map(_.name)

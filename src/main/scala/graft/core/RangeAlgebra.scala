@@ -81,15 +81,25 @@ object RangeAlgebra {
     def ge(v: Any): Interval = Interval(Some(v), None)
     def le(v: Any): Interval = Interval(None, Some(v))
 
-    /** GT with the reference's integral tightening (+1 → GE). */
+    /** GT with the reference's integral tightening (+1 → GE).
+      * `> Long.MaxValue` matches nothing — the +1 must not wrap to an
+      * interval that matches EVERYTHING (predicate consumption would
+      * then prove the impossible predicate true on every file). */
     def gt(dt: DataType, v: Any): Interval =
-      if (TypedValue.isIntegral(dt)) Interval(Some(v.asInstanceOf[Long] + 1), None)
-      else Interval(Some(v), None, loInc = false)
+      if (TypedValue.isIntegral(dt)) {
+        val l = v.asInstanceOf[Long]
+        if (l == Long.MaxValue) Interval(Some(1L), Some(0L)) // empty
+        else Interval(Some(l + 1), None)
+      } else Interval(Some(v), None, loInc = false)
 
-    /** LT with the reference's integral tightening (−1 → LE). */
+    /** LT with the reference's integral tightening (−1 → LE);
+      * `< Long.MinValue` matches nothing (no wrap — see gt). */
     def lt(dt: DataType, v: Any): Interval =
-      if (TypedValue.isIntegral(dt)) Interval(None, Some(v.asInstanceOf[Long] - 1))
-      else Interval(None, Some(v), hiInc = false)
+      if (TypedValue.isIntegral(dt)) {
+        val l = v.asInstanceOf[Long]
+        if (l == Long.MinValue) Interval(Some(1L), Some(0L)) // empty
+        else Interval(None, Some(l - 1))
+      } else Interval(None, Some(v), hiInc = false)
   }
 
   /** Per-dimension pushdown state: an AND-interval plus optional

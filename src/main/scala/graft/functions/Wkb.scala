@@ -60,10 +60,18 @@ object Wkb {
   }
 
   private val SridFlag = 0x20000000
+  private val ZFlag = 0x80000000
+  private val MFlag = 0x40000000
 
   private def geom(b: ByteBuffer, st: Mbr): Unit = {
     b.order(if (b.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val typeWord = b.getInt
+    // EWKB Z/M geometries carry extra ordinates per point — masking the
+    // flags off and reading a 2-double stride would silently misparse;
+    // reject them like the ISO 1002/2002/3002 codes below
+    if ((typeWord & ZFlag) != 0 || (typeWord & MFlag) != 0)
+      throw new IllegalArgumentException(
+        "unsupported geometry: EWKB Z/M dimensions (2-D WKB only)")
     if ((typeWord & SridFlag) != 0) b.getInt // skip EWKB SRID
     (typeWord & 0xFFFF) match {
       case 1 => st.add(b.getDouble, b.getDouble) // Point

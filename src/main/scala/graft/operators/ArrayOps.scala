@@ -76,6 +76,10 @@ object ArrayOps {
       val wh = java.nio.file.Files.createTempDirectory("graft_bktq").toString
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // left enabled for the session deliberately: the returned plan
+      // executes lazily after this function returns, and the confs
+      // only affect scans that REPORT key grouping (bucketed graft
+      // arrays) — every other query's plan is untouched
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       s.sql(s"""CREATE TABLE $cat.cust (c_custkey BIGINT, c_acctbal DOUBLE)

@@ -232,6 +232,22 @@ object Dedup {
   private[graft] def simhashGroups(sig: DataFrame): DataFrame =
     sig.groupBy("sim").agg(collect_list(col("doc_id")).as("ids"))
 
+  /** Drop band keys shared by more than `cap` rows from candidate
+    * generation — the shared hot-band guard for every banded-LSH join
+    * (d4 simhash, v1b/v5 embedding near-dup): a degenerate band would
+    * otherwise join quadratically. Recall accounting at [[HotBandCap]]:
+    * a true pair is lost only if EVERY band it agrees on is that hot. */
+  private[graft] def dropHotBands(bands: DataFrame,
+      dfCap: Option[Long]): DataFrame = dfCap match {
+    case Some(cap) =>
+      // hot set is tiny by construction (≤ bands/cap keys) →
+      // broadcast anti-join, no extra shuffle of the band rows
+      val hot = bands.groupBy("band").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("band")
+      bands.join(broadcast(hot), Seq("band"), "left_anti")
+    case None => bands
+  }
+
   /** 9-bit band keys over DISTINCT signatures, with hot bands (> cap
     * distinct sigs) dropped from candidate generation (recall
     * accounting at [[HotBandCap]]). */
@@ -241,15 +257,7 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(6)), b =>
         concat_ws("_", b, call_function("shiftright", col("sim"), b * 9)
           .bitwiseAND(lit(0x1ffL))))).as("band"))
-    dfCap match {
-      case Some(cap) =>
-        // hot set is tiny by construction (≤ 7·distinct/cap keys) →
-        // broadcast anti-join, no extra shuffle of the band rows
-        val hot = bands0.groupBy("band").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("band")
-        bands0.join(broadcast(hot), Seq("band"), "left_anti")
-      case None => bands0
-    }
+    dropHotBands(bands0, dfCap)
   }
 
   /** SimHash near-dup pairs (hamming ≤ 6) over `(doc_id, sim)`. */

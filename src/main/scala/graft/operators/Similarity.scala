@@ -80,15 +80,8 @@ object Similarity {
       .select(explode(col("ids")).as("i"), col("ids"))
       .select(col("i"), explode(col("ids")).as("j"))
       .filter(col("i") < col("j"))
-    val bandRows0 = groups.select(col("gid"),
-      explode(col("bands")).as("band"))
-    val bandRows = dfCap match {
-      case Some(cap) =>
-        val hot = bandRows0.groupBy("band").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("band")
-        bandRows0.join(broadcast(hot), Seq("band"), "left_anti")
-      case None => bandRows0
-    }
+    val bandRows = Dedup.dropHotBands(
+      groups.select(col("gid"), explode(col("bands")).as("band")), dfCap)
     val cross = bandRows.as("a").join(bandRows.as("b"), "band")
       .filter(col("a.gid") < col("b.gid"))
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
@@ -168,8 +161,9 @@ object Similarity {
 
   /** IVF top-k for the 5 fixed query vectors (nprobe=2 of 16 lists). */
   private[graft] def ivfTopK(e: DataFrame): DataFrame = {
-    val (assigned0, centroids) = Ivf.fit(e, k = 16, iters = 3)
-    val assigned = assigned0.cache()
+    // no cache(): a driver-facing query must not pin executor storage
+    // for the session; the assignment recompute is one codegen pass
+    val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val qProbes = Ivf.probes(q, assigned, centroids, nprobe = 2)
@@ -284,20 +278,17 @@ object Similarity {
     // driver-facing output is the self-asserting recall check: each
     // query's recall@10 vs exact must clear 0.5 (observed ≥ 0.7 at
     // sf0.001–0.1; `ivfTopK` is the raw result surface).
-    "v4_ann_ivf" -> ((s, d) => {
-      val e = emb(s, d).cache()
-      recallCheck(ivfTopK(e), bruteTopK(e), bound = 0.5)
-    }),
+    "v4_ann_ivf" -> ((s, d) =>
+      recallCheck(ivfTopK(emb(s, d)), bruteTopK(emb(s, d)), bound = 0.5)),
 
     // Multi-table LSH ANN: union-of-bucket candidates, exact rerank.
     // Approximate by design — driver-facing output is the recall
     // check against bound 0.4 (observed per-query ≥ 0.5, mean ≈ 0.8
     // at sf0.001–0.1 with 32 tables × 6 bits; `annLshTopK` is the raw
     // result surface).
-    "v3_ann_lsh" -> ((s, d) => {
-      val e = emb(s, d).cache()
-      recallCheck(annLshTopK(e, 10), bruteTopK(e), bound = 0.4)
-    })
+    "v3_ann_lsh" -> ((s, d) =>
+      recallCheck(annLshTopK(emb(s, d), 10), bruteTopK(emb(s, d)),
+        bound = 0.4))
   )
 
   /** Shared DuckDB cosine: double-precision, strictly sequential sum —

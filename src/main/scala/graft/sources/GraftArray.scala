@@ -610,6 +610,26 @@ object GraftArray {
   * disjointness test that lets scans skip latest-wins dedup. */
 object FragmentPruning {
 
+  /** Can any row of a file with per-column stats `st` satisfy every
+    * constraint in `cons`? The ONE file-level stats test shared by
+    * partition planning (GraftScanImpl.selectFiles) and the aggregate
+    * consumption proof (GraftScanBuilder.survivingFiles) — keeping
+    * the two callers in lockstep is what makes predicate consumption
+    * sound. Missing stats keep the file conservatively. */
+  def fileOverlaps(schema: ArraySchema, st: Map[String, ColumnStats],
+      cons: Map[String, graft.core.RangeAlgebra.DimConstraint]): Boolean =
+    cons.forall { case (colName, c) =>
+      val dt = schema.dataTypeOf(colName)
+      st.get(colName) match {
+        case Some(cs) => (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) => c.overlapsMbr(
+            TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
+          case _ => true
+        }
+        case None => true
+      }
+    }
+
   /** Parsed dim MBRs, one per fragment; `None` bound = unknown stats
     * (conservatively overlaps everything on that side). Parsed ONCE —
     * overlap analysis runs over these, never re-reading manifests. */

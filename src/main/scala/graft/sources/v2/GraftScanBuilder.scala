@@ -157,17 +157,7 @@ class GraftScanBuilder(
     else FragmentPruning.select(frags, schema, constraints).flatMap { f =>
       f.files.filter { rel =>
         f.fileStats.get(rel) match {
-          case Some(st) => constraints.forall { case (dim, c) =>
-            val dt = schema.dataTypeOf(dim)
-            st.get(dim) match {
-              case Some(cs) => (cs.min, cs.max) match {
-                case (Some(mn), Some(mx)) => c.overlapsMbr(
-                  TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
-                case _ => true
-              }
-              case None => true
-            }
-          }
+          case Some(st) => FragmentPruning.fileOverlaps(schema, st, constraints)
           case None => true // no per-file stats → keep (can't prune)
         }
       }.map(f -> _)
@@ -585,24 +575,13 @@ class GraftScanImpl(
     * and off for raw-cell (consolidation) reads, which must rewrite
     * every stored cell. */
   private def selectFiles(f: FragmentMeta): Seq[String] = {
-    def overlaps(st: Map[String, ColumnStats])(
-        cons: Map[String, DimConstraint]): Boolean =
-      cons.forall { case (colName, c) =>
-        val dt = schema.dataTypeOf(colName)
-        st.get(colName) match {
-          case Some(cs) => (cs.min, cs.max) match {
-            case (Some(mn), Some(mx)) => c.overlapsMbr(
-              TypedValue.parse(dt, mn), TypedValue.parse(dt, mx))
-            case _ => true
-          }
-          case None => true
-        }
-      }
     val attrTest: Map[String, DimConstraint] =
       if (mergeFree && !rawCells) attrCons else Map.empty
     f.files.filter { rel =>
       f.fileStats.get(rel) match {
-        case Some(st) => overlaps(st)(constraints) && overlaps(st)(attrTest)
+        case Some(st) =>
+          FragmentPruning.fileOverlaps(schema, st, constraints) &&
+            FragmentPruning.fileOverlaps(schema, st, attrTest)
         case None => true // no per-file stats recorded → keep
       }
     }

@@ -277,9 +277,22 @@ object PredicateSupport {
       mbr: String => Option[(Any, Any)]): Boolean = {
     val dims = schema.dimNames.toSet
     // interval containment of both MBR endpoints implies containment
-    // of everything between (intervals are contiguous in the order)
+    // of everything between (intervals are contiguous in the order).
+    // String stats carry the same ≤ 32-byte untruncated-insurance gate
+    // as the aggregate min/max path: a hypothetically truncated max is
+    // a PREFIX that sorts below the true max, which could prove an
+    // upper bound the real data violates.
     def within(c: String, i: Interval): Boolean =
-      mbr(c).exists { case (mn, mx) => i.contains(mn) && i.contains(mx) }
+      mbr(c).exists { case (mn, mx) =>
+        val exact = schema.dataTypeOf(c) match {
+          case StringType => Seq(mn, mx).forall {
+            case s: String => s.getBytes("UTF-8").length <= 32
+            case _ => false
+          }
+          case _ => true
+        }
+        exact && i.contains(mn) && i.contains(mx)
+      }
     p match {
       case TrueP => true
       case AndP(l, r) =>

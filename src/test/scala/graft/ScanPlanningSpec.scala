@@ -653,6 +653,21 @@ class ScanPlanningSpec extends SparkSpec {
       (0L until 5L).map((_, 2.0)))
   }
 
+  test("dim > Long.MaxValue matches nothing (no +1 wrap into consumption)") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(col("id").as("k"), lit(1.0).as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    assert(df.filter(col("k") > Long.MaxValue).count() == 0)
+    assert(df.filter(col("k") < Long.MinValue).count() == 0)
+    // the aggregate fast path must agree (this wrapped to full-count
+    // once predicates became consumable)
+    val agg = df.filter(col("k") > Long.MaxValue)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(agg == 0, s"aggregate over impossible range returned $agg")
+  }
+
   test("empty pushed range plans zero partitions (empty-scan path)") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

@@ -603,10 +603,13 @@ class ArrayConnectorSpec extends SparkSpec {
   test("pushdown ≡ post-filter (property over random predicates)") {
     val uri = tmp()
     GraftArray.create(spark, uri, schema2d)
-    GraftArray.write(spark, uri,
-      spark.range(0, 500).select(col("id").as("rows"),
-        (col("id") % 7).as("cols"), (col("id") % 13).as("a"),
-        concat(lit("s"), col("id") % 3).as("s")))
+    // two disjoint fragments (merge-free) so the attribute-stats file
+    // pruning path participates in the property
+    for (r <- Seq((0L, 500L), (500L, 1000L)))
+      GraftArray.write(spark, uri,
+        spark.range(r._1, r._2).select(col("id").as("rows"),
+          (col("id") % 7).as("cols"), (col("id") % 13).as("a"),
+          concat(lit("s"), col("id") % 3).as("s")))
     val arr = spark.read.format("graftarray").option("path", uri).load()
     val base = arr.collect().toSeq // unfiltered truth
     import org.apache.spark.sql.Row
@@ -617,7 +620,11 @@ class ArrayConnectorSpec extends SparkSpec {
       col("cols") === 3L || col("a") <= 2L,
       col("s") === "s1" && col("rows") < 100L,
       !(col("a") === 4L) && col("rows").isin(1L, 5L, 400L, 499L),
-      col("s").isNotNull && col("cols") =!= 2L)
+      col("s").isNotNull && col("cols") =!= 2L,
+      // attr-range shapes (file skipping by attr min/max stats)
+      col("a").between(3L, 9L),
+      col("a") > 11L && col("s") === "s0",
+      col("a") <= 0L || col("rows") >= 990L)
     predicates.foreach { p =>
       val got = arr.filter(p).orderBy("rows").collect().toSeq
       val want = refDf.filter(p).orderBy("rows").collect().toSeq

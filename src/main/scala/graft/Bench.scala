@@ -1,10 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line with per-query seconds.
+  *
+  * Methodology (round 6): round 5's bench showed 8–12× cliffs on
+  * UNCHANGED queries (t1/t2) that ran right after the streaming family
+  * in alphabetical order — state-store/memory-sink churn and heap
+  * pressure from one query polluting the next in a shared JVM. Two
+  * defenses, both on by default:
+  *
+  *  1. RUN ORDER: streaming queries (st*) run LAST, so their state
+  *     stores and memory sinks cannot sit on the heap while scan-speed
+  *     queries are timed. Within each group order stays alphabetical.
+  *  2. QUIESCE between queries: drop cached plans/tables, unload
+  *     streaming state-store providers, and System.gc() — each timed
+  *     query starts from a quiet heap.
+  *
+  * `SPARK_GRAFT_BENCH_ISOLATE=1` additionally gives EVERY query a fresh
+  * `newSession()` (own catalog/temp views/conf over one SparkContext),
+  * so leaked temp views or session confs cannot cross queries either.
+  * Per-query GC-time deltas land in BENCH_FULL.json (`gc_ms`) to make
+  * interference visible instead of guessed at.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+    val root = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -13,30 +36,58 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    root.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed loop (driver measures
     // steady-state query cost, not classloading)
     try SparkEntry.queries.get("a3_groupby_q1")
-      .foreach(_(spark, sfDir).count())
+      .foreach(_(root, sfDir).count())
     catch { case _: Throwable => () }
+
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    /** Quiet the JVM between timed queries: clear the SQL cache, unload
+      * streaming state-store providers (their maintenance threads and
+      * loaded maps survive query.stop()), and collect garbage so one
+      * query's heap debris is not the next query's GC pause. */
+    def quiesce(s: SparkSession): Unit = {
+      try s.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
+      System.gc()
+    }
+
     // min-of-N per query: single-run timings at the 0.2–1.5 s scale are
     // dominated by JIT/GC noise (round-2 "regressions" were all
     // plan-identical noise); the minimum is the stable cost estimate
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val times = (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          (ok, (System.nanoTime() - t0) / 1e9)
-        }
-        // only successful runs count — a failed iteration must not
-        // masquerade as a fast one
-        val good = times.filter(_._1).map(_._2)
-        name -> (if (good.nonEmpty) good.min else times.map(_._2).max)
+    // streaming family last — alphabetical within each group
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (if (name.startsWith("st")) 1 else 0, name)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = ordered.map { case (name, fn) =>
+      val session = if (isolate) root.newSession() else root
+      quiesce(session)
+      val gc0 = gcMillis
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(session, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
+      }
+      val gcMs = gcMillis - gc0
+      // only successful runs count — a failed iteration must not
+      // masquerade as a fast one
+      val good = times.filter(_._1).map(_._2)
+      val sec = if (good.nonEmpty) good.min else times.map(_._2).max
+      (name, sec, gcMs)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
@@ -44,8 +95,14 @@ object Bench {
     println(line)
     // stdout captures have truncated the single line mid-record in past
     // rounds; persist the complete per-query artifact alongside it
+    // (with the GC attribution and methodology flags the driver's JSON
+    // schema does not carry)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""gc_ms":$gcs,"isolate":$isolate,"order":"streaming-last",""" +
+        s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    spark.stop()
+      (full + "\n").getBytes("UTF-8"))
+    root.stop()
   }
 }

@@ -53,10 +53,17 @@ object StreamOps {
         .orderBy("n_nationkey", "n_regionkey")
     }),
 
-    // Streaming stateful dedup: dropDuplicates state suppresses key
-    // re-deliveries across micro-batches (streaming analog of d1).
+    // Streaming stateful dedup — WATERMARK-BOUNDED state
+    // (dropDuplicatesWithinWatermark, append mode): keys leave the
+    // state store once the watermark passes their event time + delay,
+    // so an unbounded stream holds bounded state. On this input (one
+    // file → one micro-batch, watermark still at epoch during it) the
+    // result equals exact COUNT(DISTINCT), which the oracle states;
+    // the unbounded-state exact variant (dropDuplicates + complete
+    // mode) remains as EventPipeline.runStreamingDedup, spec-checked
+    // to agree (StreamingDedupSpec).
     "st4_stream_dedup" -> ((s, d) =>
-      EventPipeline.runStreamingDedup(s, d)
+      EventPipeline.runStreamingDedupBounded(s, d)
         .select(col("event_type"), col("count").as("n_users"))
         .orderBy("event_type")),
 

@@ -113,15 +113,19 @@ object TextOps {
     // cut). Corpus pass builds the frequency table (one shuffle on
     // tokens); docs join it and reduce per-doc in TOKEN ORDER
     // (sort_array by position + fold) so the float sum is replayable.
-    // At 100 TB the freq table is vocabulary-sized (Zipf: ≪ corpus) —
-    // the join stays a broadcast for any real vocabulary.
+    // The freq join is deliberately UNHINTED: at 100 TB of web text the
+    // raw distinct-token set (typos, numbers, URLs) is billions of keys
+    // — far past any driver broadcast — so AQE picks broadcast vs
+    // shuffle from the table's actual size. For a bounded-memory model
+    // use [[unigramLogProbTopV]] (top-V vocabulary + OOV bucket). The
+    // single-row total IS always broadcast-safe.
     "t8_unigram_logprob" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       val freq = toks.groupBy("tok")
         .agg(count(lit(1)).cast("double").as("cnt"))
       val tot = freq.agg(sum(col("cnt")).as("t"))
-      toks.join(broadcast(freq), "tok").crossJoin(broadcast(tot))
+      toks.join(freq, "tok").crossJoin(broadcast(tot))
         .withColumn("logp", log(col("cnt") / col("t")))
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("pos"), col("logp"))))
@@ -153,6 +157,44 @@ object TextOps {
            |FROM $v ORDER BY doc_id""".stripMargin)
     })
   )
+
+  /** Bounded-memory unigram scorer: the model keeps only the `topV`
+    * most frequent tokens; everything else scores as ONE shared
+    * out-of-vocabulary bucket whose mass is the full residual tail
+    * (so probabilities still sum to 1 — statistically the right model,
+    * and the broadcast side is now ≤ topV rows BY CONSTRUCTION, safe
+    * at any corpus size). Ties on count break by token so the
+    * vocabulary is deterministic. Returns (doc_id, logprob, n_oov). */
+  def unigramLogProbTopV(documents: DataFrame, topV: Int): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val freq = toks.groupBy("tok")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("t"),
+      count(lit(1)).cast("double").as("v"))
+    // top-V by (count desc, token): k-bounded TakeOrdered, no full sort
+    val vocab = freq.orderBy(col("cnt").desc, col("tok")).limit(topV)
+    val inV = vocab.agg(sum(col("cnt")).as("in_v"),
+      count(lit(1)).cast("double").as("n_v"))
+    val stats = tot.crossJoin(inV)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      // OOV: total tail mass split uniformly over the unseen type count
+      // (cnt=0 types get the add-nothing floor 0.5 to stay finite)
+      .withColumn("logp", when(col("cnt").isNotNull,
+          log(col("cnt") / col("t")))
+        .otherwise(log(
+          greatest(col("t") - col("in_v"), lit(0.5)) /
+            (col("t") * greatest(col("v") - col("n_v"), lit(1.0))))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("logp"))))
+        .as("ps"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), round(
+        aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("logp")) / size(col("ps")),
+        4).as("logprob"), col("n_oov"))
+  }
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 

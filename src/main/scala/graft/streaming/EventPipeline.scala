@@ -137,14 +137,42 @@ object EventPipeline {
     spark.table(name)
   }
 
-  /** Streaming exact-dedup: `dropDuplicates` keeps per-key state in
-    * the state store, so re-deliveries of a key are suppressed across
-    * micro-batches — the streaming analog of d1's hash-dedup. Here the
-    * key is (user_id, event_type) and the output is the per-type
-    * distinct-user count, which a batch COUNT(DISTINCT) replays
-    * exactly. Unbounded streams would use `dropDuplicatesWithinWatermark`
-    * to cap the key state; this surface takes the exact variant since
-    * the driver compares complete output. */
+  /** FIRST-CLASS streaming dedup — watermark-bounded state. The state
+    * store holds a key only while `max(event time seen) − delay` has
+    * not passed it (`dropDuplicatesWithinWatermark`), so state size is
+    * O(distinct keys per watermark window), NOT O(all keys ever) — the
+    * 100 TB-safe contract: an unbounded stream holds a bounded state
+    * store sized by (arrival rate × delay), and append mode emits each
+    * surviving row exactly once instead of rematerializing the result.
+    * The trade: a duplicate arriving later than `delay` after the
+    * original is re-emitted (standard streaming-dedup semantics).
+    * The deduped rows land in the sink; the per-type count is a batch
+    * aggregation OVER the sink (counts in append mode would hold
+    * windowless aggregation state forever — same trap again). */
+  def runStreamingDedupBounded(spark: SparkSession, sfDir: String,
+      delay: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val name = "graft_dedupb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name).groupBy("event_type")
+      .agg(count(lit(1)).as("count"))
+  }
+
+  /** Exact-dedup ORACLE variant: `dropDuplicates` keeps EVERY distinct
+    * key in the state store forever and `complete` mode rematerializes
+    * the whole result each batch — bit-exact against a batch
+    * COUNT(DISTINCT) (which is why the correctness harness uses it),
+    * but state is unbounded: on an endless stream prefer
+    * [[runStreamingDedupBounded]]. */
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)

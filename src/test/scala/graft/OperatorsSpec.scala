@@ -181,4 +181,26 @@ class OperatorsSpec extends SparkSpec {
     assert(scan.contains("l_orderkey") && scan.contains("l_extendedprice")
       && !scan.contains("l_quantity"), scan)
   }
+
+  test("top-V unigram model bounds the broadcast and scores OOV tokens") {
+    val docs = Tables.load(spark, sf, "documents")
+    val topV = 10 // sf0.001's synthetic vocabulary is only ~31 types
+    val scored = operators.TextOps.unigramLogProbTopV(docs, topV)
+    val rows = scored.collect()
+    assert(rows.length == docs.count())
+    // every doc scores finitely; docs with rare tokens report OOV hits
+    assert(rows.forall(r => !r.isNullAt(1) &&
+      !java.lang.Double.isInfinite(r.getDouble(1))))
+    assert(rows.exists(_.getLong(2) > 0L), "expected some OOV tokens")
+    // with topV >= full vocabulary the model degenerates to the exact
+    // unigram scorer (no OOV anywhere)
+    val vocabSize = docs
+      .select(explode(functions.TextFunctions.tokens(col("text"))).as("t"))
+      .distinct().count().toInt
+    val full = operators.TextOps.unigramLogProbTopV(docs, vocabSize + 1)
+    assert(full.agg(sum("n_oov")).collect().head.getLong(0) == 0L)
+    // broadcast side is capped: the vocabulary join must broadcast
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }

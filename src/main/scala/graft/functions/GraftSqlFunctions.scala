@@ -23,7 +23,7 @@ object GraftSqlFunctions {
   val all: Seq[UnboundFunction] = Seq(
     DotFn, CosineFn, Hash60Fn, TokenCountFn, SimhashFn, FingerprintFn,
     Hilbert2dFn, BucketFn, StPointFn, StGeomFromWkbFn, StIntersectsFn,
-    StWithinFn)
+    StWithinFn, StEqualsFn, StOverlapsFn)
 
   def byName(name: String): Option[UnboundFunction] =
     all.find(_.name == name.toLowerCase)
@@ -345,6 +345,41 @@ object GraftSqlFunctions {
       val (bx0, by0, bx1, by1) = Wkb.mbr(b)
       ax0 <= bx1 && ax1 >= bx0 && ay0 <= by1 && ay1 >= by0
     }
+    override def produceResult(input: InternalRow): java.lang.Boolean =
+      invoke(input.getBinary(0), input.getBinary(1))
+  }
+
+  object StEqualsFn extends BinFn("st_equals", 2) {
+    override def description: String =
+      "st_equals(a binary, b binary) -> boolean: identical MBRs " +
+        "(exact equality for points/boxes)"
+    override def bound: BoundFunction = StEqualsBound
+  }
+
+  object StEqualsBound extends ScalarFunction[java.lang.Boolean] {
+    override def inputTypes(): Array[DataType] = Array(BinaryType, BinaryType)
+    override def resultType(): DataType = BooleanType
+    override def name(): String = "st_equals"
+    def invoke(a: Array[Byte], b: Array[Byte]): Boolean =
+      Wkb.mbr(a) == Wkb.mbr(b)
+    override def produceResult(input: InternalRow): java.lang.Boolean =
+      invoke(input.getBinary(0), input.getBinary(1))
+  }
+
+  object StOverlapsFn extends BinFn("st_overlaps", 2) {
+    override def description: String =
+      "st_overlaps(a binary, b binary) -> boolean: MBR overlap " +
+        "(MBR semantics — same region the reference's spatial " +
+        "pushdown answers for SP_OVERLAPS_FUNC)"
+    override def bound: BoundFunction = StOverlapsBound
+  }
+
+  object StOverlapsBound extends ScalarFunction[java.lang.Boolean] {
+    override def inputTypes(): Array[DataType] = Array(BinaryType, BinaryType)
+    override def resultType(): DataType = BooleanType
+    override def name(): String = "st_overlaps"
+    def invoke(a: Array[Byte], b: Array[Byte]): Boolean =
+      StIntersectsBound.invoke(a, b)
     override def produceResult(input: InternalRow): java.lang.Boolean =
       invoke(input.getBinary(0), input.getBinary(1))
   }

@@ -42,6 +42,14 @@ object Kernels {
   def hilbert2d(x: Column, y: Column, bits: Int): Column =
     column(Hilbert2D(expression(x), expression(y), bits))
 
+  /** Hilbert-curve index of a d-dimensional coordinate (order-`bits`
+    * curve over an array of d non-negative longs, d·bits ≤ 63) —
+    * generalizes [[hilbert2d]] to any dim count, matching TileDB's
+    * n-D Hilbert cell order [tiledb Hilbert order applies to any
+    * sparse dim count; 2-D special case in t/hilbert.test]. */
+  def hilbertNd(coords: Column, bits: Int): Column =
+    column(HilbertNd(expression(coords), bits))
+
   /** Distinct k-token shingles (space-joined) from a token array —
     * same output as the transform/slice/concat_ws composition. */
   def shingles(tokens: Column, k: Int): Column =
@@ -138,6 +146,67 @@ object ShinglesExpr {
 
 /** xy→d mapping of the order-`bits` Hilbert curve (non-negative
   * inputs; callers normalize coordinates to [0, 2^bits)). */
+/** d-dimensional Hilbert index via Skilling's transpose algorithm
+  * (John Skilling, "Programming the Hilbert curve", AIP Conf. Proc.
+  * 707, 2004 — the standard public n-D formulation): axes →
+  * transposed Hilbert form in place, then bit-interleave to a single
+  * comparable long. Requires numElements·bits ≤ 63. */
+case class HilbertNd(child: Expression, bits: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HilbertNd.compute(v.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.HilbertNd.compute($a, $bits);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HilbertNd {
+  def compute(coords: ArrayData, bits: Int): Long = {
+    val n = coords.numElements()
+    require(n >= 1 && n * bits <= 63,
+      s"hilbertNd needs 1..63/bits dims, got $n dims at $bits bits")
+    val X = new Array[Long](n)
+    var i = 0
+    while (i < n) { X(i) = coords.getLong(i); i += 1 }
+    // inverse undo (Skilling): walk bit planes high→low exchanging /
+    // inverting low bits so X becomes the transposed Hilbert index
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((X(i) & q) != 0) X(0) ^= p
+        else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    i = 1
+    while (i < n) { X(i) ^= X(i - 1); i += 1 }
+    var t = 0L
+    q = 2
+    while (q != (1L << bits)) {
+      if ((X(n - 1) & q) != 0) t ^= q - 1
+      q <<= 1
+    }
+    i = 0
+    while (i < n) { X(i) ^= t; i += 1 }
+    // interleave the transpose (MSB of X(0) first) into one long
+    var d = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      var j = 0
+      while (j < n) { d = (d << 1) | ((X(j) >> b) & 1L); j += 1 }
+      b -= 1
+    }
+    d
+  }
+}
+
 case class Hilbert2D(left: Expression, right: Expression, bits: Int)
   extends BinaryExpression {
   override def dataType: DataType = LongType

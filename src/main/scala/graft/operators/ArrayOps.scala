@@ -168,6 +168,53 @@ object ArrayOps {
            |ORDER BY p_partkey, x, y""".stripMargin)
     }),
 
+    // P7 GEOMETRY-COLUMN form (round 6) — the reference's
+    // t/spatial_index.test layout: a WKB geometry ATTRIBUTE beside
+    // `_X`/`_Y` midpoint dims, with PAD_X/PAD_Y metadata bounding the
+    // max geometry extent [ha_mytile.cc:2316–2434]. The constant-side
+    // MBR, expanded ±pad/2, prunes on the dims (Approx rewrite); the
+    // row-wise st_intersects over the stored WKB stays as Spark's
+    // residual and decides exactly.
+    "p7c_spatial_geomcol" -> ((s, d) => {
+      val uri = freshUri("geoc")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("_X", DoubleType), DimensionSpec("_Y", DoubleType)),
+        Seq(AttributeSpec("wkb_geometry", BinaryType),
+          AttributeSpec("p_partkey", LongType)), allowsDups = true)
+      GraftArray.create(s, uri, sch)
+      // per-row boxes around (p_size, p_retailprice) midpoints with
+      // deterministic half-extents ≤ (1.2, 60) — PAD = full widths
+      val mkBox = udf((x: Double, y: Double, wx: Double, wy: Double) =>
+        graft.functions.Wkb.box(x - wx, y - wy, x + wx, y + wy))
+      val src = Tables.load(s, d, "part").select(
+        col("p_size").cast("double").as("_X"),
+        col("p_retailprice").as("_Y"),
+        ((col("p_partkey") % 5).cast("double") * 0.3).as("wx"),
+        ((col("p_partkey") % 7).cast("double") * 10.0).as("wy"),
+        col("p_partkey"))
+      GraftArray.write(s, uri, src.select(col("_X"), col("_Y"),
+        mkBox(col("_X"), col("_Y"), col("wx"), col("wy"))
+          .as("wkb_geometry"),
+        col("p_partkey")))
+      GraftArray.putMetadata(s, uri, Map(
+        "GEOMETRY_ATTRIBUTE_NAME" -> "wkb_geometry",
+        "PAD_X" -> "2.4", "PAD_Y" -> "120.0"))
+      val cat = "ggc" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_geoc").toString)
+      val v = s"geoc_$cat"
+      s.read.format("graftarray").option("path", uri).load()
+        .createOrReplaceTempView(v)
+      val hex = graft.functions.Wkb.box(10.0, 500.0, 40.0, 1500.0)
+        .map(b => f"${b & 0xff}%02X").mkString
+      s.sql(
+        s"""SELECT p_partkey, _X AS x, _Y AS y FROM $v
+           |WHERE $cat.st_intersects($cat.st_geomfromwkb(wkb_geometry), X'$hex')
+           |ORDER BY p_partkey, x, y""".stripMargin)
+    }),
+
     // S7: two fragments, read as-of the first commit.
     "arr3_timetravel" -> ((s, d) => {
       val uri = freshUri("tt")
@@ -732,6 +779,17 @@ object ArrayOps {
          p_retailprice AS y FROM part
          WHERE p_size BETWEEN 10 AND 40
            AND p_retailprice BETWEEN 500.0 AND 1500.0
+         ORDER BY p_partkey, x, y""",
+    // box [x±wx, y±wy] intersects [10,40]×[500,1500] — the same IEEE
+    // double arithmetic the Spark-side WKB round-trip performs
+    "p7c_spatial_geomcol" ->
+      """SELECT p_partkey, x, y FROM (
+           SELECT p_partkey, CAST(p_size AS DOUBLE) AS x,
+             p_retailprice AS y,
+             (p_partkey % 5) * 0.3 AS wx, (p_partkey % 7) * 10.0 AS wy
+           FROM part)
+         WHERE x - wx <= 40.0 AND x + wx >= 10.0
+           AND y - wy <= 1500.0 AND y + wy >= 500.0
          ORDER BY p_partkey, x, y""",
     "arr3_timetravel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders

@@ -87,23 +87,13 @@ object Pipeline {
     }),
 
     // Dataset profile ("dataset card" stats): per-column row/null/
-    // distinct counts and min/max, one aggregation pass per profiled
-    // column (exact COUNT DISTINCT so the oracle can replay it; a
-    // 100 TB profile would swap in approx_count_distinct and fuse the
-    // passes — the shape stays one shuffle of partial aggregates).
-    "x5_profile" -> ((s, d) => {
-      val li = Tables.load(s, d, "lineitem")
-      def prof(c: String) = li.agg(
-        count(lit(1)).as("n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_s"),
-        max(col(c)).cast("string").as("max_s"))
-        .select(lit(c).as("col_name"), col("n"), col("n_null"),
-          col("n_distinct"), col("min_s"), col("max_s"))
-      Seq("l_orderkey", "l_returnflag", "l_shipdate")
-        .map(prof).reduce(_ unionByName _).orderBy("col_name")
-    }),
+    // distinct counts and min/max. The ORACLE query uses the exact
+    // variant (countDistinct replays in DuckDB); the DEFAULT published
+    // API is profile() below — ONE aggregation pass over all columns
+    // with approx_count_distinct (HLL++), the 100 TB shape.
+    "x5_profile" -> ((s, d) =>
+      profile(Tables.load(s, d, "lineitem"),
+        Seq("l_orderkey", "l_returnflag", "l_shipdate"), approx = false)),
 
     // Leakage-safe split: near-duplicate documents must not straddle
     // train/test, so the split key is the duplicate CLUSTER head (d5's
@@ -123,6 +113,44 @@ object Pipeline {
         .orderBy("doc_id")
     })
   )
+
+  /** Dataset profile. `approx = true` (the DEFAULT) computes EVERY
+    * column's stats in ONE aggregation pass — `approx_count_distinct`
+    * (HLL++, `rsd` relative error) instead of exact distinct — so a
+    * 100 TB dataset card costs one scan + one shuffle of constant-size
+    * partial sketches, not one exact-distinct shuffle per column.
+    * `approx = false` is the oracle-replayable exact variant: one
+    * aggregation per column (exact COUNT DISTINCT forces its own
+    * shuffle per column), unioned.
+    * Returns (col_name, n, n_null, n_distinct, min_s, max_s). */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = true,
+      rsd: Double = 0.01): DataFrame = {
+    if (approx) {
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null__$c"),
+        approx_count_distinct(col(c), rsd).as(s"nd__$c"),
+        min(col(c)).cast("string").as(s"min__$c"),
+        max(col(c)).cast("string").as(s"max__$c")))
+      val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+      // unpivot the single row to one output row per column
+      val pieces = cols.map(c => struct(lit(c).as("col_name"),
+        col("n"), col(s"null__$c").as("n_null"),
+        col(s"nd__$c").as("n_distinct"), col(s"min__$c").as("min_s"),
+        col(s"max__$c").as("max_s")))
+      one.select(explode(array(pieces: _*)).as("p"))
+        .select("p.*").orderBy("col_name")
+    } else {
+      def prof(c: String) = df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+      cols.map(prof).reduce(_ unionByName _).orderBy("col_name")
+    }
+  }
 
   private val tokSql = """len(string_split_regex(trim(text), '\s+'))"""
   private val splitSql =

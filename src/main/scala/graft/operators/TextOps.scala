@@ -137,6 +137,13 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Bounded-memory unigram scorer as a first-class ORACLE query:
+    // top-V vocabulary (deterministic count-desc/token tiebreak) + one
+    // shared OOV bucket carrying the residual tail mass. The broadcast
+    // side is ≤ topV rows BY CONSTRUCTION — the 100 TB-safe shape.
+    "t8b_unigram_topv" -> ((s, d) =>
+      unigramLogProbTopV(docs(s, d), 20).orderBy("doc_id")),
+
     // The DSv2 FunctionCatalog surface (SURVEY §2.7 — additive): the
     // same kernels as pure SQL through a graft catalog, no Scala
     // imports. Per-row JVM replicas of the Column builders; the
@@ -241,6 +248,29 @@ object TextOps {
          round(list_sum([ln(map_extract(m, x)[1] / t) for x in toks])
                / len(toks), 4) AS logprob
        FROM d, f ORDER BY doc_id""",
+    // top-V replay: same vocabulary selection (count desc, token asc,
+    // LIMIT 20), same per-token log-prob sequence in token order, same
+    // OOV formula — doubles replay bit-for-bit like t8's
+    "t8b_unigram_topv" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         f AS (SELECT tok, count(*)::double AS cnt
+               FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+         vv AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok LIMIT 20),
+         s AS (SELECT
+             (SELECT sum(cnt) FROM f)::double AS t,
+             (SELECT count(*) FROM f)::double AS v,
+             (SELECT sum(cnt) FROM vv)::double AS in_v,
+             (SELECT count(*) FROM vv)::double AS n_v,
+             (SELECT map(list(tok), list(cnt)) FROM vv) AS m)
+       SELECT doc_id,
+         round(list_sum([CASE WHEN len(map_extract(m, x)) > 0
+                 THEN ln(map_extract(m, x)[1] / t)
+                 ELSE ln(greatest(t - in_v, 0.5) / (t * greatest(v - n_v, 1.0)))
+               END for x in toks]) / len(toks), 4) AS logprob,
+         list_sum([CASE WHEN len(map_extract(m, x)) > 0 THEN 0 ELSE 1 END
+                   for x in toks])::bigint AS n_oov
+       FROM d, s ORDER BY doc_id""",
     "t1_token_count" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

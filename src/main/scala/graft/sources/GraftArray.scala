@@ -194,7 +194,7 @@ object GraftArray {
     }
     val ts = commitTs.getOrElse(now())
     // bucketed fragments record file→bucket from the task index in the
-    // part file name (identity partitioner ⇒ task index == bucket)
+    // part file name (probe-routed repartition ⇒ task index == bucket)
     val fileBuckets: Map[String, Int] = schema.buckets match {
       case Some(_) => files.flatMap { f =>
         "part-(\\d{5})".r.findFirstMatchIn(f.getName)
@@ -216,40 +216,54 @@ object GraftArray {
   }
 
   /** Bucketed physical layout: `pmod(hash(dim0), n)` (Spark murmur3,
-    * seed 42) routed through an IDENTITY partitioner so RDD partition
-    * i — and therefore part file i — holds exactly bucket i; rows sort
-    * by the dim tuple within each bucket. The same hash is exposed as
-    * the catalog SQL function `bucket(n, key)`, which the scan reports
-    * in its KeyGroupedPartitioning so Spark can plan storage-
-    * partitioned (shuffle-free) joins between co-bucketed arrays. */
+    * seed 42) routed so partition i — and therefore part file i —
+    * holds exactly bucket i; rows sort by the dim tuple within each
+    * bucket. The same hash is exposed as the catalog SQL function
+    * `bucket(n, key)`, which the scan reports in its
+    * KeyGroupedPartitioning so Spark can plan storage-partitioned
+    * (shuffle-free) joins between co-bucketed arrays.
+    *
+    * Identity routing WITHOUT an RDD round-trip (which paid full row
+    * ser/deser per bucketed write): `repartition(n, expr)` places a
+    * row at `pmod(murmur3(expr), n)`, so route bucket b through a
+    * PROBE integer chosen (on the driver, against the same
+    * Murmur3_x86_32 Spark's hash() uses) to land exactly on partition
+    * b. The probe lookup is a literal-array element_at — the whole
+    * write stays a columnar plan-level shuffle. */
   private def bucketByDim0(schema: ArraySchema, df: DataFrame,
       n: Int): DataFrame = {
-    val spark = df.sparkSession
     val d0 = schema.dims.head.name
     require(TypedValue.isIntegral(schema.dims.head.dataType),
       s"graft.buckets requires an integral first dimension, got ${schema.dims.head.dataType}")
+    // probes(b) = smallest int i with pmod(hashInt(i, 42), n) == b
+    val probes = new Array[Int](n)
+    val seen = new Array[Boolean](n)
+    var found = 0
+    var i = 0
+    while (found < n) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, 42)
+      val b = ((h % n) + n) % n
+      if (!seen(b)) { seen(b) = true; probes(b) = i; found += 1 }
+      i += 1
+    }
     val bCol = "_graft_bucket"
-    val withB = df.withColumn(bCol,
-      pmod(hash(col(d0).cast("long")), lit(n)))
-    val bIdx = withB.schema.fieldIndex(bCol)
-    val parted = withB.rdd
-      .keyBy(_.getInt(bIdx))
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = n
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-      })
-      .values
-    spark.createDataFrame(parted, withB.schema)
-      .drop(bCol)
+    val rCol = "_graft_route"
+    df.withColumn(bCol, pmod(hash(col(d0).cast("long")), lit(n)))
+      .withColumn(rCol,
+        element_at(array(probes.map(lit).toSeq: _*), col(bCol) + 1))
+      .repartition(n, col(rCol))
       .sortWithinPartitions(schema.dimNames.map(col): _*)
+      .drop(bCol, rCol)
   }
 
   /** Physical clustering per the array's `cell_order` before a fragment
     * is written [ref: cell/tile order ha_mytile.cc:71–73, 1380–1395]:
     * ROW_MAJOR / COL_MAJOR range-partition + sort by the dims (giving
     * files tight, near-disjoint MBRs → file-level scan pruning);
-    * HILBERT clusters 2-D integral dims along a Hilbert curve
-    * [t/hilbert.test]; UNORDERED writes as-is. */
+    * HILBERT clusters ANY number (≥2) of bounded integral dims along a
+    * Hilbert curve [t/hilbert.test; TileDB's Hilbert order is n-D] —
+    * 2-D keeps the rot-and-fold kernel, d-D uses the Skilling
+    * transpose with bits = min(20, 63/d); UNORDERED writes as-is. */
   private def clusterByCellOrder(schema: ArraySchema, df: DataFrame): DataFrame = {
     val dims = schema.dims
     // explicit partition count — AQE would otherwise coalesce the range
@@ -261,15 +275,19 @@ object GraftArray {
       .getOrElse(math.max(df.rdd.getNumPartitions, 1))
     schema.cellOrder match {
       case "UNORDERED" => df
-      case "HILBERT" if dims.size == 2 &&
+      case "HILBERT" if dims.size >= 2 &&
         dims.forall(d => TypedValue.isIntegral(d.dataType) &&
           d.lowerBound.isDefined) =>
-        val bits = 20
-        val h = graft.functions.expressions.Kernels.hilbert2d(
-          (col(dims(0).name).cast("long") - dims(0).lowerBound.get.toLong)
-            .bitwiseAND(lit((1L << bits) - 1)),
-          (col(dims(1).name).cast("long") - dims(1).lowerBound.get.toLong)
-            .bitwiseAND(lit((1L << bits) - 1)), bits)
+        val bits = math.min(20, 63 / dims.size)
+        def off(i: Int) =
+          (col(dims(i).name).cast("long") - dims(i).lowerBound.get.toLong)
+            .bitwiseAND(lit((1L << bits) - 1))
+        val h =
+          if (dims.size == 2)
+            graft.functions.expressions.Kernels.hilbert2d(
+              off(0), off(1), bits)
+          else graft.functions.expressions.Kernels.hilbertNd(
+            array(dims.indices.map(off): _*), bits)
         df.withColumn("_graft_h", h)
           .repartitionByRange(parts, col("_graft_h"))
           .sortWithinPartitions("_graft_h")

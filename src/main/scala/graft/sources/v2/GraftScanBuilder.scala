@@ -104,9 +104,19 @@ class GraftScanBuilder(
     if (extra.isEmpty) schema else schema.copy(attrs = schema.attrs ++ extra)
   }
 
+  /** Spatial-pushdown metadata (geometry attribute name, PAD_X/PAD_Y)
+    * — the reference loads the same keys before its spatial rewrite
+    * [ha_mytile.cc:2316–2320, 2380–2391]. Failure-safe: an unreadable
+    * metadata file only disables the geometry-column rewrite. */
+  private lazy val spatialMeta: PredicateSupport.SpatialMeta =
+    PredicateSupport.SpatialMeta.fromMetadata(
+      scala.util.Try(graft.sources.GraftArray.store(spark, uri)
+        .loadMetadata(asOf)).getOrElse(Map.empty))
+
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
     val converted: Array[(V2Predicate, Option[Pred])] =
-      predicates.map(p => p -> PredicateSupport.convert(p, predSchema))
+      predicates.map(p =>
+        p -> PredicateSupport.convert(p, predSchema, spatialMeta))
     pushed = converted.collect { case (p, Some(_)) => p }
     preds = converted.flatMap(_._2).toSeq
     // Predicates are returned as residual BY DEFAULT: accepted ones

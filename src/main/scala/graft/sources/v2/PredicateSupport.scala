@@ -31,8 +31,18 @@ object PredicateSupport {
       case AndP(l, r) => l.refs ++ r.refs
       case OrP(l, r) => l.refs ++ r.refs
       case NotP(p) => p.refs
+      case Approx(p) => p.refs
       case TrueP => Set.empty
     }
+  }
+  /** Pruning-only wrapper: the wrapped tree is a NECESSARY condition of
+    * the original predicate (a candidate superset, e.g. the padded-MBR
+    * region of a geometry-column spatial call), not equivalent to it.
+    * In-reader evaluation and file pruning apply as usual — but it must
+    * never be CONSUMED ([[provablyTrueOnMbr]] = false), because Spark's
+    * residual filter is what restores exactness. */
+  case class Approx(p: Pred) extends Pred {
+    def eval(get: String => Any): Boolean = p.eval(get)
   }
   /** Matches every row (unconditional DELETE / TRUNCATE tombstones). */
   case object TrueP extends Pred {
@@ -96,15 +106,40 @@ object PredicateSupport {
     case other => other._1
   }
 
+  /** Spatial-pushdown context from array metadata [the reference reads
+    * the same three keys, ha_mytile.cc:2316–2395]: the designated WKB
+    * geometry attribute (GEOMETRY_ATTRIBUTE_NAME, default
+    * `wkb_geometry`) and the MBR padding (PAD_X/PAD_Y, FULL widths —
+    * applied as ±pad/2 per side like the reference,
+    * ha_mytile.cc:2431–2434). */
+  case class SpatialMeta(geomCol: String = "wkb_geometry",
+      padX: Double = 0.0, padY: Double = 0.0)
+  object SpatialMeta {
+    val default: SpatialMeta = SpatialMeta()
+    def fromMetadata(meta: Map[String, String]): SpatialMeta = {
+      def pad(k: String) = meta.get(k)
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .filter(p => p >= 0 && !p.isNaN).getOrElse(0.0)
+      SpatialMeta(meta.getOrElse("GEOMETRY_ATTRIBUTE_NAME", "wkb_geometry"),
+        pad("PAD_X"), pad("PAD_Y"))
+    }
+  }
+
   /** Try to convert a V2 predicate into an evaluable [[Pred]]. */
-  def convert(p: V2Predicate, schema: ArraySchema): Option[Pred] = p match {
+  def convert(p: V2Predicate, schema: ArraySchema): Option[Pred] =
+    convert(p, schema, SpatialMeta.default)
+
+  def convert(p: V2Predicate, schema: ArraySchema,
+      spatial: SpatialMeta): Option[Pred] = p match {
     case a: V2And =>
-      for (l <- convert(a.left(), schema); r <- convert(a.right(), schema))
+      for (l <- convert(a.left(), schema, spatial);
+           r <- convert(a.right(), schema, spatial))
         yield AndP(l, r)
     case o: V2Or =>
-      for (l <- convert(o.left(), schema); r <- convert(o.right(), schema))
+      for (l <- convert(o.left(), schema, spatial);
+           r <- convert(o.right(), schema, spatial))
         yield OrP(l, r)
-    case n: V2Not => convert(n.child(), schema).map(NotP)
+    case n: V2Not => convert(n.child(), schema, spatial).map(NotP)
     case g: V2Predicate =>
       val ch = g.children()
       g.name() match {
@@ -144,24 +179,45 @@ object PredicateSupport {
         // boolean V2 function calls (the FunctionCatalog surface):
         // constant-geometry ST_* predicates rewrite to dim ranges
         case "BOOLEAN_EXPRESSION" if ch.length == 1 =>
-          spatialRewrite(ch(0), schema)
+          spatialRewrite(ch(0), schema, spatial)
         case _ => None
       }
     case _ => None
   }
 
-  /** `st_intersects(st_point(xcol, ycol), <const wkb>)` (either
-    * argument order; also `st_within(point, geom)`) → the x/y range
-    * conjunction over the constant geometry's MBR — the reference's
-    * spatial pushdown rewrite [ha_mytile.cc:2312–2507, routing
-    * 2825–2830]. Graft's ST_* functions are MBR-defined
-    * ([[graft.functions.GraftSqlFunctions]]), so the rewrite is EXACT,
-    * not just a pruning approximation: the produced ranges prune
-    * fragments/files AND fully replace row-wise evaluation. The
-    * constant side may be a binary literal or `st_geomfromwkb(lit)`. */
-  private def spatialRewrite(e: Expression, schema: ArraySchema)
-      : Option[Pred] = e match {
+  /** Constant-geometry ST_* calls → dim-range pushdown — the
+    * reference's spatial rewrite [ha_mytile.cc:2312–2507; routing of
+    * SP_INTERSECTS / SP_EQUALS / SP_OVERLAPS at 2825–2830]. Two shapes:
+    *
+    *  1. POINT shape — `st_intersects/st_overlaps/st_within/st_equals
+    *     (st_point(xcol, ycol), <const wkb>)` (symmetric ops accept
+    *     either argument order): the x/y range conjunction over the
+    *     constant's MBR. Graft's ST_* functions are MBR-defined
+    *     ([[graft.functions.GraftSqlFunctions]]), so this rewrite is
+    *     EXACT: the ranges prune fragments/files AND fully replace
+    *     row-wise evaluation. `st_equals` of a point against a
+    *     non-degenerate constant is universally false, expressed as an
+    *     unsatisfiable range → `definitelyEmpty` → zero partitions.
+    *
+    *  2. GEOMETRY-COLUMN shape — the same predicates over
+    *     `st_geomfromwkb(<geometry attribute>)` (the reference's
+    *     `GeometryFromWkb(wkb_geometry)` sentinel, its
+    *     t/spatial_index.test layout): arrays that store a WKB
+    *     geometry ATTRIBUTE alongside `_X`/`_Y` double dims holding
+    *     each geometry's MBR midpoint. The rewrite is the constant's
+    *     MBR expanded by the PAD_X/PAD_Y metadata (±pad/2 per side —
+    *     pad bounds the max geometry extent, so any intersecting
+    *     geometry's midpoint falls inside the padded box), wrapped in
+    *     [[Approx]]: it prunes and pre-filters, but Spark's residual
+    *     row-wise ST_* call decides exactly — safer than the
+    *     reference, which consumes the predicate trusting the pad.
+    *
+    * The constant side may be a binary literal or
+    * `st_geomfromwkb(lit)`. */
+  private def spatialRewrite(e: Expression, schema: ArraySchema,
+      sm: SpatialMeta): Option[Pred] = e match {
     case f: UserDefinedScalarFunc if f.children().length == 2 =>
+      val name = f.name()
       def pointCols(x: Expression): Option[(String, String)] = x match {
         case p: UserDefinedScalarFunc if p.name() == "st_point" &&
             p.children().length == 2 =>
@@ -181,23 +237,61 @@ object PredicateSupport {
             w.children().length == 1 => constGeom(w.children()(0))
         case _ => None
       }
+      def mbrOf(g: Expression): Option[(Double, Double, Double, Double)] =
+        constGeom(g).flatMap(wkb =>
+          scala.util.Try(graft.functions.Wkb.mbr(wkb)).toOption)
       val args = f.children()
-      val shaped = f.name() match {
-        case "st_intersects" => // symmetric: point side in either slot
+
+      // shape 1: st_point(xdim, ydim) vs constant — exact
+      val pointShaped = name match {
+        case "st_intersects" | "st_overlaps" | "st_equals" =>
+          // symmetric: point side in either slot
           pointCols(args(0)).map((_, args(1)))
             .orElse(pointCols(args(1)).map((_, args(0))))
         case "st_within" => pointCols(args(0)).map((_, args(1)))
         case _ => None
       }
-      shaped.flatMap { case ((xc, yc), g) =>
-        constGeom(g).flatMap { wkb =>
-          scala.util.Try(graft.functions.Wkb.mbr(wkb)).toOption.map {
-            case (x0, y0, x1, y1) =>
-              AndP(AndP(Cmp(">=", xc, x0), Cmp("<=", xc, x1)),
-                AndP(Cmp(">=", yc, y0), Cmp("<=", yc, y1)))
-          }
+      val fromPoint = pointShaped.flatMap { case ((xc, yc), g) =>
+        mbrOf(g).map { case (x0, y0, x1, y1) =>
+          if (name == "st_equals") {
+            // point MBR = const MBR needs a degenerate constant; any
+            // box constant makes the predicate false everywhere
+            if (x0 == x1 && y0 == y1)
+              AndP(Cmp("=", xc, x0), Cmp("=", yc, y0))
+            else AndP(Cmp(">", xc, x0), Cmp("<", xc, x0))
+          } else
+            AndP(AndP(Cmp(">=", xc, x0), Cmp("<=", xc, x1)),
+              AndP(Cmp(">=", yc, y0), Cmp("<=", yc, y1)))
         }
       }
+
+      // shape 2: st_geomfromwkb(geometry attribute) vs constant —
+      // padded candidate region on the _X/_Y dims (Approx)
+      def geomColRef(x: Expression): Option[String] = x match {
+        case w: UserDefinedScalarFunc if w.name() == "st_geomfromwkb" &&
+            w.children().length == 1 =>
+          fieldName(w.children()(0)).filter(c => c == sm.geomCol &&
+            schemaHas(schema, c) && schema.dataTypeOf(c) == BinaryType)
+        case _ => None
+      }
+      def xyDims: Boolean =
+        schema.dimNames.contains("_X") && schema.dimNames.contains("_Y") &&
+          schema.dataTypeOf("_X") == DoubleType &&
+          schema.dataTypeOf("_Y") == DoubleType
+      lazy val fromGeomCol = (name match {
+        case "st_intersects" | "st_overlaps" | "st_equals" =>
+          geomColRef(args(0)).map(_ => args(1))
+            .orElse(geomColRef(args(1)).map(_ => args(0)))
+        case _ => None
+      }).filter(_ => xyDims).flatMap(mbrOf).map {
+        case (x0, y0, x1, y1) =>
+          Approx(AndP(
+            AndP(Cmp(">=", "_X", x0 - sm.padX / 2.0),
+              Cmp("<=", "_X", x1 + sm.padX / 2.0)),
+            AndP(Cmp(">=", "_Y", y0 - sm.padY / 2.0),
+              Cmp("<=", "_Y", y1 + sm.padY / 2.0))))
+      }
+      fromPoint.orElse(fromGeomCol)
     case _ => None
   }
 
@@ -233,6 +327,9 @@ object PredicateSupport {
       schemaHas(schema, c) && comparableType(schema.dataTypeOf(c))
     def leaves(p: Pred): Seq[Pred] = p match {
       case AndP(l, r) => leaves(l) ++ leaves(r)
+      // an Approx tree is a sound NECESSARY condition — its ranges
+      // prune correctly; only consumption is forbidden
+      case Approx(q) => leaves(q)
       case other => Seq(other)
     }
     preds.flatMap(leaves).foldLeft(Map.empty[String, DimConstraint]) {
@@ -295,6 +392,10 @@ object PredicateSupport {
       }
     p match {
       case TrueP => true
+      // Approx is a candidate superset, NOT equivalent to the original
+      // predicate — proving it on the MBR proves nothing about the
+      // original, so it can never be consumed
+      case Approx(_) => false
       case AndP(l, r) =>
         provablyTrueOnMbr(l, schema, mbr) && provablyTrueOnMbr(r, schema, mbr)
       case OrP(l, r) => // sound: MBR inside one branch's region suffices
@@ -384,6 +485,7 @@ object PredJson {
         o.put("k", "or")
         o.set[JsonNode]("l", node(l)); o.set[JsonNode]("r", node(r))
       case NotP(q) => o.put("k", "not"); o.set[JsonNode]("p", node(q))
+      case Approx(q) => o.put("k", "ap"); o.set[JsonNode]("p", node(q))
       case TrueP => o.put("k", "true")
     }
     o
@@ -428,6 +530,7 @@ object PredJson {
     case "and" => AndP(pred(n.get("l")), pred(n.get("r")))
     case "or" => OrP(pred(n.get("l")), pred(n.get("r")))
     case "not" => NotP(pred(n.get("p")))
+    case "ap" => Approx(pred(n.get("p")))
     case "true" => TrueP
   }
 }

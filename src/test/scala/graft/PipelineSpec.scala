@@ -55,4 +55,36 @@ class PipelineSpec extends SparkSpec {
     val t2 = (10 until 20).map(i => rows.getOrElse(s"src$i", 0L)).sum
     assert(t0 > t2, s"tier-0 kept $t0 <= tier-2 kept $t2 despite 8x rate")
   }
+
+  test("x5 approx profile: one pass, distinct counts within tolerance") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, sf, "lineitem")
+    val cols = Seq("l_orderkey", "l_returnflag", "l_shipdate")
+    val exact = operators.Pipeline.profile(li, cols, approx = false)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = operators.Pipeline.profile(li, cols)
+    val rows = approx.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == cols.toSet)
+    cols.foreach { c =>
+      val (e, a) = (exact(c), rows(c))
+      assert(a.getLong(1) == e.getLong(1)) // n exact
+      assert(a.getLong(2) == e.getLong(2)) // n_null exact
+      assert(a.getString(4) == e.getString(4) &&
+        a.getString(5) == e.getString(5)) // min/max exact
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ad - ed) / ed < 0.05,
+        s"$c approx distinct $ad vs exact $ed") // HLL++ rsd=0.01
+    }
+    // ONE aggregation pass: exactly one aggregation shuffle in the
+    // plan (the trailing 3-row orderBy's rangepartitioning exchange
+    // doesn't count), versus one per column for the exact variant
+    def aggExchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .takeWhile(!_.contains("Initial Plan")) // AQE prints both plans
+        .count(l => l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(aggExchanges(approx) == 1,
+      s"approx profile should be single-pass, saw ${aggExchanges(approx)}")
+    assert(aggExchanges(
+      operators.Pipeline.profile(li, cols, approx = false)) > 1)
+  }
 }

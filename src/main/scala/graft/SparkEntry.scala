@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Temporal.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Pipeline.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.Temporal.oracles ++
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
       operators.Pipeline.oracles ++

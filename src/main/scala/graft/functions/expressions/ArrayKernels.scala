@@ -166,8 +166,11 @@ case class HilbertNd(child: Expression, bits: Int)
 object HilbertNd {
   def compute(coords: ArrayData, bits: Int): Long = {
     val n = coords.numElements()
-    require(n >= 1 && n * bits <= 63,
-      s"hilbertNd needs 1..63/bits dims, got $n dims at $bits bits")
+    // bits >= 1 also guards the Gray-encode loop: with bits = 0 its
+    // `q != (1L << bits)` bound (1) is unreachable from q = 2
+    require(bits >= 1 && n >= 1 && n * bits <= 63,
+      s"hilbertNd needs bits >= 1 and dims * bits <= 63, " +
+        s"got $n dims at $bits bits")
     val X = new Array[Long](n)
     var i = 0
     while (i < n) { X(i) = coords.getLong(i); i += 1 }

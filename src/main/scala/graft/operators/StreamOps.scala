@@ -67,6 +67,13 @@ object StreamOps {
         .select(col("event_type"), col("count").as("n_users"))
         .orderBy("event_type")),
 
+    // Stream-stream interval join: watermarked event-time join whose
+    // buffered state is bounded by watermark eviction — the streaming
+    // twin of the batch range join (j10).
+    "st5_stream_join" -> ((s, d) =>
+      EventPipeline.runStreamingIntervalJoin(s, d)
+        .orderBy("event_id", "pus")),
+
     // Sessionization: session breaks at >30 min inactivity per user.
     "st2_sessions" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
@@ -102,6 +109,15 @@ object StreamOps {
     "st4_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "st5_stream_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase')
+       SELECT c.event_id, c.user_id, c.us, p.pus
+       FROM c JOIN p ON c.user_id = p.user_id
+         AND c.us BETWEEN p.pus - 1800000000 AND p.pus
+       ORDER BY c.event_id, p.pus""",
     "st2_sessions" ->
       """WITH raw AS (
            SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series join operators Spark lacks natively — as-of join and
+  * range (interval) join — composed from existing operators so
+  * Catalyst/Tungsten run them (no custom physical nodes needed):
+  *
+  *  - [[asofJoin]]: union + partitioned last-known-value window. ONE
+  *    shuffle on the join keys, no row inflation, no range cross
+  *    product — the scale shape for "latest quote before each trade"
+  *    joins at any corpus size (cost = shuffle of |L|+|R| rows).
+  *  - [[rangeJoinBinned]]: interval containment as an equi-join on
+  *    bin numbers. Intervals explode to the bins they span (bounded
+  *    by interval_width/binWidth per row), points map to one bin, and
+  *    Spark plans a plain shuffled/broadcast hash join on
+  *    (keys, bin) — no O(|L|·|R|) nested loop. binWidth tunes the
+  *    replication-vs-selectivity trade.
+  *
+  * (Additive surface: the reference has no temporal joins; these are
+  * the standard building blocks a training-data pipeline needs for
+  * event attribution and windowed joins.)
+  */
+object Temporal {
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** Backward as-of join: for each left row, attach the right row with
+    * the same `keys` and the greatest `rightTs` ≤ `leftTs` (LEFT-join
+    * semantics — unmatched left rows keep nulls). Carried right
+    * columns come back as `asof_<col>` (the matched `rightTs` as
+    * `asof_<rightTs>`).
+    *
+    * Contract: ts columns are NUMERIC (e.g. unix micros);
+    * `right` has at most one row per (keys, rightTs) — pre-aggregate
+    * otherwise (ties across engines are not deterministic);
+    * `toleranceMicros` nulls matches older than `leftTs - tolerance`.
+    *
+    * Shape: tag both sides, union, one window over (keys) ordered by
+    * (ts, side) with rights sorting before lefts at equal ts (≤
+    * semantics), `last(..., ignoreNulls)` carries the most recent
+    * right values forward, then keep only left rows. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val carry = (rightCols :+ rightTs).distinct
+    val lu = carry.foldLeft(
+      left.withColumn("_graft_ats", col(leftTs))
+        .withColumn("_graft_side", lit(1)))((df, c) =>
+      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType)))
+    val ru0 = carry.foldLeft(
+      right.withColumn("_graft_ats", col(rightTs))
+        .withColumn("_graft_side", lit(0)))((df, c) =>
+      df.withColumn(s"asof_$c", col(c)))
+    // align the right frame to the union schema: left-only columns
+    // ride as nulls (they are never read on side-0 rows)
+    val ru = ru0.select(lu.columns.map { c =>
+      if (ru0.columns.contains(c)) col(c)
+      else lit(null).cast(lu.schema(c).dataType).as(c)
+    }: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_graft_ats").asc, col("_graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = carry.foldLeft(lu.unionByName(ru))((df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true)
+        .over(w)))
+    val lefts = filled.filter(col("_graft_side") === 1)
+    val bounded = toleranceMicros.fold(lefts) { tol =>
+      val ok = col(s"asof_$rightTs").isNotNull &&
+        col("_graft_ats") - col(s"asof_$rightTs") <= tol
+      carry.foldLeft(lefts)((df, c) =>
+        df.withColumn(s"asof_$c", when(ok, col(s"asof_$c"))))
+    }
+    bounded.drop("_graft_ats", "_graft_side")
+  }
+
+  /** Range (interval-containment) join: left rows whose `leftPoint`
+    * falls in a right row's [`rightLo`, `rightHi`] (inclusive), with
+    * optional equi-`keys`. All three columns are LONGS (e.g. unix
+    * micros). Each interval is exploded to the `binWidth`-sized bins
+    * it spans; a point lives in exactly one bin, so every qualifying
+    * (point, interval) pair meets in exactly one equi-join match — no
+    * duplicate results, no cross product. Pick binWidth near the
+    * typical interval width: replication ≈ width/binWidth + 1. */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftPoint: String, rightLo: String, rightHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // exact floor division on longs (pmod is always non-negative)
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    val l2 = left.withColumn("_graft_bin", floorDiv(col(leftPoint)))
+    val r2 = right.withColumn("_graft_bin",
+      explode(sequence(floorDiv(col(rightLo)), floorDiv(col(rightHi)))))
+    l2.join(r2, keys :+ "_graft_bin")
+      .filter(col(leftPoint).between(col(rightLo), col(rightHi)))
+      .drop("_graft_bin")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: each click event attaches the user's most recent
+    // purchase at-or-before it (purchases pre-aggregated per (user,
+    // ts) so the match is unique — max is order-independent, exact
+    // across engines). DuckDB replays with a native ASOF LEFT JOIN.
+    "j9_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rus"))
+        .agg(round(max(col("value")), 2).as("rval"))
+      asofJoin(clicks, purchases, Seq("user_id"), "us", "rus", Seq("rval"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_rus").as("prev_us"), col("asof_rval").as("prev_val"))
+        .orderBy("event_id")
+    }),
+
+    // Range join: click events inside the 30-minute window trailing
+    // each purchase of the same user — interval containment planned
+    // as an equi-join on (user_id, time bin).
+    "j10_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val win = 1800000000L // 30 min in µs
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+        .withColumn("plo", col("pus") - win)
+      rangeJoinBinned(clicks, purchases, Seq("user_id"),
+        "us", "plo", "pus", win)
+        .select(col("event_id"), col("user_id"), col("us"), col("pus"))
+        .orderBy("event_id", "pus")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j9_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_us(ts) AS rus,
+                 round(max(value), 2) AS rval
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, l.us,
+         r.rus AS prev_us, r.rval AS prev_val
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.us >= r.rus
+       ORDER BY l.event_id""",
+    "j10_range_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase')
+       SELECT c.event_id, c.user_id, c.us, p.pus
+       FROM c JOIN p ON c.user_id = p.user_id
+         AND c.us BETWEEN p.pus - 1800000000 AND p.pus
+       ORDER BY c.event_id, p.pus"""
+  )
+}

@@ -275,7 +275,7 @@ object GraftArray {
       .getOrElse(math.max(df.rdd.getNumPartitions, 1))
     schema.cellOrder match {
       case "UNORDERED" => df
-      case "HILBERT" if dims.size >= 2 &&
+      case "HILBERT" if dims.size >= 2 && dims.size <= 63 &&
         dims.forall(d => TypedValue.isIntegral(d.dataType) &&
           d.lowerBound.isDefined) =>
         val bits = math.min(20, 63 / dims.size)

@@ -169,8 +169,12 @@ class GraftTable(
     *    coordinates inside encrypted parquet). */
   override def canDeleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
+    // Approx is a NECESSARY condition (candidate superset), never the
+    // predicate itself — committing it as a tombstone would delete the
+    // wrong row set. Reject → Spark falls back to row-level delete.
     def noNot(p: PredicateSupport.Pred): Boolean = p match {
       case PredicateSupport.NotP(_) => false
+      case PredicateSupport.Approx(_) => false
       case PredicateSupport.AndP(l, r) => noNot(l) && noNot(r)
       case PredicateSupport.OrP(l, r) => noNot(l) && noNot(r)
       case _ => true
@@ -237,8 +241,11 @@ class GraftWriteBuilder(
     * resurface an older one); encrypted arrays take only TrueP (other
     * predicates would persist plaintext values in the manifest). */
   override def canOverwrite(predicates: Array[V2Pred]): Boolean = {
+    // Approx (candidate-superset) predicates must not become overwrite
+    // masks — same exactness rule as canDeleteWhere
     def noNot(p: PredicateSupport.Pred): Boolean = p match {
       case PredicateSupport.NotP(_) => false
+      case PredicateSupport.Approx(_) => false
       case PredicateSupport.AndP(l, r) => noNot(l) && noNot(r)
       case PredicateSupport.OrP(l, r) => noNot(l) && noNot(r)
       case _ => true

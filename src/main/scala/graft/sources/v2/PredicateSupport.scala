@@ -44,6 +44,17 @@ object PredicateSupport {
   case class Approx(p: Pred) extends Pred {
     def eval(get: String => Any): Boolean = p.eval(get)
   }
+
+  /** Does any node of the tree carry the [[Approx]] marker? Contexts
+    * that need the predicate to be EXACT — NOT negation, DELETE /
+    * OVERWRITE masks — must reject such trees. */
+  def containsApprox(p: Pred): Boolean = p match {
+    case Approx(_) => true
+    case AndP(l, r) => containsApprox(l) || containsApprox(r)
+    case OrP(l, r) => containsApprox(l) || containsApprox(r)
+    case NotP(q) => containsApprox(q)
+    case _ => false
+  }
   /** Matches every row (unconditional DELETE / TRUNCATE tombstones). */
   case object TrueP extends Pred {
     def eval(get: String => Any): Boolean = true
@@ -112,25 +123,33 @@ object PredicateSupport {
     * `wkb_geometry`) and the MBR padding (PAD_X/PAD_Y, FULL widths —
     * applied as ±pad/2 per side like the reference,
     * ha_mytile.cc:2431–2434). */
+  /** Pads are Options: ABSENT metadata means the geometry extents are
+    * unknown, and the geometry-column rewrite must not fire at all
+    * (a zero-pad default would prune/filter away rows whose geometry
+    * intersects while its midpoint lies outside the constant MBR).
+    * An explicit "0"/"0" is the user asserting point geometries. */
   case class SpatialMeta(geomCol: String = "wkb_geometry",
-      padX: Double = 0.0, padY: Double = 0.0)
+      padX: Option[Double] = None, padY: Option[Double] = None)
   object SpatialMeta {
     val default: SpatialMeta = SpatialMeta()
     def fromMetadata(meta: Map[String, String]): SpatialMeta = {
       def pad(k: String) = meta.get(k)
         .flatMap(s => scala.util.Try(s.toDouble).toOption)
-        .filter(p => p >= 0 && !p.isNaN).getOrElse(0.0)
+        .filter(p => p >= 0 && !p.isNaN)
       SpatialMeta(meta.getOrElse("GEOMETRY_ATTRIBUTE_NAME", "wkb_geometry"),
         pad("PAD_X"), pad("PAD_Y"))
     }
   }
 
-  /** Try to convert a V2 predicate into an evaluable [[Pred]]. */
+  /** Try to convert a V2 predicate into an evaluable [[Pred]].
+    * `spatial` is BY-NAME: it usually wraps an array-metadata file
+    * read, which only the ST_* geometry-column branch needs — ordinary
+    * predicates must not pay planning-time I/O for it. */
   def convert(p: V2Predicate, schema: ArraySchema): Option[Pred] =
     convert(p, schema, SpatialMeta.default)
 
   def convert(p: V2Predicate, schema: ArraySchema,
-      spatial: SpatialMeta): Option[Pred] = p match {
+      spatial: => SpatialMeta): Option[Pred] = p match {
     case a: V2And =>
       for (l <- convert(a.left(), schema, spatial);
            r <- convert(a.right(), schema, spatial))
@@ -139,7 +158,13 @@ object PredicateSupport {
       for (l <- convert(o.left(), schema, spatial);
            r <- convert(o.right(), schema, spatial))
         yield OrP(l, r)
-    case n: V2Not => convert(n.child(), schema, spatial).map(NotP)
+    // NOT of an Approx tree is UNSOUND (the negation of a necessary
+    // condition proves nothing about the original predicate — the
+    // in-reader eval would drop rows the original keeps), so a NOT
+    // whose child converts with an Approx inside converts to nothing
+    case n: V2Not =>
+      convert(n.child(), schema, spatial)
+        .filterNot(containsApprox).map(NotP)
     case g: V2Predicate =>
       val ch = g.children()
       g.name() match {
@@ -215,7 +240,7 @@ object PredicateSupport {
     * The constant side may be a binary literal or
     * `st_geomfromwkb(lit)`. */
   private def spatialRewrite(e: Expression, schema: ArraySchema,
-      sm: SpatialMeta): Option[Pred] = e match {
+      sm: => SpatialMeta): Option[Pred] = e match {
     case f: UserDefinedScalarFunc if f.children().length == 2 =>
       val name = f.name()
       def pointCols(x: Expression): Option[(String, String)] = x match {
@@ -278,18 +303,22 @@ object PredicateSupport {
         schema.dimNames.contains("_X") && schema.dimNames.contains("_Y") &&
           schema.dataTypeOf("_X") == DoubleType &&
           schema.dataTypeOf("_Y") == DoubleType
+      // BOTH pads must be declared — absent metadata means unknown
+      // geometry extents, and an assumed 0 pad would prune rows whose
+      // geometry intersects while its midpoint lies outside the box
       lazy val fromGeomCol = (name match {
         case "st_intersects" | "st_overlaps" | "st_equals" =>
           geomColRef(args(0)).map(_ => args(1))
             .orElse(geomColRef(args(1)).map(_ => args(0)))
         case _ => None
-      }).filter(_ => xyDims).flatMap(mbrOf).map {
+      }).filter(_ => xyDims).flatMap(mbrOf).flatMap {
         case (x0, y0, x1, y1) =>
-          Approx(AndP(
-            AndP(Cmp(">=", "_X", x0 - sm.padX / 2.0),
-              Cmp("<=", "_X", x1 + sm.padX / 2.0)),
-            AndP(Cmp(">=", "_Y", y0 - sm.padY / 2.0),
-              Cmp("<=", "_Y", y1 + sm.padY / 2.0))))
+          for (px <- sm.padX; py <- sm.padY) yield
+            Approx(AndP(
+              AndP(Cmp(">=", "_X", x0 - px / 2.0),
+                Cmp("<=", "_X", x1 + px / 2.0)),
+              AndP(Cmp(">=", "_Y", y0 - py / 2.0),
+                Cmp("<=", "_Y", y1 + py / 2.0))))
       }
       fromPoint.orElse(fromGeomCol)
     case _ => None

@@ -167,6 +167,41 @@ object EventPipeline {
       .agg(count(lit(1)).as("count"))
   }
 
+  /** Stream-stream interval join (append mode): click events joined to
+    * the same user's purchases whose trailing 30-minute window contains
+    * them. Both sides carry event-time watermarks and the join
+    * condition bounds event-time distance, so Spark can EVICT buffered
+    * state once the watermark passes — the state store holds only the
+    * last delay+window of each side (bounded on endless streams), the
+    * core scale property of watermarked stream-stream joins. The
+    * result equals the batch range join (j10 semantics), which the
+    * oracle states in plain SQL. */
+  def runStreamingIntervalJoin(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def events() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val clicks = events().filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("c_user"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val purchases = events().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              ts BETWEEN pts - INTERVAL 30 MINUTES AND pts"""))
+    val name = "graft_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined
+      .select(col("event_id"), col("c_user").as("user_id"),
+        unix_micros(col("ts")).as("us"), unix_micros(col("pts")).as("pus"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
   /** Exact-dedup ORACLE variant: `dropDuplicates` keeps EVERY distinct
     * key in the state store forever and `complete` mode rematerializes
     * the whole result each batch — bit-exact against a batch

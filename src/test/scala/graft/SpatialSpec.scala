@@ -131,26 +131,65 @@ class SpatialSpec extends SparkSpec {
     assert(eq.collect().map(_.getLong(0)).toSeq == Seq(700L))
   }
 
-  test("geometry-column rewrite without pad metadata still filters exactly") {
-    // no PAD_X/PAD_Y → pad 0: midpoints of POINT geometries (zero
-    // extent) — rewrite stays exact-superset and the residual decides
+  test("geometry-column rewrite refuses to fire without pad metadata") {
+    // Absent PAD_X/PAD_Y = unknown geometry extents: the rewrite must
+    // NOT fire (an assumed 0 pad would prune rows whose geometry
+    // intersects while its midpoint lies outside the constant MBR).
+    // Row id=9: box [9,11]×[-1,1] with midpoint (10, 0) — midpoint is
+    // OUTSIDE the query box [10.5, 20]×[-1, 1]... so put midpoint at
+    // 10 and query from 10.5: box still intersects. It must come back.
     val uri = tmp()
     GraftArray.create(spark, uri, ArraySchema(ArrayKind.Sparse,
       Seq(DimensionSpec("_X", DoubleType), DimensionSpec("_Y", DoubleType)),
       Seq(AttributeSpec("wkb_geometry", BinaryType),
         AttributeSpec("id", LongType)), allowsDups = true))
-    val mkPt = udf((x: Double, y: Double) => Wkb.point(x, y))
+    val mkBox = udf((x: Double, y: Double) =>
+      Wkb.box(x - 1.0, y - 1.0, x + 1.0, y + 1.0))
     GraftArray.write(spark, uri, spark.range(0, 1000).select(
       col("id").cast("double").as("_X"), lit(0.0).as("_Y"),
-      mkPt(col("id").cast("double"), lit(0.0)).as("wkb_geometry"),
+      mkBox(col("id").cast("double"), lit(0.0)).as("wkb_geometry"),
       col("id")))
+    // deliberately NO putMetadata — pads unknown
     val c = cat()
     spark.read.format("graftarray").option("path", uri).load()
       .createOrReplaceTempView(s"gp_$c")
     val q = spark.sql(
       s"""SELECT id FROM gp_$c
          |WHERE $c.st_overlaps($c.st_geomfromwkb(wkb_geometry),
-         |  X'${hex(Wkb.box(10.0, -1.0, 20.0, 1.0))}')""".stripMargin)
-    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (10L to 20L))
+         |  X'${hex(Wkb.box(10.5, -0.5, 20.0, 0.5))}')""".stripMargin)
+    // boxes [id-1, id+1] intersect [10.5, 20] for id in 10..21 — with
+    // a (wrong) zero-pad rewrite, id=10 (midpoint 10 < 10.5) and
+    // id=21 (midpoint 21 > 20) would be silently dropped
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (10L to 21L))
+  }
+
+  test("DELETE with a geometry-column ST_* predicate stays exact (no Approx tombstone)") {
+    // the Approx rewrite must be rejected by canDeleteWhere so the
+    // delete runs row-level and removes EXACTLY the intersecting rows
+    val c = cat()
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse")
+    spark.sql(
+      s"""CREATE TABLE $c.geodel
+         |(_X DOUBLE, _Y DOUBLE, wkb_geometry BINARY, id BIGINT)
+         |TBLPROPERTIES('graft.dimensions'='_X,_Y',
+         |  'graft.allows_dups'='true')""".stripMargin)
+    val uri = s"$wh/geodel"
+    val mkBox = udf((x: Double, y: Double) =>
+      Wkb.box(x - 1.0, y - 1.0, x + 1.0, y + 1.0))
+    GraftArray.write(spark, uri, spark.range(0, 100).select(
+      col("id").cast("double").as("_X"), lit(0.0).as("_Y"),
+      mkBox(col("id").cast("double"), lit(0.0)).as("wkb_geometry"),
+      col("id")))
+    GraftArray.putMetadata(spark, uri, Map("PAD_X" -> "2.0", "PAD_Y" -> "2.0"))
+    spark.sql(
+      s"""DELETE FROM $c.geodel
+         |WHERE $c.st_intersects($c.st_geomfromwkb(wkb_geometry),
+         |  X'${hex(Wkb.box(50.5, -0.5, 60.0, 0.5))}')""".stripMargin)
+    val left = spark.sql(s"SELECT id FROM $c.geodel ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    // boxes [id-1, id+1] intersect [50.5, 60] for id in 50..61 — those
+    // and ONLY those must be gone (an Approx tombstone with pad 2
+    // would have deleted 48..62; a 0-pad one would keep 50 and 61)
+    assert(left == ((0L until 50L) ++ (62L until 100L)))
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** As-of and range joins must agree with naive (quadratic) reference
+  * joins, honor tolerance/tie semantics, and keep the scale shape
+  * (one equi-shuffle, no nested loop). */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin matches the naive per-row maximum-preceding lookup") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L),
+      (3L, 50L, 103L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 6L, 4.0)).toDF("k", "rts", "rv")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("rv"))
+      .select("lid", "asof_rts", "asof_rv").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    // lid 100: ts 10 → right (1,10) matches (≤ tie included)
+    // lid 101: ts 25 → (1,20); lid 102: ts 5 → none; lid 103: no key 3
+    assert(got == Set(
+      (100L, Some(10L), Some(1.0)),
+      (101L, Some(20L), Some(2.0)),
+      (102L, None, None),
+      (103L, None, None)))
+  }
+
+  test("asofJoin tolerance nulls out stale matches") {
+    val left = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 95L, 7.0)).toDF("k", "rts", "rv")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("rv"), toleranceMicros = Some(10L))
+      .select("lid", "asof_rv").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> Some(7.0), 2L -> None)) // 200-95 > 10
+  }
+
+  test("rangeJoinBinned equals the naive inequality join at any binWidth") {
+    val pts = (0L until 200L).map(i => (i % 5, i * 7 % 97, i))
+      .toDF("k", "p", "lid")
+    val ivs = (0L until 50L).map(i => (i % 5, i, i + i % 13))
+      .toDF("k", "lo", "hi")
+    val naive = pts.join(ivs, Seq("k"))
+      .filter(col("p").between(col("lo"), col("hi")))
+      .select("lid", "lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (w <- Seq(1L, 7L, 64L)) {
+      val got = Temporal.rangeJoinBinned(pts, ivs, Seq("k"),
+        "p", "lo", "hi", w)
+        .select("lid", "lo", "hi").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, s"binWidth=$w diverges")
+    }
+  }
+
+  test("asofJoin plans a single shuffle (window), not a join") {
+    val ev = Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("rus"))
+      .agg(round(max(col("value")), 2).as("rval"))
+    val df = Temporal.asofJoin(clicks, purchases, Seq("user_id"),
+      "us", "rus", Seq("rval"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert(!plan.contains("Join"), "as-of must not plan a join node")
+    assert(plan.contains("Window"), "expected a window plan")
+  }
+
+  test("rangeJoinBinned plans an equi hash join, not a nested loop") {
+    val ev = Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      .withColumn("plo", col("pus") - 1800000000L)
+    val df = Temporal.rangeJoinBinned(clicks, purchases, Seq("user_id"),
+      "us", "plo", "pus", 1800000000L)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert(plan.contains("HashJoin"), "expected a hash join")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "range join must not plan a nested loop")
+  }
+}

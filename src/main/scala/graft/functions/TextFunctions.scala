@@ -35,6 +35,24 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** PII patterns shared with the oracle SQL (ASCII classes only, no
+    * lookaround — the Java and RE2 dialects parse them identically).
+    * Order matters: emails and IPs are scrubbed before phone numbers
+    * so digit runs inside them are never half-matched. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact emails, IPv4 addresses and phone numbers (in that order)
+    * with typed placeholder tags. Pure codegen'd regexp_replace chain —
+    * shuffle-free, runs at scan speed on every executor. */
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** BPE-ish subword count: alnum runs + individual punctuation marks
     * (regex kept to ASCII classes so Java and RE2 dialects agree). */
   def bpeTokenCount(c: Column): Column =

@@ -292,7 +292,7 @@ object Dedup {
     intra.unionByName(cross).orderBy("i", "j")
   }
 
-  private val shingleSql =
+  private[operators] val shingleSql =
     """SELECT doc_id, list_distinct(
          [array_to_string(list_slice(toks, i, i + 4), ' ')
           for i in range(1, len(toks) - 3)]) AS sh

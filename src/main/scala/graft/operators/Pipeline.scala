@@ -111,6 +111,46 @@ object Pipeline {
           coalesce(col("lbl"), col("doc_id")).as("cluster"))
         .withColumn("split", splitOf(col("cluster")))
         .orderBy("doc_id")
+    }),
+
+    // Eval-set decontamination: flag corpus documents sharing any
+    // 5-token shingle with the benchmark/eval suite (doc_id < 20
+    // stands in for it). Scale shape: the eval side is tiny BY
+    // CONSTRUCTION — eval suites are thousands of documents, not TB —
+    // so its distinct shingle set broadcasts; the corpus side is a
+    // narrow scan + explode feeding a broadcast hash join (no corpus
+    // shuffle) and a per-doc count.
+    "x6_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = dd.select(col("doc_id"),
+        explode(shingles(col("text"), 5)).as("s"))
+      val ev = sh.filter(col("doc_id") < 20).select("s").distinct()
+        .withColumn("hit", lit(1L))
+      val counts = sh.filter(col("doc_id") >= 20)
+        .join(broadcast(ev), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      // join back so even a doc too short to shingle reports 0
+      dd.filter(col("doc_id") >= 20).select("doc_id")
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("contaminated", col("n_overlap") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic epoch shuffle: training-order randomization as a
+    // pure function of (epoch seed, doc_id) — an md5 sort key, so
+    // epoch k replays bit-identically on any cluster size. The shard
+    // is the key's first hex byte (256 uniform buckets): writing
+    // shard-by-shard, each internally key-sorted, IS the scalable
+    // shuffle shape — one balanced range-style exchange, no global
+    // sort funnel, and readers stream shards in order.
+    "x7_epoch_shuffle" -> ((s, d) => {
+      val key = md5(concat(lit("epoch7:"), col("doc_id").cast("string")))
+      docs(s, d).select(col("doc_id"), key.as("shuffle_key"),
+        conv(substring(key, 1, 2), 16, 10).cast("long").as("shard"))
+        .orderBy("shuffle_key")
     })
   )
 
@@ -122,21 +162,41 @@ object Pipeline {
     * `approx = false` is the oracle-replayable exact variant: one
     * aggregation per column (exact COUNT DISTINCT forces its own
     * shuffle per column), unioned.
-    * Returns (col_name, n, n_null, n_distinct, min_s, max_s). */
+    * `quantiles` (approx mode only) folds per-column percentile
+    * sketches into the SAME single pass — numeric columns report an
+    * `array<double>` at the requested fractions, others null.
+    * Returns (col_name, n, n_null, n_distinct, min_s, max_s
+    * [, quantiles]). */
   def profile(df: DataFrame, cols: Seq[String], approx: Boolean = true,
-      rsd: Double = 0.01): DataFrame = {
+      rsd: Double = 0.01, quantiles: Seq[Double] = Nil): DataFrame = {
+    require(quantiles.isEmpty || approx,
+      "quantiles are fused into the one-pass approx profile only")
     if (approx) {
+      def numeric(c: String) = df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val qArr = array(quantiles.map(lit): _*)
       val aggs = cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null__$c"),
         approx_count_distinct(col(c), rsd).as(s"nd__$c"),
         min(col(c)).cast("string").as(s"min__$c"),
-        max(col(c)).cast("string").as(s"max__$c")))
+        max(col(c)).cast("string").as(s"max__$c")) ++
+        (if (quantiles.nonEmpty && numeric(c))
+          Seq(percentile_approx(col(c).cast("double"), qArr, lit(10000))
+            .as(s"q__$c"))
+         else Nil))
       val one = df.agg(count(lit(1)).as("n"), aggs: _*)
       // unpivot the single row to one output row per column
-      val pieces = cols.map(c => struct(lit(c).as("col_name"),
-        col("n"), col(s"null__$c").as("n_null"),
-        col(s"nd__$c").as("n_distinct"), col(s"min__$c").as("min_s"),
-        col(s"max__$c").as("max_s")))
+      val pieces = cols.map { c =>
+        val base = Seq(lit(c).as("col_name"),
+          col("n"), col(s"null__$c").as("n_null"),
+          col(s"nd__$c").as("n_distinct"), col(s"min__$c").as("min_s"),
+          col(s"max__$c").as("max_s"))
+        val q =
+          if (quantiles.isEmpty) Nil
+          else if (numeric(c)) Seq(col(s"q__$c").as("quantiles"))
+          else Seq(lit(null).cast("array<double>").as("quantiles"))
+        struct(base ++ q: _*)
+      }
       one.select(explode(array(pieces: _*)).as("p"))
         .select("p.*").orderBy("col_name")
     } else {
@@ -206,6 +266,25 @@ object Pipeline {
            ${splitSql.format("coalesce(c.lbl, d.doc_id)",
              "coalesce(c.lbl, d.doc_id)")} AS split
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    // same 5-token distinct shingles as the dedup family; count() over
+    // a left join counts matched eval shingles (0 when none)
+    "x6_decontaminate" ->
+      s"""WITH sh AS (${Dedup.shingleSql}),
+         ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+         c AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20),
+         o AS (SELECT c.doc_id, count(ev.s)::bigint AS n_overlap
+               FROM c LEFT JOIN ev ON c.s = ev.s GROUP BY c.doc_id)
+       SELECT d.doc_id,
+         coalesce(o.n_overlap, 0)::bigint AS n_overlap,
+         coalesce(o.n_overlap, 0) > 0 AS contaminated
+       FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+       LEFT JOIN o ON d.doc_id = o.doc_id ORDER BY d.doc_id""",
+    "x7_epoch_shuffle" ->
+      """SELECT doc_id,
+         md5('epoch7:' || doc_id::varchar) AS shuffle_key,
+         ('0x' || substr(md5('epoch7:' || doc_id::varchar), 1, 2))::bigint
+           AS shard
+       FROM documents ORDER BY shuffle_key"""
   )
 }

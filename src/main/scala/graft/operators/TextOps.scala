@@ -144,6 +144,58 @@ object TextOps {
     "t8b_unigram_topv" -> ((s, d) =>
       unigramLogProbTopV(docs(s, d), 20).orderBy("doc_id")),
 
+    // Repetition / diversity quality signals (the Gopher-report-style
+    // repetitious-text filters): type-token ratio and the token share
+    // of the single most frequent bigram. distinct_frac comes from a
+    // narrow per-row array_distinct (no shuffle); the bigram branch is
+    // explode → groupBy (doc_id, gram) with map-side partial
+    // aggregation — linear in corpus size, keys bounded by one
+    // document's length so there are no hot keys at 100 TB. All floats
+    // are integer ratios (exact under any order) rounded at 6.
+    "t9_repetition" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      val topBigram = base.filter(col("n_tokens") >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_bi"))
+      base.join(topBigram, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("distinct_frac"),
+          round(coalesce(col("top_bi"), lit(0L)).cast("double") * 2.0
+            / col("n_tokens"), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: emails, IPv4s, phone numbers → typed placeholder
+    // tags, plus per-class match counts (the audit trail a compliance
+    // pass wants). Pure codegen'd regexp chain — shuffle-free, runs at
+    // scan speed. The synthetic corpus contains no PII by construction,
+    // so the query grafts one deterministic email/IP/phone per document:
+    // the scrubbers demonstrably fire and the oracle replays the same
+    // regexes over the same dirty text (cleaned text compared by md5).
+    "t10_pii_scrub" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.1."),
+        pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".7 tel 555-867-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+      docs(s, d).select(col("doc_id"),
+        regexp_count(dirty, lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(dirty, lit(Ipv4Re)).cast("long").as("n_ip"),
+        regexp_count(dirty, lit(PhoneRe)).cast("long").as("n_phone"),
+        md5(piiScrub(dirty)).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // The DSv2 FunctionCatalog surface (SURVEY §2.7 — additive): the
     // same kernels as pure SQL through a graft catalog, no Scala
     // imports. Per-row JVM replicas of the Column builders; the
@@ -320,6 +372,43 @@ object TextOps {
             for t in string_split_regex(trim(text), '\s+')] AS hashes
            FROM documents)
          ORDER BY doc_id""",
+    // bigram counting replayed with a list comprehension + group by;
+    // every fraction is a ratio of integers so doubles match exactly
+    "t9_repetition" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         t AS (SELECT doc_id, len(toks)::bigint AS n_tokens,
+                 len(list_distinct(toks))::bigint AS n_distinct FROM d),
+         bm AS (SELECT doc_id, max(c) AS top_bi FROM (
+                  SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id,
+                      unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                              for i in range(1, len(toks))]) AS g
+                    FROM d WHERE len(toks) >= 2)
+                  GROUP BY doc_id, g)
+                GROUP BY doc_id)
+       SELECT t.doc_id, n_tokens, n_distinct,
+         round(n_distinct::double / n_tokens, 6) AS distinct_frac,
+         round(coalesce(top_bi, 0)::double * 2.0 / n_tokens, 6)
+           AS top_bigram_frac
+       FROM t LEFT JOIN bm ON t.doc_id = bm.doc_id ORDER BY t.doc_id""",
+    // identical regex constants (ASCII classes only — Java and RE2
+    // agree) over the identical synthetic dirty text; 'g' makes DuckDB
+    // replace-all like Spark's default
+    "t10_pii_scrub" ->
+      s"""SELECT doc_id,
+         len(regexp_extract_all(dirty, '$EmailRe'))::bigint AS n_email,
+         len(regexp_extract_all(dirty, '$Ipv4Re'))::bigint AS n_ip,
+         len(regexp_extract_all(dirty, '$PhoneRe'))::bigint AS n_phone,
+         md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+           '$EmailRe', '<EMAIL>', 'g'),
+           '$Ipv4Re', '<IP>', 'g'),
+           '$PhoneRe', '<PHONE>', 'g')) AS clean_md5
+       FROM (SELECT doc_id, text || ' contact u' || doc_id::varchar ||
+           '@mail.example.com from 10.1.' || (doc_id % 256)::varchar ||
+           '.7 tel 555-867-' || lpad((doc_id % 10000)::varchar, 4, '0')
+           AS dirty FROM documents)
+       ORDER BY doc_id""",
     "t6_sql_functions" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

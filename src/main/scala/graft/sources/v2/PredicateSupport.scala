@@ -122,12 +122,12 @@ object PredicateSupport {
     * geometry attribute (GEOMETRY_ATTRIBUTE_NAME, default
     * `wkb_geometry`) and the MBR padding (PAD_X/PAD_Y, FULL widths —
     * applied as ±pad/2 per side like the reference,
-    * ha_mytile.cc:2431–2434). */
-  /** Pads are Options: ABSENT metadata means the geometry extents are
-    * unknown, and the geometry-column rewrite must not fire at all
-    * (a zero-pad default would prune/filter away rows whose geometry
-    * intersects while its midpoint lies outside the constant MBR).
-    * An explicit "0"/"0" is the user asserting point geometries. */
+    * ha_mytile.cc:2431–2434). Pads are Options: ABSENT metadata means
+    * the geometry extents are unknown, and the geometry-column rewrite
+    * must not fire at all (a zero-pad default would prune/filter away
+    * rows whose geometry intersects while its midpoint lies outside
+    * the constant MBR). An explicit "0"/"0" is the user asserting
+    * point geometries. */
   case class SpatialMeta(geomCol: String = "wkb_geometry",
       padX: Option[Double] = None, padY: Option[Double] = None)
   object SpatialMeta {

@@ -20,8 +20,8 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("v3/v4 driver queries self-assert recall_ok for all 5 queries") {
-    for (name <- Seq("v3_ann_lsh", "v4_ann_ivf")) {
+  test("v3/v4/v6 driver queries self-assert recall_ok for all 5 queries") {
+    for (name <- Seq("v3_ann_lsh", "v4_ann_ivf", "v6_ann_sq8")) {
       val rows = operators.Similarity.queries(name)(spark, sf).collect()
       assert(rows.map(_.getLong(0)).toSeq == (0L to 4L),
         s"$name query_ids wrong: ${rows.mkString(",")}")
@@ -54,6 +54,30 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.nonEmpty)
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall $recall too low") // nprobe=2 of 16
+  }
+
+  test("SQ8 quantization: near-perfect recall, bounded per-component error") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.{DotFB, Sq8Quantize}
+    // kernel sanity: scale cancels, signs/magnitudes preserved
+    val v = Array(0.5f, -1.0f, 0.25f, 0.0f)
+    val q = Sq8Quantize.compute(new GenericArrayData(v.map(_.asInstanceOf[Any])))
+    assert(q.toSeq == Seq[Byte](64, -127, 32, 0))
+    assert(Sq8Quantize.compute(
+      new GenericArrayData(Array[Any](0.0f, 0.0f))).toSeq == Seq[Byte](0, 0))
+    val fd = DotFB.compute(new GenericArrayData(v.map(_.asInstanceOf[Any])), q)
+    assert(math.abs(fd - (0.5 * 64 + 1.0 * 127 + 0.25 * 32)) < 1e-9)
+    // end-to-end: quantized candidates + exact rerank recover the
+    // exact top-10 (quantization error ≪ cosine gaps at 64 dims)
+    val e = Tables.load(spark, sf, "embeddings")
+    val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = operators.Similarity.sq8TopK(e, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq8 & brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"SQ8 recall $recall below near-exact bound")
   }
 
   test("O(n^2) exact near-dup anchor refuses large corpora without opt-in") {

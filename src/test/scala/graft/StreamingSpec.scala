@@ -318,6 +318,14 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val streaming = operators.StreamOps.queries("st5_stream_join")(spark, sf)
+      .collect().toSeq
+    val batch = operators.Temporal.queries("j10_range_join")(spark, sf)
+      .collect().toSeq
+    assert(streaming.nonEmpty && streaming == batch)
+  }
+
   test("watermark-bounded streaming dedup agrees with the exact variant") {
     // the published (bounded-state) operator and the unbounded-state
     // oracle variant must produce the same per-type distinct counts on

@@ -58,6 +58,35 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin property: random data matches the naive quadratic lookup") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      nl <- Gen.choose(0, 40)
+      nr <- Gen.choose(0, 40)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    } yield (ls, rs.distinct) // right unique per (key, ts) by contract
+    val prop = Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.map { case (k, ts) => (k, ts, k * 1000.0 + ts) }
+        .toDF("k", "rts", "rv")
+      val got = Temporal.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("rv")).select("lid", "asof_rv").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val want = ls.zipWithIndex.map { case ((k, ts), i) =>
+        val best = rs.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption
+        i.toLong -> best.map { case (bk, bts) => bk * 1000.0 + bts }
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("asofJoin plans a single shuffle (window), not a join") {
     val ev = Tables.load(spark, sf, "events")
     val clicks = ev.filter(col("event_type") === "click")

@@ -139,6 +139,40 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // End-to-end corpus assembly — the operators above COMPOSED the way
+    // a real pre-training pipeline chains them: exact dedup (keep the
+    // lowest doc_id per fingerprint) → quality cut (t2's score ≥ 0.5)
+    // → eval-set decontamination (x6's shingle rule) → reproducible
+    // split (x1's md5 threshold), reporting per-split doc/token counts.
+    // Every stage keeps its scale shape: dedup is one hash aggregation,
+    // quality is a per-row expression, decontamination broadcasts the
+    // eval shingles, the split is a pure function — so the composition
+    // is exactly one corpus-keyed shuffle per set-operation, no
+    // collect, no new machinery.
+    "x8_clean_corpus" -> ((s, d) => {
+      val dd = docs(s, d)
+      val keep = dd.select(col("doc_id"), fingerprint(col("text")).as("f"))
+        .groupBy("f").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val quality = dd.filter(qualityScore(col("text")) >= 0.5)
+        .select("doc_id")
+      val sh = dd.select(col("doc_id"),
+        explode(shingles(col("text"), 5)).as("s"))
+      val ev = sh.filter(col("doc_id") < 20).select("s").distinct()
+      val cont = sh.filter(col("doc_id") >= 20)
+        .join(broadcast(ev), "s").select("doc_id").distinct()
+      dd.filter(col("doc_id") >= 20)
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(quality, Seq("doc_id"), "left_semi")
+        .join(cont, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("split", splitOf(col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("split")
+    }),
+
     // Deterministic epoch shuffle: training-order randomization as a
     // pure function of (epoch seed, doc_id) — an md5 sort key, so
     // epoch k replays bit-identically on any cluster size. The shard
@@ -285,6 +319,45 @@ object Pipeline {
          md5('epoch7:' || doc_id::varchar) AS shuffle_key,
          ('0x' || substr(md5('epoch7:' || doc_id::varchar), 1, 2))::bigint
            AS shard
-       FROM documents ORDER BY shuffle_key"""
+       FROM documents ORDER BY shuffle_key""",
+    // the dedup/quality/decontamination/split stages replayed with the
+    // same formulas their standalone oracles use (t4 fingerprint, t2
+    // quality, x6 shingle rule, x1 split thresholds)
+    "x8_clean_corpus" -> {
+      val stops = graft.functions.TextFunctions.StopWords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+             FROM documents) GROUP BY f),
+         q AS (SELECT doc_id FROM (
+             SELECT doc_id, round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
+                   * 4.0, 1.0)
+               + 0.3 * (1.0 - least(n_punct::double /
+                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
+             FROM (SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
+                    if t IN ($stops)]) AS n_stop,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS n_punct
+               FROM documents))
+           WHERE quality >= 0.5),
+         sh AS (${Dedup.shingleSql}),
+         ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+         cont AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20) c
+             JOIN ev USING (s)),
+         surv AS (SELECT d.doc_id,
+             len(string_split_regex(trim(d.text), '\\s+'))::bigint AS n_tokens
+           FROM documents d
+           JOIN keep USING (doc_id) JOIN q USING (doc_id)
+           WHERE d.doc_id >= 20
+             AND d.doc_id NOT IN (SELECT doc_id FROM cont))
+       SELECT ${splitSql.format("doc_id", "doc_id")} AS split,
+         count(*) AS n_docs, sum(n_tokens)::bigint AS n_tokens
+       FROM surv GROUP BY 1 ORDER BY 1"""
+    }
   )
 }

@@ -146,31 +146,39 @@ object TextOps {
 
     // Repetition / diversity quality signals (the Gopher-report-style
     // repetitious-text filters): type-token ratio and the token share
-    // of the single most frequent bigram. distinct_frac comes from a
-    // narrow per-row array_distinct (no shuffle); the bigram branch is
-    // explode → groupBy (doc_id, gram) with map-side partial
-    // aggregation — linear in corpus size, keys bounded by one
-    // document's length so there are no hot keys at 100 TB. All floats
+    // of the single most frequent bigram. ENTIRELY per-row — distinct
+    // count via array_distinct, top-bigram count via sort_array + a
+    // longest-equal-run fold (equal bigrams are adjacent once sorted,
+    // so the max run length IS the max frequency) — no explode, no
+    // groupBy: the whole operator runs at scan speed on every executor
+    // and the only exchange left is the output ORDER BY. All floats
     // are integer ratios (exact under any order) rounded at 6.
     "t9_repetition" -> ((s, d) => {
-      val base = docs(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-      val topBigram = base.filter(col("n_tokens") >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("toks")) - 1),
+      val bigrams = when(size(col("toks")) >= 2,
+        sort_array(transform(sequence(lit(1), size(col("toks")) - 1),
           i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top_bi"))
-      base.join(topBigram, Seq("doc_id"), "left")
+            element_at(col("toks"), i + 1)))))
+        .otherwise(array().cast("array<string>"))
+      def runOf(acc: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column) =
+        when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+      val topBi = aggregate(bigrams,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => struct(x.as("prev"), runOf(acc, x).as("run"),
+          greatest(acc.getField("best"), runOf(acc, x)).as("best")),
+        acc => acc.getField("best"))
+      docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          topBi.as("top_bi"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("n_distinct").cast("double") / col("n_tokens"), 6)
             .as("distinct_frac"),
-          round(coalesce(col("top_bi"), lit(0L)).cast("double") * 2.0
-            / col("n_tokens"), 6).as("top_bigram_frac"))
+          round(col("top_bi").cast("double") * 2.0 / col("n_tokens"), 6)
+            .as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 

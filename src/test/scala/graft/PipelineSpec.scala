@@ -116,8 +116,14 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("t9 repetition metrics match a plain-Scala recompute") {
-    val out = operators.TextOps.queries("t9_repetition")(spark, sf)
-      .filter(col("doc_id") < 5).collect()
+    val full = operators.TextOps.queries("t9_repetition")(spark, sf)
+    // per-row operator: no aggregation/join exchange may appear — the
+    // only exchange is the output ORDER BY's range partitioning
+    val shuffles = full.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("Initial Plan"))
+      .count(l => l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(shuffles == 0, s"t9 must run at scan speed, saw $shuffles shuffles")
+    val out = full.filter(col("doc_id") < 5).collect()
     val texts = Tables.load(spark, sf, "documents")
       .filter(col("doc_id") < 5).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

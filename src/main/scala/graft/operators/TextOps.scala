@@ -154,26 +154,12 @@ object TextOps {
     // and the only exchange left is the output ORDER BY. All floats
     // are integer ratios (exact under any order) rounded at 6.
     "t9_repetition" -> ((s, d) => {
-      val bigrams = when(size(col("toks")) >= 2,
-        sort_array(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))))
-        .otherwise(array().cast("array<string>"))
-      def runOf(acc: org.apache.spark.sql.Column,
-          x: org.apache.spark.sql.Column) =
-        when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-      val topBi = aggregate(bigrams,
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => struct(x.as("prev"), runOf(acc, x).as("run"),
-          greatest(acc.getField("best"), runOf(acc, x)).as("best")),
-        acc => acc.getField("best"))
       docs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-          topBi.as("top_bi"))
+          topBigramCount(col("toks")).as("top_bi"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("n_distinct").cast("double") / col("n_tokens"), 6)
             .as("distinct_frac"),

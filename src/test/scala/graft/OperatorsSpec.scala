@@ -80,6 +80,33 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.95, s"SQ8 recall $recall below near-exact bound")
   }
 
+  test("SQ8 property: per-component error bounded, dots consistent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.{DotBB, DotFB, Sq8Quantize}
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-10.0f, 10.0f))
+    val prop = Prop.forAll(vecGen, vecGen) { (xs, ys) =>
+      val v = xs.toArray
+      val q = Sq8Quantize.compute(new GenericArrayData(v.map(_.asInstanceOf[Any])))
+      val mx = v.map(math.abs).max
+      val scale = if (mx == 0f) 0.0 else mx / 127.0
+      // dequantized component error ≤ scale/2 (round-to-nearest)
+      val errOk = v.zip(q).forall { case (f, b) =>
+        math.abs(f - b * scale) <= scale / 2 + 1e-6 }
+      // self-dot non-negative; DotFB replays the definition exactly
+      val w = ys.toArray
+      val q2 = Sq8Quantize.compute(new GenericArrayData(w.map(_.asInstanceOf[Any])))
+      val n = math.min(v.length, q2.length)
+      val manual = (0 until n).map(i => v(i).toDouble * q2(i)).sum
+      errOk && DotBB.compute(q, q) >= 0 &&
+        math.abs(DotFB.compute(
+          new GenericArrayData(v.map(_.asInstanceOf[Any])), q2) - manual) < 1e-6
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("O(n^2) exact near-dup anchor refuses large corpora without opt-in") {
     import spark.implicits._
     val e = (0 until 20).map(i => (i.toLong,

@@ -175,6 +175,29 @@ class PipelineSpec extends SparkSpec {
     assert(keys == keys.sorted)
   }
 
+  test("t9 top-bigram fold property: equals the naive frequency count") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab"))
+    val prop = Prop.forAll(Gen.listOfN(60, gen)) { docs =>
+      val got = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "toks")
+        .select(col("id"),
+          graft.functions.TextFunctions.topBigramCount(col("toks")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.zipWithIndex.forall { case (t, i) =>
+        val naive =
+          if (t.size < 2) 0L
+          else t.sliding(2).map(_.mkString(" ")).toSeq
+            .groupBy(identity).values.map(_.size).max.toLong
+        got(i.toLong) == naive
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("x5 profile quantiles fuse into the same single pass") {
     import org.apache.spark.sql.functions.col
     val li = Tables.load(spark, sf, "lineitem")

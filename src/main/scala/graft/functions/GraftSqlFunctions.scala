@@ -22,8 +22,8 @@ object GraftSqlFunctions {
 
   val all: Seq[UnboundFunction] = Seq(
     DotFn, CosineFn, Hash60Fn, TokenCountFn, SimhashFn, FingerprintFn,
-    Hilbert2dFn, BucketFn, StPointFn, StGeomFromWkbFn, StIntersectsFn,
-    StWithinFn, StEqualsFn, StOverlapsFn)
+    Hilbert2dFn, HilbertNdFn, Sq8Fn, Sq8DotFn, BucketFn, StPointFn,
+    StGeomFromWkbFn, StIntersectsFn, StWithinFn, StEqualsFn, StOverlapsFn)
 
   def byName(name: String): Option[UnboundFunction] =
     all.find(_.name == name.toLowerCase)
@@ -232,6 +232,89 @@ object GraftSqlFunctions {
       graft.functions.expressions.Hilbert2D.xy2d(x, y, bits)
     override def produceResult(input: InternalRow): java.lang.Long =
       invoke(input.getLong(0), input.getLong(1), input.getInt(2))
+  }
+
+  // ---- hilbert_nd ---------------------------------------------------
+
+  object HilbertNdFn extends UnboundFunction {
+    override def name: String = "hilbert_nd"
+    override def description: String =
+      "hilbert_nd(coords array<bigint>, bits int) -> bigint: Hilbert " +
+        "curve index of a d-dimensional coordinate on a 2^bits grid " +
+        "(n-D cell-order clustering; d*bits <= 63)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType(0).dataType.isInstanceOf[ArrayType] &&
+        inputType(0).dataType.asInstanceOf[ArrayType]
+          .elementType == LongType &&
+        inputType(1).dataType == IntegerType,
+        s"hilbert_nd expects (array<bigint>, int), got " +
+          inputType.map(_.dataType.simpleString).mkString(", "))
+      HilbertNdBound
+    }
+  }
+
+  object HilbertNdBound extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] =
+      Array(ArrayType(LongType), IntegerType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "hilbert_nd"
+    override def produceResult(input: InternalRow): java.lang.Long =
+      graft.functions.expressions.HilbertNd.compute(
+        input.getArray(0), input.getInt(1))
+  }
+
+  // ---- sq8 quantization ---------------------------------------------
+
+  object Sq8Fn extends UnboundFunction {
+    override def name: String = "sq8"
+    override def description: String =
+      "sq8(v array<float>) -> binary: symmetric int8 scalar " +
+        "quantization (scale = maxabs/127) — 4x smaller embedding scans"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1 &&
+        inputType(0).dataType.isInstanceOf[ArrayType] &&
+        inputType(0).dataType.asInstanceOf[ArrayType]
+          .elementType == FloatType,
+        s"sq8 expects (array<float>), got " +
+          inputType.map(_.dataType.simpleString).mkString(", "))
+      Sq8Bound
+    }
+  }
+
+  object Sq8Bound extends ScalarFunction[Array[Byte]] {
+    override def inputTypes(): Array[DataType] = Array(ArrayType(FloatType))
+    override def resultType(): DataType = BinaryType
+    override def name(): String = "sq8"
+    override def produceResult(input: InternalRow): Array[Byte] =
+      graft.functions.expressions.Sq8Quantize.compute(input.getArray(0))
+  }
+
+  object Sq8DotFn extends UnboundFunction {
+    override def name: String = "sq8_dot"
+    override def description: String =
+      "sq8_dot(f array<float>, q binary) -> double: dot product of a " +
+        "float vector against an sq8-quantized one (ANN scoring kernel)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType(0).dataType.isInstanceOf[ArrayType] &&
+        inputType(0).dataType.asInstanceOf[ArrayType]
+          .elementType == FloatType &&
+        inputType(1).dataType == BinaryType,
+        s"sq8_dot expects (array<float>, binary), got " +
+          inputType.map(_.dataType.simpleString).mkString(", "))
+      Sq8DotBound
+    }
+  }
+
+  object Sq8DotBound extends ScalarFunction[java.lang.Double] {
+    override def inputTypes(): Array[DataType] =
+      Array(ArrayType(FloatType), BinaryType)
+    override def resultType(): DataType = DoubleType
+    override def name(): String = "sq8_dot"
+    override def produceResult(input: InternalRow): java.lang.Double =
+      graft.functions.expressions.DotFB.compute(
+        input.getArray(0), input.getBinary(1))
   }
 
   // ---- bucket (storage-partitioned-join transform) ------------------

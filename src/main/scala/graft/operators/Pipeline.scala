@@ -149,28 +149,35 @@ object Pipeline {
     // eval shingles, the split is a pure function — so the composition
     // is exactly one corpus-keyed shuffle per set-operation, no
     // collect, no new machinery.
-    "x8_clean_corpus" -> ((s, d) => {
-      val dd = docs(s, d)
-      val keep = dd.select(col("doc_id"), fingerprint(col("text")).as("f"))
-        .groupBy("f").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val quality = dd.filter(qualityScore(col("text")) >= 0.5)
-        .select("doc_id")
-      val sh = dd.select(col("doc_id"),
-        explode(shingles(col("text"), 5)).as("s"))
-      val ev = sh.filter(col("doc_id") < 20).select("s").distinct()
-      val cont = sh.filter(col("doc_id") >= 20)
-        .join(broadcast(ev), "s").select("doc_id").distinct()
-      dd.filter(col("doc_id") >= 20)
-        .join(keep, Seq("doc_id"), "left_semi")
-        .join(quality, Seq("doc_id"), "left_semi")
-        .join(cont, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("split", splitOf(col("doc_id")))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-        .orderBy("split")
+    "x8_clean_corpus" -> ((s, d) => cleanCorpus(docs(s, d))),
+
+    // Token-budget mixture planning: given per-source token counts and
+    // tier weights, compute each source's target token allocation under
+    // a fixed training budget, the sampling rate to hit it (capped at
+    // 1 — can't sample more than exists without repeating), and the
+    // epoch count when the target EXCEEDS the source (capped at 3 —
+    // the usual repeat-data guardrail). One groupBy(source) aggregation
+    // plus a one-row broadcast of the weight total: trivially scale-
+    // safe, and every number is a deterministic function of the corpus.
+    "x9_mixture_plan" -> ((s, d) => {
+      val budget = lit(100000.0)
+      val tier = substring(col("source"), 4, 10).cast("int")
+      val w = when(tier < 5, 4.0).when(tier < 10, 2.0).otherwise(1.0)
+      val per = docs(s, d)
+        .select(col("source"), tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("n_tokens"))
+        .withColumn("weight", w)
+      val tot = per.agg(sum("weight").as("wsum"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          round(budget * col("weight") / col("wsum"), 0).cast("long"))
+        .withColumn("ratio",
+          col("target_tokens").cast("double") / col("n_tokens"))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          col("target_tokens"),
+          round(least(lit(1.0), col("ratio")), 6).as("rate"),
+          round(least(lit(3.0), col("ratio")), 6).as("epochs"))
+        .orderBy("source")
     }),
 
     // Deterministic epoch shuffle: training-order randomization as a
@@ -187,6 +194,34 @@ object Pipeline {
         .orderBy("shuffle_key")
     })
   )
+
+  /** The x8 composition over an arbitrary documents frame (doc_id,
+    * text): exact dedup keeps the lowest doc_id per fingerprint, the
+    * quality cut drops scores < 0.5, docs sharing a 5-shingle with the
+    * eval suite (doc_id < 20) are decontaminated away, survivors get
+    * the reproducible split. Per-split (n_docs, n_tokens). */
+  def cleanCorpus(dd: DataFrame): DataFrame = {
+    val keep = dd.select(col("doc_id"), fingerprint(col("text")).as("f"))
+      .groupBy("f").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val quality = dd.filter(qualityScore(col("text")) >= 0.5)
+      .select("doc_id")
+    val sh = dd.select(col("doc_id"),
+      explode(shingles(col("text"), 5)).as("s"))
+    val ev = sh.filter(col("doc_id") < 20).select("s").distinct()
+    val cont = sh.filter(col("doc_id") >= 20)
+      .join(broadcast(ev), "s").select("doc_id").distinct()
+    dd.filter(col("doc_id") >= 20)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(cont, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("split", splitOf(col("doc_id")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("split")
+  }
 
   /** Dataset profile. `approx = true` (the DEFAULT) computes EVERY
     * column's stats in ONE aggregation pass — `approx_count_distinct`
@@ -358,6 +393,24 @@ object Pipeline {
        SELECT ${splitSql.format("doc_id", "doc_id")} AS split,
          count(*) AS n_docs, sum(n_tokens)::bigint AS n_tokens
        FROM surv GROUP BY 1 ORDER BY 1"""
-    }
+    },
+    // weights are small integer-valued doubles (exact under any sum
+    // order); rate/epochs derive from the ROUNDED integer target so
+    // both engines divide the same numerator
+    "x9_mixture_plan" ->
+      s"""WITH per AS (SELECT source,
+             sum($tokSql)::bigint AS n_tokens,
+             (CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 4.0
+                   WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2.0
+                   ELSE 1.0 END)::double AS weight
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(weight) AS wsum FROM per)
+       SELECT source, n_tokens, weight,
+         round(100000.0 * weight / wsum, 0)::bigint AS target_tokens,
+         round(least(1.0,
+           round(100000.0 * weight / wsum, 0) / n_tokens), 6) AS rate,
+         round(least(3.0,
+           round(100000.0 * weight / wsum, 0) / n_tokens), 6) AS epochs
+       FROM per, tot ORDER BY source"""
   )
 }

@@ -80,6 +80,29 @@ class FunctionsSpec extends SparkSpec {
       shown.mkString(", "))
   }
 
+  test("hilbert_nd and sq8 kernels work through pure SQL") {
+    val cat = mkCat()
+    Seq((Seq(0L, 0L, 0L), Seq(1.0f, -2.0f, 0.5f)),
+        (Seq(7L, 3L, 1L), Seq(0.0f, 0.0f, 0.0f)),
+        (Seq(1023L, 1L, 512L), Seq(3.25f, 4.5f, -1.0f)))
+      .toDF("c", "v").createOrReplaceTempView("fn_nd")
+    val viaSql = spark.sql(
+      s"""SELECT $cat.hilbert_nd(c, 10) AS h,
+         |$cat.sq8_dot(v, $cat.sq8(v)) AS sd FROM fn_nd""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    val viaCol = spark.table("fn_nd").select(
+      graft.functions.expressions.Kernels.hilbertNd(col("c"), 10).as("h"),
+      graft.functions.expressions.Kernels.dotFB(col("v"),
+        graft.functions.expressions.Kernels.sq8(col("v"))).as("sd"))
+      .as[(Long, Double)].collect().toSeq
+    assert(viaSql == viaCol)
+    // float·int8 self-dots, hand-computed: q = round(v*127/maxabs)
+    // (1,-2,.5)->(64,-127,32): 64+254+16; zero stays zero;
+    // (3.25,4.5,-1)->(92,127,-28): 299+571.5+28
+    viaSql.zip(Seq(334.0, 0.0, 898.5)).foreach { case ((_, sd), want) =>
+      assert(math.abs(sd - want) < 1e-9, s"$sd vs $want") }
+  }
+
   test("type mismatches fail loudly at bind time") {
     val cat = mkCat()
     Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("fn_bad")

@@ -175,6 +175,27 @@ class PipelineSpec extends SparkSpec {
     assert(keys == keys.sorted)
   }
 
+  test("x8 composition stages each fire on an adversarial corpus") {
+    import spark.implicits._
+    // eval doc 0; corpus: 20 = exact dup of 21 (dedup keeps 21... no,
+    // keeps the LOWER id 20), 22 = contaminated (shares eval text),
+    // 23 = low quality (no stopwords, tiny), 24 = clean survivor
+    val good = "the quick brown fox jumps over the lazy dog and " * 8
+    val eval0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      (0L, eval0),
+      (20L, good + "unique tail one"),
+      (21L, good + "unique tail one"), // exact dup of 20
+      (22L, good + eval0),             // carries an eval 5-gram
+      (23L, "zz qq"),                  // fails the quality cut
+      (24L, good + "unique tail two")) // clean survivor
+    val out = operators.Pipeline.cleanCorpus(rows.toDF("doc_id", "text"))
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    // survivors: 20 (dup winner) + 24; 21 deduped, 22 decontaminated,
+    // 23 quality-cut, 0 is eval-side
+    assert(out == 2, s"expected 2 survivors, got $out")
+  }
+
   test("t9 top-bigram fold property: equals the naive frequency count") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._

@@ -81,6 +81,42 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Long-span duplicate pairs (i<j, shared distinct-window count):
+    * window fingerprints via the shingle kernel at `SpanLen` tokens,
+    * xxhash64'd to 8-byte join keys, df-capped inverted-index join
+    * (one viral boilerplate span cannot go quadratic — same hazard and
+    * same fix as d2), then the exact shared-window count over FULL
+    * window sets for every surfaced pair. Verbatim-overlap recall is
+    * exact up to the cap: a pair is missed only if every shared window
+    * is capped boilerplate. */
+  private[graft] val SpanLen = 32
+  private[graft] def spanDupPairs(docsDf: DataFrame,
+      dfCap: Option[Long]): DataFrame = {
+    val sets = docsDf.select(col("doc_id"),
+      shingles(col("text"), SpanLen).as("w")).localCheckpoint()
+    val idx = sets.select(col("doc_id"), explode(col("w")).as("w0"))
+      .select(col("doc_id"), xxhash64(col("w0")).as("wh"))
+    val candIdx = dfCap match {
+      case Some(cap) =>
+        val hot = idx.groupBy("wh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("wh")
+        idx.join(broadcast(hot), Seq("wh"), "left_anti")
+      case None => idx
+    }
+    val cands = candIdx.as("a").join(candIdx.as("b"), "wh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("i"), col("w").as("wa")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("w").as("wb")), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long")
+          .as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .orderBy("i", "j")
+  }
+
   /** MinHash-LSH candidate pairs verified with exact set Jaccard ≥
     * `threshold` — the shared edge generator for d3 (pair listing) and
     * d5 (cluster dedup). Band key = 4 consecutive signature values. */
@@ -210,7 +246,16 @@ object Dedup {
     // Hot-bucket hardening (collapse + df-cap) in [[simhashPairs]].
     "d4_simhash_pairs" -> ((s, d) =>
       simhashPairs(docs(s, d).select(col("doc_id"),
-        simhash(col("text")).as("sim"))))
+        simhash(col("text")).as("sim")))),
+
+    // Long-span duplicate pairs: documents sharing a VERBATIM 32-token
+    // window — the scalable stand-in for suffix-array exact-substring
+    // dedup (a 32-token verbatim overlap is the classic memorized-span
+    // cut; cf. the Gopher/C4-style repeated-passage filters). Same
+    // inverted-index + df-cap shape as d2, exact shared-window count
+    // on candidates. This synthetic corpus shares no 32-token span (the
+    // oracle proves the empty answer); DedupSpec injects real spans.
+    "d6_span_dup" -> ((s, d) => spanDupPairs(docs(s, d), Some(1024)))
   )
 
   /** Default per-band distinct-signature frequency cap for the banded
@@ -331,6 +376,17 @@ object Dedup {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "d2_ngram_jaccard" -> exactJaccardSql(0.5),
     "d3_minhash_lsh" -> exactJaccardSql(0.8),
+    "d6_span_dup" ->
+      """WITH w AS (SELECT doc_id, list_distinct(
+           [array_to_string(list_slice(toks, i, i + 31), ' ')
+            for i in range(1, len(toks) - 30)]) AS w
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents))
+       SELECT i, j, n_shared FROM (
+         SELECT a.doc_id AS i, b.doc_id AS j,
+           len(list_intersect(a.w, b.w))::bigint AS n_shared
+         FROM w a JOIN w b ON a.doc_id < b.doc_id)
+       WHERE n_shared > 0 ORDER BY i, j""",
     "d4_simhash_pairs" ->
       """WITH sig AS (
          SELECT doc_id,

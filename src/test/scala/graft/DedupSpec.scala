@@ -94,4 +94,28 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.simhashBandRows(g2, Some(8L)).count()
     assert(kept < 20L * 7, s"hot band not dropped: $kept rows")
   }
+
+  test("d6 long-span dup pairs surface injected verbatim spans") {
+    import spark.implicits._
+    // a 40-token verbatim span shared by docs 0 and 1 under different
+    // surrounding context; doc 2 shares nothing
+    val span = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq(
+      (0L, "a1 a2 a3 " + span),
+      (1L, span + " b1 b2"),
+      (2L, (1 to 50).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupPairs(docsDf, Some(1024)).collect()
+    assert(out.length == 1, out.mkString(","))
+    // a 40-token span contains exactly 40-32+1 = 9 32-token windows,
+    // all of them shared; windows crossing the span edge differ
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 1L &&
+      out.head.getLong(2) == 9L, out.head.toString)
+    // sub-span-length overlaps (31 tokens) surface nothing
+    val short = (1 to 31).map(i => s"s$i").mkString(" ")
+    val none = Dedup.spanDupPairs(Seq(
+      (0L, "x1 x2 " + short), (1L, short + " y1")).toDF("doc_id", "text"),
+      Some(1024)).count()
+    assert(none == 0L)
+  }
 }

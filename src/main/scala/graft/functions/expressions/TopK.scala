@@ -39,6 +39,14 @@ object TopK {
   /** The `n` centroid indices with highest dot products, best first. */
   def argTopDot(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
     column(ArgTopDotList(expression(vec), centroids, n))
+
+  /** `struct(idx int, cos double)`: index of the eval vector with the
+    * highest cosine against the row (ties → lowest index) and that
+    * cosine. `norms(c)` must be the double-precision L2 norm of
+    * `evals(c)`. */
+  def maxCos(vec: Column, evals: Array[Array[Float]],
+      norms: Array[Double]): Column =
+    column(MaxCos(expression(vec), evals, norms))
 }
 
 /** Growable bounded buffer: keeps the k best (score, id) pairs.
@@ -240,6 +248,61 @@ case class ArgTopDot(child: Expression, centroids: Array[Array[Float]], n: Int)
          |${ev.value} = $bestIdx;
        """.stripMargin
     })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MaxCos {
+  /** (best index, best cosine) over the eval table — double-precision,
+    * strictly sequential sums (index ascending), so the value is
+    * bit-identical to the DuckDB oracle's in-order list comprehension.
+    * Ties → lowest index, the same order as `ORDER BY cos DESC, idx`. */
+  def best(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      evals: Array[Array[Float]], norms: Array[Double]): InternalRow = {
+    val n = vec.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val v = vec.getFloat(i).toDouble; na += v * v; i += 1
+    }
+    val vnorm = math.sqrt(na)
+    var bestIdx = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < evals.length) {
+      val ev = evals(c)
+      val m = math.min(n, ev.length)
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += vec.getFloat(j).toDouble * ev(j).toDouble; j += 1 }
+      val cos = dot / (vnorm * norms(c))
+      if (cos > bestCos) { bestCos = cos; bestIdx = c }
+      c += 1
+    }
+    InternalRow(bestIdx, bestCos)
+  }
+}
+
+/** Scalar max-cosine against a literal eval-vector table (the
+  * decontamination kernel): one codegen'd pass per corpus row, zero row
+  * inflation, zero exchange — versus crossJoin(broadcast(eval)) +
+  * groupBy(max), which inflates the corpus ×|eval| before reducing. */
+case class MaxCos(child: Expression, evals: Array[Array[Float]],
+    norms: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    MaxCos.best(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      evals, norms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eRef = ctx.addReferenceObj("evals", evals, "float[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.MaxCos.best($a, $eRef, $nRef);")
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -192,6 +192,34 @@ object Pipeline {
       docs(s, d).select(col("doc_id"), key.as("shuffle_key"),
         conv(substring(key, 1, 2), 16, 10).cast("long").as("shard"))
         .orderBy("shuffle_key")
+    }),
+
+    // Per-source document cap (domain balancing, the RefinedWeb-style
+    // rule): keep at most 10 docs per source, chosen by md5(doc_id)
+    // order — deterministic and stable under corpus growth (a doc's
+    // keep flag flips only if lower-hash docs later arrive in its
+    // source). The rank comes from the k-bounded TopKByScore heap
+    // aggregate, NOT a window: a mega-domain (the 100 TB hazard — one
+    // host with billions of pages funneling into a single window task)
+    // costs each map task O(k) and the exchange moves k-sized partial
+    // states, never the domain's rows. Rank key = first 13 md5 hex
+    // chars as an integer: 52 bits, exact in the aggregate's double
+    // score; fixed-length lowercase hex means string order == numeric
+    // order, so the oracle ranks by the substring directly. Ties (key
+    // collision) break by doc_id in both engines.
+    "x10_source_cap" -> ((s, d) => {
+      val key = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long")
+      docs(s, d)
+        .select(col("source"), col("doc_id"), key.as("k"))
+        .groupBy("source")
+        .agg(graft.functions.expressions.TopK
+          .topKByScore(-col("k").cast("double"), col("doc_id"), 10)
+          .as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+          col("t.id").as("doc_id"))
+        .orderBy("source", "rk")
     })
   )
 
@@ -411,6 +439,17 @@ object Pipeline {
            round(100000.0 * weight / wsum, 0) / n_tokens), 6) AS rate,
          round(least(3.0,
            round(100000.0 * weight / wsum, 0) / n_tokens), 6) AS epochs
-       FROM per, tot ORDER BY source"""
+       FROM per, tot ORDER BY source""",
+    // x10: the window replay of the bounded-heap rank — fixed-length
+    // lowercase hex substring, so string order == the Spark side's
+    // 52-bit integer order
+    "x10_source_cap" ->
+      """SELECT source, rk, doc_id FROM (
+         SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13),
+                      doc_id) AS rk
+         FROM documents)
+       WHERE rk <= 10 ORDER BY source, rk"""
   )
 }

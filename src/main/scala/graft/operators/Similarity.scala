@@ -256,6 +256,45 @@ object Similarity {
       .select("i", "j", "cos")
   }
 
+  /** Semantic (embedding-space) decontamination: flag every corpus
+    * vector whose cosine against ANY eval-set vector clears
+    * `threshold`, with the closest eval id and the cosine — the
+    * embedding twin of the n-gram x6_decontaminate.
+    *
+    * Scale design: eval suites are small BY NATURE (a benchmark is
+    * thousands of rows, not billions), so the eval side is collected
+    * once — the same ≤-tiny contract as the IVF centroid table — and
+    * the corpus side is ONE codegen'd pass ([[MaxCos]] against the
+    * literal eval table): exact (not LSH), zero row inflation, zero
+    * exchange, versus crossJoin(broadcast(eval)) + groupBy(max) which
+    * inflates the corpus ×|eval| before reducing. Output is bounded by
+    * the flagged set. Eval rows are sorted by vec_id so the kernel's
+    * ties → lowest index matches `ORDER BY cos DESC, eval_id`. */
+  private[graft] def semanticDecontam(e: DataFrame,
+      threshold: Double): DataFrame = {
+    val eval = e.filter(col("label") === 0)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .orderBy("vec_id").collect()
+    val evalIds: Array[Long] = eval.map(_.getLong(0))
+    val evalVecs: Array[Array[Float]] =
+      eval.map(_.getSeq[Float](1).toArray)
+    val norms: Array[Double] = evalVecs.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    e.filter(col("label") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.expressions.TopK
+          .maxCos(col("embedding").cast("array<float>"), evalVecs, norms)
+          .as("m"))
+      .filter(col("m.cos") >= threshold)
+      .select(col("vec_id"),
+        element_at(typedLit(evalIds.toSeq), col("m.idx") + 1).as("eval_id"),
+        round(col("m.cos"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs (exact, threshold 0.45).
     // O(n²/2) compare expressed as a range self-join — kept ONLY as the
@@ -325,7 +364,14 @@ object Similarity {
     // 1.0; bound 0.7 leaves margin for corpus drift).
     "v6_ann_sq8" -> ((s, d) =>
       recallCheck(sq8TopK(emb(s, d), 10), bruteTopK(emb(s, d)),
-        bound = 0.7))
+        bound = 0.7)),
+
+    // Semantic decontamination: corpus rows (label ≠ 0) too close in
+    // embedding space to the eval set (label = 0), threshold 0.30 —
+    // exact by construction (see semanticDecontam), so the oracle is
+    // the full cross-product argmax, not a recall bound.
+    "v7_semantic_decontam" -> ((s, d) =>
+      semanticDecontam(emb(s, d), 0.30))
   )
 
   /** Shared DuckDB cosine: double-precision, strictly sequential sum —
@@ -373,6 +419,17 @@ object Similarity {
     // recallCheck): the oracle states the documented constants.
     "v3_ann_lsh" -> recallOracle,
     "v4_ann_ivf" -> recallOracle,
-    "v6_ann_sq8" -> recallOracle
+    "v6_ann_sq8" -> recallOracle,
+    // v7: per-corpus-row argmax over the eval set; cos is computed with
+    // the same in-order double sums on both sides, so rk=1 selection
+    // and the rounded value replay bit-exactly.
+    "v7_semantic_decontam" ->
+      s"""SELECT vec_id, eval_id, round(cos, 6) AS cos FROM (
+         SELECT a.vec_id AS vec_id, b.vec_id AS eval_id, $cosSql AS cos,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY $cosSql DESC, b.vec_id) AS rk
+         FROM (SELECT * FROM embeddings WHERE label <> 0) a
+         CROSS JOIN (SELECT * FROM embeddings WHERE label = 0) b)
+         WHERE rk = 1 AND cos >= 0.30 ORDER BY vec_id"""
   )
 }

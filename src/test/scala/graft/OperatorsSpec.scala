@@ -254,4 +254,34 @@ class OperatorsSpec extends SparkSpec {
     val plan = scored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("v7 semantic decontam matches the cross-join argmax; single pass") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val out = operators.Similarity.semanticDecontam(e, 0.25)
+    // brute-force reference: corpus × eval cosine, per-corpus argmax
+    // (cos desc, eval_id asc), threshold at the same cut
+    val ev = e.filter(col("label") === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val ref = e.filter(col("label") =!= 0)
+      .select(col("vec_id"), col("embedding").as("cv"))
+      .crossJoin(ev)
+      .select(col("vec_id"), col("eval_id"),
+        functions.VectorFunctions.cosine(col("cv"), col("ev")).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("eval_id"))))
+      .filter(col("rk") === 1 && col("cos") >= 0.25)
+      .select(col("vec_id"), col("eval_id"),
+        round(col("cos"), 6).as("cos"))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = ref.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "threshold flags nothing at sf0.001")
+    assert(got.toSeq == want.toSeq)
+    // scale shape: the corpus side is ONE codegen'd pass — no join, no
+    // row inflation; the only exchange is the final tiny orderBy
+    val plan = out.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }

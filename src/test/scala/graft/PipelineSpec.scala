@@ -241,4 +241,52 @@ class PipelineSpec extends SparkSpec {
       .count(l => l.contains("Exchange") && !l.contains("rangepartitioning"))
     assert(plan == 1, s"quantile profile not single-pass: $plan")
   }
+
+  test("x10 source cap matches the window replay; heap, not window") {
+    val out = operators.Pipeline.queries("x10_source_cap")(spark, sf)
+    // window replay of the same rank (the oracle's shape)
+    val key = substring(md5(col("doc_id").cast("string")), 1, 13)
+    val want = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), key.as("k"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("k"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // every source is capped, and the published plan aggregates with
+    // the bounded heap — no Window node funneling a mega-source
+    assert(got.groupBy(_._1).values.forall(_.size <= 10))
+    val plan = out.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert(!plan.contains("Window"), plan.take(2000))
+    // growth stability: adding a high-hash doc to a FULL source leaves
+    // the kept set unchanged (its key sorts after every kept key)
+    import spark.implicits._
+    val base = (0L until 30L).map(i => ("s0", i)).toDF("source", "doc_id")
+    def capped(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val k = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long")
+      df.select(col("source"), col("doc_id"), k.as("k"))
+        .groupBy("source")
+        .agg(functions.expressions.TopK
+          .topKByScore(-col("k").cast("double"), col("doc_id"), 10).as("top"))
+        .select(explode(col("top.id")).as("id"))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val kept = capped(base)
+    // find an id whose hash key exceeds the current max kept key
+    val maxKept = kept.map(i =>
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(i.toString).take(13), 16)).max
+    val extra = (100L until 300L).find(i =>
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(i.toString).take(13), 16) > maxKept).get
+    val kept2 = capped(base.union(Seq(("s0", extra)).toDF("source", "doc_id")))
+    assert(kept2 == kept, "cap not stable under high-hash growth")
+  }
 }

@@ -276,7 +276,12 @@ object MaxCos {
       var dot = 0.0
       var j = 0
       while (j < m) { dot += vec.getFloat(j).toDouble * ev(j).toDouble; j += 1 }
-      val cos = dot / (vnorm * norms(c))
+      // a zero-norm side has no direction: define cos = -1 (never
+      // similar) instead of 0/0 = NaN — under Spark's NaN-is-greatest
+      // comparison semantics a NaN cosine would pass every >= threshold
+      // filter and flag the row as contaminated
+      val denom = vnorm * norms(c)
+      val cos = if (denom == 0.0) -1.0 else dot / denom
       if (cos > bestCos) { bestCos = cos; bestIdx = c }
       c += 1
     }

@@ -118,6 +118,37 @@ object EventPipeline {
     }
   }
 
+  /** Size streaming state partitions from the input estimate.
+    *
+    * AQE cannot coalesce stateful exchanges — the state-store partition
+    * count freezes into the checkpoint at the first micro-batch — and
+    * every state store pays per-partition commit + maintenance overhead
+    * PER BATCH, so the batch default (session scan parallelism) is the
+    * wrong number for streams in both directions: at bench scale a
+    * 32-partition stream-stream join runs 4 stores × 32 partitions of
+    * bookkeeping for a few hundred thousand rows (measured ~2.5× slower
+    * than 8 partitions on identical data), and at 100 TB the right
+    * count tracks the per-watermark-window KEY CARDINALITY, which can
+    * exceed core count. Default: one state partition per ~64k estimated
+    * input rows, clamped to [1, 4096]; override with
+    * `graft.streaming.statePartitions`. The session conf is restored
+    * after the query (runners here are synchronous
+    * start → processAllAvailable → stop). */
+  private def withStatePartitions[T](spark: SparkSession, estRows: Long)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = spark.conf.getOption("graft.streaming.statePartitions")
+      .map(_.toInt)
+      .getOrElse(math.max(1L, math.min(estRows / 65536 + 1, 4096L)).toInt)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Parquet footer row count — a metadata-only job, no data scan. */
+  private def parquetRows(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).count()
+
   /** Run the windowed aggregation as a real micro-batch streaming query
     * over the events parquet and collect the complete result
     * (format("memory") + processAllAvailable → deterministic). */
@@ -130,10 +161,12 @@ object EventPipeline {
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = windowedCounts(stream)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally q.stop()
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
+      val q = windowedCounts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -157,12 +190,14 @@ object EventPipeline {
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val name = "graft_dedupb_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.select(col("user_id"), col("event_type"), col("ts"))
-      .withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally q.stop()
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
+      val q = stream.select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
     spark.table(name).groupBy("event_type")
       .agg(count(lit(1)).as("count"))
   }
@@ -193,12 +228,14 @@ object EventPipeline {
       expr("""c_user = p_user AND
               ts BETWEEN pts - INTERVAL 30 MINUTES AND pts"""))
     val name = "graft_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = joined
-      .select(col("event_id"), col("c_user").as("user_id"),
-        unix_micros(col("ts")).as("us"), unix_micros(col("pts")).as("pus"))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally q.stop()
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
+      val q = joined
+        .select(col("event_id"), col("c_user").as("user_id"),
+          unix_micros(col("ts")).as("us"), unix_micros(col("pts")).as("pus"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -214,12 +251,14 @@ object EventPipeline {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     val name = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
-      .groupBy("event_type").count()
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally q.stop()
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
+      val q = stream.select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy("event_type").count()
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
     spark.table(name)
   }
 }

@@ -284,4 +284,23 @@ class OperatorsSpec extends SparkSpec {
       .takeWhile(!_.contains("Initial Plan")).mkString("\n")
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  test("v7 zero-norm vectors are never flagged (no NaN escape)") {
+    import spark.implicits._
+    // corpus row 10 is the zero vector: cos would be 0/0 = NaN, and
+    // Spark's NaN-is-greatest comparisons would flag it; the kernel
+    // defines zero-norm cosine as -1 instead. Row 11 aligns exactly
+    // with the eval vector and must be flagged with cos 1.0.
+    val dim = 4
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),   // eval
+      (10L, Array(0f, 0f, 0f, 0f), 1),  // zero corpus vector
+      (11L, Array(2f, 0f, 0f, 0f), 1),  // aligned corpus vector
+      (12L, Array(0f, 1f, 0f, 0f), 1)   // orthogonal corpus vector
+    ).toDF("vec_id", "embedding", "label")
+    assert(e.head().getSeq[Float](1).length == dim)
+    val out = operators.Similarity.semanticDecontam(e, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((11L, 1L, 1.0)))
+  }
 }

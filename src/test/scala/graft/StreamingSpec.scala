@@ -364,4 +364,25 @@ class StreamingSpec extends SparkSpec {
       assert(out.count(_ == 1L) == 2 && out.count(_ == 2L) == 1, out)
     } finally q.stop()
   }
+
+  test("stateful queries size state partitions from input, restore conf") {
+    // state-store partition count is frozen into the checkpoint at the
+    // first batch (AQE cannot coalesce stateful exchanges), so runners
+    // size it from the input estimate instead of inheriting the batch
+    // scan parallelism; the session conf must come back untouched, and
+    // an explicit graft.streaming.statePartitions override must not
+    // change results
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val base = EventPipeline.runStreamingIntervalJoin(spark, sf)
+      .orderBy("event_id", "pus").collect().toSeq
+    assert(spark.conf.get(key) == prev, "conf not restored")
+    spark.conf.set("graft.streaming.statePartitions", "2")
+    try {
+      val overridden = EventPipeline.runStreamingIntervalJoin(spark, sf)
+        .orderBy("event_id", "pus").collect().toSeq
+      assert(overridden == base, "partition count changed the result")
+    } finally spark.conf.unset("graft.streaming.statePartitions")
+    assert(spark.conf.get(key) == prev, "conf not restored after override")
+  }
 }

@@ -371,7 +371,28 @@ object Similarity {
     // exact by construction (see semanticDecontam), so the oracle is
     // the full cross-product argmax, not a recall bound.
     "v7_semantic_decontam" -> ((s, d) =>
-      semanticDecontam(emb(s, d), 0.30))
+      semanticDecontam(emb(s, d), 0.30)),
+
+    // SemDeDup-style semantic dedup: keep ONE representative per
+    // embedding near-dup cluster (the component's min-id label IS the
+    // representative), singletons kept. The cost is the v5 cluster
+    // construction (banded LSH + exact verify + pointer-doubled
+    // components); the keep rule on top is one linear key join — at
+    // 100 TB the cluster table is a small fraction of the corpus (only
+    // clustered ids appear in it) and joins shuffle-free against a
+    // corpus bucketed by vec_id.
+    "v8_semdedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val cl = Dedup.connectedComponents(
+        lshVerifiedPairs(e).select("i", "j"))
+        .select(col("id").as("vec_id"), col("lbl").as("cl"))
+      e.select(col("vec_id"))
+        .join(cl, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cl"), col("vec_id")).as("cluster"),
+          (coalesce(col("cl"), col("vec_id")) === col("vec_id")).as("kept"))
+        .orderBy("vec_id")
+    })
   )
 
   /** Shared DuckDB cosine: double-precision, strictly sequential sum —
@@ -403,6 +424,25 @@ object Similarity {
            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS vec_id, min(root)::bigint AS cluster
          FROM reach GROUP BY id ORDER BY vec_id""",
+    // v8: the v5 component labels + the keep-one-representative rule
+    // (kept ⇔ vec_id is its cluster's min-id label); singletons keep
+    // themselves via the left join's NULL coalesce
+    "v8_semdedup" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT i, j FROM (${neardupSql.replace("ORDER BY i, j", "")})),
+         edges AS (SELECT i AS src, j AS dst FROM pairs
+                   UNION ALL SELECT j, i FROM pairs),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, root) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+         cl AS (SELECT id AS vec_id, min(root)::bigint AS cluster
+                FROM reach GROUP BY id)
+       SELECT m.vec_id, coalesce(cl.cluster, m.vec_id) AS cluster,
+         coalesce(cl.cluster, m.vec_id) = m.vec_id AS kept
+       FROM embeddings m LEFT JOIN cl ON m.vec_id = cl.vec_id
+       ORDER BY m.vec_id""",
     "v1_cosine_neardup" -> neardupSql,
     // the LSH path must reproduce the exact pair set on this corpus
     // (deterministic planes → recall is a constant, not a sample)

@@ -303,4 +303,21 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((11L, 1L, 1.0)))
   }
+
+  test("v8 semdedup keeps exactly one representative per cluster") {
+    val out = operators.Similarity.queries("v8_semdedup")(spark, sf).cache()
+    assert(out.count() ==
+      Tables.load(spark, sf, "embeddings").count(), "row per corpus vector")
+    // exactly one kept member per cluster, and it is the min-id member
+    val multiKept = out.filter(col("kept")).groupBy("cluster")
+      .agg(count(lit(1)).as("n")).filter(col("n") =!= 1).count()
+    assert(multiKept == 0, "cluster with != 1 kept representative")
+    val wrongRep = out.groupBy("cluster").agg(min("vec_id").as("mn"))
+      .join(out.filter(col("kept")), "cluster")
+      .filter(col("mn") =!= col("vec_id")).count()
+    assert(wrongRep == 0, "kept representative is not the min member")
+    // some clusters are non-trivial at sf0.001
+    assert(out.filter(!col("kept")).count() > 0, "no duplicates dropped")
+    out.unpersist()
+  }
 }

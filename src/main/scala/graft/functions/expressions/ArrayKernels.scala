@@ -80,6 +80,41 @@ object Kernels {
   def lshBands(vec: Column, planes: Array[Array[Float]],
       bitsPerBand: Int): Column =
     column(LshBands(expression(vec), planes, bitsPerBand))
+
+  /** Dense bucket-count vector: counts(i) = |{b ∈ buckets : b = i}|
+    * for 0 ≤ i < dim (out-of-range ids ignored; callers pmod). One
+    * pass — the transform/filter HOF forms are O(dim·n) interpreted. */
+  def bucketCounts(buckets: Column, dim: Int): Column =
+    column(BucketCounts(expression(buckets), dim))
+}
+
+/** Hashing-trick featurizer tail: fold an array of bucket ids into a
+  * dense count vector. */
+case class BucketCounts(child: Expression, dim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    BucketCounts.compute(v.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.BucketCounts.compute($a, $dim);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BucketCounts {
+  def compute(buckets: ArrayData, dim: Int): ArrayData = {
+    val counts = new Array[Long](dim)
+    val n = buckets.numElements()
+    var i = 0
+    while (i < n) {
+      val b = buckets.getLong(i)
+      if (b >= 0 && b < dim) counts(b.toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
 }
 
 /** Band keys `(bandIdx << bitsPerBand) | signBits` from hyperplane

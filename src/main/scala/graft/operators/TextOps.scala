@@ -190,6 +190,31 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Hashing-trick featurizer (the fasttext-style input layer): each
+    // doc → a dense 64-bucket token-count vector, bucket = the token's
+    // 52-bit md5 prefix mod 64. Entirely per-row (md5 HOF over the
+    // token array — the same shape t5's simhash uses — then the
+    // one-pass BucketCounts kernel): no explode, no shuffle, so
+    // feature extraction runs at scan speed at any corpus size and
+    // closes the loop text → features → ANN/semdedup (v2–v8) without
+    // leaving the engine.
+    "t11_hashed_features" -> ((s, d) => {
+      val bks = transform(tokens(col("text")),
+        t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
+          lit(64L)))
+      docs(s, d)
+        .select(col("doc_id"),
+          graft.functions.expressions.Kernels.bucketCounts(bks, 64)
+            .as("vec"))
+        // the driver's hash-compare gate sorts result cells, which a
+        // raw LIST column defeats — publish the exact vector as CSV
+        // (pins every element); users take `vec` upstream of this
+        .select(col("doc_id"),
+          concat_ws(",", col("vec").cast("array<string>")).as("vec_csv"),
+          size(filter(col("vec"), v => v > 0)).cast("long").as("nnz"))
+        .orderBy("doc_id")
+    }),
+
     // The DSv2 FunctionCatalog surface (SURVEY §2.7 — additive): the
     // same kernels as pure SQL through a graft catalog, no Scala
     // imports. Per-row JVM replicas of the Column builders; the
@@ -403,6 +428,20 @@ object TextOps {
            '.7 tel 555-867-' || lpad((doc_id % 10000)::varchar, 4, '0')
            AS dirty FROM documents)
        ORDER BY doc_id""",
+    // t11: same md5-prefix bucket formula ('0x'||hex cast replays
+    // conv(...,16,10)); the count vector rebuilt per bucket index
+    "t11_hashed_features" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         bk AS (SELECT doc_id,
+             [('0x' || substr(md5(t), 1, 13))::bigint % 64 for t in toks]
+               AS bks FROM tk),
+         v AS (SELECT doc_id,
+             [len(list_filter(bks, b -> b = i))::bigint
+              for i in range(0, 64)] AS vec FROM bk)
+       SELECT doc_id, array_to_string(vec, ',') AS vec_csv,
+         len(list_filter(vec, c -> c > 0))::bigint AS nnz
+       FROM v ORDER BY doc_id""",
     "t6_sql_functions" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -304,6 +304,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((11L, 1L, 1.0)))
   }
 
+  test("t11 hashed features equal a plain-Scala recompute; shuffle-free") {
+    val out = operators.TextOps.queries("t11_hashed_features")(spark, sf)
+    val rows = out.collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id").collect()
+    assert(rows.length == docs.length)
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(13), 16) % 64).toInt
+    }
+    rows.zip(docs).take(50).foreach { case (r, d) =>
+      assert(r.getLong(0) == d.getLong(0))
+      val want = new Array[Long](64)
+      d.getString(1).trim.split("\\s+").foreach(t => want(bucket(t)) += 1)
+      val got = r.getString(1).split(",").map(_.toLong).toSeq
+      assert(got == want.toSeq, s"doc ${d.getLong(0)}")
+      assert(r.getLong(2) == want.count(_ > 0).toLong)
+    }
+    // per-row featurization: no exchange except the final orderBy
+    val shuffles = out.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("Initial Plan"))
+      .count(l => l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(shuffles == 0, "feature extraction shuffled")
+  }
+
   test("v8 semdedup keeps exactly one representative per cluster") {
     val out = operators.Similarity.queries("v8_semdedup")(spark, sf).cache()
     assert(out.count() ==

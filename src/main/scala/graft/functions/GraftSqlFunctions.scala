@@ -22,8 +22,9 @@ object GraftSqlFunctions {
 
   val all: Seq[UnboundFunction] = Seq(
     DotFn, CosineFn, Hash60Fn, TokenCountFn, SimhashFn, FingerprintFn,
-    Hilbert2dFn, HilbertNdFn, Sq8Fn, Sq8DotFn, BucketFn, StPointFn,
-    StGeomFromWkbFn, StIntersectsFn, StWithinFn, StEqualsFn, StOverlapsFn)
+    Hilbert2dFn, HilbertNdFn, Sq8Fn, Sq8DotFn, HashedFeaturesFn,
+    BucketFn, StPointFn, StGeomFromWkbFn, StIntersectsFn, StWithinFn,
+    StEqualsFn, StOverlapsFn)
 
   def byName(name: String): Option[UnboundFunction] =
     all.find(_.name == name.toLowerCase)
@@ -315,6 +316,43 @@ object GraftSqlFunctions {
     override def produceResult(input: InternalRow): java.lang.Double =
       graft.functions.expressions.DotFB.compute(
         input.getArray(0), input.getBinary(1))
+  }
+
+  // ---- hashed_features ----------------------------------------------
+
+  object HashedFeaturesFn extends UnboundFunction {
+    override def name: String = "hashed_features"
+    override def description: String =
+      "hashed_features(text string, dim int) -> array<bigint>: " +
+        "hashing-trick token-count vector, bucket = 52-bit md5 prefix " +
+        "mod dim (the t11 featurizer as pure SQL; DuckDB-replayable)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType(0).dataType == StringType &&
+        inputType(1).dataType == IntegerType,
+        s"hashed_features expects (string, int), got " +
+          inputType.map(_.dataType.simpleString).mkString(", "))
+      HashedFeaturesBound
+    }
+  }
+
+  object HashedFeaturesBound extends ScalarFunction[ArrayData] {
+    override def inputTypes(): Array[DataType] =
+      Array(StringType, IntegerType)
+    override def resultType(): DataType =
+      ArrayType(LongType, containsNull = false)
+    override def name(): String = "hashed_features"
+    def invoke(s: UTF8String, dim: Int): ArrayData = {
+      val counts = new Array[Long](dim)
+      tokens(s.toString).foreach { t =>
+        val b = java.lang.Long.parseLong(
+          md5Hex(t).substring(0, 13), 16) % dim
+        counts(b.toInt) += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+    }
+    override def produceResult(input: InternalRow): ArrayData =
+      invoke(input.getUTF8String(0), input.getInt(1))
   }
 
   // ---- bucket (storage-partitioned-join transform) ------------------

@@ -103,6 +103,24 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(sd - want) < 1e-9, s"$sd vs $want") }
   }
 
+  test("hashed_features SQL function equals the t11 Column path") {
+    val cat = mkCat()
+    Seq("a b a c", "", "  x  ", "a a a a")
+      .toDF("text").createOrReplaceTempView("fn_hf")
+    val viaSql = spark.sql(
+      s"SELECT $cat.hashed_features(text, 64) AS v FROM fn_hf")
+      .collect().map(_.getSeq[Long](0))
+    val bks = transform(graft.functions.TextFunctions.tokens(col("text")),
+      t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
+        lit(64L)))
+    val viaCol = spark.table("fn_hf")
+      .select(graft.functions.expressions.Kernels.bucketCounts(bks, 64)
+        .as("v"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.forall(_.sum > 0)) // even "" yields one "" token
+  }
+
   test("type mismatches fail loudly at bind time") {
     val cat = mkCat()
     Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("fn_bad")

@@ -343,6 +343,7 @@ object GraftSqlFunctions {
       ArrayType(LongType, containsNull = false)
     override def name(): String = "hashed_features"
     def invoke(s: UTF8String, dim: Int): ArrayData = {
+      require(dim > 0, s"hashed_features dim must be positive, got $dim")
       val counts = new Array[Long](dim)
       tokens(s.toString).foreach { t =>
         val b = java.lang.Long.parseLong(

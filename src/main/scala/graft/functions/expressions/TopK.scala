@@ -272,10 +272,13 @@ object MaxCos {
     var c = 0
     while (c < evals.length) {
       val ev = evals(c)
-      val m = math.min(n, ev.length)
+      // a dim mismatch is a data bug — truncating to the overlap would
+      // silently deflate the cosine and let contaminated rows through
+      require(ev.length == n,
+        s"eval vector $c has dim ${ev.length}, corpus row has $n")
       var dot = 0.0
       var j = 0
-      while (j < m) { dot += vec.getFloat(j).toDouble * ev(j).toDouble; j += 1 }
+      while (j < n) { dot += vec.getFloat(j).toDouble * ev(j).toDouble; j += 1 }
       // a zero-norm side has no direction: define cos = -1 (never
       // similar) instead of 0/0 = NaN — under Spark's NaN-is-greatest
       // comparison semantics a NaN cosine would pass every >= threshold

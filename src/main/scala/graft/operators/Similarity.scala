@@ -397,13 +397,21 @@ object Similarity {
 
   /** Shared DuckDB cosine: double-precision, strictly sequential sum —
     * bit-identical to [[graft.functions.VectorFunctions.cosine]]. */
-  private val cosSql =
+  private val cosNumSql =
     """list_sum([a.embedding[i]::double * b.embedding[i]::double
-                 for i in range(1, len(a.embedding) + 1)]) /
-       (sqrt(list_sum([a.embedding[i]::double * a.embedding[i]::double
+                 for i in range(1, len(a.embedding) + 1)])"""
+  private val cosDenSql =
+    """(sqrt(list_sum([a.embedding[i]::double * a.embedding[i]::double
                  for i in range(1, len(a.embedding) + 1)])) *
         sqrt(list_sum([b.embedding[i]::double * b.embedding[i]::double
                  for i in range(1, len(b.embedding) + 1)])))"""
+  private val cosSql = s"$cosNumSql / $cosDenSql"
+  /** Zero-norm-guarded cosine replaying [[MaxCos]]'s contract (a
+    * zero-norm side scores -1, never NaN — DuckDB's NaN sorts greatest
+    * exactly like Spark's, so an unguarded 0/0 would flag zero vectors
+    * in the oracle while the kernel drops them). */
+  private val cosGuardedSql =
+    s"(CASE WHEN $cosDenSql = 0 THEN -1.0 ELSE $cosNumSql / $cosDenSql END)::double"
 
   private val neardupSql =
     s"""SELECT i, j, round(cos, 6) AS cos FROM (
@@ -465,9 +473,10 @@ object Similarity {
     // and the rounded value replay bit-exactly.
     "v7_semantic_decontam" ->
       s"""SELECT vec_id, eval_id, round(cos, 6) AS cos FROM (
-         SELECT a.vec_id AS vec_id, b.vec_id AS eval_id, $cosSql AS cos,
+         SELECT a.vec_id AS vec_id, b.vec_id AS eval_id,
+           $cosGuardedSql AS cos,
            row_number() OVER (PARTITION BY a.vec_id
-             ORDER BY $cosSql DESC, b.vec_id) AS rk
+             ORDER BY $cosGuardedSql DESC, b.vec_id) AS rk
          FROM (SELECT * FROM embeddings WHERE label <> 0) a
          CROSS JOIN (SELECT * FROM embeddings WHERE label = 0) b)
          WHERE rk = 1 AND cos >= 0.30 ORDER BY vec_id"""

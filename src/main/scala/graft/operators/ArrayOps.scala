@@ -259,6 +259,37 @@ object ArrayOps {
         .orderBy("o_orderkey")
     }),
 
+    // Incremental dedup — S7's time-travel window composed with the
+    // dedup family, the production daily-crawl loop: documents commit
+    // to an array in two fragments (base corpus, then the doc_id>=400
+    // increment); the increment alone streams back through the WINDOW
+    // read, and Dedup.incrementalDedup reports each increment doc's
+    // earliest fingerprint twin (base scanned once behind a broadcast
+    // fingerprint semi-filter — it never re-shuffles wholesale). This
+    // synthetic corpus has all-distinct fingerprints at oracle scale,
+    // so the oracle proves the all-unique answer (is_dup = false
+    // everywhere — same pattern as d6's provably-empty span set);
+    // DedupSpec injects real cross-commit duplicates.
+    "arr26_incremental_dedup" -> ((s, d) => {
+      val uri = freshUri("incdd")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("doc_id", LongType)),
+        Seq(AttributeSpec("fp", StringType)))
+      GraftArray.create(s, uri, sch)
+      val f = Tables.load(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val t1 = GraftArray.write(s, uri, f.filter(col("doc_id") < 400L))
+      val t2 = GraftArray.write(s, uri, f.filter(col("doc_id") >= 400L))
+      // the window read is INCLUSIVE of `since` ([since, asOf] —
+      // arr17 semantics), so the increment starts at the second
+      // commit's own timestamp
+      val base = s.read.format("graftarray").option("path", uri)
+        .option("asOfTimestamp", t1.toString).load()
+      val inc = s.read.format("graftarray").option("path", uri)
+        .option("sinceTimestamp", t2.toString).load()
+      Dedup.incrementalDedup(base, inc)
+    }),
+
     // Latest-wins fragment semantics: second overlapping fragment
     // overwrites every 10th customer's balance with 2×.
     "arr4_latest_wins" -> ((s, d) => {
@@ -802,6 +833,16 @@ object ArrayOps {
            SELECT o_orderkey, o_totalprice AS price FROM orders
            WHERE o_orderkey > 500 AND o_orderkey <= 1000)
          ORDER BY o_orderkey""",
+    // arr26: global earliest-fingerprint twin restricted to the
+    // increment (doc_id >= 400) — the window-read composition replay
+    "arr26_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         m AS (SELECT fp, min(doc_id) AS dup_of FROM f GROUP BY fp)
+       SELECT f.doc_id, m.dup_of, f.doc_id <> m.dup_of AS is_dup
+       FROM f JOIN m USING (fp) WHERE f.doc_id >= 400
+       ORDER BY f.doc_id""",
     "arr4_latest_wins" ->
       """SELECT c_custkey,
          round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2

@@ -117,6 +117,28 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Incremental exact dedup — the production "dedupe today's
+    * increment against the historical corpus" loop: for each increment
+    * row (doc_id, fp), the earliest doc_id sharing its fingerprint
+    * across base ∪ increment, plus an is_dup flag. The base side is
+    * semi-filtered by the increment's DISTINCT fingerprints first
+    * (broadcast — a daily increment is small next to the historical
+    * corpus), so at 100 TB the base is scanned once, narrowly, and
+    * only fingerprint-matching rows ever reach the shuffle; the base
+    * never re-shuffles wholesale for a small increment. */
+  private[graft] def incrementalDedup(base: DataFrame,
+      inc: DataFrame): DataFrame = {
+    val incFps = inc.select("fp").distinct()
+    val hit = base.join(broadcast(incFps), Seq("fp"), "left_semi")
+    val firsts = hit.select("doc_id", "fp")
+      .unionByName(inc.select("doc_id", "fp"))
+      .groupBy("fp").agg(min("doc_id").as("dup_of"))
+    inc.select("doc_id", "fp").join(firsts, Seq("fp"))
+      .select(col("doc_id"), col("dup_of"),
+        (col("doc_id") =!= col("dup_of")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash-LSH candidate pairs verified with exact set Jaccard ≥
     * `threshold` — the shared edge generator for d3 (pair listing) and
     * d5 (cluster dedup). Band key = 4 consecutive signature values. */

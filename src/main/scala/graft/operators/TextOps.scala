@@ -215,6 +215,16 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Bigram language-model training (the KenLM-style count step):
+    // corpus-wide bigram counts with the conditional P(w2|w1) =
+    // c(w1 w2) / Σ_w c(w1 w), top-50 by count. ONE bigram-keyed
+    // shuffle with map-side partial counts; the left-context
+    // denominators derive from the ALREADY-aggregated bigram table
+    // (never a second corpus pass), and the final top-k is a
+    // k-bounded TakeOrdered — no global sort. At 100 TB the model
+    // table is vocabulary²-bounded, not corpus-bounded.
+    "t12_bigram_lm" -> ((s, d) => bigramLm(docs(s, d), 50)),
+
     // The DSv2 FunctionCatalog surface (SURVEY §2.7 — additive): the
     // same kernels as pure SQL through a graft catalog, no Scala
     // imports. Per-row JVM replicas of the Column builders; the
@@ -304,6 +314,31 @@ object TextOps {
       FROM d, s)
     WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 30"""
   }
+
+  /** Bigram LM core (see t12): full conditional table before the
+    * top-k cut, factored out so specs can assert Σ P(·|w1) = 1. */
+  private[graft] def bigramLmTable(dd: DataFrame): DataFrame = {
+    val t = dd.select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = t.select(explode(expr(
+      """transform(sequence(1, size(t) - 1),
+         i -> struct(element_at(t, i) AS w1,
+           concat_ws(' ', element_at(t, i), element_at(t, i + 1))
+             AS bigram))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.bigram").as("bigram"))
+    val bc = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c"))
+    val lc = bc.groupBy("w1").agg(sum("c").as("c1"))
+    bc.join(lc, "w1")
+      .select(col("w1"), col("bigram"), col("c"),
+        round(col("c").cast("double") / col("c1").cast("double"), 6)
+          .as("p"))
+  }
+
+  private[graft] def bigramLm(dd: DataFrame, k: Int): DataFrame =
+    bigramLmTable(dd)
+      .select(col("bigram"), col("c"), col("p"))
+      .orderBy(col("c").desc, col("bigram"))
+      .limit(k)
 
   val oracles: Map[String, String] = Map(
     "t7_bm25" -> bm25Sql,
@@ -428,6 +463,23 @@ object TextOps {
            '.7 tel 555-867-' || lpad((doc_id % 10000)::varchar, 4, '0')
            AS dirty FROM documents)
        ORDER BY doc_id""",
+    // t12: bigrams as space-joined slices (t9's construction);
+    // bigram string is unique per (w1, w2) since tokens are
+    // whitespace-free, so (c DESC, bigram) is a total order
+    "t12_bigram_lm" ->
+      """WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         bi AS (SELECT unnest(
+             [{'w1': toks[i],
+               'bg': array_to_string(list_slice(toks, i, i + 1), ' ')}
+              for i in range(1, len(toks))]) AS b
+           FROM d WHERE len(toks) >= 2),
+         bc AS (SELECT b.w1 AS w1, b.bg AS bigram, count(*) AS c
+                FROM bi GROUP BY 1, 2),
+         lc AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY w1)
+       SELECT bigram, c, round(c::double / c1::double, 6) AS p
+       FROM bc JOIN lc USING (w1)
+       ORDER BY c DESC, bigram LIMIT 50""",
     // t11: same md5-prefix bucket formula ('0x'||hex cast replays
     // conv(...,16,10)); the count vector rebuilt per bucket index
     "t11_hashed_features" ->

@@ -331,6 +331,25 @@ class OperatorsSpec extends SparkSpec {
     assert(shuffles == 0, "feature extraction shuffled")
   }
 
+  test("t12 bigram LM: conditionals sum to 1, counts match naive") {
+    val dd = Tables.load(spark, sf, "documents")
+    val table = operators.TextOps.bigramLmTable(dd).cache()
+    // per-context probabilities are a distribution (rounding slack)
+    val badSums = table.groupBy("w1").agg(sum("p").as("ps"))
+      .filter(abs(col("ps") - 1.0) > 1e-3).count()
+    assert(badSums == 0, "P(.|w1) does not sum to 1")
+    // counts equal a naive per-doc recount for the top bigram
+    val top = table.orderBy(col("c").desc, col("bigram")).limit(1)
+      .collect().head
+    val (bg, c) = (top.getString(1), top.getLong(2))
+    val naive = dd.select(col("text")).collect().map { r =>
+      val toks = r.getString(0).trim.split("\\s+")
+      toks.sliding(2).count(p => p.length == 2 && p.mkString(" ") == bg)
+    }.sum
+    assert(naive.toLong == c, s"$bg: naive $naive vs $c")
+    table.unpersist()
+  }
+
   test("v8 semdedup keeps exactly one representative per cluster") {
     val out = operators.Similarity.queries("v8_semdedup")(spark, sf).cache()
     assert(out.count() ==

@@ -326,7 +326,12 @@ object TextOps {
            concat_ws(' ', element_at(t, i), element_at(t, i + 1))
              AS bigram))""")).as("b"))
       .select(col("b.w1").as("w1"), col("b.bigram").as("bigram"))
+    // materialize the aggregated bigram table once: without the
+    // checkpoint Catalyst re-derives lc's subtree from the raw scan
+    // and the corpus is exploded + aggregated TWICE (plan-audited);
+    // bc is vocabulary²-bounded, never corpus-sized
     val bc = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val lc = bc.groupBy("w1").agg(sum("c").as("c1"))
     bc.join(lc, "w1")
       .select(col("w1"), col("bigram"), col("c"),

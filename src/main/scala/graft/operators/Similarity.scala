@@ -366,6 +366,18 @@ object Similarity {
       recallCheck(sq8TopK(emb(s, d), 10), bruteTopK(emb(s, d)),
         bound = 0.7)),
 
+    // Product-quantization ANN (M=8 × K=16 codebooks → 8-byte codes,
+    // 32× less candidate-generation I/O than float32): sample-trained
+    // Lloyd codebooks, one ADC pass over the encoded corpus, exact
+    // rerank of a 16·k candidate superset. Approximate by design —
+    // published as the recall check (observed per-query recall@10
+    // 0.6–1.0 at sf0.001–0.1 on this isotropic synthetic corpus whose
+    // true neighbors sit at cosine 0.24–0.42; bound 0.4 leaves margin.
+    // Clustered real embeddings fare far better at the same config).
+    "v9_ann_pq" -> ((s, d) =>
+      recallCheck(Pq.adcTopK(emb(s, d), 10), bruteTopK(emb(s, d)),
+        bound = 0.4)),
+
     // Semantic decontamination: corpus rows (label ≠ 0) too close in
     // embedding space to the eval set (label = 0), threshold 0.30 —
     // exact by construction (see semanticDecontam), so the oracle is
@@ -468,6 +480,7 @@ object Similarity {
     "v3_ann_lsh" -> recallOracle,
     "v4_ann_ivf" -> recallOracle,
     "v6_ann_sq8" -> recallOracle,
+    "v9_ann_pq" -> recallOracle,
     // v7: per-corpus-row argmax over the eval set; cos is computed with
     // the same in-order double sums on both sides, so rk=1 selection
     // and the rounded value replay bit-exactly.

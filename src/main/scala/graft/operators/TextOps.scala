@@ -225,6 +225,13 @@ object TextOps {
     // table is vocabulary²-bounded, not corpus-bounded.
     "t12_bigram_lm" -> ((s, d) => bigramLm(docs(s, d), 50)),
 
+    // Held-out perplexity under the t12 bigram LM (add-1 smoothed),
+    // the canonical model-based quality filter: train on the md5
+    // "train" split, score the held-out rest. See bigramPerplexity
+    // for the scale shape (vocabulary-bounded model, single eval
+    // pass, no forced broadcast).
+    "t13_perplexity" -> ((s, d) => bigramPerplexity(docs(s, d))),
+
     // The DSv2 FunctionCatalog surface (SURVEY §2.7 — additive): the
     // same kernels as pure SQL through a graft catalog, no Scala
     // imports. Per-row JVM replicas of the Column builders; the
@@ -315,9 +322,14 @@ object TextOps {
     WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 30"""
   }
 
-  /** Bigram LM core (see t12): full conditional table before the
-    * top-k cut, factored out so specs can assert Σ P(·|w1) = 1. */
-  private[graft] def bigramLmTable(dd: DataFrame): DataFrame = {
+  /** Aggregated bigram-count table `(w1, bigram, c)` of a corpus —
+    * the shared count step for t12 (LM training) and t13 (held-out
+    * perplexity). Materialized once with a localCheckpoint: without
+    * it Catalyst re-derives every downstream aggregate's subtree from
+    * the raw scan and the corpus is exploded + aggregated once per
+    * consumer (plan-audited); the table is vocabulary²-bounded, never
+    * corpus-sized. */
+  private[graft] def bigramCounts(dd: DataFrame): DataFrame = {
     val t = dd.select(tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val bi = t.select(explode(expr(
@@ -326,12 +338,14 @@ object TextOps {
            concat_ws(' ', element_at(t, i), element_at(t, i + 1))
              AS bigram))""")).as("b"))
       .select(col("b.w1").as("w1"), col("b.bigram").as("bigram"))
-    // materialize the aggregated bigram table once: without the
-    // checkpoint Catalyst re-derives lc's subtree from the raw scan
-    // and the corpus is exploded + aggregated TWICE (plan-audited);
-    // bc is vocabulary²-bounded, never corpus-sized
-    val bc = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c"))
+    bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c"))
       .localCheckpoint()
+  }
+
+  /** Bigram LM core (see t12): full conditional table before the
+    * top-k cut, factored out so specs can assert Σ P(·|w1) = 1. */
+  private[graft] def bigramLmTable(dd: DataFrame): DataFrame = {
+    val bc = bigramCounts(dd)
     val lc = bc.groupBy("w1").agg(sum("c").as("c1"))
     bc.join(lc, "w1")
       .select(col("w1"), col("bigram"), col("c"),
@@ -344,6 +358,57 @@ object TextOps {
       .select(col("bigram"), col("c"), col("p"))
       .orderBy(col("c").desc, col("bigram"))
       .limit(k)
+
+  /** Held-out perplexity scoring (see t13): an add-1-smoothed bigram
+    * LM fit on the md5 TRAIN split of the corpus scores every
+    * held-out document — mean log P(wᵢ | wᵢ₋₁) plus the count of
+    * bigrams the model never saw. The train/score separation is what
+    * makes smoothing real: scoring the training corpus would never
+    * hit an OOV bigram.
+    *
+    * Scale shape: model tables (`bc`, `lc`, the vocabulary size) are
+    * vocabulary-bounded and derive from ONE train-corpus pass (the
+    * checkpointed count table); scoring is one eval-corpus pass whose
+    * exploded bigrams shuffle-join the model on the bigram/w1 keys —
+    * no vocabulary broadcast is forced (the t8 lesson), AQE picks the
+    * join strategy. Per-document log-prob folds in token order so the
+    * double sum replays bit-identically in the oracle. */
+  private[graft] def bigramPerplexity(dd: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val bc = bigramCounts(dd.filter(bucket <= "cb"))
+    val lc = bc.groupBy("w1").agg(sum("c").as("c1"))
+    // train vocabulary from the count table, not a second corpus
+    // pass: every token of a ≥2-token doc appears in some bigram
+    val vocab = bc.select(col("w1").as("tok"))
+      .union(bc.select(expr("substring(bigram, length(w1) + 2)").as("tok")))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val ev = dd.filter(bucket > "cb")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = ev.select(col("doc_id"), posexplode(expr(
+      """transform(sequence(1, size(t) - 1),
+         i -> struct(element_at(t, i) AS w1,
+           concat_ws(' ', element_at(t, i), element_at(t, i + 1))
+             AS bigram))""")).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"),
+        col("b.w1").as("w1"), col("b.bigram").as("bigram"))
+    bi.join(bc.select(col("bigram"), col("c")), Seq("bigram"), "left")
+      .join(lc, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab)) // one row
+      .withColumn("logp",
+        log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + col("v"))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("logp"))))
+        .as("ps"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"),
+        round(aggregate(col("ps"), lit(0.0),
+          (a, x) => a + x.getField("logp")) / size(col("ps")), 4)
+          .as("logprob"),
+        col("n_oov"))
+      .orderBy("doc_id")
+  }
 
   val oracles: Map[String, String] = Map(
     "t7_bm25" -> bm25Sql,
@@ -485,6 +550,45 @@ object TextOps {
        SELECT bigram, c, round(c::double / c1::double, 6) AS p
        FROM bc JOIN lc USING (w1)
        ORDER BY c DESC, bigram LIMIT 50""",
+    // t13: the t12 count CTEs restricted to the md5 train split; maps
+    // replay the two left joins, the per-doc fold runs in token order
+    // (list_sum over an ordered comprehension — the t8 pattern) so the
+    // double sum is bit-identical; vocabulary = distinct w1 ∪ w2 of
+    // the count table, same derivation as the Spark side
+    "t13_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         tr AS (SELECT toks FROM d
+           WHERE substr(md5(doc_id::varchar), 1, 2) <= 'cb'
+             AND len(toks) >= 2),
+         bi AS (SELECT unnest(
+             [{'w1': toks[i],
+               'bg': array_to_string(list_slice(toks, i, i + 1), ' ')}
+              for i in range(1, len(toks))]) AS b
+           FROM tr),
+         bc AS (SELECT b.w1 AS w1, b.bg AS bg, count(*)::double AS c
+                FROM bi GROUP BY 1, 2),
+         lc AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY w1),
+         vv AS (SELECT count(DISTINCT tok)::double AS v FROM (
+             SELECT w1 AS tok FROM bc
+             UNION ALL SELECT substr(bg, len(w1) + 2) AS tok FROM bc)),
+         mc AS (SELECT map(list(bg), list(c)) AS m FROM bc),
+         ml AS (SELECT map(list(w1), list(c1)) AS m FROM lc)
+       SELECT doc_id,
+         round(list_sum(
+             [ln((coalesce(map_extract(mc.m,
+                 array_to_string(list_slice(toks, i, i + 1), ' '))[1], 0)
+                   + 1)
+               / (coalesce(map_extract(ml.m, toks[i])[1], 0) + vv.v))
+              for i in range(1, len(toks))]) / (len(toks) - 1), 4)
+           AS logprob,
+         len([i for i in range(1, len(toks))
+              if map_extract(mc.m, array_to_string(
+                   list_slice(toks, i, i + 1), ' '))[1] IS NULL])::bigint
+           AS n_oov
+       FROM d, mc, ml, vv
+       WHERE substr(md5(doc_id::varchar), 1, 2) > 'cb' AND len(toks) >= 2
+       ORDER BY doc_id""",
     // t11: same md5-prefix bucket formula ('0x'||hex cast replays
     // conv(...,16,10)); the count vector rebuilt per bucket index
     "t11_hashed_features" ->

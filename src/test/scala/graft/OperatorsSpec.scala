@@ -21,7 +21,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("v3/v4/v6 driver queries self-assert recall_ok for all 5 queries") {
-    for (name <- Seq("v3_ann_lsh", "v4_ann_ivf", "v6_ann_sq8")) {
+    for (name <- Seq("v3_ann_lsh", "v4_ann_ivf", "v6_ann_sq8", "v9_ann_pq")) {
       val rows = operators.Similarity.queries(name)(spark, sf).collect()
       assert(rows.map(_.getLong(0)).toSeq == (0L to 4L),
         s"$name query_ids wrong: ${rows.mkString(",")}")
@@ -78,6 +78,72 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (sq8 & brute).size.toDouble / brute.size
     assert(recall >= 0.95, s"SQ8 recall $recall below near-exact bound")
+  }
+
+  test("t13 perplexity: held-out only, smoothing engaged, finite scores") {
+    val out = operators.TextOps.queries("t13_perplexity")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // only held-out docs are scored (train split excluded)
+    val trainIds = Tables.load(spark, sf, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "cb")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !trainIds.contains(r.getLong(0))),
+      "a train-split doc was scored")
+    assert(out.forall(r => !r.getDouble(1).isNaN &&
+      !r.getDouble(1).isInfinite && r.getDouble(1) < 0))
+  }
+
+  test("t13 perplexity: add-1 smoothing matches hand computation on OOV") {
+    import spark.implicits._
+    // md5 split: ids 1,2 → train; 0 → eval (verified constants).
+    // Train corpus: "a b" ×2 and "a c" → c(a b)=2, c(a c)=1, c1(a)=3,
+    // vocab {a,b,c} V=3. Eval doc 0 = "a b x": bigram "a b" seen
+    // (ln(3/6)), "b x" fully unseen (ln(1/3)) → one OOV.
+    val dd = Seq((1L, "a b"), (2L, "a b"), (4L, "a c"), (0L, "a b x"))
+      .toDF("doc_id", "text")
+    val r = operators.TextOps.bigramPerplexity(dd).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 0L)
+    val expected = (math.log(3.0 / 6.0) + math.log(1.0 / 3.0)) / 2.0
+    assert(math.abs(r.head.getDouble(1) -
+      BigDecimal(expected).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    assert(r.head.getLong(2) == 1L, "exactly one OOV bigram expected")
+  }
+
+  test("PQ kernels: encode picks the nearest codeword, ADC replays the LUT sum") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.{PqAdc, PqEncode}
+    // 2 subspaces × 2 codewords of 2 dims (subspace-major layout)
+    val books = Array(
+      Array(1.0f, 0.0f), Array(0.0f, 1.0f),   // subspace 0
+      Array(-1.0f, 0.0f), Array(5.0f, 5.0f))  // subspace 1
+    val cn2 = books.map(c => c.map(x => x.toDouble * x.toDouble).sum)
+    def enc(v: Array[Float]): Seq[Byte] =
+      PqEncode.compute(new GenericArrayData(v.map(_.asInstanceOf[Any])),
+        books, cn2, 2, 2).toSeq
+    // (0.9, 0.1) nearest (1,0) → code 0; (4, 4) nearest (5,5) → code 1
+    assert(enc(Array(0.9f, 0.1f, 4f, 4f)) == Seq[Byte](0, 1))
+    // (0.1, 0.9) → code 1; (-2, 0) → code 0
+    assert(enc(Array(0.1f, 0.9f, -2f, 0f)) == Seq[Byte](1, 0))
+    // equidistant ties go to the lowest code
+    assert(enc(Array(0.5f, 0.5f, 0f, 0f)).head == 0.toByte)
+    // ADC: scores = Σ_m lut(m·K + code_m) per query table
+    val luts = Array(Array(10f, 20f, 30f, 40f), Array(1f, 2f, 3f, 4f))
+    val adc = PqAdc.compute(Array[Byte](0, 1), luts, 2)
+    assert(adc.getDouble(0) == 10.0 + 40.0 && adc.getDouble(1) == 1.0 + 4.0)
+  }
+
+  test("PQ ANN raw surface clears its recall bound with margin") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = operators.Pq.adcTopK(e, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.nonEmpty)
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ mean recall $recall too low") // bound 0.4 published
   }
 
   test("SQ8 property: per-component error bounded, dots consistent") {

@@ -264,7 +264,8 @@ object ArrayOps {
     // to an array in two fragments (base corpus, then the doc_id>=400
     // increment); the increment alone streams back through the WINDOW
     // read, and Dedup.incrementalDedup reports each increment doc's
-    // earliest fingerprint twin (base scanned once behind a broadcast
+    // fingerprint twin — base twin if history holds one, else the
+    // earliest increment twin (base scanned once behind a broadcast
     // fingerprint semi-filter — it never re-shuffles wholesale). This
     // synthetic corpus has all-distinct fingerprints at oracle scale,
     // so the oracle proves the all-unique answer (is_dup = false

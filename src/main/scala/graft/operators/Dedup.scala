@@ -130,12 +130,18 @@ object Dedup {
       inc: DataFrame): DataFrame = {
     val incFps = inc.select("fp").distinct()
     val hit = base.join(broadcast(incFps), Seq("fp"), "left_semi")
-    val firsts = hit.select("doc_id", "fp")
-      .unionByName(inc.select("doc_id", "fp"))
-      .groupBy("fp").agg(min("doc_id").as("dup_of"))
-    inc.select("doc_id", "fp").join(firsts, Seq("fp"))
-      .select(col("doc_id"), col("dup_of"),
-        (col("doc_id") =!= col("dup_of")).as("is_dup"))
+    // history takes precedence regardless of id ordering: a base twin
+    // makes the increment row a dup even when the base doc_id is the
+    // LARGER one (min over the union would silently keep both copies);
+    // increment-only fingerprints dedupe against their own earliest row
+    val baseFirst = hit.groupBy("fp").agg(min("doc_id").as("base_of"))
+    val incFirst = inc.groupBy("fp").agg(min("doc_id").as("inc_first"))
+    val canon = coalesce(col("base_of"), col("inc_first"))
+    inc.select("doc_id", "fp")
+      .join(baseFirst, Seq("fp"), "left")
+      .join(incFirst, Seq("fp"))
+      .select(col("doc_id"), canon.as("dup_of"),
+        (col("doc_id") =!= canon).as("is_dup"))
       .orderBy("doc_id")
   }
 

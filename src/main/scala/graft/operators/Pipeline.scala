@@ -176,7 +176,10 @@ object Pipeline {
         .select(col("source"), col("n_tokens"), col("weight"),
           col("target_tokens"),
           round(least(lit(1.0), col("ratio")), 6).as("rate"),
-          round(least(lit(3.0), col("ratio")), 6).as("epochs"))
+          // passes over the source: 1 when undersampling (rate < 1
+          // does the thinning), up to 3 when the target exceeds it
+          round(greatest(lit(1.0), least(lit(3.0), col("ratio"))), 6)
+            .as("epochs"))
         .orderBy("source")
     }),
 
@@ -437,8 +440,8 @@ object Pipeline {
          round(100000.0 * weight / wsum, 0)::bigint AS target_tokens,
          round(least(1.0,
            round(100000.0 * weight / wsum, 0) / n_tokens), 6) AS rate,
-         round(least(3.0,
-           round(100000.0 * weight / wsum, 0) / n_tokens), 6) AS epochs
+         round(greatest(1.0, least(3.0,
+           round(100000.0 * weight / wsum, 0) / n_tokens)), 6) AS epochs
        FROM per, tot ORDER BY source""",
     // x10: the window replay of the bounded-heap rank — fixed-length
     // lowercase hex substring, so string order == the Spark side's

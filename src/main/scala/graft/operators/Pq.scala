@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.cosine
 import graft.functions.expressions.{PqKernels, TopK}
 
 /** Product quantization for ANN — the memory-compression scale path
@@ -133,14 +132,9 @@ object Pq {
       // zero-norm rows score 0, never NaN-greatest into the top-k
       .withColumn("cos",
         when(col("vn") > 0, col("adc") / col("vn")).otherwise(lit(0.0)))
-    val cands = Similarity.topkSelect(scored, k * oversample)
-      .select("query_id", "vec_id")
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val rerank = cands
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-    Similarity.topkSelect(rerank, k)
+    Similarity.rerankExact(
+      Similarity.topkSelect(scored, k * oversample)
+        .select("query_id", "vec_id"),
+      e, k)
   }
 }

@@ -123,6 +123,22 @@ object Similarity {
     Array.tabulate(AnnTables * AnnBits, Dim)((p, dd) =>
       graft.functions.VectorFunctions.planeCoef(1000 + p, dd).toFloat)
 
+  /** Exact-cosine rerank of a (query_id, vec_id) candidate table
+    * against the float corpus — the shared tail of every
+    * oversample+rerank ANN path (LSH, SQ8, PQ): join candidates to
+    * their float vectors, broadcast the 5 fixed query vectors, score,
+    * bounded-heap top-k. */
+  private[operators] def rerankExact(cands: DataFrame, e: DataFrame,
+      k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = cands
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    topkSelect(scored, k)
+  }
+
   /** Exact brute-force top-k for the 5 fixed query vectors — the v2
     * surface and the recall baseline for v3/v4. */
   private def bruteTopK(e: DataFrame): DataFrame = {
@@ -150,13 +166,7 @@ object Similarity {
       .join(broadcast(qB), Seq("band"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = cand
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-    topkSelect(scored, k)
+    rerankExact(cand, e, k)
   }
 
   /** IVF top-k for the 5 fixed query vectors (nprobe=2 of 16 lists). */
@@ -194,12 +204,8 @@ object Similarity {
       .withColumn("cos", when(col("qn8") > 0 && col("qvn") > 0,
         Kernels.dotFB(col("qv"), col("q8")) / (col("qvn") * col("qn8")))
         .otherwise(lit(0.0)))
-    val cands = topkSelect(approx, k * 4).select("query_id", "vec_id")
-    val scored = cands
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-    topkSelect(scored, k)
+    rerankExact(topkSelect(approx, k * 4).select("query_id", "vec_id"),
+      e, k)
   }
 
   /** Self-asserting recall check (verdict r4 #6): per query, the

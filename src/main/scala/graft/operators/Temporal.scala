@@ -41,20 +41,23 @@ object Temporal {
     *
     * Shape: tag both sides, union, one window over (keys) ordered by
     * (ts, side) with rights sorting before lefts at equal ts (≤
-    * semantics), `last(..., ignoreNulls)` carries the most recent
-    * right values forward, then keep only left rows. */
+    * semantics), `last(struct, ignoreNulls)` carries the most recent
+    * right ROW forward as one struct — never per-column, so a NULL in
+    * a carried right column stays the matched row's NULL instead of
+    * resurrecting an older row's value — then keep only left rows. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
       toleranceMicros: Option[Long] = None): DataFrame = {
     val carry = (rightCols :+ rightTs).distinct
-    val lu = carry.foldLeft(
-      left.withColumn("_graft_ats", col(leftTs))
-        .withColumn("_graft_side", lit(1)))((df, c) =>
-      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType)))
-    val ru0 = carry.foldLeft(
-      right.withColumn("_graft_ats", col(rightTs))
-        .withColumn("_graft_side", lit(0)))((df, c) =>
-      df.withColumn(s"asof_$c", col(c)))
+    val carryType = org.apache.spark.sql.types.StructType(
+      carry.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    val lu = left.withColumn("_graft_ats", col(leftTs))
+      .withColumn("_graft_side", lit(1))
+      .withColumn("_graft_asof", lit(null).cast(carryType))
+    val ru0 = right.withColumn("_graft_ats", col(rightTs))
+      .withColumn("_graft_side", lit(0))
+      .withColumn("_graft_asof", struct(carry.map(col): _*))
     // align the right frame to the union schema: left-only columns
     // ride as nulls (they are never read on side-0 rows)
     val ru = ru0.select(lu.columns.map { c =>
@@ -64,17 +67,19 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_graft_ats").asc, col("_graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = carry.foldLeft(lu.unionByName(ru))((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true)
-        .over(w)))
+    // the struct is null exactly on left rows, so ignoreNulls skips to
+    // the most recent RIGHT row — whole-row atomically
+    val filled = lu.unionByName(ru)
+      .withColumn("_graft_asof",
+        last(col("_graft_asof"), ignoreNulls = true).over(w))
     val lefts = filled.filter(col("_graft_side") === 1)
-    val bounded = toleranceMicros.fold(lefts) { tol =>
-      val ok = col(s"asof_$rightTs").isNotNull &&
-        col("_graft_ats") - col(s"asof_$rightTs") <= tol
-      carry.foldLeft(lefts)((df, c) =>
-        df.withColumn(s"asof_$c", when(ok, col(s"asof_$c"))))
+    val ok = toleranceMicros.fold(lit(true)) { tol =>
+      col(s"_graft_asof.$rightTs").isNotNull &&
+        col("_graft_ats") - col(s"_graft_asof.$rightTs") <= tol
     }
-    bounded.drop("_graft_ats", "_graft_side")
+    carry.foldLeft(lefts)((df, c) =>
+        df.withColumn(s"asof_$c", when(ok, col(s"_graft_asof.$c"))))
+      .drop("_graft_ats", "_graft_side", "_graft_asof")
   }
 
   /** Range (interval-containment) join: left rows whose `leftPoint`

@@ -329,14 +329,20 @@ object TextOps {
     * the raw scan and the corpus is exploded + aggregated once per
     * consumer (plan-audited); the table is vocabulary²-bounded, never
     * corpus-sized. */
+  /** Array of (w1, bigram) structs over a token-array column named
+    * `t` — the ONE definition of bigram construction, shared by
+    * t12 training and t13 scoring so their join keys can never
+    * desynchronize. */
+  private val bigramStructs =
+    """transform(sequence(1, size(t) - 1),
+       i -> struct(element_at(t, i) AS w1,
+         concat_ws(' ', element_at(t, i), element_at(t, i + 1))
+           AS bigram))"""
+
   private[graft] def bigramCounts(dd: DataFrame): DataFrame = {
     val t = dd.select(tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-    val bi = t.select(explode(expr(
-      """transform(sequence(1, size(t) - 1),
-         i -> struct(element_at(t, i) AS w1,
-           concat_ws(' ', element_at(t, i), element_at(t, i + 1))
-             AS bigram))""")).as("b"))
+    val bi = t.select(explode(expr(bigramStructs)).as("b"))
       .select(col("b.w1").as("w1"), col("b.bigram").as("bigram"))
     bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -385,11 +391,8 @@ object TextOps {
     val ev = dd.filter(bucket > "cb")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-    val bi = ev.select(col("doc_id"), posexplode(expr(
-      """transform(sequence(1, size(t) - 1),
-         i -> struct(element_at(t, i) AS w1,
-           concat_ws(' ', element_at(t, i), element_at(t, i + 1))
-             AS bigram))""")).as(Seq("pos", "b")))
+    val bi = ev.select(col("doc_id"),
+      posexplode(expr(bigramStructs)).as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"),
         col("b.w1").as("w1"), col("b.bigram").as("bigram"))
     bi.join(bc.select(col("bigram"), col("c")), Seq("bigram"), "left")

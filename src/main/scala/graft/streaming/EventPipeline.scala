@@ -134,10 +134,12 @@ object EventPipeline {
     * `graft.streaming.statePartitions`. The session conf is restored
     * after the query (runners here are synchronous
     * start → processAllAvailable → stop). */
-  private def withStatePartitions[T](spark: SparkSession, estRows: Long)(
+  private def withStatePartitions[T](spark: SparkSession, estRows: => Long)(
       body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
+    // estRows is by-name: when the override conf is set the estimate
+    // job never runs at all
     val n = spark.conf.getOption("graft.streaming.statePartitions")
       .map(_.toInt)
       .getOrElse(math.max(1L, math.min(estRows / 65536 + 1, 4096L)).toInt)
@@ -145,7 +147,8 @@ object EventPipeline {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Parquet footer row count — a metadata-only job, no data scan. */
+  /** Parquet row count — a zero-column scan answered from footer row
+    * counts (one cheap job, no column data read). */
   private def parquetRows(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 

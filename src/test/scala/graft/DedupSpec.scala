@@ -121,16 +121,20 @@ class DedupSpec extends SparkSpec {
 
   test("incremental dedup flags base twins and intra-increment dups") {
     import spark.implicits._
-    // base: docs 0-2; increment: 10 dups doc 1's fp, 11/12 share a NEW
-    // fp (intra-increment dup), 13 is unique
-    val base = Seq((0L, "fa"), (1L, "fb"), (2L, "fc")).toDF("doc_id", "fp")
-    val inc = Seq((10L, "fb"), (11L, "fx"), (12L, "fx"), (13L, "fy"))
+    // base: docs 0-2 plus 100 (id ABOVE the increment range);
+    // increment: 10 dups doc 1's fp, 11/12 share a NEW fp
+    // (intra-increment dup), 13 is unique, 14 dups base doc 100's fp —
+    // history must win even when the base twin's id is larger
+    val base = Seq((0L, "fa"), (1L, "fb"), (2L, "fc"), (100L, "fz"))
       .toDF("doc_id", "fp")
+    val inc = Seq((10L, "fb"), (11L, "fx"), (12L, "fx"), (13L, "fy"),
+      (14L, "fz")).toDF("doc_id", "fp")
     val out = Dedup.incrementalDedup(base, inc)
     val got = out.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(got == Seq((10L, 1L, true), (11L, 11L, false),
-      (12L, 11L, true), (13L, 13L, false)), got.toString)
+      (12L, 11L, true), (13L, 13L, false), (14L, 100L, true)),
+      got.toString)
     // the base side goes through a broadcast fingerprint semi-filter —
     // it must never shuffle wholesale for a small increment
     val plan = out.queryExecution.executedPlan.toString.linesIterator

@@ -29,6 +29,19 @@ class TemporalSpec extends SparkSpec {
       (103L, None, None)))
   }
 
+  test("asofJoin carries the matched row atomically when it has NULLs") {
+    // the matched right row (rts=20) has rv=null; a per-column carry
+    // would resurrect rv=5.0 from the OLDER rts=10 row — a (ts, value)
+    // tuple that never existed
+    val left = Seq((1L, 25L, 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, Some(5.0)), (1L, 20L, None))
+      .toDF("k", "rts", "rv")
+    val r = Temporal.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("rv")).select("asof_rts", "asof_rv").collect().head
+    assert(r.getLong(0) == 20L, "must match the rts=20 row")
+    assert(r.isNullAt(1), "rv must stay the matched row's NULL")
+  }
+
   test("asofJoin tolerance nulls out stale matches") {
     val left = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("k", "ts", "lid")
     val right = Seq((1L, 95L, 7.0)).toDF("k", "rts", "rv")

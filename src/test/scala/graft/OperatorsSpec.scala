@@ -133,6 +133,38 @@ class OperatorsSpec extends SparkSpec {
     assert(adc.getDouble(0) == 10.0 + 40.0 && adc.getDouble(1) == 1.0 + 4.0)
   }
 
+  test("PQ property: encode equals the naive per-subspace argmin") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.PqEncode
+    val m = 3; val k = 4; val subDim = 2
+    val f = Gen.chooseNum(-5.0f, 5.0f)
+    val vecGen = Gen.listOfN(m * subDim, f).map(_.toArray)
+    val booksGen = Gen.listOfN(m * k, Gen.listOfN(subDim, f).map(_.toArray))
+      .map(_.toArray)
+    val prop = Prop.forAll(vecGen, booksGen) { (v, books) =>
+      val cn2 = books.map(c => c.map(x => x.toDouble * x.toDouble).sum)
+      val got = PqEncode.compute(
+        new GenericArrayData(v.map(_.asInstanceOf[Any])), books, cn2, k,
+        subDim)
+      (0 until m).forall { mi =>
+        val dists = (0 until k).map { ki =>
+          val cw = books(mi * k + ki)
+          (0 until subDim).map { i =>
+            val d = v(mi * subDim + i).toDouble - cw(i).toDouble; d * d
+          }.sum
+        }
+        // ties to the lowest code; dist comparison via the ‖c‖²−2c·x
+        // rewrite must agree with the naive L2 argmin
+        val naive = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        val dGot = dists(got(mi) & 0xff)
+        math.abs(dGot - dists(naive)) < 1e-9
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("PQ ANN raw surface clears its recall bound with margin") {
     val e = Tables.load(spark, sf, "embeddings")
     val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)

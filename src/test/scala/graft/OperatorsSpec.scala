@@ -110,6 +110,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.head.getLong(2) == 1L, "exactly one OOV bigram expected")
   }
 
+  test("t12/t13 final plans never re-scan the corpus for the model side") {
+    // the bigram count table localCheckpoints: the training-corpus
+    // pass happens exactly once inside it, so t12's conditional-
+    // probability join must show ZERO parquet scans downstream and
+    // t13's plan exactly ONE (the eval-side scan) — a second scan
+    // means Catalyst re-derived the model subtree from the raw corpus
+    // (the regression fixed this round)
+    def finalScans(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      df.queryExecution.executedPlan.toString.linesIterator
+        .takeWhile(!_.contains("Initial Plan"))
+        .count(_.contains("FileScan parquet"))
+    }
+    assert(finalScans("t12_bigram_lm") == 0, "t12 re-scanned the corpus")
+    assert(finalScans("t13_perplexity") == 1, "t13 must scan eval side once")
+  }
+
   test("PQ kernels: encode picks the nearest codeword, ADC replays the LUT sum") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.functions.expressions.{PqAdc, PqEncode}

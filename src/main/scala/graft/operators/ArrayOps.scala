@@ -566,6 +566,36 @@ object ArrayOps {
         .orderBy("lang")
     }),
 
+    // JSON ingestion (source-format breadth next to arr9's CSV): the
+    // documents table round-trips through newline-delimited JSON with
+    // a NESTED meta struct, is flattened schema-on-read (explicit
+    // schema — no sampling pass at 100 TB), lands in an array, and
+    // aggregates off the array scan. The oracle recomputes straight
+    // from the source table, proving the ingest is lossless.
+    "arr27_json_ingest" -> ((s, d) => {
+      val jsonDir = freshUri("json").stripSuffix("/arr") + "/docs_json"
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          struct(col("lang"), col("source")).as("meta"), col("n_chars"))
+        .write.json(jsonDir)
+      val uri = freshUri("jsonarr")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("doc_id", LongType)),
+        Seq(AttributeSpec("lang", StringType),
+          AttributeSpec("source", StringType),
+          AttributeSpec("n_chars", LongType)))
+      GraftArray.create(s, uri, sch)
+      GraftArray.write(s, uri, s.read
+        .schema("doc_id BIGINT, meta STRUCT<lang: STRING, source: STRING>, n_chars BIGINT")
+        .json(jsonDir)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.source").as("source"), col("n_chars")))
+      s.read.format("graftarray").option("path", uri).load()
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("lang", "source")
+    }),
+
     // Multi-value attributes (reference cell_val_num>1 → ArrayType,
     // SURVEY §1.2): embeddings stored IN the array format, ANN top-k
     // served straight off the array scan.
@@ -947,6 +977,9 @@ object ArrayOps {
     "arr9_csv_ingest" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::bigint AS chars
          FROM documents GROUP BY lang ORDER BY lang""",
+    "arr27_json_ingest" ->
+      """SELECT lang, source, count(*) AS n, sum(n_chars)::bigint AS chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "arr10_embedding_store" ->
       """SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
          SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -86,6 +86,47 @@ object Kernels {
     * pass — the transform/filter HOF forms are O(dim·n) interpreted. */
   def bucketCounts(buckets: Column, dim: Int): Column =
     column(BucketCounts(expression(buckets), dim))
+
+  /** Strictly-sequential sum of one DOUBLE field over an array of
+    * structs (array order — callers sort_array first), replacing the
+    * interpreted `aggregate(ps, 0.0, (acc, x) -> acc + x.f)` fold in
+    * the per-doc log-prob scorers. Bit-identical to the fold; null
+    * fields contribute nothing (callers guarantee non-null). */
+  def structDoubleSum(arr: Column, fieldIdx: Int): Column =
+    column(StructDoubleSum(expression(arr), fieldIdx))
+}
+
+/** Ordered Σ struct.field(fieldIdx) over an array of structs — the
+  * codegen'd twin of the sequential double fold. */
+case class StructDoubleSum(child: Expression, fieldIdx: Int)
+  extends UnaryExpression {
+  @transient private lazy val numFields: Int =
+    child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].length
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    StructDoubleSum.compute(v.asInstanceOf[ArrayData], numFields, fieldIdx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nf = numFields
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.StructDoubleSum.compute($a, $nf, $fieldIdx);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object StructDoubleSum {
+  def compute(arr: ArrayData, numFields: Int, fieldIdx: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val st = arr.getStruct(i, numFields)
+      if (st != null && !st.isNullAt(fieldIdx)) acc += st.getDouble(fieldIdx)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Hashing-trick featurizer tail: fold an array of bucket ids into a

@@ -131,8 +131,8 @@ object TextOps {
         .agg(sort_array(collect_list(struct(col("pos"), col("logp"))))
           .as("ps"))
         .select(col("doc_id"), round(
-          aggregate(col("ps"), lit(0.0),
-            (acc, x) => acc + x.getField("logp")) / size(col("ps")),
+          graft.functions.expressions.Kernels.structDoubleSum(col("ps"), 1)
+            / size(col("ps")),
           4).as("logprob"))
         .orderBy("doc_id")
     }),
@@ -286,8 +286,8 @@ object TextOps {
         .as("ps"),
         sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), round(
-        aggregate(col("ps"), lit(0.0),
-          (acc, x) => acc + x.getField("logp")) / size(col("ps")),
+        graft.functions.expressions.Kernels.structDoubleSum(col("ps"), 1)
+          / size(col("ps")),
         4).as("logprob"), col("n_oov"))
   }
 
@@ -406,8 +406,8 @@ object TextOps {
         .as("ps"),
         sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"),
-        round(aggregate(col("ps"), lit(0.0),
-          (a, x) => a + x.getField("logp")) / size(col("ps")), 4)
+        round(graft.functions.expressions.Kernels
+          .structDoubleSum(col("ps"), 1) / size(col("ps")), 4)
           .as("logprob"),
         col("n_oov"))
       .orderBy("doc_id")

@@ -62,11 +62,11 @@ object TextFunctions {
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
 
-  /** Count of tokens that are stopwords. */
-  def stopwordCount(c: Column): Column = {
-    val toks = tokens(lower(c))
-    size(filter(toks, t => t.isInCollection(StopWords)))
-  }
+  /** Count of tokens that are stopwords (codegen'd hash-set probe —
+    * the interpreted `filter(isInCollection)` twin was the hot lambda
+    * on the t2/quality scan path). */
+  def stopwordCount(c: Column): Column =
+    expressions.Kernels.countInSet(tokens(lower(c)), StopWords)
 
   /** Heuristic document quality in [0,1]: length saturation +
     * stopword-rate band + punctuation sparsity. Mirrored 1:1 in the
@@ -87,26 +87,15 @@ object TextFunctions {
   def fingerprint(c: Column): Column = md5(normText(c))
 
   /** Count of the single most frequent bigram in a token array,
-    * computed ENTIRELY per row: build the bigram list, sort it, and
-    * fold for the longest run of equal adjacent elements — equal
-    * bigrams are adjacent once sorted, so the max run length IS the
-    * max frequency. No explode, no groupBy: the repetition filters
-    * built on this stay at scan speed at any corpus size. 0 for
-    * arrays with fewer than 2 tokens. */
-  def topBigramCount(toks: Column): Column = {
-    val bigrams = when(size(toks) >= 2,
-      sort_array(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
-      .otherwise(array().cast("array<string>"))
-    def runOf(acc: Column, x: Column) =
-      when(x === acc.getField("prev"), acc.getField("run") + 1L)
-        .otherwise(lit(1L))
-    aggregate(bigrams,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => struct(x.as("prev"), runOf(acc, x).as("run"),
-        greatest(acc.getField("best"), runOf(acc, x)).as("best")),
-      acc => acc.getField("best"))
-  }
+    * computed ENTIRELY per row (one codegen'd hash-count pass; the
+    * earlier declarative twin — sort_array + longest-equal-run fold —
+    * computed the same integer through an interpreted struct fold).
+    * No explode, no groupBy: the repetition filters built on this
+    * stay at scan speed at any corpus size. 0 for arrays with fewer
+    * than 2 tokens. Property-tested against a naive recount
+    * (PipelineSpec). */
+  def topBigramCount(toks: Column): Column =
+    expressions.Kernels.topBigramCount(toks)
 
   /** k-token shingles ("n-grams of tokens"), distinct, space-joined.
     * Empty array when the document has fewer than k tokens. Native

@@ -94,6 +94,90 @@ object Kernels {
     * fields contribute nothing (callers guarantee non-null). */
   def structDoubleSum(arr: Column, fieldIdx: Int): Column =
     column(StructDoubleSum(expression(arr), fieldIdx))
+
+  /** |{t ∈ tokens : t ∈ words}| — the codegen'd twin of
+    * `size(filter(toks, isInCollection(words)))` (hash-set probe per
+    * token instead of an interpreted lambda × |words| comparisons).
+    * Counts OCCURRENCES, not distinct members, like the filter form. */
+  def countInSet(tokens: Column, words: Seq[String]): Column =
+    column(CountInSet(expression(tokens), words.toArray))
+
+  /** Count of the single most frequent adjacent bigram (space-joined)
+    * of a token array, 0 below 2 tokens — the codegen'd twin of the
+    * sort_array + longest-equal-run fold (identical integer result;
+    * one hash-count pass instead of an interpreted struct fold over a
+    * sorted copy). */
+  def topBigramCount(tokens: Column): Column =
+    column(TopBigramCountExpr(expression(tokens)))
+}
+
+/** Occurrence count of set members in a token array. */
+case class CountInSet(child: Expression, words: Array[String])
+  extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    CountInSet.compute(v.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("set", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.CountInSet.compute($a, $sRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CountInSet {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(arr: ArrayData,
+      set: java.util.HashSet[UTF8String]): Int = {
+    var n = 0
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+/** Max adjacent-bigram frequency of a token array (one hash-count
+  * pass). */
+case class TopBigramCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TopBigramCountExpr.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.TopBigramCountExpr.compute($a);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TopBigramCountExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n < 2) return 0L
+    val sep = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, Long](n * 2)
+    var best = 0L
+    var i = 0
+    while (i < n - 1) {
+      val bg = UTF8String.concat(arr.getUTF8String(i), sep,
+        arr.getUTF8String(i + 1))
+      val c = counts.merge(bg, 1L, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
 }
 
 /** Ordered Σ struct.field(fieldIdx) over an array of structs — the

@@ -39,7 +39,7 @@ object TextOps {
     "t3_langid" -> ((s, d) => {
       val toks = tokens(lower(col("text")))
       def score(ws: Seq[String]) =
-        size(filter(toks, t => t.isInCollection(ws))).cast("int")
+        graft.functions.expressions.Kernels.countInSet(toks, ws)
       val sEn = score(Seq("the", "and", "of", "is"))
       val sEs = score(Seq("el", "la", "los", "de"))
       val sDe = score(Seq("der", "und", "die", "das"))
@@ -84,8 +84,8 @@ object TextOps {
       val dd = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("dl", size(col("toks")).cast("double"))
       val withTf = terms.foldLeft(dd)((acc, t) =>
-        acc.withColumn(s"tf_$t",
-          size(filter(col("toks"), x => x === t)).cast("double")))
+        acc.withColumn(s"tf_$t", graft.functions.expressions.Kernels
+          .countInSet(col("toks"), Seq(t)).cast("double")))
       val aggCols = count(lit(1)).cast("double").as("n") +:
         avg(col("dl")).as("avgdl") +:
         terms.map(t => sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0))

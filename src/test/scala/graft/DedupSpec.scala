@@ -119,6 +119,26 @@ class DedupSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("d7 containment surfaces subset-dups that symmetric Jaccard misses") {
+    // a 12-token excerpt verbatim inside a 200-token host document:
+    // containment(excerpt in host) = 1.0, Jaccard ≈ 8/189 ≪ 0.5
+    val host = (1 to 200).map(i => s"h$i").mkString(" ")
+    val excerpt = (50 to 61).map(i => s"h$i").mkString(" ")
+    val df = Seq(
+      (1L, host), (2L, excerpt),
+      (3L, "completely unrelated filler text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, 0.8, None).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 1L)), s"got ${cont.mkString(",")}")
+    val c = cont.head
+    assert(c.getDouble(3) == 1.0)
+    // the symmetric-Jaccard operator at its 0.5 threshold sees nothing
+    assert(Dedup.jaccardPairsOn(df, 0.5, None).count() == 0)
+    // direction matters: the host is NOT contained in the excerpt
+    assert(!cont.exists(r => r.getLong(0) == 1L))
+  }
+
   test("incremental dedup flags base twins and intra-increment dups") {
     import spark.implicits._
     // base: docs 0-2 plus 100 (id ABOVE the increment range);

@@ -223,8 +223,86 @@ object Pipeline {
         .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
           col("t.id").as("doc_id"))
         .orderBy("source", "rk")
-    })
+    }),
+
+    // Contaminated-span REMOVAL — the surgery step after x6's flag:
+    // instead of dropping a contaminated document wholesale, cut the
+    // contaminated windows (each eval-matching 5-gram ± a 2-token
+    // margin, overlaps merged) and keep the clean segments as training
+    // text (the GPT-3-appendix-C-style treatment). Positions are
+    // integers end to end, so the oracle replays exactly. Scale shape:
+    // the eval shingle set broadcasts (eval suites are tiny by
+    // nature), hit detection is a broadcast semi-join on the positional
+    // shingle explode, and interval-merge/segment windows partition by
+    // doc_id — per-document state only, no corpus-wide window. Output
+    // is one row per KEPT segment; a fully contaminated doc emits
+    // nothing, an untouched doc emits one whole-doc segment.
+    "x11_decontam_clean" -> ((s, d) => decontamClean(docs(s, d)))
   )
+
+  /** x11's body over an arbitrary (doc_id, text) frame — eval set =
+    * doc_id < 20, corpus = the rest (the x6 convention). See the query
+    * comment for the design. */
+  private[graft] def decontamClean(docsDf: DataFrame): DataFrame = {
+    {
+      val base = docsDf
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+      def posShingles(df: DataFrame) = df.filter(col("n") >= 5)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1L), col("n") - 4), i =>
+            struct(i.as("pos"),
+              array_join(slice(col("toks"), i, lit(5)), " ").as("s"))))
+            .as("u"))
+        .select(col("doc_id"), col("u.pos").as("pos"), col("u.s").as("s"))
+      val ev = posShingles(base.filter(col("doc_id") < 20))
+        .select("s").distinct()
+      val corpus = base.filter(col("doc_id") >= 20)
+      val iv = posShingles(corpus)
+        .join(broadcast(ev), Seq("s"), "left_semi")
+        .join(corpus.select("doc_id", "n"), "doc_id")
+        .select(col("doc_id"),
+          greatest(lit(1L), col("pos") - 2).as("lo"),
+          least(col("n") + 1, col("pos") + 7).as("hi"))
+      val wOrd = Window.partitionBy("doc_id").orderBy("lo", "hi")
+      val merged = iv
+        .withColumn("pmax", max(col("hi"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nf",
+          when(col("pmax").isNull || col("lo") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("nf"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min("lo").as("lo_m"), max("hi").as("hi_m"))
+      val wM = Window.partitionBy("doc_id").orderBy("lo_m")
+      val gaps = merged
+        .withColumn("seg_lo",
+          coalesce(lag(col("hi_m"), 1).over(wM), lit(1L)))
+        .select(col("doc_id"), col("seg_lo"), col("lo_m").as("seg_hi"))
+      val tails = merged.groupBy("doc_id").agg(max("hi_m").as("seg_lo"))
+        .join(corpus.select("doc_id", "n"), "doc_id")
+        .select(col("doc_id"), col("seg_lo"), (col("n") + 1).as("seg_hi"))
+      val untouched = corpus
+        .join(merged.select("doc_id").distinct(), Seq("doc_id"),
+          "left_anti")
+        .select(col("doc_id"), lit(1L).as("seg_lo"),
+          (col("n") + 1).as("seg_hi"))
+      gaps.unionByName(tails).unionByName(untouched)
+        .filter(col("seg_hi") > col("seg_lo"))
+        .join(base.select("doc_id", "toks"), "doc_id")
+        .withColumn("seg_idx", row_number()
+          .over(Window.partitionBy("doc_id").orderBy("seg_lo"))
+          .cast("long"))
+        .select(col("doc_id"), col("seg_idx"),
+          col("seg_lo").as("seg_start"),
+          (col("seg_hi") - col("seg_lo")).as("seg_tokens"),
+          array_join(slice(col("toks"), col("seg_lo").cast("int"),
+            (col("seg_hi") - col("seg_lo")).cast("int")), " ")
+            .as("seg_text"))
+        .orderBy("doc_id", "seg_idx")
+    }
+  }
 
   /** The x8 composition over an arbitrary documents frame (doc_id,
     * text): exact dedup keeps the lowest doc_id per fingerprint, the
@@ -453,6 +531,65 @@ object Pipeline {
              ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13),
                       doc_id) AS rk
          FROM documents)
-       WHERE rk <= 10 ORDER BY source, rk"""
+       WHERE rk <= 10 ORDER BY source, rk""",
+    // x11: identical integer pipeline — positional 5-gram hits vs the
+    // eval shingle set, ±2-token margin, gaps-and-islands merge, kept
+    // segments; window sums cast ::bigint (DuckDB returns HUGEINT)
+    "x11_decontam_clean" ->
+      """WITH b AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks,
+             len(string_split_regex(trim(text), '\s+'))::bigint AS n
+           FROM documents),
+         ev AS (SELECT DISTINCT
+             unnest([array_to_string(list_slice(toks, i, i + 4), ' ')
+                     for i in range(1, len(toks) - 3)]) AS s
+           FROM b WHERE doc_id < 20 AND n >= 5),
+         hs AS (SELECT doc_id,
+             unnest([{'pos': i,
+               's': array_to_string(list_slice(toks, i, i + 4), ' ')}
+              for i in range(1, len(toks) - 3)]) AS u
+           FROM b WHERE doc_id >= 20 AND n >= 5),
+         iv AS (SELECT h.doc_id,
+             greatest(1, (h.u).pos - 2)::bigint AS lo,
+             least(b.n + 1, (h.u).pos + 7)::bigint AS hi
+           FROM hs h JOIN b USING (doc_id)
+           WHERE (h.u).s IN (SELECT s FROM ev)),
+         i1 AS (SELECT doc_id, lo, hi,
+             max(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         i2 AS (SELECT doc_id, lo, hi,
+             sum(CASE WHEN pmax IS NULL OR lo > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY lo, hi
+                 ROWS UNBOUNDED PRECEDING)::bigint AS island
+           FROM i1),
+         merged AS (SELECT doc_id, island,
+             min(lo) AS lo_m, max(hi) AS hi_m
+           FROM i2 GROUP BY 1, 2),
+         gaps AS (SELECT doc_id,
+             coalesce(lag(hi_m) OVER (PARTITION BY doc_id ORDER BY lo_m),
+               1)::bigint AS seg_lo,
+             lo_m AS seg_hi
+           FROM merged),
+         tails AS (SELECT m.doc_id,
+             max(m.hi_m)::bigint AS seg_lo,
+             (any_value(b.n) + 1)::bigint AS seg_hi
+           FROM merged m JOIN b USING (doc_id) GROUP BY m.doc_id),
+         untouched AS (SELECT doc_id, 1::bigint AS seg_lo,
+             (n + 1)::bigint AS seg_hi
+           FROM b WHERE doc_id >= 20
+             AND doc_id NOT IN (SELECT doc_id FROM merged)),
+         segs AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails
+           UNION ALL SELECT * FROM untouched)
+       SELECT s.doc_id,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY s.seg_lo)
+           ::bigint AS seg_idx,
+         s.seg_lo AS seg_start,
+         (s.seg_hi - s.seg_lo)::bigint AS seg_tokens,
+         array_to_string(list_slice(b.toks, s.seg_lo, s.seg_hi - 1), ' ')
+           AS seg_text
+       FROM segs s JOIN b USING (doc_id)
+       WHERE s.seg_hi > s.seg_lo
+       ORDER BY doc_id, seg_idx"""
   )
 }

@@ -115,6 +115,48 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x11 span removal cuts matched windows with margin, merges overlaps") {
+    import spark.implicits._
+    // eval doc 0 contributes shingles; corpus doc 100 contains one
+    // eval 5-gram at tokens 11..15 (1-based); doc 101 contains two
+    // overlapping hits; doc 102 is fully contaminated; doc 103 clean
+    val evalText = "alpha beta gamma delta epsilon zeta eta"
+    val hit = "alpha beta gamma delta epsilon" // 5-gram from eval
+    val pre = (1 to 10).map(i => s"p$i").mkString(" ")
+    val post = (1 to 10).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      (0L, evalText),
+      (100L, s"$pre $hit $post"),
+      // hits at pos 13 and 14 → intervals [11,20) and [12,21) merge
+      (101L, s"$pre alpha beta alpha beta gamma delta epsilon zeta $post"),
+      (102L, hit),
+      (103L, "nothing shared with the eval suite here at all")
+    ).toDF("doc_id", "text")
+    val out = operators.Pipeline.decontamClean(df).collect()
+      .groupBy(_.getLong(0))
+    // doc 100: 25 tokens, hit at pos 11 → removed [9, 18) → segments
+    // [1,9) and [18,26)
+    val s100 = out(100L).map(r =>
+      (r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(s100.toSeq == Seq(
+      (1L, 8L, (1 to 8).map(i => s"p$i").mkString(" ")),
+      (18L, 8L, (3 to 10).map(i => s"q$i").mkString(" "))),
+      s"got ${s100.mkString(";")}")
+    // doc 101: overlapping hits merge into ONE removed interval
+    // [11, 21) → segments [1,11) and [21,29)
+    val s101 = out(101L).map(r => (r.getLong(2), r.getLong(3)))
+    assert(s101.toSeq == Seq((1L, 10L), (21L, 8L)),
+      s"got ${s101.mkString(";")}")
+    // doc 102 (fully contaminated): no kept segments at all
+    assert(!out.contains(102L))
+    // doc 103 (clean): exactly one whole-doc segment
+    val s103 = out(103L)
+    assert(s103.length == 1 && s103.head.getLong(2) == 1L
+      && s103.head.getLong(3) == 9L)
+    // eval docs never appear in the output
+    assert(!out.contains(0L))
+  }
+
   test("t9 repetition metrics match a plain-Scala recompute") {
     val full = operators.TextOps.queries("t9_repetition")(spark, sf)
     // per-row operator: no aggregation/join exchange may appear — the

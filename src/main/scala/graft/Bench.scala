@@ -68,41 +68,69 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (if (name.startsWith("st")) 1 else 0, name)
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val results = ordered.map { case (name, fn) =>
       val session = if (isolate) root.newSession() else root
       quiesce(session)
       val gc0 = gcMillis
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(session, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+        val err = try { fn(session, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200)) }
+        (err, (System.nanoTime() - t0) / 1e9)
       }
       val gcMs = gcMillis - gc0
       // only successful runs count — a failed iteration must not
-      // masquerade as a fast one
-      val good = times.filter(_._1).map(_._2)
-      val sec = if (good.nonEmpty) good.min else times.map(_._2).max
-      (name, sec, gcMs)
+      // masquerade as a fast one. A query whose EVERY iteration failed
+      // gets no time at all: err is recorded, the time (which is
+      // time-to-crash, not query cost) is null and excluded from the
+      // total, so a crash can never read as a round-over-round speedup.
+      val good = times.collect { case (None, t) => t }
+      val sec: Option[Double] = if (good.nonEmpty) Some(good.min) else None
+      val err: Option[String] =
+        if (good.nonEmpty) None else times.last._1
+      (name, sec, gcMs, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val failed = results.filter(_._2.isEmpty)
+    val qs = results.map { case (k, v, _, _) =>
+      jstr(k) + ":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g, _) => jstr(k) + ":" + g }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g) => s"\"" + k + "\":" + g }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errs = results.map { case (k, _, _, e) =>
+      jstr(k) + ":" + e.map(jstr).getOrElse("null")
+    }.mkString("{", ",", "}")
+    // total covers successful queries only; n_failed makes a partial
+    // total impossible to mistake for a complete one
+    val total = results.flatMap(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""n_failed":${failed.size},"sf":"$sfDir"}"""
     println(line)
+    failed.foreach { case (k, _, _, e) =>
+      System.err.println(s"[bench] FAILED $k: ${e.getOrElse("?")}") }
     // stdout captures have truncated the single line mid-record in past
     // rounds; persist the complete per-query artifact alongside it
     // (with the GC attribution and methodology flags the driver's JSON
     // schema does not carry)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""gc_ms":$gcs,"isolate":$isolate,"order":"streaming-last",""" +
-        s""""sf":"$sfDir"}"""
+        s""""err":$errs,"n_failed":${failed.size},"gc_ms":$gcs,""" +
+        s""""isolate":$isolate,"order":"streaming-last","sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     root.stop()
+    // a bench run with any fully-failed query is itself a failure
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

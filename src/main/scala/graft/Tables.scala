@@ -11,20 +11,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it only as a
-    // nanos long (spark.sql.legacy.parquet.nanosAsLong). Normalize to
-    // TimestampType µs (floor toward -inf matches DuckDB ns→µs trunc
-    // for the positive epochs in the test data).
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Normalize whatever shape the driver generated `events.ts` in to a
+    * session-zoned TimestampType(µs) — the one shape every event-time
+    * query (batch windows, as-of/range joins, streaming watermarks)
+    * assumes. Input shapes seen across testdata generations:
+    *
+    *  - parquet TIMESTAMP(NANOS), read as a nanos LONG under
+    *    `spark.sql.legacy.parquet.nanosAsLong`;
+    *  - parquet timestamp[us] without UTC adjustment, read as
+    *    TIMESTAMP_NTZ (the current generation) — cast to TimestampType
+    *    is wall-clock-preserving under the UTC session, matching
+    *    DuckDB's naive-timestamp `epoch_us`;
+    *  - already TimestampType: untouched.
+    *
+    * Streaming readers route through here too (the cast is
+    * streaming-safe), so one data-shape drift can never again take out
+    * only half the event-time family. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         // integer DIV, not `/` — long/long promotes to double and the
         // 2024 ns epochs exceed double's 53-bit mantissa (off-by-1 µs).
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 

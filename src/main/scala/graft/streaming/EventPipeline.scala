@@ -162,7 +162,7 @@ object EventPipeline {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
       val q = windowedCounts(stream)
@@ -191,7 +191,7 @@ object EventPipeline {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val name = "graft_dedupb_" + java.util.UUID.randomUUID.toString.replace("-", "")
     withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
       val q = stream.select(col("user_id"), col("event_type"), col("ts"))
@@ -220,7 +220,7 @@ object EventPipeline {
     def events() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val clicks = events().filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id").as("c_user"), col("ts"))
       .withWatermark("ts", "1 hour")

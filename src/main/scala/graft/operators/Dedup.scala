@@ -253,8 +253,10 @@ object Dedup {
       und.count() / 500000L + 1L))
     val work = spark.newSession()
     work.conf.set("spark.sql.shuffle.partitions", sized.toString)
+    // checkpoint the REBOUND frame too: without it every fixpoint
+    // round re-runs the Row↔InternalRow conversion over the edge list
     val labels = connectedComponentsLoop(
-      work.createDataFrame(und.rdd, und.schema))
+      work.createDataFrame(und.rdd, und.schema).localCheckpoint())
     spark.createDataFrame(labels.localCheckpoint().rdd, labels.schema)
   }
 
@@ -374,13 +376,19 @@ object Dedup {
     * and spec-asserted to not fire on the test corpus. */
   private[graft] val HotBandCap = 1024L
 
-  /** Distinct-signature groups: one row per distinct simhash with the
-    * member doc ids. A hot cluster of m duplicate documents is ONE row
-    * in the band join (the round-4 quadratic-bucket hazard), and its
-    * m·(m−1)/2 output pairs are emitted directly — output-bound work,
-    * not join-bound. */
-  private[graft] def simhashGroups(sig: DataFrame): DataFrame =
-    sig.groupBy("sim").agg(collect_list(col("doc_id")).as("ids"))
+  /** Per-member group tagging: each `(doc_id, sim)` row gains `gid`,
+    * the smallest doc_id sharing its signature — the (gid, member)
+    * PAIR representation of identical-signature groups. A hot cluster
+    * of m duplicate documents is m fixed-width rows spread across
+    * partitions (the window's per-partition buffer spills to disk),
+    * never one array row holding the whole group — 10⁸ copies of a
+    * document must not build a single multi-GB `collect_list` row on
+    * one executor (round-7 verdict #1). The band join still sees one
+    * row per DISTINCT signature (the `gid == doc_id` representative),
+    * so the round-4 quadratic-bucket fix is unchanged. */
+  private[graft] def simhashMembers(sig: DataFrame): DataFrame =
+    sig.withColumn("gid", min(col("doc_id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("sim")))
 
   /** Drop band keys shared by more than `cap` rows from candidate
     * generation — the shared hot-band guard for every banded-LSH join
@@ -398,12 +406,13 @@ object Dedup {
     case None => bands
   }
 
-  /** 9-bit band keys over DISTINCT signatures, with hot bands (> cap
-    * distinct sigs) dropped from candidate generation (recall
+  /** 9-bit band keys over DISTINCT signatures (any frame with a `sim`
+    * column — callers pass the group representatives), with hot bands
+    * (> cap distinct sigs) dropped from candidate generation (recall
     * accounting at [[HotBandCap]]). */
-  private[graft] def simhashBandRows(groups: DataFrame,
+  private[graft] def simhashBandRows(reps: DataFrame,
       dfCap: Option[Long]): DataFrame = {
-    val bands0 = groups.select(col("sim"),
+    val bands0 = reps.select(col("sim"),
       explode(transform(sequence(lit(0), lit(6)), b =>
         concat_ws("_", b, call_function("shiftright", col("sim"), b * 9)
           .bitwiseAND(lit(0x1ffL))))).as("band"))
@@ -413,16 +422,21 @@ object Dedup {
   /** SimHash near-dup pairs (hamming ≤ 6) over `(doc_id, sim)`. */
   private[graft] def simhashPairs(sig: DataFrame,
       dfCap: Option[Long] = Some(HotBandCap)): DataFrame = {
-    // groups feed the band self-join (twice), the hot-band count and
-    // the two member expansions — materialize once; this also runs the
-    // tokenize+md5 signature pipeline exactly once
-    val groups = simhashGroups(sig).localCheckpoint()
-    val intra = groups.filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("i"), col("ids"))
-      .select(col("i"), explode(col("ids")).as("j"))
+    // members feed the intra self-join and the two cross expansions;
+    // materialize once — this also runs the tokenize+md5 signature
+    // pipeline exactly once. Rows are fixed-width (doc_id, sim, gid):
+    // no array row ever holds a whole identical-signature group.
+    val members = simhashMembers(sig).localCheckpoint()
+    // one representative row per distinct signature for the band join
+    // (a hot cluster of m duplicates still costs ONE band-join row)
+    val reps = members.filter(col("doc_id") === col("gid")).select("sim")
+    // intra-group pairs via self-join on gid — output-bound, and the
+    // join's per-key buffer spills instead of materializing the group
+    val intra = members.select(col("gid"), col("doc_id").as("i"))
+      .join(members.select(col("gid"), col("doc_id").as("j")), "gid")
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"), lit(0L).as("hamming"))
-    val bands = simhashBandRows(groups, dfCap)
+    val bands = simhashBandRows(reps, dfCap)
     val sigPairs = bands.as("a").join(bands.as("b"), "band")
       .filter(col("a.sim") < col("b.sim"))
       .select(col("a.sim").as("sa"), col("b.sim").as("sb"))
@@ -430,13 +444,15 @@ object Dedup {
       .withColumn("hamming",
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= 6)
-    // member expansion AFTER the hamming cut: only true signature
-    // pairs inflate to doc pairs (output-sized)
+    // member expansion AFTER the hamming cut, by joining the member
+    // table twice: only true signature pairs inflate to doc pairs
+    // (output-sized), and expansion streams instead of exploding a
+    // group-sized array
     val cross = sigPairs
-      .join(groups.select(col("sim").as("sa"), col("ids").as("ia")), "sa")
-      .join(groups.select(col("sim").as("sb"), col("ids").as("ib")), "sb")
-      .select(explode(col("ia")).as("x"), col("ib"), col("hamming"))
-      .select(col("x"), explode(col("ib")).as("y"), col("hamming"))
+      .join(members.select(col("sim").as("sa"), col("doc_id").as("x")),
+        "sa")
+      .join(members.select(col("sim").as("sb"), col("doc_id").as("y")),
+        "sb")
       .select(least(col("x"), col("y")).as("i"),
         greatest(col("x"), col("y")).as("j"), col("hamming"))
     intra.unionByName(cross).orderBy("i", "j")

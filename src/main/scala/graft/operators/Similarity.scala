@@ -62,34 +62,46 @@ object Similarity {
     * pair is lost only if every band it agrees on is that hot —
     * same accounting as d2/d4, spec-asserted inert on the corpus.
     * All candidates (intra- and cross-group) still verify with the
-    * exact cosine, so precision is unaffected. */
+    * exact cosine, so precision is unaffected.
+    *
+    * Group representation (round 8): (gid, member) PAIRS, tagged by a
+    * `min over (partition by sketch)` window — one fixed-width row per
+    * member, spill-safe at any group multiplicity. The former
+    * `collect_list` put an entire identical-sketch group into ONE
+    * array row: executor-OOM at adversarial duplicate counts
+    * (round-7 verdict #1). Intra pairs and member expansion are joins
+    * on the member table (output-bound, per-key buffers spill). */
   private[graft] def lshVerifiedPairs(e: DataFrame,
       dfCap: Option[Long] = Some(Dedup.HotBandCap)): DataFrame = {
-    // groups feed the band join (twice), the hot count and two member
+    // tagged rows feed the rep filter, intra self-join and two member
     // expansions; vecs feed the two verify joins — materialize each
     // once instead of re-reading embeddings and re-hashing planes
-    val groups = e.select(col("vec_id"),
+    val tagged = e.select(col("vec_id"),
       graft.functions.expressions.Kernels
         .lshBands(col("embedding"), ndPlanes, NdBits).as("bands"))
-      .groupBy("bands").agg(collect_list(col("vec_id")).as("ids"))
-      // scalar group key for the self-join ordering: member vec_ids
-      // are globally unique, so the min id identifies the group
-      .withColumn("gid", array_min(col("ids")))
+      // member vec_ids are globally unique, so the min id per distinct
+      // sketch identifies the group
+      .withColumn("gid", min(col("vec_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bands")))
       .localCheckpoint()
-    val intra = groups.filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("i"), col("ids"))
-      .select(col("i"), explode(col("ids")).as("j"))
+    val members = tagged.select("gid", "vec_id")
+    val intra = members.select(col("gid"), col("vec_id").as("i"))
+      .join(members.select(col("gid"), col("vec_id").as("j")), "gid")
       .filter(col("i") < col("j"))
+      .select("i", "j")
+    // one representative row per distinct sketch enters the band join
+    val reps = tagged.filter(col("vec_id") === col("gid"))
+      .select(col("gid"), col("bands"))
     val bandRows = Dedup.dropHotBands(
-      groups.select(col("gid"), explode(col("bands")).as("band")), dfCap)
+      reps.select(col("gid"), explode(col("bands")).as("band")), dfCap)
     val cross = bandRows.as("a").join(bandRows.as("b"), "band")
       .filter(col("a.gid") < col("b.gid"))
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
       .distinct()
-      .join(groups.select(col("gid").as("ga"), col("ids").as("ia")), "ga")
-      .join(groups.select(col("gid").as("gb"), col("ids").as("ib")), "gb")
-      .select(explode(col("ia")).as("x"), col("ib"))
-      .select(col("x"), explode(col("ib")).as("y"))
+      .join(members.select(col("gid").as("ga"), col("vec_id").as("x")),
+        "ga")
+      .join(members.select(col("gid").as("gb"), col("vec_id").as("y")),
+        "gb")
       .select(least(col("x"), col("y")).as("i"),
         greatest(col("x"), col("y")).as("j"))
     val cand = intra.unionByName(cross)

@@ -71,9 +71,10 @@ class DedupSpec extends SparkSpec {
     val sig = (dup ++ near).toDF("doc_id", "sim")
     // the band join input is DISTINCT signatures: 41 groups × 7 bands,
     // not 540 × 7 — the m-identical bucket costs ONE join row
-    val groups = Dedup.simhashGroups(sig)
-    assert(groups.count() == 41)
-    assert(Dedup.simhashBandRows(groups, Some(Dedup.HotBandCap)).count()
+    val members = Dedup.simhashMembers(sig)
+    val reps = members.filter(col("doc_id") === col("gid")).select("sim")
+    assert(reps.count() == 41)
+    assert(Dedup.simhashBandRows(reps, Some(Dedup.HotBandCap)).count()
       == 41L * 7)
     // and the reported pair set equals the brute-force O(n²) answer
     val all = sig.as[(Long, Long)].collect()
@@ -90,9 +91,37 @@ class DedupSpec extends SparkSpec {
     // candidate generation: craft 20 distinct sigs sharing band 0
     val shared = (0 until 20).map(i => (2000L + i, (i.toLong << 9) | 0x155L))
     val sig2 = shared.toDF("doc_id", "sim")
-    val g2 = Dedup.simhashGroups(sig2)
-    val kept = Dedup.simhashBandRows(g2, Some(8L)).count()
+    val r2 = Dedup.simhashMembers(sig2)
+      .filter(col("doc_id") === col("gid")).select("sim")
+    val kept = Dedup.simhashBandRows(r2, Some(8L)).count()
     assert(kept < 20L * 7, s"hot band not dropped: $kept rows")
+  }
+
+  test("identity groups are (gid, member) pairs — no group-sized array rows") {
+    import org.apache.spark.sql.types.ArrayType
+    // a synthetic mega-group: 2k documents with ONE signature. The
+    // former collect_list representation built a single row holding
+    // every id (multi-GB at adversarial multiplicity, round-7
+    // verdict #1); the pair representation is one fixed-width row per
+    // member — every intermediate schema is array-free and the window /
+    // join state spills instead of materializing the group.
+    val m = 2000
+    val mega = spark.range(m).select(col("id").as("doc_id"),
+      lit(0x0123456789ABCDEL).as("sim"))
+      .unionByName(Seq((900000L, 0x0123456789ABCA1L)) // hamming 7 away
+        .toDF("doc_id", "sim"))
+    val members = Dedup.simhashMembers(mega)
+    assert(members.schema.fields.forall(
+      f => !f.dataType.isInstanceOf[ArrayType]),
+      s"group representation carries an array: ${members.schema}")
+    assert(members.count() == m + 1)
+    // every member is tagged with the group min, not collected
+    assert(members.filter(col("doc_id") < m)
+      .agg(max(col("gid"))).head().getLong(0) == 0L)
+    // the full pair set is still produced (output-bound): count only —
+    // m·(m−1)/2 intra pairs for the mega-group, none for the loner
+    val n = Dedup.simhashPairs(mega).count()
+    assert(n == m.toLong * (m - 1) / 2, s"pair count $n")
   }
 
   test("d6 long-span dup pairs surface injected verbatim spans") {

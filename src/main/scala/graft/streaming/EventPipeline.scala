@@ -131,20 +131,32 @@ object EventPipeline {
     * count tracks the per-watermark-window KEY CARDINALITY, which can
     * exceed core count. Default: one state partition per ~64k estimated
     * input rows, clamped to [1, 4096]; override with
-    * `graft.streaming.statePartitions`. The session conf is restored
-    * after the query (runners here are synchronous
-    * start → processAllAvailable → stop). */
-  private def withStatePartitions[T](spark: SparkSession, estRows: => Long)(
-      body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
+    * `graft.streaming.statePartitions`.
+    *
+    * The sized count lives in a PRIVATE child session (`newSession()`:
+    * own SQLConf/temp views over the shared context), mirroring the
+    * batch connected-components treatment in
+    * [[graft.operators.Dedup.connectedComponents]]: the former
+    * mutate-and-restore on the caller's session leaked the sized count
+    * into any concurrent query on that session while the stream ran
+    * (round-7 verdict #2). The caller's runtime confs (time zone,
+    * legacy parquet flags, broadcast thresholds) are copied over so the
+    * child behaves identically apart from the partition count; the
+    * body must build its stream FROM the provided session so the state
+    * exchanges plan under it. */
+  private[graft] def withStatePartitions[T](spark: SparkSession,
+      estRows: => Long)(body: SparkSession => T): T = {
     // estRows is by-name: when the override conf is set the estimate
     // job never runs at all
     val n = spark.conf.getOption("graft.streaming.statePartitions")
       .map(_.toInt)
       .getOrElse(math.max(1L, math.min(estRows / 65536 + 1, 4096L)).toInt)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    val work = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (work.conf.isModifiable(k)) work.conf.set(k, v)
+    }
+    work.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(work)
   }
 
   /** Parquet row count — a zero-column scan answered from footer row
@@ -159,18 +171,18 @@ object EventPipeline {
     // the events table is a single parquet file; the streaming file
     // source wants a directory, so glob-filter within sfDir
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .transform(graft.Tables.normalizeTs)
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) { work =>
+      val stream = work.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .transform(graft.Tables.normalizeTs)
       val q = windowedCounts(stream)
         .writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
+      work.table(name)
     }
-    spark.table(name)
   }
 
   /** FIRST-CLASS streaming dedup — watermark-bounded state. The state
@@ -188,21 +200,21 @@ object EventPipeline {
   def runStreamingDedupBounded(spark: SparkSession, sfDir: String,
       delay: String = "1 hour"): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .transform(graft.Tables.normalizeTs)
     val name = "graft_dedupb_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) { work =>
+      val stream = work.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .transform(graft.Tables.normalizeTs)
       val q = stream.select(col("user_id"), col("event_type"), col("ts"))
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
+      work.table(name).groupBy("event_type")
+        .agg(count(lit(1)).as("count"))
     }
-    spark.table(name).groupBy("event_type")
-      .agg(count(lit(1)).as("count"))
   }
 
   /** Stream-stream interval join (append mode): click events joined to
@@ -217,29 +229,29 @@ object EventPipeline {
   def runStreamingIntervalJoin(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def events() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .transform(graft.Tables.normalizeTs)
-    val clicks = events().filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id").as("c_user"), col("ts"))
-      .withWatermark("ts", "1 hour")
-    val purchases = events().filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("pts"))
-      .withWatermark("pts", "1 hour")
-    val joined = clicks.join(purchases,
-      expr("""c_user = p_user AND
-              ts BETWEEN pts - INTERVAL 30 MINUTES AND pts"""))
     val name = "graft_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) { work =>
+      def events() = work.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .transform(graft.Tables.normalizeTs)
+      val clicks = events().filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id").as("c_user"), col("ts"))
+        .withWatermark("ts", "1 hour")
+      val purchases = events().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("""c_user = p_user AND
+                ts BETWEEN pts - INTERVAL 30 MINUTES AND pts"""))
       val q = joined
         .select(col("event_id"), col("c_user").as("user_id"),
           unix_micros(col("ts")).as("us"), unix_micros(col("pts")).as("pus"))
         .writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
+      work.table(name)
     }
-    spark.table(name)
   }
 
   /** Exact-dedup ORACLE variant: `dropDuplicates` keeps EVERY distinct
@@ -250,18 +262,18 @@ object EventPipeline {
     * [[runStreamingDedupBounded]]. */
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
     val name = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) {
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) { work =>
+      val stream = work.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
       val q = stream.select("user_id", "event_type")
         .dropDuplicates("user_id", "event_type")
         .groupBy("event_type").count()
         .writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
+      work.table(name)
     }
-    spark.table(name)
   }
 }

@@ -385,4 +385,37 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.streaming.statePartitions")
     assert(spark.conf.get(key) == prev, "conf not restored after override")
   }
+
+  test("state sizing lives in a child session — caller conf never mutates") {
+    // the former mutate-and-restore leaked the sized count into any
+    // concurrent query on the same session WHILE a stream ran; the
+    // body below stands in for that interleaved work — the caller's
+    // conf must hold its value DURING the stream, not merely after,
+    // and an interleaved batch aggregation must plan with it
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    var checkedDuring = false
+    val out = EventPipeline.withStatePartitions(spark, 1000000L) { work =>
+      assert(work ne spark, "sizing must use a private child session")
+      assert(work.conf.get(key) == "16", // 1e6/65536 + 1
+        s"child not sized: ${work.conf.get(key)}")
+      assert(spark.conf.get(key) == prev,
+        s"caller conf mutated mid-stream: ${spark.conf.get(key)}")
+      // runtime confs carry over (the child must read events.parquet
+      // and keep UTC semantics exactly like the caller)
+      assert(work.conf.get("spark.sql.session.timeZone") ==
+        spark.conf.get("spark.sql.session.timeZone"))
+      // an interleaved aggregation on the CALLER still shuffles at the
+      // caller's count
+      val agg = spark.range(1000).groupBy(col("id") % 7).count()
+      agg.collect()
+      val exch = agg.queryExecution.executedPlan.toString
+      assert(exch.contains(s"hashpartitioning") &&
+        exch.contains(s", $prev)"), s"caller plan lost its count:\n$exch")
+      checkedDuring = true
+      work.range(3).count()
+    }
+    assert(checkedDuring && out == 3L)
+    assert(spark.conf.get(key) == prev)
+  }
 }

@@ -61,6 +61,12 @@ object StorageTypes {
     s("FLOAT32", FloatType), s("FLOAT64", DoubleType),
     s("BOOL", BooleanType),
     s("STRING_ASCII", StringType), s("STRING_UTF8", StringType),
+    // UTF-16/32 and UCS-2/4 string attributes surface as StringType
+    // (Spark strings are UTF-8 in flight) and charset-convert at the
+    // storage/interchange edge like the TIME_*/DATETIME_* unit counts
+    // [mytile.cc:218–224, 896–923]
+    s("STRING_UTF16", StringType), s("STRING_UTF32", StringType),
+    s("STRING_UCS2", StringType), s("STRING_UCS4", StringType),
     s("BLOB", BinaryType),
     // datetimes [mytile.cc:78–86, 226–243]: DAY→date, YEAR→int,
     // SEC/MS/US→µs timestamp (ingest-edge conversion),
@@ -82,6 +88,22 @@ object StorageTypes {
     s("TIME_PS", LongType, "0", (MicrosPerDay - 1).toString),
     s("TIME_FS", LongType, "0", (MicrosPerDay - 1).toString),
     s("TIME_AS", LongType, "0", (MicrosPerDay - 1).toString))
+
+  /** Java charset of each charset-converted string storage type — the
+    * byte representation external systems exchange through
+    * [[graft.functions.StorageFunctions]]. UCS-2 is the BMP-only
+    * fixed-2-byte subset of UTF-16; UCS-4 coincides with UTF-32
+    * [mytile.cc:218–224, 896–923]. */
+  val charsetOf: Map[String, String] = Map(
+    "STRING_ASCII" -> "US-ASCII", "STRING_UTF8" -> "UTF-8",
+    "STRING_UTF16" -> "UTF-16LE", "STRING_UCS2" -> "UTF-16LE",
+    "STRING_UTF32" -> "UTF-32", "STRING_UCS4" -> "UTF-32")
+
+  /** Charset-limited repertoires enforced on write (the reference's
+    * ascii/ucs2 columns reject unrepresentable characters the same
+    * way its unsigned columns reject out-of-domain numbers). */
+  val asciiOnly: Set[String] = Set("STRING_ASCII")
+  val bmpOnly: Set[String] = Set("STRING_UCS2")
 
   def get(name: String): Storage = all.getOrElse(name.toUpperCase,
     throw new IllegalArgumentException(s"unknown storage type $name"))

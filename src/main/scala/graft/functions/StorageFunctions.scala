@@ -62,4 +62,16 @@ object StorageFunctions {
         (unix_micros(ts) * lit(StorageTypes.unitsPerMicro(unit))).cast("long")
     }
   }
+
+  /** StringType surface → the declared charset's byte representation —
+    * the interchange edge for STRING_UTF16/UTF32 and UCS2/UCS4
+    * attributes (the reference charset-converts these to TEXT,
+    * mytile.cc:218–224, 896–923). Built-in `encode` — codegen'd. */
+  def stringToStorageBytes(s: Column, storageType: String): Column =
+    encode(s, StorageTypes.charsetOf(storageType.toUpperCase))
+
+  /** Declared-charset bytes → the StringType surface (ingest edge for
+    * external systems handing over UTF-16/UTF-32/UCS bytes). */
+  def storageBytesToString(b: Column, storageType: String): Column =
+    decode(b, StorageTypes.charsetOf(storageType.toUpperCase))
 }

@@ -72,6 +72,18 @@ object Kernels {
   def shingles(tokens: Column, k: Int): Column =
     column(ShinglesExpr(expression(tokens), k))
 
+  /** WKB polygon box from min/max coords — a codegen'd static call to
+    * [[graft.functions.Wkb.box]] (`StaticInvoke`), so fixture geometry
+    * construction stays out of interpreted-UDF territory like every
+    * query-side Wkb path. */
+  def wkbBox(xmin: Column, ymin: Column, xmax: Column, ymax: Column)
+      : Column =
+    column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.functions.Wkb.type], BinaryType, "box",
+      Seq(expression(xmin), expression(ymin),
+        expression(xmax), expression(ymax)),
+      inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)))
+
   /** Banded random-hyperplane LSH keys: `planes` holds
     * nBands·bitsPerBand unit-free hyperplanes; band b's key packs the
     * band index with the sign bits of its `bitsPerBand` plane

@@ -184,8 +184,6 @@ object ArrayOps {
       GraftArray.create(s, uri, sch)
       // per-row boxes around (p_size, p_retailprice) midpoints with
       // deterministic half-extents ≤ (1.2, 60) — PAD = full widths
-      val mkBox = udf((x: Double, y: Double, wx: Double, wy: Double) =>
-        graft.functions.Wkb.box(x - wx, y - wy, x + wx, y + wy))
       val src = Tables.load(s, d, "part").select(
         col("p_size").cast("double").as("_X"),
         col("p_retailprice").as("_Y"),
@@ -193,7 +191,9 @@ object ArrayOps {
         ((col("p_partkey") % 7).cast("double") * 10.0).as("wy"),
         col("p_partkey"))
       GraftArray.write(s, uri, src.select(col("_X"), col("_Y"),
-        mkBox(col("_X"), col("_Y"), col("wx"), col("wy"))
+        graft.functions.expressions.Kernels.wkbBox(
+          col("_X") - col("wx"), col("_Y") - col("wy"),
+          col("_X") + col("wx"), col("_Y") + col("wy"))
           .as("wkb_geometry"),
         col("p_partkey")))
       GraftArray.putMetadata(s, uri, Map(
@@ -703,6 +703,34 @@ object ArrayOps {
         .orderBy("k")
     }),
 
+    // §1.2 charset string types [mytile.cc:218–224, 896–923]: a
+    // STRING_UTF16 attribute ingested from raw UTF-16LE bytes (the
+    // interchange form an external system hands over), decoded at the
+    // write edge, stored, read back, re-encoded at the read edge —
+    // mirroring the reference's charset conversion of
+    // STRING_UTF16/UCS2 columns to TEXT. The UTF-16 octet count
+    // differs from the UTF-8 one on the non-ASCII suffix ('é' is two
+    // UTF-8 bytes, '漢' three; each is one 2-byte UTF-16 unit), so
+    // u16_octets == 2·chars proves both conversions really ran.
+    "arr28_utf16" -> ((s, d) => {
+      import graft.functions.StorageFunctions._
+      val uri = freshUri("u16")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("n_nationkey", IntegerType)),
+        Seq(AttributeSpec("name", StringType,
+          storageType = Some("STRING_UTF16"))))
+      GraftArray.create(s, uri, sch)
+      val raw = Tables.load(s, d, "nation").select(col("n_nationkey"),
+        encode(concat(col("n_name"), lit("·é漢")), "UTF-16LE").as("b"))
+      GraftArray.write(s, uri, raw.select(col("n_nationkey"),
+        storageBytesToString(col("b"), "STRING_UTF16").as("name")))
+      s.read.format("graftarray").option("path", uri).load()
+        .select(col("n_nationkey"), col("name"),
+          octet_length(stringToStorageBytes(col("name"), "STRING_UTF16"))
+            .cast("long").as("u16_octets"))
+        .orderBy("n_nationkey")
+    }),
+
     // ENUM attribute parity [ha_mytile.cc:1330–1351; t/enum.test]:
     // o_orderstatus declared as an enumeration, domain-guarded on
     // write, and — deliberately better than the reference, which bails
@@ -955,6 +983,10 @@ object ArrayOps {
          (2::BIGINT, 255::BIGINT, 65535::BIGINT, 4294967295::BIGINT,
           '18446744073709551615', 86399::BIGINT, 1704067200123456::BIGINT))
          t(k, u8, u16, u32, u64, sec_of_day, us_epoch) ORDER BY k""",
+    "arr28_utf16" ->
+      """SELECT n_nationkey, n_name || '·é漢' AS name,
+         2 * length(n_name || '·é漢') AS u16_octets
+         FROM nation ORDER BY n_nationkey""",
     "arr7_string_dim" ->
       """SELECT p_brand, p_partkey, p_size FROM part
          WHERE p_brand >= 'Brand#2' AND p_brand <= 'Brand#4' AND p_size >= 20

@@ -131,6 +131,28 @@ object GraftArray {
         case _ => d
       }
     }
+    // charset-limited string types reject characters outside their
+    // repertoire, like the reference's ascii/ucs2 columns
+    // [mytile.cc:218–224, 896–923]: ASCII iff UTF-8 octets == chars;
+    // UCS-2 (fixed 2-byte, BMP-only) rejects supplementary planes
+    val strGuarded = schema.storageTyped.foldLeft(guarded) {
+      case (d, (n, st)) if graft.core.StorageTypes.asciiOnly(st.name) =>
+        d.withColumn(n,
+          when(col(n).isNotNull &&
+            octet_length(col(n)) =!= length(col(n)),
+            raise_error(concat(
+              lit(s"non-ASCII value in ${st.name} $n: "), col(n))))
+            .otherwise(col(n)))
+      case (d, (n, st)) if graft.core.StorageTypes.bmpOnly(st.name) =>
+        d.withColumn(n,
+          when(col(n).isNotNull &&
+            col(n).rlike("[\\x{10000}-\\x{10FFFF}]"),
+            raise_error(concat(
+              lit(s"supplementary character in ${st.name} $n: "),
+              col(n))))
+            .otherwise(col(n)))
+      case (d, _) => d
+    }
     // sums for the aggregate-pushdown fast path ride the write pass as
     // an Observation — the data is seen exactly once (the round-1
     // implementation re-read the fragment it had just written)
@@ -146,8 +168,8 @@ object GraftArray {
       // partitioner — `repartition(n, expr)` would re-hash the bucket
       // id and mix buckets per task), rows sorted by dims within. The
       // file written by task i is bucket i, recorded in the manifest.
-      case Some(n) => bucketByDim0(schema, guarded, n)
-      case None => clusterByCellOrder(schema, guarded)
+      case Some(n) => bucketByDim0(schema, strGuarded, n)
+      case None => clusterByCellOrder(schema, strGuarded)
     }
     val observed =
       if (numeric.isEmpty) clustered

@@ -104,6 +104,13 @@ class GraftTable(
     if (s.capacity != 10000L) m.put("graft.capacity", s.capacity.toString)
     if (s.allowsDups) m.put("graft.allows_dups", "true")
     s.codec.foreach(m.put("graft.codec", _))
+    // documented divergence, surfaced in the replayed DDL: declared
+    // codecs compress whole fragment FILES (parquet-mr applies one
+    // codec per file), while the reference's filter lists compress
+    // each attribute's column chunks independently [mytile.cc:550–576]
+    if (s.codec.nonEmpty || s.attrs.exists(_.codec.nonEmpty))
+      m.put("graft.codec.scope",
+        "file (reference: per-attribute column chunks)")
     if (s.encrypted) m.put("graft.encrypted", "true")
     s.buckets.foreach(n => m.put("graft.buckets", n.toString))
     m
@@ -524,6 +531,26 @@ class GraftDataWriter(
   private val enums: Array[Set[String]] = fields.map(f =>
     schema.attrs.find(_.name == f.name)
       .map(_.enumValues.toSet).getOrElse(Set.empty))
+  // charset-limited string repertoires (STRING_ASCII / STRING_UCS2)
+  // reject unrepresentable characters [mytile.cc:218–224, 896–923]
+  private val charsetGuards: Array[Option[String]] = fields.map { f =>
+    schema.storageTyped.find(_._1 == f.name).map(_._2.name).filter(n =>
+      graft.core.StorageTypes.asciiOnly(n) ||
+        graft.core.StorageTypes.bmpOnly(n))
+  }
+  private def checkCharset(i: Int, row: InternalRow): Unit =
+    charsetGuards(i).foreach { tn =>
+      if (!row.isNullAt(i)) {
+        val u = row.getUTF8String(i)
+        val bad =
+          if (graft.core.StorageTypes.asciiOnly(tn))
+            u.numBytes != u.numChars // ASCII iff UTF-8 octets == chars
+          else // UCS-2 is BMP-only: no supplementary code points
+            u.toString.codePoints().anyMatch(_ > 0xFFFF)
+        if (bad) throw new IllegalArgumentException(
+          s"value outside $tn repertoire for ${fields(i).name}")
+      }
+    }
   private def checkGuard(i: Int, row: InternalRow): Unit =
     guards(i).foreach { case (tn, lo, hi) =>
       val bad = fields(i).dataType match {
@@ -565,6 +592,7 @@ class GraftDataWriter(
         nulls(i) += 1
       } else {
         checkGuard(i, row)
+        checkCharset(i, row)
         // storage-domain value for the manifest stats (the parquet
         // encoding itself is ParquetWriteSupport's job)
         val storage: Any = f.dataType match {

@@ -37,6 +37,13 @@ class ShowCreateSpec extends SparkSpec {
       "graft.codec.v' = 'ZSTD", "graft.codec' = 'GZIP",
       "graft.capacity' = '5000", "graft.allows_dups' = 'true")
       .foreach(opt => assert(ddl.contains(opt), s"missing $opt in:\n$ddl"))
+    // the codec-scope divergence is surfaced in the DDL: this engine
+    // compresses whole fragment files (parquet-mr), the reference
+    // compresses per-attribute column chunks [mytile.cc:550–576] —
+    // the note must ride along whenever any codec is declared, and be
+    // inert on replay (asserted by the schema equality below)
+    assert(ddl.contains("graft.codec.scope' = 'file"),
+      s"codec divergence note missing in:\n$ddl")
     // replay into a second catalog → identical stored schema
     val (cat2, wh2) = mkCat()
     spark.sql(ddl.replace(s"$cat.t", s"$cat2.t"))

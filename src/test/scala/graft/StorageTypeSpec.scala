@@ -125,6 +125,66 @@ class StorageTypeSpec extends SparkSpec {
     assert(t._4 == 123456000L)
   }
 
+  test("charset string types round-trip through their interchange bytes") {
+    // UTF-16/32 and UCS-2/4 surface as StringType and charset-convert
+    // at the interchange edge [mytile.cc:218–224, 896–923]. Mixed
+    // repertoire: ASCII, Latin accent, CJK (BMP), emoji (supplementary)
+    val s0 = "abc é漢 😀"
+    for (st <- Seq("STRING_UTF16", "STRING_UTF32", "STRING_UCS4")) {
+      val rt = spark.range(1).select(
+        storageBytesToString(
+          stringToStorageBytes(lit(s0), st), st).as("s"))
+        .as[String].head()
+      assert(rt == s0, s"$st round-trip broke: $rt")
+    }
+    // the byte representations are genuinely the declared charsets
+    val (u16, u32) = spark.range(1).select(
+      octet_length(stringToStorageBytes(lit("aé漢"), "STRING_UTF16")),
+      octet_length(stringToStorageBytes(lit("aé漢"), "STRING_UTF32")))
+      .as[(Int, Int)].head()
+    assert(u16 == 6, s"UTF-16LE octets: $u16") // 3 BMP chars × 2 bytes
+    assert(u32 == 12, s"UTF-32 octets: $u32")  // 3 chars × 4 bytes
+    // UCS-2 shares UTF-16's encoding for its (BMP-only) repertoire
+    val sameAsU16 = spark.range(1).select(
+      stringToStorageBytes(lit("aé漢"), "STRING_UCS2") ===
+        stringToStorageBytes(lit("aé漢"), "STRING_UTF16"))
+      .as[Boolean].head()
+    assert(sameAsU16)
+  }
+
+  test("charset-limited repertoires reject unrepresentable writes") {
+    val c = catalog("stc")
+    spark.sql(
+      s"""CREATE TABLE $c.s (k BIGINT, a STRING, u2 STRING, u16 STRING)
+         |TBLPROPERTIES('graft.dimensions'='k',
+         |  'graft.type.a'='STRING_ASCII', 'graft.type.u2'='STRING_UCS2',
+         |  'graft.type.u16'='STRING_UTF16')""".stripMargin)
+    // in-repertoire rows are accepted: ASCII in a, BMP in u2, any in u16
+    spark.sql(s"INSERT INTO $c.s VALUES " +
+      "(1, 'plain', 'é漢', 'é漢 😀')")
+    assert(spark.table(s"$c.s").count() == 1)
+    // non-ASCII into STRING_ASCII
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.s VALUES (2, 'café', 'x', 'x')").collect()
+    }
+    assert(e1.getMessage.contains("STRING_ASCII") ||
+      Option(e1.getCause).exists(_.getMessage.contains("STRING_ASCII")))
+    // supplementary-plane character into UCS-2 (BMP-only)
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.s VALUES (3, 'x', '😀', 'x')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("STRING_UCS2") ||
+      Option(e2.getCause).exists(_.getMessage.contains("STRING_UCS2")))
+    // failed inserts left no partial fragments behind
+    assert(spark.table(s"$c.s").count() == 1)
+    // the declared charset surfaces in column metadata like every
+    // other storage type
+    val md = spark.table(s"$c.s").schema.fields
+      .map(f => f.name -> f.metadata).toMap
+    assert(md("u16").getString("graft.storage_type") == "STRING_UTF16")
+  }
+
   test("declared storage types surface in read-side column metadata") {
     val c = catalog("stm")
     spark.sql(

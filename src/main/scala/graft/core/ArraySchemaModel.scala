@@ -231,7 +231,15 @@ case class FragmentMeta(
       * this fragment's own `files` (the updated/inserted versions)
       * are not. Riding the same manifest as the data files makes the
       * whole row-level operation one atomic commit. */
-    deleteCoordFiles: Seq[String] = Nil)
+    deleteCoordFiles: Seq[String] = Nil,
+    /** Column order each FILE's rows are physically sorted by — set by
+      * the cell-order clustering write paths (dims for ROW_MAJOR /
+      * bucketed layouts, reversed dims for COL_MAJOR; empty for
+      * HILBERT/UNORDERED and for writers that do not sort). When every
+      * visible fragment agrees, the scan reports this as its output
+      * ordering so Catalyst elides sorts over clustered reads
+      * [ref: index-ordered reads, ha_mytile.cc:3501–3519]. */
+    sortedBy: Seq[String] = Nil)
 
 object ArraySchemaJson {
   private val M = new ObjectMapper()
@@ -338,6 +346,9 @@ object ArraySchemaJson {
       val fbNode = root.putObject("fileBuckets")
       f.fileBuckets.foreach { case (file, b) => fbNode.put(file, b) }
     }
+    if (f.sortedBy.nonEmpty) {
+      val sb = root.putArray("sortedBy"); f.sortedBy.foreach(sb.add)
+    }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -386,6 +397,10 @@ object ArraySchemaJson {
       deleteCoordFiles =
         if (r.has("deleteCoordFiles"))
           r.get("deleteCoordFiles").elements().asScala.map(_.asText).toSeq
+        else Nil,
+      sortedBy =
+        if (r.has("sortedBy"))
+          r.get("sortedBy").elements().asScala.map(_.asText).toSeq
         else Nil)
   }
 

@@ -233,9 +233,29 @@ object GraftArray {
       buckets = schema.buckets.filter(_ =>
         fileBuckets.size == files.size),
       fileBuckets = fileBuckets,
-      origin = origin, replaces = replaces))
+      origin = origin, replaces = replaces,
+      sortedBy = sortedByOf(schema)))
     ts
   }
+
+  /** The column order this write path physically sorts each file by —
+    * must mirror [[clusterByCellOrder]]/[[bucketByDim0]] exactly (a
+    * HILBERT declaration that fails its preconditions falls back to
+    * the ROW_MAJOR sort, so it IS dim-sorted). Recorded per fragment;
+    * the scan reports it as output ordering when every visible
+    * fragment agrees [ha_mytile.cc:3501–3519]. */
+  private[graft] def sortedByOf(schema: ArraySchema): Seq[String] =
+    schema.buckets match {
+      case Some(_) => schema.dimNames
+      case None => schema.cellOrder match {
+        case "UNORDERED" => Nil
+        case "HILBERT" if schema.dims.size >= 2 && schema.dims.size <= 63 &&
+          schema.dims.forall(d => TypedValue.isIntegral(d.dataType) &&
+            d.lowerBound.isDefined) => Nil
+        case "COL_MAJOR" | "COLUMN_MAJOR" => schema.dimNames.reverse
+        case _ => schema.dimNames
+      }
+    }
 
   /** Bucketed physical layout: `pmod(hash(dim0), n)` (Spark murmur3,
     * seed 42) routed so partition i — and therefore part file i —

@@ -432,7 +432,7 @@ class GraftScanImpl(
     topN: Option[(Boolean, Int)] = None)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsReportOrdering {
 
   /** Set once any runtime filter narrows this scan: runtime-filtered
     * row counts are no longer the planning-time counts, so count-based
@@ -753,6 +753,48 @@ class GraftScanImpl(
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
     }
+
+  /** Report the files' physical sort order as the scan's output
+    * ordering [ref: index-ordered reads, ha_mytile.cc:3501–3519] when
+    * it provably survives to the output: every visible data fragment
+    * must record the same non-empty `sortedBy` (cell-order-clustered
+    * writes do), and every planned partition must read at most ONE
+    * file — multi-file merge slabs interleave fragments, so they
+    * report nothing — and, under a KeyGroupedPartitioning report,
+    * bucket keys must be DISTINCT across partitions (Spark
+    * concatenates same-key partitions into one task, which would
+    * break the per-partition order between files). Readers emit
+    * parquet rows in file order, and pushed predicates / tombstone
+    * masking / limits only FILTER rows, so each partition's output
+    * keeps the recorded order; Catalyst then elides redundant local
+    * sorts (RemoveRedundantSorts) and the per-partition sorts of
+    * sort-merge joins over co-bucketed arrays — the SMB-join shape.
+    * Only the longest prefix of the order present in the read schema
+    * is reported (projection preserves prefix order). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val frags = dataFrags
+    if (rawCells || denseFillable || frags.isEmpty) return Array.empty
+    val sb = frags.head.sortedBy
+    if (sb.isEmpty || frags.exists(_.sortedBy != sb)) return Array.empty
+    val parts = planAll()
+    val singleFile = parts.forall {
+      case p: GraftInputPartition => p.files.size <= 1
+      case _ => false
+    }
+    val bucketKeysDistinct = bucketedReady.isEmpty || {
+      val keys = parts.collect {
+        case p: GraftInputPartition if p.bucket.isDefined => p.bucket.get
+      }
+      keys.distinct.length == keys.length
+    }
+    if (!singleFile || !bucketKeysDistinct) return Array.empty
+    val present = requiredStruct.fieldNames.toSet
+    sb.takeWhile(present.contains).map(c =>
+      Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+  }
 
   /** ORDER BY dim0 LIMIT k file pruning (partial TopN push): a file is
     * dropped when ≥ k rows provably sort STRICTLY before every row it

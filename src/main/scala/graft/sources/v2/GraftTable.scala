@@ -283,7 +283,25 @@ class GraftWriteBuilder(
     this
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    // cell-order clustering for DSv2 writes: no forced shuffle
+    // (distribution unspecified), but Spark sorts each task's rows by
+    // the cell order before the writer sees them, so every part file
+    // is ordered exactly like the library write path's — recorded as
+    // the fragment's `sortedBy` so scans can report output ordering
+    // [cell/tile order ha_mytile.cc:71–73, 1380–1395].
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified()
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      graft.sources.GraftArray.sortedByOf(schema).map(c =>
+        Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING)).toArray
+    }
     override def toBatch: BatchWrite = {
       // column-name/type sanity against the array schema
       val in = info.schema().fieldNames.toSeq
@@ -437,7 +455,9 @@ class GraftBatchWrite(
       msgs.map(m => m.file -> redact(schema, m.stats)).toMap,
       msgs.map(m => m.file -> m.rows).toMap,
       origin = origin, replaces = replaces,
-      deletePred = overwrite.map(PredJson.toJson)))
+      deletePred = overwrite.map(PredJson.toJson),
+      // requiredOrdering sorted every task's rows before the writer
+      sortedBy = GraftArray.sortedByOf(schema)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

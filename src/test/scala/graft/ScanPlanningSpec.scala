@@ -773,4 +773,110 @@ class ScanPlanningSpec extends SparkSpec {
     assert(GraftScanMetrics.vectorizedFiles.sum() > 0,
       "dim-only projection of merge scan should decode vectorized")
   }
+
+  test("clustered scans report output ordering: redundant sorts elided") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch) // ROW_MAJOR default
+    GraftArray.write(spark, uri, spark.range(0, 1000)
+      .select(col("id").as("k"), rand(11).as("v")))
+    // a per-partition sort over the ordered scan is redundant — the
+    // reported ordering reaches BatchScanExec.outputOrdering and
+    // RemoveRedundantSorts drops the SortExec
+    // [ref: index-ordered reads, ha_mytile.cc:3501–3519]
+    val q = spark.read.format("graftarray").option("path", uri).load()
+      .filter(col("v") >= 0.0).sortWithinPartitions("k")
+    assert(q.count() == 1000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ["), s"ordered scan still sorts:\n$plan")
+
+    // an OVERLAPPING second fragment forces latest-wins merge slabs →
+    // the scan withdraws its ordering and the sort comes back
+    GraftArray.write(spark, uri, spark.range(500, 600)
+      .select(col("id").as("k"), lit(9.0).as("v")))
+    val q2 = spark.read.format("graftarray").option("path", uri).load()
+      .sortWithinPartitions("k")
+    assert(q2.count() == 1000)
+    assert(q2.queryExecution.executedPlan.toString.contains("Sort ["),
+      "merge scan must keep its sort")
+  }
+
+  test("SMB shape: co-bucketed single-fragment arrays join with no sort") {
+    // the 100 TB join shape [SURVEY §7.4.4]: co-bucketed layouts give
+    // KeyGroupedPartitioning (no exchange) and the recorded cell-order
+    // sort gives per-partition ordering (no SortExec) — a sort-merge
+    // join whose inputs stream straight off the files
+    val wh = java.nio.file.Files.createTempDirectory("graft_smb").toString
+    val cat = "gsmb" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    for (t <- Seq("a", "b"))
+      spark.sql(s"""CREATE TABLE $cat.$t (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('graft.dimensions'='k', 'graft.buckets'='4',
+        |  'graft.allows_dups'='true')""".stripMargin)
+    for ((t, mul) <- Seq(("a", 1.0), ("b", 10.0)))
+      GraftArray.write(spark, s"$wh/$t", spark.range(0, 1000)
+        .select(col("id").as("k"), (col("id") * mul).cast("double").as("v")))
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.join.preferSortMergeJoin",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = spark.sql(
+        s"SELECT a.k, a.v, b.v AS w FROM $cat.a a JOIN $cat.b b ON a.k = b.k")
+      val joins = q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty,
+        s"expected SMJ:\n${q.queryExecution.executedPlan}")
+      val sorts = joins.head.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty,
+        s"SMB inputs still sort:\n${q.queryExecution.executedPlan}")
+      val rows = q.collect()
+      assert(rows.length == 1000)
+      assert(rows.forall(r => r.getDouble(2) == r.getDouble(1) * 10.0))
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("DSv2 INSERT sorts each part file by cell order and records it") {
+    // the catalog write path declares RequiresDistributionAndOrdering,
+    // so even an unsorted INSERT lands dim-sorted files whose manifest
+    // carries sortedBy — keeping the ordering report valid across both
+    // write paths
+    val wh = java.nio.file.Files.createTempDirectory("graft_ord").toString
+    val cat = "gord" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES('graft.dimensions'='k')""")
+    // deliberately unsorted single-partition input
+    spark.range(0, 500)
+      .select((lit(499) - col("id")).as("k"), rand(3).as("v"))
+      .coalesce(1)
+      .writeTo(s"$cat.t").append()
+    val frags = GraftArray.fragments(spark, s"$wh/t")
+    assert(frags.nonEmpty && frags.forall(_.sortedBy == Seq("k")),
+      frags.map(_.sortedBy).toString)
+    // the raw part file really is sorted by the dim
+    val file = frags.head.files.head
+    val raw = spark.read.parquet(s"$wh/t/$file")
+      .select("k").as[Long].collect()
+    assert(raw.toSeq == raw.sorted.toSeq, "file not dim-sorted")
+    // and a redundant per-partition sort over the catalog table is
+    // elided (the ordering report holds on the DSv2-written fragment)
+    val q = spark.table(s"$cat.t").sortWithinPartitions("k")
+    assert(q.count() == 500)
+    assert(!q.queryExecution.executedPlan.toString.contains("Sort ["),
+      q.queryExecution.executedPlan.toString)
+  }
 }

@@ -97,27 +97,33 @@ object Bench {
       // total, so a crash can never read as a round-over-round speedup.
       val good = times.collect { case (None, t) => t }
       val sec: Option[Double] = if (good.nonEmpty) Some(good.min) else None
-      val err: Option[String] =
-        if (good.nonEmpty) None else times.last._1
-      (name, sec, gcMs, err)
+      // keep the LAST error even when some iterations succeeded — a
+      // flaky query (1 success + 2 crashes) must stay distinguishable
+      // from a clean one in the artifact
+      val err: Option[String] = times.reverse.collectFirst {
+        case (Some(e), _) => e }
+      (name, sec, gcMs, err, times.count(_._1.isDefined))
     }
     val failed = results.filter(_._2.isEmpty)
-    val qs = results.map { case (k, v, _, _) =>
+    val qs = results.map { case (k, v, _, _, _) =>
       jstr(k) + ":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _) => jstr(k) + ":" + g }
+    val gcs = results.map { case (k, _, g, _, _) => jstr(k) + ":" + g }
       .mkString("{", ",", "}")
-    val errs = results.map { case (k, _, _, e) =>
+    val errs = results.map { case (k, _, _, e, _) =>
       jstr(k) + ":" + e.map(jstr).getOrElse("null")
     }.mkString("{", ",", "}")
+    // per-query failed-iteration counts (nonzero = flaky or dead)
+    val flaky = results.map { case (k, _, _, _, nf) => jstr(k) + ":" + nf }
+      .mkString("{", ",", "}")
     // total covers successful queries only; n_failed makes a partial
     // total impossible to mistake for a complete one
     val total = results.flatMap(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""n_failed":${failed.size},"sf":"$sfDir"}"""
+        s""""n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
     println(line)
-    failed.foreach { case (k, _, _, e) =>
+    failed.foreach { case (k, _, _, e, _) =>
       System.err.println(s"[bench] FAILED $k: ${e.getOrElse("?")}") }
     // stdout captures have truncated the single line mid-record in past
     // rounds; persist the complete per-query artifact alongside it
@@ -125,8 +131,9 @@ object Bench {
     // schema does not carry)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""err":$errs,"n_failed":${failed.size},"gc_ms":$gcs,""" +
-        s""""isolate":$isolate,"order":"streaming-last","sf":"$sfDir"}"""
+        s""""err":$errs,"failed_iters":$flaky,"n_failed":${failed.size},""" +
+        s""""gc_ms":$gcs,"isolate":$isolate,"order":"streaming-last",""" +
+        s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     root.stop()

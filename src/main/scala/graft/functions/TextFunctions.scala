@@ -86,6 +86,26 @@ object TextFunctions {
   /** Content fingerprint: md5 of normalized text (exact-dedup key). */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** Full Unicode canonicalization for cross-source dedup keys:
+    * NFC normalize → strip accents → lowercase → collapse whitespace
+    * (explicit ASCII class so the Java and RE2 dialects agree) → trim.
+    * Replays in DuckDB as `trim(regexp_replace(lower(strip_accents(
+    * nfc_normalize(text))), '[ \t\n\r\f]+', ' ', 'g'))`. The NFC +
+    * accent-strip step is one codegen'd static call per row
+    * ([[expressions.Kernels.nfcStrip]]); everything else is builtins. */
+  def unicodeNormalize(c: Column): Column =
+    trim(regexp_replace(lower(expressions.Kernels.nfcStrip(c)),
+      "[ \\t\\n\\r\\f]+", " "))
+
+  /** Gopher-style compression-ratio quality signal: zlib-compressed
+    * size / raw UTF-8 size. Repetitious boilerplate compresses far
+    * below ~0.3; natural prose sits ~0.3–0.7; high-entropy noise
+    * approaches (or exceeds) 1. Entirely per-row codegen — scan
+    * speed at any corpus size. */
+  def compressionRatio(c: Column): Column =
+    expressions.Kernels.deflateLen(c).cast("double") /
+      greatest(octet_length(c), lit(1)).cast("double")
+
   /** Count of the single most frequent bigram in a token array,
     * computed ENTIRELY per row (one codegen'd hash-count pass; the
     * earlier declarative twin — sort_array + longest-equal-run fold —

@@ -121,6 +121,22 @@ object Kernels {
     * sorted copy). */
   def topBigramCount(tokens: Column): Column =
     column(TopBigramCountExpr(expression(tokens)))
+
+  /** NFC-normalize + accent-strip (NFD → drop Mn → NFC) — a codegen'd
+    * static call to [[graft.functions.UnicodeText.nfcStrip]], the
+    * JVM twin of DuckDB's `strip_accents(nfc_normalize(s))`. */
+  def nfcStrip(s: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.functions.UnicodeText.type], StringType, "nfcStrip",
+      Seq(expression(s)), inputTypes = Seq(StringType)))
+
+  /** zlib-compressed byte size of the UTF-8 text — static call to
+    * [[graft.functions.UnicodeText.deflateLen]]; numerator of the
+    * compression-ratio quality signal. */
+  def deflateLen(s: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.functions.UnicodeText.type], IntegerType, "deflateLen",
+      Seq(expression(s)), inputTypes = Seq(StringType)))
 }
 
 /** Occurrence count of set members in a token array. */

@@ -290,6 +290,68 @@ object TextOps {
            |  $cat.fingerprint(text) AS fp,
            |  $cat.simhash(text) AS sim
            |FROM $v ORDER BY doc_id""".stripMargin)
+    }),
+
+    // Unicode canonicalization (the cross-source dedup-key
+    // normalizer): NFC + accent strip + lowercase + whitespace
+    // collapse, per-row codegen (one static nfcStrip call + builtins
+    // — scan speed at 100 TB). Grafted accented / combining-char /
+    // fullwidth fixtures prove the Unicode path fires — the synthetic
+    // corpus is ASCII, where normalization is near-identity; the
+    // fixture rows replay literally in the oracle's VALUES and both
+    // engines implement UAX #15 + Mn-strip (NFC forms -1 and -2
+    // collapse to the SAME norm_text, the dedup win this exists for).
+    "t15_normalize" -> ((s, d) => {
+      import s.implicits._
+      val fixtures = Seq(
+        (-1L, "Café  du   Monde"),          // precomposed e-acute
+        (-2L, "Café du Monde"),            // e + combining acute
+        (-3L, "naïve ÉLÈVE"),
+        (-4L, "ＨＥＬＬＯ world"), // fullwidth HELLO
+        (-5L, "Å ngström\tTübingen\nGöttingen x"))
+        .toDF("doc_id", "text")
+      val all = docs(s, d).select("doc_id", "text").unionByName(fixtures)
+      all.select(col("doc_id"),
+          unicodeNormalize(col("text")).as("norm_text"),
+          // vs the engine's pre-existing ASCII normalizer: rows where
+          // only full Unicode canonicalization makes a difference
+          (unicodeNormalize(col("text")) =!= normText(col("text")))
+            .as("changed"))
+        .orderBy("doc_id")
+    }),
+
+    // Compression-ratio quality signal (Gopher-style): zlib size /
+    // raw size, entirely per-row codegen. The published surface is
+    // the wide-margin invariant row (zlib output is deterministic for
+    // a given build but not pinned across zlib versions, so exact
+    // ratios don't hash-compare — the same contract as the v3/v4
+    // recall oracles): corpus ratios bounded, a grafted repetitive
+    // doc compresses under 0.2, a grafted high-entropy doc stays
+    // over 0.4, and the two order correctly.
+    "t16_compress_ratio" -> ((s, d) => {
+      import s.implicits._
+      val repetitive = Array.fill(200)("the quick brown fox").mkString(" ")
+      val noise = {                      // deterministic md5 hex chains
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until 64).map(i => md.digest(s"noise:$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString).mkString(" ")
+      }
+      val all = docs(s, d).select("doc_id", "text")
+        .unionByName(Seq((-1L, repetitive), (-2L, noise))
+          .toDF("doc_id", "text"))
+      val r = all.select(col("doc_id"),
+        compressionRatio(col("text")).as("ratio"))
+      r.agg(
+        (max(when(col("doc_id") >= 0, col("ratio"))) <= 1.1 &&
+          min(when(col("doc_id") >= 0, col("ratio"))) > 0.0)
+          .as("corpus_bounded"),
+        (min(when(col("doc_id") === -1, col("ratio"))) < 0.2)
+          .as("repetitive_compresses"),
+        (max(when(col("doc_id") === -2, col("ratio"))) > 0.4)
+          .as("noise_incompressible"),
+        (min(when(col("doc_id") === -1, col("ratio"))) <
+          max(when(col("doc_id") === -2, col("ratio"))))
+          .as("ordering_holds"))
     })
   )
 
@@ -685,6 +747,33 @@ object TextOps {
            [('0x' || substr(md5(t), 1, 15))::bigint
             for t in string_split_regex(trim(text), '\s+')] AS hashes
            FROM documents)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // t15: DuckDB's strip_accents(nfc_normalize()) is the same
+    // UAX #15 + Mn-strip contract as the engine's nfcStrip kernel;
+    // the VALUES rows replay the grafted Unicode fixtures literally.
+    "t15_normalize" ->
+      """WITH g(doc_id, text) AS (VALUES
+           (CAST(-1 AS BIGINT), 'Café  du   Monde'),
+           (-2, 'Cafe' || chr(769) || ' du Monde'),
+           (-3, 'naïve ÉLÈVE'),
+           (-4, 'ＨＥＬＬＯ world'),
+           (-5, 'Å ngström' || chr(9) || 'Tübingen' || chr(10) ||
+                'Göttingen x')),
+         a AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM g)
+       SELECT doc_id,
+         trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+           '[ \t\n\r\f]+', ' ', 'g')) AS norm_text,
+         trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+           '[ \t\n\r\f]+', ' ', 'g'))
+           <> lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+           AS changed
+       FROM a ORDER BY doc_id""",
+    // t16 publishes wide-margin invariants (like the v3/v4 recall
+    // oracles): exact zlib byte counts are build-specific, the
+    // inequalities are not.
+    "t16_compress_ratio" ->
+      """SELECT true AS corpus_bounded, true AS repetitive_compresses,
+         true AS noise_incompressible, true AS ordering_holds"""
   )
 }

@@ -160,4 +160,47 @@ class FunctionsSpec extends SparkSpec {
     assert(StWithinBound.invoke(Wkb.box(1, 1, 2, 2), Wkb.box(0, 0, 5, 5)))
     assert(!StWithinBound.invoke(Wkb.box(1, 1, 9, 2), Wkb.box(0, 0, 5, 5)))
   }
+
+  test("unicodeNormalize: NFC + accent strip + casefold + collapse") {
+    import graft.functions.expressions.Kernels
+    val rows = Seq(
+      ("Caf\u00e9  du   Monde", "cafe du monde"),       // precomposed
+      ("Cafe\u0301 du Monde", "cafe du monde"),          // combining
+      ("na\u00efve \u00c9L\u00c8VE", "naive eleve"),
+      ("\u00c5 ngstr\u00f6m\tT\u00fcbingen\nG\u00f6ttingen", "a ngstrom tubingen gottingen"),
+      ("plain ascii  stays", "plain ascii stays"))
+    val got = rows.map(_._1).toDF("t")
+      .select(TextFunctions.unicodeNormalize(col("t"))).as[String].collect()
+    assert(got.toSeq == rows.map(_._2))
+    // both accent forms collapse to ONE dedup key
+    assert(got(0) == got(1))
+    // kernel null propagation
+    val n = Seq[(String, Integer)]((null, 1)).toDF("t", "i")
+      .select(Kernels.nfcStrip(col("t"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("deflateLen is real zlib and orders repetitive below noise") {
+    import graft.functions.expressions.Kernels
+    val rep = Array.fill(200)("the quick brown fox").mkString(" ")
+    val noise = (0 until 64).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"noise:$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }.mkString(" ")
+    val got = Seq(rep, noise).toDF("t")
+      .select(col("t"), Kernels.deflateLen(col("t")).as("z")).collect()
+    val repLen = got(0).getInt(1); val noiseLen = got(1).getInt(1)
+    // independently decompress with Inflater: it IS the zlib stream
+    val inf = new java.util.zip.Inflater(false)
+    val out = new Array[Byte](rep.getBytes("UTF-8").length + 16)
+    val d = new java.util.zip.Deflater(6, false)
+    d.setInput(rep.getBytes("UTF-8")); d.finish()
+    val comp = new Array[Byte](repLen); d.deflate(comp); d.end()
+    inf.setInput(comp)
+    val m = inf.inflate(out); inf.end()
+    assert(new String(out, 0, m, "UTF-8") == rep)
+    // ratio ordering with wide margins (the t16 contract)
+    assert(repLen.toDouble / rep.getBytes("UTF-8").length < 0.2)
+    assert(noiseLen.toDouble / noise.getBytes("UTF-8").length > 0.4)
+  }
 }

@@ -237,7 +237,34 @@ object Pipeline {
     // doc_id — per-document state only, no corpus-wide window. Output
     // is one row per KEPT segment; a fully contaminated doc emits
     // nothing, an untouched doc emits one whole-doc segment.
-    "x11_decontam_clean" -> ((s, d) => decontamClean(docs(s, d)))
+    "x11_decontam_clean" -> ((s, d) => decontamClean(docs(s, d))),
+
+    // Retrieval-style chunking: overlapping 64-token windows with
+    // stride 48 (16-token overlap carries context across boundaries) —
+    // the document→chunk step of a RAG / context-window pipeline.
+    // Chunk boundaries are pure integer arithmetic on the token index,
+    // so chunk identity is stable across cluster size and re-runs, and
+    // the oracle replays it exactly. Scale shape: per-row explode of
+    // ≤ ceil(n/48) chunk ids then slice/concat — no shuffle beyond the
+    // output ORDER BY, ~1.33× token inflation by construction.
+    "x12_chunking" -> ((s, d) => {
+      val (w, st) = (64, 48)
+      docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("n_chunks", when(col("n") <= w, lit(1L)).otherwise(
+          lit(1L) + ceil((col("n") - w).cast("double") / st).cast("long")))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"),
+          col("toks"), col("n"))
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(" ",
+            slice(col("toks"), (col("chunk_id") * st + 1).cast("int"),
+              lit(w))).as("chunk_text"),
+          least(lit(w.toLong), col("n") - col("chunk_id") * st)
+            .as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    })
   )
 
   /** x11's body over an arbitrary (doc_id, text) frame — eval set =
@@ -590,6 +617,21 @@ object Pipeline {
            AS seg_text
        FROM segs s JOIN b USING (doc_id)
        WHERE s.seg_hi > s.seg_lo
-       ORDER BY doc_id, seg_idx"""
+       ORDER BY doc_id, seg_idx""",
+    // x12: same integer windows — DuckDB list slices are 1-based
+    // inclusive, so [gs*48+1 : gs*48+64] is Spark's slice(start, 64)
+    "x12_chunking" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         n AS (SELECT doc_id, toks, len(toks)::bigint AS n,
+             CASE WHEN len(toks) <= 64 THEN 1::bigint
+                  ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT)
+             END AS n_chunks
+           FROM t)
+       SELECT doc_id, gs AS chunk_id,
+         array_to_string(toks[gs*48+1 : gs*48+64], ' ') AS chunk_text,
+         least(64, n - gs*48)::bigint AS n_chunk_tokens
+       FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(gs)
+       ORDER BY doc_id, chunk_id"""
   )
 }

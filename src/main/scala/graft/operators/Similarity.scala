@@ -470,6 +470,39 @@ object Similarity {
           coalesce(col("cl"), col("vec_id")).as("cluster"),
           (coalesce(col("cl"), col("vec_id")) === col("vec_id")).as("kept"))
         .orderBy("vec_id")
+    }),
+
+    // Semantic-domain discovery: k-means over the embedding store
+    // (the clustering step behind domain-balanced mixtures and
+    // cluster-stratified curricula) — reuses the IVF trainer
+    // (deterministic seedless init, codegen argmax-dot assignment,
+    // driver-side k×dim centroids). The k=1 fit is the global-mean
+    // baseline: 8 domains must describe the corpus strictly better
+    // than 1 (mean max-cosine to the nearest centroid), which is the
+    // k-means objective improving — a property of the algorithm, not
+    // of zlib/plane constants, so it publishes as the invariant row
+    // (v3/v4 contract). Scale shape is Ivf.fit's: each Lloyd round is
+    // one codegen pass + a k×dim collect, assignment never inflates
+    // or shuffles corpus rows.
+    "v11_kmeans_domains" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val k = 8
+      val (assigned, cents) = Ivf.fit(e, k, iters = 5)
+      def l2(c: Array[Float]) =
+        math.sqrt(c.map(x => x.toDouble * x).sum)
+      val (_, gcent) = Ivf.fit(e, 1, iters = 1)
+      val vf = col("embedding").cast("array<float>")
+      val scored = assigned
+        .withColumn("own", graft.functions.expressions.TopK
+          .maxCos(vf, cents, cents.map(l2)).getField("cos"))
+        .withColumn("glob", graft.functions.expressions.TopK
+          .maxCos(vf, gcent, gcent.map(l2)).getField("cos"))
+      scored.agg(
+        lit(k.toLong).as("k"),
+        (countDistinct(col("cluster")) === k).as("all_domains_used"),
+        (min(col("cluster")) >= 0 && max(col("cluster")) < k)
+          .as("labels_in_range"),
+        (avg(col("own")) > avg(col("glob")) + 0.005).as("coherent"))
     })
   )
 
@@ -547,6 +580,12 @@ object Similarity {
     "v4_ann_ivf" -> recallOracle,
     "v6_ann_sq8" -> recallOracle,
     "v9_ann_pq" -> recallOracle,
+    // v11 publishes algorithm invariants (k-means objective strictly
+    // improves over the k=1 baseline; assignment is total and
+    // in-range) — constants like the recall oracles.
+    "v11_kmeans_domains" ->
+      """SELECT CAST(8 AS BIGINT) AS k, true AS all_domains_used,
+         true AS labels_in_range, true AS coherent""",
     // v10: window-rank replay of the bounded-heap top-10, then the
     // majority vote with the same (count desc, label asc) tie-break
     "v10_knn_classify" ->

@@ -342,7 +342,9 @@ object TextOps {
       val r = all.select(col("doc_id"),
         compressionRatio(col("text")).as("ratio"))
       r.agg(
-        (max(when(col("doc_id") >= 0, col("ratio"))) <= 1.1 &&
+        // ≤ 1.5: zlib's worst case is raw + ~11 bytes fixed overhead,
+        // which a 44-char doc (the corpus minimum) can push past 1.1
+        (max(when(col("doc_id") >= 0, col("ratio"))) <= 1.5 &&
           min(when(col("doc_id") >= 0, col("ratio"))) > 0.0)
           .as("corpus_bounded"),
         (min(when(col("doc_id") === -1, col("ratio"))) < 0.2)

@@ -331,4 +331,50 @@ class PipelineSpec extends SparkSpec {
     val kept2 = capped(base.union(Seq(("s0", extra)).toDF("source", "doc_id")))
     assert(kept2 == kept, "cap not stable under high-hash growth")
   }
+
+  test("x12 chunking conserves tokens and overlaps by exactly W-S") {
+    import spark.implicits._
+    // docs sized around the window boundaries: < W, == W, W+1, long
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, mk(10)), (2L, mk(64)), (3L, mk(65)), (4L, mk(500)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x12").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Pipeline.queries("x12_chunking")(spark, dir)
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+    // chunk counts: 1, 1, 2, 1+ceil(436/48)=11
+    assert(byDoc(1L).size == 1 && byDoc(2L).size == 1)
+    assert(byDoc(3L).size == 2 && byDoc(4L).size == 11)
+    // every token of doc 4 appears in order when overlaps are removed:
+    // chunk i contributes its tokens from offset 16 on (i > 0)
+    val rebuilt = byDoc(4L).zipWithIndex.flatMap { case (r, i) =>
+      val toks = r.getString(2).split(" ").toSeq
+      if (i == 0) toks else toks.drop(16)
+    }
+    assert(rebuilt.toSeq == (1 to 500).map(i => s"t$i"))
+    // boundary doc: second chunk starts at token 49 and carries 17 tokens
+    val c2 = byDoc(3L)(1)
+    assert(c2.getString(2).split(" ").head == "t49")
+    assert(c2.getLong(3) == 17L)
+  }
+
+  test("v11 domain discovery separates well-separated blobs") {
+    import spark.implicits._
+    // two orthogonal 64-dim blobs: k=2 k-means must split them exactly
+    val dim = 64
+    val mkVec = (axis: Int, i: Int) => {
+      val a = Array.fill(dim)(0.001f * ((i * 7919 + axis) % 13))
+      a(axis) = 10f + (i % 3) * 0.1f
+      a
+    }
+    val rows = (0 until 40).map(i => (i.toLong, mkVec(if (i % 2 == 0) 0 else 32, i)))
+    val e = rows.toDF("vec_id", "embedding")
+    val (assigned, cents) = graft.operators.Ivf.fit(e, 2, 5)
+    val got = assigned.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val even = (0 until 40 by 2).map(i => got(i.toLong)).toSet
+    val odd = (1 until 40 by 2).map(i => got(i.toLong)).toSet
+    assert(even.size == 1 && odd.size == 1 && even != odd)
+  }
 }

@@ -24,7 +24,7 @@ object GraftSqlFunctions {
     DotFn, CosineFn, Hash60Fn, TokenCountFn, SimhashFn, FingerprintFn,
     Hilbert2dFn, HilbertNdFn, Sq8Fn, Sq8DotFn, HashedFeaturesFn,
     BucketFn, StPointFn, StGeomFromWkbFn, StIntersectsFn, StWithinFn,
-    StEqualsFn, StOverlapsFn)
+    StEqualsFn, StOverlapsFn, UnicodeNormalizeFn, CompressionRatioFn)
 
   def byName(name: String): Option[UnboundFunction] =
     all.find(_.name == name.toLowerCase)
@@ -504,6 +504,47 @@ object GraftSqlFunctions {
       StIntersectsBound.invoke(a, b)
     override def produceResult(input: InternalRow): java.lang.Boolean =
       invoke(input.getBinary(0), input.getBinary(1))
+  }
+
+  object UnicodeNormalizeFn extends StrFn("unicode_normalize") {
+    override def description: String =
+      "unicode_normalize(s string) -> string: NFC + accent strip + " +
+        "lowercase + whitespace collapse (the t15 dedup-key " +
+        "normalizer; DuckDB-replayable via strip_accents/nfc_normalize)"
+    override def bound: BoundFunction = UnicodeNormalizeBound
+  }
+
+  object UnicodeNormalizeBound extends ScalarFunction[UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = "unicode_normalize"
+    def invoke(s: UTF8String): UTF8String = {
+      // same pipeline as TextFunctions.unicodeNormalize: the kernel's
+      // nfcStrip, then Spark-lower (UTF8String), collapse, trim
+      val stripped = UnicodeText.nfcStrip(s).toLowerCase.toString
+      UTF8String.fromString(
+        stripped.replaceAll("[ \\t\\n\\r\\f]+", " ").trim)
+    }
+    override def produceResult(input: InternalRow): UTF8String =
+      invoke(input.getUTF8String(0))
+  }
+
+  object CompressionRatioFn extends StrFn("compression_ratio") {
+    override def description: String =
+      "compression_ratio(s string) -> double: zlib-compressed size / " +
+        "raw UTF-8 size (the t16 quality signal: boilerplate << 0.3, " +
+        "prose 0.3-0.7, noise ~1)"
+    override def bound: BoundFunction = CompressionRatioBound
+  }
+
+  object CompressionRatioBound extends ScalarFunction[java.lang.Double] {
+    override def inputTypes(): Array[DataType] = Array(StringType)
+    override def resultType(): DataType = DoubleType
+    override def name(): String = "compression_ratio"
+    def invoke(s: UTF8String): Double =
+      UnicodeText.deflateLen(s).toDouble / math.max(s.numBytes, 1)
+    override def produceResult(input: InternalRow): java.lang.Double =
+      invoke(input.getUTF8String(0))
   }
 
   object StWithinFn extends BinFn("st_within", 2) {

@@ -203,4 +203,20 @@ class FunctionsSpec extends SparkSpec {
     assert(repLen.toDouble / rep.getBytes("UTF-8").length < 0.2)
     assert(noiseLen.toDouble / noise.getBytes("UTF-8").length > 0.4)
   }
+
+  test("unicode_normalize / compression_ratio SQL == Column builders") {
+    val cat = mkCat()
+    val df = (texts :+ "Cafe\u0301  DU  monde\tna\u00efve").toDF("t")
+    df.createOrReplaceTempView("fn_un")
+    val viaSql = spark.sql(
+      s"""SELECT $cat.unicode_normalize(t) AS n,
+         |$cat.compression_ratio(t) AS r FROM fn_un""".stripMargin)
+      .collect()
+    val viaCol = df.select(
+      TextFunctions.unicodeNormalize(col("t")).as("n"),
+      TextFunctions.compressionRatio(col("t")).as("r")).collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // the combining-accent row normalized to the precomposed-form key
+    assert(viaCol.last.getString(0) == "cafe du monde naive")
+  }
 }

@@ -130,6 +130,18 @@ object Kernels {
       classOf[graft.functions.UnicodeText.type], StringType, "nfcStrip",
       Seq(expression(s)), inputTypes = Seq(StringType)))
 
+  /** Winnowing fingerprint selection over a positional k-gram hash
+    * array: distinct (1-based position, hash) rightmost-window-min
+    * picks — the MOSS document-fingerprinting kernel. */
+  def winnow(hashes: Column, w: Int): Column =
+    column(WinnowExpr(expression(hashes), w))
+
+  /** Fused token-array → winnowing fingerprints (positional k-gram
+    * hash60 + rightmost-min windows) in one codegen pass — the t17
+    * hot path (md5 in an interpreted HOF lambda cost 8×). */
+  def winnowText(tokens: Column, k: Int, w: Int): Column =
+    column(WinnowTextExpr(expression(tokens), k, w))
+
   /** zlib-compressed byte size of the UTF-8 text — static call to
     * [[graft.functions.UnicodeText.deflateLen]]; numerator of the
     * compression-ratio quality signal. */
@@ -325,6 +337,111 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
       s"graft.functions.expressions.ShinglesExpr.compute($a, $k);")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Winnowing fingerprint selection (the MOSS algorithm): over every
+  * w-length window of the positional k-gram hash sequence, select the
+  * RIGHTMOST minimum; emit the distinct (position, hash) selections in
+  * position order. Guarantees any shared run of ≥ w+k−1 tokens yields
+  * at least one common fingerprint while keeping ~2/(w+1) of the
+  * hashes. Selections are non-decreasing in position (a smaller value
+  * left of the previous pick would have won its window already), so
+  * consecutive-dedup ≡ global DISTINCT — which is what the DuckDB
+  * oracle's `SELECT DISTINCT` replays. Fewer than w hashes → no
+  * windows → empty. */
+case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = WinnowExpr.OutType
+  override def nullSafeEval(v: Any): Any =
+    WinnowExpr.compute(v.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.WinnowExpr.compute($a, $w);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused positional-k-gram hash60 + winnowing: one codegen pass from
+  * the token array straight to the fingerprint list. The two-stage
+  * declarative form (`transform(sequence, hash60(array_join(slice)))`
+  * into [[WinnowExpr]]) computes the same bits but evaluates md5
+  * inside an INTERPRETED lambda — measured 5.2 s vs 0.6 s at sf0.1 on
+  * t17 (the t9/t11 lesson again). hash60 here is the same
+  * "first 15 md5 hex chars base-16" contract as
+  * [[graft.functions.TextFunctions.hash60]], so the DuckDB oracle
+  * replays it unchanged. */
+case class WinnowTextExpr(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = WinnowExpr.OutType
+  override def nullSafeEval(v: Any): Any =
+    WinnowTextExpr.compute(v.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.WinnowTextExpr.compute($a, $k, $w);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WinnowTextExpr {
+  /** hash60 of each positional k-gram (space-joined), then winnow. */
+  def compute(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * k - 1)
+      var j = 0
+      while (j < k) {
+        parts(2 * j) = tokens.getUTF8String(i + j)
+        if (j < k - 1) parts(2 * j + 1) = sep
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(
+        org.apache.spark.unsafe.types.UTF8String.concat(parts: _*).getBytes)
+      // first 15 hex chars base-16 == top 60 bits of the first 8 bytes
+      val hi = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+      hs(i) = hi >>> 4
+      i += 1
+    }
+    WinnowExpr.compute(new GenericArrayData(hs), w)
+  }
+}
+
+object WinnowExpr {
+  val OutType: ArrayType = ArrayType(
+    StructType(Seq(
+      StructField("p", LongType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+
+  def compute(hashes: ArrayData, w: Int): ArrayData = {
+    val m = hashes.numElements()
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastPos = -1
+    var i = 0
+    while (i <= m - w) {
+      var minV = Long.MaxValue
+      var minP = -1
+      var j = i
+      while (j < i + w) {
+        val v = hashes.getLong(j)
+        if (v <= minV) { minV = v; minP = j } // <=: rightmost min wins
+        j += 1
+      }
+      if (minP != lastPos) {
+        out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any]((minP + 1).toLong, minV))
+        lastPos = minP
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 object ShinglesExpr {

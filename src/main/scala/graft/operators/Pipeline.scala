@@ -264,6 +264,70 @@ object Pipeline {
           least(lit(w.toLong), col("n") - col("chunk_id") * st)
             .as("n_chunk_tokens"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Cluster-balanced sampling (the unsupervised twin of x3's
+    // source-tier mixture): text → hashed-feature vectors (the t11
+    // featurizer) → k-means domains (the v11 trainer) → per-domain
+    // md5-threshold rates that level every domain to the SMALLEST
+    // domain's mass. No labels needed — the DoReMi/SemDeDup-style
+    // rebalance entirely in-engine. Determinism: features, clustering
+    // and the sampling key are all md5/argmax functions of content,
+    // so the sample replays bit-identically at any cluster size.
+    // Published as invariants (cluster sizes are corpus facts, not
+    // constants): every domain's sampled mass lands within wide
+    // tolerance of the target, and samples are subsets.
+    "x13_domain_mixture" -> ((s, d) => {
+      val k = 4
+      val bks = transform(tokens(col("text")),
+        t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
+          lit(64L)))
+      // L2-NORMALIZED hashed-feature vectors: the trainer assigns by
+      // argmax dot, so unnormalized count vectors degenerate to
+      // longest-doc-wins (one mega-cluster — observed); on the unit
+      // sphere argmax dot IS spherical k-means by direction
+      val raw = docs(s, d).select(col("doc_id").as("vec_id"),
+        graft.functions.expressions.Kernels.bucketCounts(bks, 64)
+          .cast("array<double>").as("v"))
+      val feats = raw
+        .withColumn("nrm", greatest(
+          graft.functions.VectorFunctions.norm(
+            col("v").cast("array<float>")), lit(1e-9)))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm"))
+            .cast("array<float>").as("embedding"))
+        // materialize ONCE: every Lloyd iteration (and the init
+        // collect, the final assignment, and the sampling below)
+        // re-executes this subtree otherwise — tokenize + per-token
+        // md5 across the corpus ~10×, measured 161 s vs ~2 s at sf0.1.
+        // Same treatment as Pq's sample; at 100 TB the featurized
+        // table is the thing to persist, not recompute.
+        .localCheckpoint()
+      val (assigned, _) = Ivf.fit(feats, k, iters = 3)
+      val sizes = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n"))
+      val target = sizes.agg(min(col("n"))).first().getLong(0)
+      val rated = assigned.join(broadcast(sizes), "cluster")
+        .withColumn("rate", least(lit(1.0), lit(target.toDouble) / col("n")))
+        // 13-hex md5 prefix / 16^13 is uniform in [0,1): doc kept iff
+        // below its domain's rate — deterministic, growth-stable
+        .withColumn("u",
+          conv(substring(md5(col("vec_id").cast("string")), 1, 13), 16, 10)
+            .cast("double") / math.pow(16.0, 13))
+        .withColumn("kept", col("u") < col("rate"))
+      val perCluster = rated.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      // single invariant row (cluster population is a corpus fact, not
+      // an oracle constant): every domain's sample is a subset and
+      // levels to the smallest domain's mass within wide tolerance
+      perCluster.agg(
+        (count(lit(1)) >= 2).as("multi_domain"),
+        (max(when(col("n_kept") > col("n"), 1).otherwise(0)) === 0)
+          .as("subset_ok"),
+        (max(when(col("n_kept") < lit(target * 0.4) ||
+            col("n_kept") > lit(target * 1.6), 1).otherwise(0)) === 0)
+          .as("balanced_ok"))
     })
   )
 
@@ -632,6 +696,12 @@ object Pipeline {
          array_to_string(toks[gs*48+1 : gs*48+64], ' ') AS chunk_text,
          least(64, n - gs*48)::bigint AS n_chunk_tokens
        FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(gs)
-       ORDER BY doc_id, chunk_id"""
+       ORDER BY doc_id, chunk_id""",
+    // x13 publishes algorithm invariants per domain (the v3/v11
+    // contract): sampling can only shrink a domain, and every domain
+    // levels to the smallest domain's mass within wide tolerance.
+    "x13_domain_mixture" ->
+      """SELECT true AS multi_domain, true AS subset_ok,
+         true AS balanced_ok"""
   )
 }

@@ -167,6 +167,19 @@ object Relational {
           col("n"), col("qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // CUBE: all 2^k grouping combinations in one pass — Catalyst plans
+    // a single Expand + hash aggregation (like MariaDB executed the
+    // reference's GROUP BY WITH ROLLUP server-side, SURVEY §2.4).
+    "a8_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"), col("qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // J1: equi-join small dim table — broadcast hash join, no shuffle of
     // the big side. [Spark analog of clustered-index lookup join J2]
     "j1_broadcast_join" -> ((s, d) => {
@@ -450,6 +463,12 @@ object Relational {
          coalesce(l_linestatus, '(all)') AS l_linestatus,
          count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+    "a8_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+         coalesce(l_linestatus, '(all)') AS l_linestatus,
+         count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
     "j1_broadcast_join" ->
       """SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n

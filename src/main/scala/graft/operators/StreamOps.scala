@@ -74,6 +74,14 @@ object StreamOps {
       EventPipeline.runStreamingIntervalJoin(s, d)
         .orderBy("event_id", "pus")),
 
+    // Stream-static enrichment join: batch-computed user tiers joined
+    // into the click stream (STATELESS — no state store; the static
+    // side broadcasts per micro-batch), then watermarked windowed
+    // aggregation per tier. The canonical streaming dimension-join.
+    "st6_stream_enrich" -> ((s, d) =>
+      EventPipeline.runStreamEnrich(s, d)
+        .orderBy("win_start_us", "tier")),
+
     // Sessionization: session breaks at >30 min inactivity per user.
     "st2_sessions" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
@@ -118,6 +126,17 @@ object StreamOps {
        FROM c JOIN p ON c.user_id = p.user_id
          AND c.us BETWEEN p.pus - 1800000000 AND p.pus
        ORDER BY c.event_id, p.pus""",
+    "st6_stream_enrich" ->
+      """WITH t AS (SELECT user_id,
+           CASE WHEN round(sum(value), 2) >= 500 THEN 'high'
+                ELSE 'low' END AS tier
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT (epoch_us(e.ts) // 3600000000) * 3600000000 AS win_start_us,
+         coalesce(t.tier, 'none') AS tier, count(*) AS n,
+         round(sum(e.value), 2) AS total
+       FROM events e LEFT JOIN t USING (user_id)
+       WHERE e.event_type = 'click'
+       GROUP BY 1, 2 ORDER BY win_start_us, tier""",
     "st2_sessions" ->
       """WITH raw AS (
            SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

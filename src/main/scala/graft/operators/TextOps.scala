@@ -354,6 +354,27 @@ object TextOps {
         (min(when(col("doc_id") === -1, col("ratio"))) <
           max(when(col("doc_id") === -2, col("ratio"))))
           .as("ordering_holds"))
+    }),
+
+    // Winnowing document fingerprints (the MOSS algorithm): hash every
+    // positional 5-gram, then in each 8-length window of the hash
+    // sequence select the RIGHTMOST minimum — any shared token run of
+    // ≥ w+k−1 = 12 tokens between two documents is GUARANTEED to
+    // produce a common fingerprint, while only ~2/(w+1) of positions
+    // are kept. This is the principled local-fingerprint dedup
+    // primitive (d6's fixed-stride windows trade that guarantee for
+    // simplicity). Positional hashing is the x6/x11 shingle pattern;
+    // the window selection is one codegen'd kernel pass per row.
+    "t17_winnowing" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      docs(s, d)
+        .filter(size(toks) >= 5)
+        .select(col("doc_id"),
+          graft.functions.expressions.Kernels.winnowText(toks, 5, 8)
+            .as("fps"))
+        .select(col("doc_id"), explode(col("fps")).as("u"))
+        .select(col("doc_id"), col("u.p").as("pos"), col("u.h").as("fp"))
+        .orderBy("doc_id", "pos")
     })
   )
 
@@ -776,6 +797,27 @@ object TextOps {
     // inequalities are not.
     "t16_compress_ratio" ->
       """SELECT true AS corpus_bounded, true AS repetitive_compresses,
-         true AS noise_incompressible, true AS ordering_holds"""
+         true AS noise_incompressible, true AS ordering_holds""",
+    // t17: positional 5-gram hash60 sequence, rightmost-min-per-window
+    // via list_reverse + list_position (first index in the reversed
+    // slice = rightmost in the original); DISTINCT replays the
+    // kernel's consecutive dedup (selections are non-decreasing in
+    // position).
+    "t17_winnowing" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         hsrc AS (SELECT doc_id,
+             [('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::bigint
+              for i in range(1, len(toks) - 5 + 2)] AS hs
+           FROM tk WHERE len(toks) >= 5),
+         w AS (SELECT doc_id,
+             unnest([{p: i + 8 - list_position(list_reverse(hs[i:i+7]),
+                                               list_min(hs[i:i+7])),
+                      h: list_min(hs[i:i+7])}
+                     for i in range(1, len(hs) - 8 + 2)]) AS u
+           FROM hsrc)
+       SELECT DISTINCT doc_id, (u).p AS pos, (u).h AS fp FROM w
+       ORDER BY doc_id, pos"""
   )
 }

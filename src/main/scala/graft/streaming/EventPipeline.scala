@@ -254,6 +254,51 @@ object EventPipeline {
     }
   }
 
+  /** Stream-static enrichment join — the canonical dimension-table
+    * shape: a batch-computed per-user tier table (static side) joined
+    * into the click stream, then windowed per-tier aggregation.
+    * Scale property: a stream-static equi-join is STATELESS — no state
+    * store at all; each micro-batch joins against the static frame,
+    * broadcast here (a dimension table at 100 TB corpus scale is still
+    * broadcast-sized, or storage-partitioned via `graft.buckets` if
+    * not). Only the windowed aggregation downstream carries state,
+    * watermark-bounded as in [[windowedCounts]]. Left join + coalesce:
+    * clickers with no purchase history land in tier "none" instead of
+    * dropping out. */
+  def runStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = "graft_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val tiers = work.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        // round-2 before the cut: double sum order differs between
+        // engines; the rounded total is the stable tier key
+        .agg(round(sum(col("value")), 2).as("tot"))
+        .select(col("user_id"),
+          when(col("tot") >= 500, "high").otherwise("low").as("tier"))
+      val stream = work.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .transform(graft.Tables.normalizeTs)
+        .filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+        .join(broadcast(tiers), Seq("user_id"), "left")
+        .select(col("ts"),
+          coalesce(col("tier"), lit("none")).as("tier"), col("value"))
+      val q = stream
+        .groupBy(window(col("ts"), "1 hour"), col("tier"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("tier"), col("n"), col("total"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      work.table(name)
+    }
+  }
+
   /** Exact-dedup ORACLE variant: `dropDuplicates` keeps EVERY distinct
     * key in the state store forever and `complete` mode rematerializes
     * the whole result each batch — bit-exact against a batch

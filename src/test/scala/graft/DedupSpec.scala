@@ -191,4 +191,54 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       plan.take(2000))
   }
+
+  test("winnowing kernel equals naive selection; shared-run guarantee") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // kernel vs naive rightmost-min-per-window on randomized arrays
+    val rnd = new scala.util.Random(42)
+    val arrays = Seq.fill(40)(Seq.fill(3 + rnd.nextInt(60))(rnd.nextLong(1000)))
+    def naive(hs: Seq[Long], w: Int): Seq[(Long, Long)] =
+      if (hs.length < w) Seq.empty
+      else (0 to hs.length - w).map { i =>
+        val win = hs.slice(i, i + w)
+        val m = win.min
+        val p = (0 until w).filter(win(_) == m).max + i
+        ((p + 1).toLong, m)
+      }.distinct
+    val got = arrays.toDF("hs")
+      .select(graft.functions.expressions.Kernels.winnow(col("hs"), 8).as("f"))
+      .as[Seq[(Long, Long)]].collect()
+    arrays.zip(got).foreach { case (hs, g) =>
+      assert(g == naive(hs, 8), s"winnow mismatch on $hs")
+    }
+    // guarantee: two docs sharing >= w+k-1 = 12 tokens produce a
+    // common fingerprint HASH through the t17 query
+    val shared = (1 to 12).map(i => s"run$i").mkString(" ")
+    val docA = s"alpha beta gamma $shared delta epsilon zeta"
+    val docB = s"one two three four five six $shared seven eight"
+    val dir = java.nio.file.Files.createTempDirectory("t17").toString
+    Seq((1L, docA, "en", "a", 1L), (2L, docB, "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = graft.operators.TextOps.queries("t17_winnowing")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet)
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "a 12-token shared run must yield a common winnowing fingerprint")
+    // the fused kernel (winnowText) is bit-identical to the two-stage
+    // declarative form (hash60 in a HOF into winnow) it replaced
+    import graft.functions.TextFunctions.{tokens, hash60}
+    val df = Seq(docA, docB).toDF("text")
+    val toks = tokens(col("text"))
+    val declarative = df.select(
+      graft.functions.expressions.Kernels.winnow(
+        transform(sequence(lit(1), size(toks) - 4),
+          i => hash60(array_join(slice(toks, i, lit(5)), " "))), 8))
+      .as[Seq[(Long, Long)]].collect().toSeq
+    val fused = df.select(
+      graft.functions.expressions.Kernels.winnowText(toks, 5, 8))
+      .as[Seq[(Long, Long)]].collect().toSeq
+    assert(fused == declarative && fused.forall(_.nonEmpty))
+  }
 }

@@ -418,4 +418,48 @@ class StreamingSpec extends SparkSpec {
     assert(checkedDuring && out == 3L)
     assert(spark.conf.get(key) == prev)
   }
+
+  test("stream-static enrichment equals batch; join carries no state") {
+    val streaming = operators.StreamOps.queries("st6_stream_enrich")(spark, sf)
+      .collect().toSeq
+    // batch twin of the same plan: tiers joined into clicks, windowed
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sf, "events")
+    val tiers = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(round(sum(col("value")), 2).as("tot"))
+      .select(col("user_id"),
+        when(col("tot") >= 500, "high").otherwise("low").as("tier"))
+    val batch = ev.filter(col("event_type") === "click")
+      .join(tiers, Seq("user_id"), "left")
+      .select(col("ts"), coalesce(col("tier"), lit("none")).as("tier"),
+        col("value"))
+      .groupBy(window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("tier"), col("n"), col("total"))
+      .orderBy("win_start_us", "tier").collect().toSeq
+    assert(streaming.nonEmpty && streaming == batch)
+    // statelessness of the join: run the same stream and inspect the
+    // progress — exactly ONE state operator (the windowed aggregation),
+    // none for the stream-static join
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val name = "st6_state_probe"
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .transform(Tables.normalizeTs)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(tiers), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"),
+        coalesce(col("tier"), lit("none")).as("tier"))
+      .count()
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1,
+        s"expected only the aggregation state operator, got ${ops.length}")
+    } finally q.stop()
+  }
 }

@@ -155,6 +155,41 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Winnowing-based near-dup pairs (i<j, shared fingerprint count):
+    * the t17 fingerprints (rightmost-min windows over positional
+    * 5-gram hash60s, w=8) as the inverted-index key. The winnowing
+    * guarantee upgrades d6's fixed-stride recall: ANY shared run of
+    * ≥ w+k−1 = 12 tokens yields a common fingerprint, at ~2/(w+1) of
+    * the index volume a full positional index would cost. Same
+    * df-cap-then-join shape as d2/d6 (a viral boilerplate fingerprint
+    * cannot go quadratic); ≥ 2 shared fingerprints cuts incidental
+    * single-window collisions. Fully DuckDB-replayable (hash60). */
+  private[graft] def winnowDupPairs(docsDf: DataFrame,
+      dfCap: Option[Long]): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val fps = docsDf.filter(size(toks) >= 5)
+      .select(col("doc_id"),
+        graft.functions.expressions.Kernels.winnowText(toks, 5, 8)
+          .as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("u"))
+      // a doc can select the same hash at several positions
+      .select(col("doc_id"), col("u.h").as("fp")).distinct()
+      .localCheckpoint()
+    val candIdx = dfCap match {
+      case Some(cap) =>
+        val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("fp")
+        fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      case None => fps
+    }
+    candIdx.as("a").join(candIdx.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("i", "j")
+  }
+
   /** Incremental exact dedup — the production "dedupe today's
     * increment against the historical corpus" loop: for each increment
     * row (doc_id, fp), the earliest doc_id sharing its fingerprint
@@ -354,6 +389,14 @@ object Dedup {
     // oracle proves the empty answer); DedupSpec injects real spans.
     "d6_span_dup" -> ((s, d) => spanDupPairs(docs(s, d), Some(1024))),
 
+    // Winnowing near-dup pairs: the t17 fingerprints as the inverted
+    // index — a guaranteed-recall (≥12-token runs), ~4× smaller index
+    // than d6's stride-1 window set. df-capped like d2/d6.
+    "d8_winnow_dup" -> ((s, d) => {
+      val dd = docs(s, d)
+      winnowDupPairs(dd, Some(math.max(50L, dd.count() / 100)))
+    }),
+
     // Containment dedup (one-sided Jaccard): subset-duplicates at
     // containment ≥ 0.8, both directions of every surfaced pair. Same
     // df cap as d2 (inert on this corpus — the exact oracle proves the
@@ -522,6 +565,32 @@ object Dedup {
            len(list_intersect(a.w, b.w))::bigint AS n_shared
          FROM w a JOIN w b ON a.doc_id < b.doc_id)
        WHERE n_shared > 0 ORDER BY i, j""",
+    // d8: the t17 fingerprint CTE (rightmost-min windows over
+    // positional 5-gram hash60s), distinct per doc, hot fingerprints
+    // (df > max(50, n/100)) dropped, self-joined, >= 2 shared
+    "d8_winnow_dup" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         hsrc AS (SELECT doc_id,
+             [('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::bigint
+              for i in range(1, len(toks) - 5 + 2)] AS hs
+           FROM tk WHERE len(toks) >= 5),
+         w AS (SELECT doc_id,
+             unnest([{p: i + 8 - list_position(list_reverse(hs[i:i+7]),
+                                               list_min(hs[i:i+7])),
+                      h: list_min(hs[i:i+7])}
+                     for i in range(1, len(hs) - 8 + 2)]) AS u
+           FROM hsrc),
+         fp AS (SELECT DISTINCT doc_id, (u).h AS fp FROM w),
+         hot AS (SELECT fp FROM fp GROUP BY fp
+           HAVING count(*) > greatest(50,
+             (SELECT count(*) FROM documents) // 100)),
+         f2 AS (SELECT doc_id, fp FROM fp
+           WHERE fp NOT IN (SELECT fp FROM hot))
+       SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+       FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j""",
     "d4_simhash_pairs" ->
       """WITH sig AS (
          SELECT doc_id,

@@ -282,6 +282,20 @@ object Relational {
         .orderBy("user_id", "event_id")
     }),
 
+    // W4: bounded sliding frame — 3-row moving average per user
+    // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), the remaining frame
+    // shape after w1 rank / w2 running / w3 lag.
+    "w4_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id") < 20L)
+        .select(col("user_id"), col("event_id"), micros(col("ts")).as("ts_us"),
+          round(avg(col("value")).over(w), 2).as("mavg"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // ORDER BY + LIMIT (top-k; Spark TakeOrderedAndProject).
     "o1_orderby_limit" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -514,6 +528,11 @@ object Relational {
          epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
            ORDER BY ts, event_id) AS gap_us
          FROM events WHERE user_id < 10 ORDER BY user_id, event_id""",
+    "w4_moving_avg" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mavg
+         FROM events WHERE user_id < 20 ORDER BY user_id, ts_us, event_id""",
     "o1_orderby_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""",

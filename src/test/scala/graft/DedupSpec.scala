@@ -241,4 +241,28 @@ class DedupSpec extends SparkSpec {
       .as[Seq[(Long, Long)]].collect().toSeq
     assert(fused == declarative && fused.forall(_.nonEmpty))
   }
+
+  test("d8 winnowing dedup surfaces an injected shared-run pair") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"copy$i").mkString(" ")
+    val rnd = new scala.util.Random(7)
+    def filler(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler(40)} $shared ${filler(40)}"),
+      (2L, s"${filler(55)} $shared ${filler(25)}")) ++
+      (3L to 30L).map(i => (i, filler(90)))
+    val dir = java.nio.file.Files.createTempDirectory("d8").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Dedup.queries("d8_winnow_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "a 30-token shared run must surface the pair through winnowing")
+    // unrelated filler docs should not pair up at >= 2 shared prints
+    assert(pairs.forall { case (i, j) => (i, j) == ((1L, 2L)) },
+      s"unexpected pairs: $pairs")
+  }
 }

@@ -130,6 +130,12 @@ object Kernels {
       classOf[graft.functions.UnicodeText.type], StringType, "nfcStrip",
       Seq(expression(s)), inputTypes = Seq(StringType)))
 
+  /** Distinct character k-grams in first-occurrence order — one
+    * codegen pass (see [[CharGramsExpr]]; the HOF twin's interpreted
+    * per-position substr is O(n_chars²) per document). */
+  def charGrams(s: Column, k: Int): Column =
+    column(CharGramsExpr(expression(s), k))
+
   /** Winnowing fingerprint selection over a positional k-gram hash
     * array: distinct (1-based position, hash) rightmost-window-min
     * picks — the MOSS document-fingerprinting kernel. */
@@ -441,6 +447,54 @@ object WinnowExpr {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+}
+
+/** Distinct character k-grams of a string, first-occurrence order —
+  * the d9 (tokenizer-free dedup) shingle kernel. The declarative twin
+  * (`sequence → transform → substr → array_distinct`) computes the
+  * same bits but evaluates an INTERPRETED lambda whose `substr`
+  * re-scans the string to each position (O(n_chars²) per document —
+  * 11.6 s of d9's 18 s at sf0.1); this is one pass over code-point
+  * boundaries. Grams are CODE-POINT windows (`substr`/DuckDB `substr`
+  * semantics), not UTF-16 units. */
+case class CharGramsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    CharGramsExpr.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = " +
+      s"graft.functions.expressions.CharGramsExpr.compute($s, $k);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CharGramsExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // code-point boundary table: bounds(i) = UTF-16 offset of char i
+    val bounds = new Array[Int](n + 1)
+    var off = 0
+    var i = 0
+    while (i < n) {
+      bounds(i) = off
+      off = str.offsetByCodePoints(off, 1)
+      i += 1
+    }
+    bounds(n) = str.length
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p + k <= n) {
+      seen.add(UTF8String.fromString(str.substring(bounds(p), bounds(p + k))))
+      p += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -187,6 +187,72 @@ object Dedup {
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
+      .orderBy("i", "j")
+  }
+
+  /** Distinct character k-grams of a string — the tokenizer-free
+    * shingle for scripts with no word boundaries (CJK, Thai) where
+    * d2's whitespace 5-token shingles degenerate to whole-line
+    * tokens. One codegen kernel pass ([[graft.functions.expressions
+    * .CharGramsExpr]]): the declarative HOF twin evaluated an
+    * interpreted lambda whose substr re-scans the string per position
+    * — O(n_chars²) per document, 11.6 s of d9's 18 s at sf0.1. */
+  private[graft] def charShingles(s0: Column, k: Int): Column =
+    graft.functions.expressions.Kernels.charGrams(s0, k)
+
+  /** Char-5-gram Jaccard near-dup pairs (i<j, jac ≥ threshold) — the
+    * whitespace-free-script twin of d2, same capped-inverted-index →
+    * exact-verify shape: candidate generation joins on xxhash64'd
+    * grams with hot (df > cap) grams dropped, then the exact Jaccard
+    * over FULL distinct gram sets scores candidates.
+    *
+    * Char grams are ~6× denser than token shingles (one per CHARACTER
+    * position), and mid-frequency grams (df under any sane cap) alone
+    * make the raw index self-join quadratic-ish on repetitive corpora
+    * (measured 40 s at sf0.1 where d2 runs in 1.4 s). Two bounds fix
+    * that, both deterministic so the exact oracle stays the referee:
+    *  - gram SAMPLING: only grams with xxhash64(g) ≡ 0 (mod 4) enter
+    *    the candidate index — 1/16 of the self-join volume;
+    *  - ≥ 3 shared SAMPLED grams before exact verification.
+    * Miss condition: a true pair is lost only if < 3 of its shared
+    * grams survive sampling. At Jaccard ≥ 0.8 the shared-distinct
+    * count is ≥ 0.44·|union| — ~130 grams for ~300-char documents,
+    * ~33 expected survivors; only near-dup pairs of sub-~30-char
+    * scraps (below any dedup length floor) can fall under 3. The d2
+    * df cap still applies on top for viral boilerplate. */
+  private[graft] def charNgramPairs(docsDf: DataFrame, threshold: Double,
+      dfCap: Option[Long]): DataFrame = {
+    val sets = docsDf
+      .select(col("doc_id"),
+        charShingles(regexp_replace(lower(col("text")), "\\s", ""), 5)
+          .as("g"))
+      .filter(size(col("g")) > 0)
+      .localCheckpoint()
+    val idx = sets
+      .select(col("doc_id"), explode(col("g")).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("gh"))
+      .filter(pmod(col("gh"), lit(4L)) === 0L)
+    val candIdx = dfCap match {
+      case Some(cap) =>
+        val hot = idx.groupBy("gh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("gh")
+        idx.join(broadcast(hot), Seq("gh"), "left_anti")
+      case None => idx
+    }
+    val cands = candIdx.as("a").join(candIdx.as("b"), "gh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 3)
+      .select("i", "j")
+    cands
+      .join(sets.select(col("doc_id").as("i"), col("g").as("ga")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("g").as("gb")), "j")
+      .withColumn("jac",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
       .orderBy("i", "j")
   }
 
@@ -397,6 +463,14 @@ object Dedup {
       winnowDupPairs(dd, Some(math.max(50L, dd.count() / 100)))
     }),
 
+    // Char-5-gram Jaccard near-dup (tokenizer-free, for scripts with
+    // no word boundaries): d2's capped-index → exact-verify shape over
+    // character grams. Oracle replays the exact O(n²) Jaccard.
+    "d9_char_ngram" -> ((s, d) => {
+      val dd = docs(s, d)
+      charNgramPairs(dd, 0.8, Some(math.max(50L, dd.count() / 100)))
+    }),
+
     // Containment dedup (one-sided Jaccard): subset-duplicates at
     // containment ≥ 0.8, both directions of every surfaced pair. Same
     // df cap as d2 (inert on this corpus — the exact oracle proves the
@@ -591,6 +665,24 @@ object Dedup {
        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
        FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
        GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j""",
+    // d9: exact O(n²) char-5-gram Jaccard replay (the capped index is
+    // candidate generation only; surfaced pairs are scored on full
+    // distinct gram sets, so the exact all-pairs answer is the oracle)
+    "d9_char_ngram" ->
+      """WITH s AS (SELECT doc_id,
+             list_distinct([substr(s0, i, 5)
+                            for i in range(1, greatest(len(s0) - 4, 0) + 1)]) AS g
+           FROM (SELECT doc_id,
+                   regexp_replace(lower(text), '\s', '', 'g') AS s0
+                 FROM documents)),
+         s2 AS (SELECT doc_id, g FROM s WHERE len(g) > 0)
+       SELECT a.doc_id AS i, b.doc_id AS j,
+         round(len(list_intersect(a.g, b.g))::double /
+               len(list_distinct(a.g || b.g)), 6) AS jac
+       FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.g, b.g))::double /
+             len(list_distinct(a.g || b.g)) >= 0.8
+       ORDER BY i, j""",
     "d4_simhash_pairs" ->
       """WITH sig AS (
          SELECT doc_id,

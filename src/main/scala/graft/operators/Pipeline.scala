@@ -328,6 +328,24 @@ object Pipeline {
         (max(when(col("n_kept") < lit(target * 0.4) ||
             col("n_kept") > lit(target * 1.6), 1).otherwise(0)) === 0)
           .as("balanced_ok"))
+    }),
+
+    // Quality-curriculum ordering: clean-first training order — docs
+    // band into 4 stages by the t2 quality score (fixed thresholds,
+    // per-row, shuffle-free — NOT ntile, whose global sort funnels the
+    // corpus through one ordering at 100 TB), and the training order
+    // within a stage is the x7-style deterministic md5 shuffle key.
+    // (stage, ord) IS the curriculum: a writer range-partitions on it
+    // and readers stream stages in order. Band thresholds compare the
+    // 4dp-ROUNDED score so both engines agree on every edge case.
+    "x14_curriculum" -> ((s, d) => {
+      val q = round(qualityScore(col("text")), 4)
+      val stage = when(q >= 0.7, 0L).when(q >= 0.6, 1L)
+        .when(q >= 0.5, 2L).otherwise(3L)
+      val ord = md5(concat(lit("cur:"), col("doc_id").cast("string")))
+      docs(s, d).select(col("doc_id"), q.as("quality"),
+        stage.as("stage"), ord.as("ord"))
+        .orderBy("stage", "ord")
     })
   )
 
@@ -702,6 +720,30 @@ object Pipeline {
     // levels to the smallest domain's mass within wide tolerance.
     "x13_domain_mixture" ->
       """SELECT true AS multi_domain, true AS subset_ok,
-         true AS balanced_ok"""
+         true AS balanced_ok""",
+    // x14: t2's quality formula (4dp-rounded), fixed band thresholds
+    // on the rounded score, md5 intra-stage order key
+    "x14_curriculum" -> {
+      val stops = graft.functions.TextFunctions.StopWords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (SELECT doc_id,
+             round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
+                   * 4.0, 1.0)
+               + 0.3 * (1.0 - least(n_punct::double /
+                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
+             FROM (SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
+                    if t IN ($stops)]) AS n_stop,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS n_punct
+               FROM documents))
+       SELECT doc_id, quality,
+         (CASE WHEN quality >= 0.7 THEN 0 WHEN quality >= 0.6 THEN 1
+               WHEN quality >= 0.5 THEN 2 ELSE 3 END)::bigint AS stage,
+         md5('cur:' || doc_id::varchar) AS ord
+       FROM q ORDER BY stage, ord"""
+    }
   )
 }

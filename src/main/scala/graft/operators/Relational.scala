@@ -353,6 +353,37 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // Correlated EXISTS / NOT EXISTS predicate subqueries — the SQL
+    // front-door to semi/anti joins (j3/j4 build them explicitly; this
+    // exercises Catalyst's RewritePredicateSubquery decorrelation):
+    // customers with at least one high-value order and no open ('P')
+    // order. Both subqueries decorrelate into one semi + one anti join
+    // on c_custkey — no per-row re-execution at any scale.
+    "sq2_exists_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("sq2_customer")
+      t(s, d, "orders").createOrReplaceTempView("sq2_orders")
+      s.sql("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM sq2_customer c
+        WHERE EXISTS (SELECT 1 FROM sq2_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 350000)
+          AND NOT EXISTS (SELECT 1 FROM sq2_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey""")
+    }),
+
+    // PIVOT: per-year revenue pivoted by order status — Spark's
+    // groupBy().pivot() with an EXPLICIT value list (no extra
+    // distinct-values scan job; one hash aggregation, conditional
+    // sums evaluated map-side).
+    "a9_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("yr")),
+
     // J7: six-table join (TPC-H Q5 shape) — join-order/CBO exercise;
     // local-supplier condition c_nationkey = s_nationkey.
     "j7_q5_local_supplier" -> ((s, d) => {
@@ -562,6 +593,21 @@ object Relational {
          JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
                FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
          WHERE o_totalprice > avg_price * 1.5 ORDER BY o_orderkey""",
+    "sq2_exists_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 350000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "a9_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+         round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS F,
+         round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS O,
+         round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS P
+         FROM orders GROUP BY 1 ORDER BY yr""",
     "p7_spatial_mbr" ->
       """SELECT p_partkey, p_size, p_retailprice FROM part
          WHERE p_size BETWEEN 10.0 AND 40.0

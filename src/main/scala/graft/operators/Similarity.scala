@@ -313,6 +313,80 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** MMR-diversified retrieval: per query, take the exact top-`kCand`
+    * candidates, then greedily select `kSel` of them maximizing
+    * λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s) (Carbonell & Goldstein
+    * 1998) — relevant results that are not near-duplicates of each
+    * other, the standard re-rank between retrieval and a context
+    * window.
+    *
+    * Scale design: the greedy loop is unrolled into `kSel` dataflow
+    * steps, each a per-query argmax (groupBy(query_id).min(struct)) +
+    * one join updating the running diversity penalty from the
+    * precomputed candidate-pairwise cosine table (kCand² rows per
+    * query, k-bounded). Nothing is collected: the plan is identical
+    * work per query, so it scales with #queries across executors —
+    * millions of concurrent queries are just more groups. Every
+    * comparison runs on RAW doubles (identical IEEE ops in both
+    * engines — rounding first would put scores on a near-decimal grid
+    * where half-way rounding ties are frequent and engine rounding
+    * modes diverge); only the published score is rounded. `muDiv` is
+    * passed explicitly rather than computed as 1−λ because 1.0−0.7 is
+    * not the double 0.3 the oracle's literal parses to. */
+  private[graft] def mmrDiverseTopK(e: DataFrame, kCand: Int, kSel: Int,
+      lam: Double, muDiv: Double): DataFrame = {
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    // top-kCand by RAW cos (topkSelect rounds its output — see above)
+    val cand = scored.groupBy("query_id")
+      .agg(graft.functions.expressions.TopK
+        .topKByScore(col("cos"), col("vec_id"), kCand).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"),
+        col("t.score").as("cos"))
+    // candidate vectors referenced by the pairwise build only
+    val cw = cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .localCheckpoint()
+    val pair = cw.as("x").join(cw.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.query_id").as("query_id"), col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cc"))
+      .localCheckpoint() // referenced once per unrolled step
+    var remaining = cand.withColumn("div", lit(0.0))
+    var selected: DataFrame = null
+    for (step <- 1 to kSel) {
+      val pick = remaining
+        .withColumn("score",
+          lit(lam) * col("cos") - lit(muDiv) * col("div"))
+        .groupBy("query_id")
+        .agg(min(struct((col("score") * -1.0).as("ns"), col("vec_id")))
+          .as("p"))
+        .select(col("query_id"), col("p.vec_id").as("sel"),
+          (col("p.ns") * -1.0).as("score"))
+      val out = pick.select(col("query_id"), lit(step.toLong).as("rk"),
+        col("sel").as("vec_id"), round(col("score"), 6).as("score"))
+      selected = if (selected == null) out else selected.unionByName(out)
+      if (step < kSel)
+        remaining = remaining
+          .join(pick.select(col("query_id"), col("sel")), "query_id")
+          .filter(col("vec_id") =!= col("sel"))
+          .as("r")
+          .join(pair.as("pp"),
+            col("pp.query_id") === col("r.query_id") &&
+              col("pp.a") === col("r.vec_id") &&
+              col("pp.b") === col("r.sel"))
+          .select(col("r.query_id").as("query_id"),
+            col("r.vec_id").as("vec_id"), col("r.cos").as("cos"),
+            greatest(col("r.div"), col("pp.cc")).as("div"))
+    }
+    selected.orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-duplicate pairs (exact, threshold 0.45).
     // O(n²/2) compare expressed as a range self-join — kept ONLY as the
@@ -412,6 +486,14 @@ object Similarity {
     "v9_ann_pq" -> ((s, d) =>
       recallCheck(Pq.adcTopK(emb(s, d), 10), bruteTopK(emb(s, d)),
         bound = 0.4)),
+
+    // MMR-diversified retrieval: exact top-20 candidates per query
+    // re-ranked by greedy Maximal Marginal Relevance (λ=0.7) down to
+    // 5 — the relevance-with-diversity re-rank between retrieval and
+    // a context window. Fully replayed by the oracle (unrolled greedy,
+    // 6dp-rounded argmax, vec_id tie-break).
+    "v12_mmr_diverse" -> ((s, d) =>
+      mmrDiverseTopK(emb(s, d), 20, 5, 0.7, 0.3)),
 
     // kNN classification over the embedding store: each query vector
     // (vec_id < 10) takes the majority label of its 10 exact nearest
@@ -586,6 +668,52 @@ object Similarity {
     "v11_kmeans_domains" ->
       """SELECT CAST(8 AS BIGINT) AS k, true AS all_domains_used,
          true AS labels_in_range, true AS coherent""",
+    // v12: full greedy-MMR replay — top-20 candidates by window rank,
+    // candidate-pairwise cosines, then the 5 greedy steps UNROLLED as
+    // CTEs (r0..r4/s1..s5). Every comparison runs on RAW doubles
+    // (identical IEEE arithmetic to the Spark plan; rounding first
+    // puts scores on a near-decimal grid where engine rounding modes
+    // diverge), vec_id tie-break; only the published score rounds.
+    "v12_mmr_diverse" -> {
+      val steps = (1 to 5).map { i =>
+        val prev = s"r${i - 1}"
+        val sel =
+          s"""s$i AS (SELECT query_id, vec_id AS sel, score FROM (
+             SELECT query_id, vec_id,
+               0.7 * cos - 0.3 * dv AS score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY 0.7 * cos - 0.3 * dv DESC, vec_id) AS rn
+             FROM $prev) WHERE rn = 1)"""
+        val next = if (i == 5) "" else
+          s""", r$i AS (SELECT r.query_id, r.vec_id, r.cos,
+               greatest(r.dv, p.cc) AS dv
+             FROM $prev r
+             JOIN s$i ON r.query_id = s$i.query_id AND r.vec_id <> s$i.sel
+             JOIN pair p ON p.query_id = r.query_id
+               AND p.a = r.vec_id AND p.b = s$i.sel)"""
+        s"$sel$next"
+      }.mkString(",\n         ")
+      val unions = (1 to 5).map { i =>
+        s"SELECT query_id, CAST($i AS BIGINT) AS rk, sel AS vec_id, round(score, 6) AS score FROM s$i"
+      }.mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding
+             FROM embeddings WHERE vec_id < 5),
+         c0 AS (SELECT a.query_id, b.vec_id, $cosSql AS cos
+                FROM q a JOIN embeddings b ON b.vec_id <> a.query_id),
+         cand AS (SELECT query_id, vec_id, cos FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS rnk FROM c0)
+           WHERE rnk <= 20),
+         cw AS (SELECT c.query_id, c.vec_id, e.embedding
+                FROM cand c JOIN embeddings e USING (vec_id)),
+         pair AS (SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+               $cosSql AS cc
+             FROM cw a JOIN cw b ON a.query_id = b.query_id
+               AND a.vec_id <> b.vec_id),
+         r0 AS (SELECT query_id, vec_id, cos, 0.0::double AS dv FROM cand),
+         $steps
+       SELECT * FROM ($unions) ORDER BY query_id, rk"""
+    },
     // v10: window-rank replay of the bounded-heap top-10, then the
     // majority vote with the same (count desc, label asc) tie-break
     "v10_knn_classify" ->

@@ -375,6 +375,44 @@ object TextOps {
         .select(col("doc_id"), explode(col("fps")).as("u"))
         .select(col("doc_id"), col("u.p").as("pos"), col("u.h").as("fp"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1):
+    // per-document boolean keep from hard thresholds on word count,
+    // mean word length, alphabetic-word fraction, symbol-to-word
+    // ratio, and required-stopword presence. All pure column/HOF
+    // expressions — one shuffle-free codegen'd scan; the line-level
+    // rules (bullet/ellipsis ratios) are omitted because the corpus
+    // carries no newlines (oracle replays every rule bit-for-bit, so
+    // both engines agree on the keep decision, not just the scores).
+    "t18_gopher_rules" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nW = size(toks).cast("long")
+      val nChars = length(regexp_replace(col("text"), "\\s", ""))
+        .cast("double")
+      val meanWl = nChars / nW.cast("double")
+      val nAlpha =
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+      val alphaFrac = nAlpha / nW.cast("double")
+      val nHash =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("double")
+      val gopherStops =
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(lit): _*)
+      val nStop = size(array_intersect(
+        array_distinct(transform(toks, t => lower(t))), gopherStops))
+        .cast("long")
+      val keep = nW.between(50L, 100000L) &&
+        meanWl.between(3.0, 10.0) &&
+        alphaFrac >= 0.8 &&
+        (nHash / nW.cast("double")) <= 0.1 &&
+        nStop >= 2L
+      docs(s, d).select(col("doc_id"), nW.as("n_words"),
+        round(meanWl, 4).as("mean_wl"),
+        round(alphaFrac, 4).as("alpha_frac"),
+        nStop.as("n_stopset"), keep.as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -818,6 +856,33 @@ object TextOps {
                      for i in range(1, len(hs) - 8 + 2)]) AS u
            FROM hsrc)
        SELECT DISTINCT doc_id, (u).p AS pos, (u).h AS fp FROM w
-       ORDER BY doc_id, pos"""
+       ORDER BY doc_id, pos""",
+    // t18: every rule replayed bit-for-bit — integer inputs, IEEE
+    // double division, identical thresholds on the UNrounded values
+    "t18_gopher_rules" ->
+      """WITH b AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_chars2,
+             length(text) - length(replace(text, '#', '')) AS n_hash
+           FROM documents),
+         m AS (SELECT doc_id,
+             len(toks)::bigint AS n_words,
+             n_chars2::double / len(toks) AS mean_wl,
+             len([t for t in toks
+                  if regexp_matches(t, '[A-Za-z]')])::double / len(toks)
+               AS alpha_frac,
+             n_hash::double / len(toks) AS sym_ratio,
+             len(list_intersect(list_distinct([lower(t) for t in toks]),
+               ['the','be','to','of','and','that','have','with']))::bigint
+               AS n_stopset
+           FROM b)
+       SELECT doc_id, n_words, round(mean_wl, 4) AS mean_wl,
+         round(alpha_frac, 4) AS alpha_frac, n_stopset,
+         (n_words BETWEEN 50 AND 100000
+          AND mean_wl BETWEEN 3 AND 10
+          AND alpha_frac >= 0.8
+          AND sym_ratio <= 0.1
+          AND n_stopset >= 2) AS keep
+       FROM m ORDER BY doc_id"""
   )
 }

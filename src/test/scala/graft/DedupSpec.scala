@@ -265,4 +265,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (i, j) => (i, j) == ((1L, 2L)) },
       s"unexpected pairs: $pairs")
   }
+
+  test("d9 char-ngram dedup surfaces whitespace-free near-duplicates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // no word boundaries at all — the corpus d2's token shingles
+    // cannot see (one giant "token" per doc)
+    val rnd = new scala.util.Random(11)
+    def rndStr(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = rndStr(400)
+    val docs = Seq(
+      (1L, base),
+      (2L, base.substring(0, 390) + rndStr(10))) ++
+      (3L to 20L).map(i => (i, rndStr(400)))
+    val dir = java.nio.file.Files.createTempDirectory("d9").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.queries("d9_char_ngram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted pair, got: ${got.toSeq}")
+    assert(got.head._3 >= 0.9, "390/400 shared chars should score >= 0.9")
+    // sanity: d2's token shingles are blind here (docs are one token)
+    val d2 = graft.operators.Dedup.queries("d2_ngram_jaccard")(spark, dir)
+    assert(d2.count() == 0, "token shingles should see nothing")
+  }
 }

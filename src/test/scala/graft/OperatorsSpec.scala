@@ -518,4 +518,48 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(!col("kept")).count() > 0, "no duplicates dropped")
     out.unpersist()
   }
+
+  test("v12 MMR greedy matches a plain-Scala replay over exact top-20") {
+    val got = operators.Similarity.queries("v12_mmr_diverse")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0.0) 0.0 else d / nn
+    }
+    val expect = (0L until 5L).flatMap { qid =>
+      val qv = vecs(qid)
+      val cand = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(20)
+      var remaining = cand.map { case (id, c) => (id, c, 0.0) }
+      var sel = Vector.empty[(Long, Long, Long)]
+      for (step <- 1 to 5) {
+        val (pid, _, _) = remaining
+          .minBy { case (id, c, dv) => (-(0.7 * c - 0.3 * dv), id) }
+        sel :+= ((qid, step.toLong, pid))
+        remaining = remaining.filter(_._1 != pid).map { case (id, c, dv) =>
+          (id, c, math.max(dv, cos(vecs(id), vecs(pid))))
+        }
+      }
+      sel
+    }
+    assert(got == expect, "distributed greedy diverges from the replay")
+    // diversity actually engaged: some pick is NOT the plain top-5
+    val plain = (0L until 5L).flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid).map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+        .zipWithIndex.map { case ((id, _), i) => (qid, (i + 1).toLong, id) }
+    }
+    assert(got != plain, "MMR never deviated from plain top-5 (λ inert?)")
+  }
 }

@@ -377,4 +377,43 @@ class PipelineSpec extends SparkSpec {
     val odd = (1 until 40 by 2).map(i => got(i.toLong)).toSet
     assert(even.size == 1 && odd.size == 1 && even != odd)
   }
+
+  test("t18 gopher rules: each rule fires on its boundary case") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val good = "the and that have with " + Seq.fill(60)("word").mkString(" ")
+    val short = "the and that have with word"        // < 50 words
+    val sym = "the and that have with " + Seq.fill(60)("####").mkString(" ")
+    val nostop = Seq.fill(60)("zzzz").mkString(" ")  // no gopher stopwords
+    val docs = Seq((1L, good), (2L, short), (3L, sym), (4L, nostop))
+    val dir = java.nio.file.Files.createTempDirectory("t18").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.queries("t18_gopher_rules")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false),
+      s"keep flags: $got")
+  }
+
+  test("x14 curriculum: stage bands the rounded quality; ord is md5") {
+    val rows = graft.operators.Pipeline.queries("x14_curriculum")(spark, sf)
+      .collect()
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    rows.foreach { r =>
+      val (id, q, stage, ord) =
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))
+      val want =
+        if (q >= 0.7) 0L else if (q >= 0.6) 1L else if (q >= 0.5) 2L else 3L
+      assert(stage == want, s"doc $id quality $q staged $stage, want $want")
+      assert(ord == md5(s"cur:$id"), s"doc $id ord key mismatch")
+    }
+    // result is the curriculum order and uses more than one stage
+    val keys = rows.map(r => (r.getLong(2), r.getString(3))).toSeq
+    assert(keys == keys.sorted, "not in (stage, ord) order")
+    assert(keys.map(_._1).distinct.size > 1, "degenerate single stage")
+  }
 }

@@ -296,6 +296,35 @@ object Relational {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // W5: distribution window functions — ntile / percent_rank /
+    // cume_dist over per-user event history (partitioned, so no
+    // global-order funnel; one shuffle serves all three).
+    "w5_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .filter(col("user_id") < 10L)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // UNPIVOT (melt): wide measure columns → (measure, val) rows —
+    // Spark's Unpivot node, an Expand (row-generating projection), no
+    // shuffle; the oracle replays as UNION ALL.
+    "a10_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 100L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
     // ORDER BY + LIMIT (top-k; Spark TakeOrderedAndProject).
     "o1_orderby_limit" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -564,6 +593,27 @@ object Relational {
          round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mavg
          FROM events WHERE user_id < 20 ORDER BY user_id, ts_us, event_id""",
+    "w5_ntile" ->
+      """SELECT user_id, event_id,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd
+         FROM events WHERE user_id < 10
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
+    "a10_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m AS measure, v AS val
+         FROM (
+           SELECT l_orderkey, l_linenumber,
+             'l_quantity' AS m, l_quantity AS v FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber,
+             'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber,
+             'l_discount', l_discount FROM lineitem)
+         WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "o1_orderby_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""",

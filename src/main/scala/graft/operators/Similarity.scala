@@ -487,6 +487,24 @@ object Similarity {
       recallCheck(Pq.adcTopK(emb(s, d), 10), bruteTopK(emb(s, d)),
         bound = 0.4)),
 
+    // Radius (range) search — FAISS range_search analog: ALL corpus
+    // vectors within cosine ≥ τ of each query, not a fixed k. The
+    // tiny query side broadcasts; the corpus side is one codegen'd
+    // cosine scan + filter — shuffle-free except the output ordering,
+    // output bounded by the radius. (The k-bounded heap is the wrong
+    // tool here by definition; the scan IS the scalable shape.)
+    "v13_range_search" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+        .filter(col("cos") >= 0.28)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // MMR-diversified retrieval: exact top-20 candidates per query
     // re-ranked by greedy Maximal Marginal Relevance (λ=0.7) down to
     // 5 — the relevance-with-diversity re-rank between retrieval and
@@ -668,6 +686,14 @@ object Similarity {
     "v11_kmeans_domains" ->
       """SELECT CAST(8 AS BIGINT) AS k, true AS all_domains_used,
          true AS labels_in_range, true AS coherent""",
+    // v13: direct replay — cosine filter against the 5 query vectors
+    "v13_range_search" ->
+      s"""SELECT query_id, vec_id, round(cos, 6) AS cos FROM (
+         SELECT a.vec_id AS query_id, b.vec_id, $cosSql AS cos
+         FROM (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < 5) a
+         JOIN embeddings b ON b.vec_id <> a.vec_id)
+       WHERE cos >= 0.28 ORDER BY query_id, vec_id""",
     // v12: full greedy-MMR replay — top-20 candidates by window rank,
     // candidate-pairwise cosines, then the 5 greedy steps UNROLLED as
     // CTEs (r0..r4/s1..s5). Every comparison runs on RAW doubles

@@ -140,6 +140,36 @@ object Temporal {
         "us", "plo", "pus", win)
         .select(col("event_id"), col("user_id"), col("us"), col("pus"))
         .orderBy("event_id", "pus")
+    }),
+
+    // Batch sessionization — the gap-based twin of the streaming
+    // session windows (st2): a new session starts when a user is idle
+    // past the gap; session id = running count of session starts.
+    // ONE shuffle on user_id serves the lag, the running sum AND the
+    // per-session aggregation (same partitioning reused across all
+    // three — no re-exchange), and per-user event history is the only
+    // state; sessions never straddle users, so 10⁹ users parallelize
+    // perfectly. Gap = 30 000 s (the synthetic corpus's median
+    // inter-event gap is ~7 h; a web-scale 30-min gap degenerates to
+    // one session per event here).
+    "j11_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = 30000000000L
+      t(s, d, "events").filter(col("user_id") < 50)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("dur_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sid")
     })
   )
 
@@ -163,6 +193,20 @@ object Temporal {
        SELECT c.event_id, c.user_id, c.us, p.pus
        FROM c JOIN p ON c.user_id = p.user_id
          AND c.us BETWEEN p.pus - 1800000000 AND p.pus
-       ORDER BY c.event_id, p.pus"""
+       ORDER BY c.event_id, p.pus""",
+    "j11_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu
+           FROM events WHERE user_id < 50),
+         f AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+                 OR tu - lag(tu) OVER w > 30000000000 THEN 1 ELSE 0 END
+                 AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY tu, event_id)),
+         g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                 ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING)::bigint AS sid
+               FROM f)
+       SELECT user_id, sid, min(tu) AS start_us,
+         max(tu) - min(tu) AS dur_us, count(*) AS n_events
+       FROM g GROUP BY 1, 2 ORDER BY user_id, sid"""
   )
 }

@@ -132,4 +132,38 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       "range join must not plan a nested loop")
   }
+
+  test("j11 sessionize: hand case + one user_id exchange reused end-to-end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // user 1: events at 0s, 10s, 40000s, 40010s → 2 sessions
+    // user 2: one event → 1 one-event session
+    val base = 1700000000000000L
+    val rows = Seq(
+      (1L, base, 1L), (2L, base + 10000000L, 1L),
+      (3L, base + 40000000000L, 1L), (4L, base + 40010000000L, 1L),
+      (5L, base, 2L))
+    val dir = java.nio.file.Files.createTempDirectory("j11").toString
+    rows.toDF("event_id", "us", "user_id")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Temporal.queries("j11_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, base, 10000000L, 2L),
+      (1L, 2L, base + 40000000000L, 10000000L, 2L),
+      (2L, 1L, base, 0L, 1L)), s"sessions: $got")
+    // plan: exactly ONE exchange (hashpartitioning on user_id) feeds
+    // lag, the running sum and the session aggregation
+    val df = graft.operators.Temporal.queries("j11_sessionize")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(nExchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
 }

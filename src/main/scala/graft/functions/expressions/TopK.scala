@@ -47,6 +47,184 @@ object TopK {
   def maxCos(vec: Column, evals: Array[Array[Float]],
       norms: Array[Double]): Column =
     column(MaxCos(expression(vec), evals, norms))
+
+  /** Aggregate: greedy Maximal-Marginal-Relevance selection fused into
+    * one bounded-state pass — keep the `kCand` best (cos, id, vector)
+    * rows per group (same heap discipline as [[TopKByScore]]: cos
+    * desc, id asc, Double.compare total order), then run the greedy
+    * λ·cos − μ·max-cos-to-selected loop AT EVAL TIME over the bounded
+    * candidate set. State through every exchange is kCand rows × one
+    * vector each; the dataflow twin (candidate table + pairwise-cosine
+    * table + kSel argmax/join steps) computes the same bits across ~10
+    * stage boundaries — spec-asserted equal. Output
+    * `array<struct<rk, id, score>>` in selection order. */
+  def mmrSelect(score: Column, id: Column, vec: Column, kCand: Int,
+      kSel: Int, lam: Double, muDiv: Double): Column =
+    column(MmrSelect(expression(score), expression(id), expression(vec),
+      kCand, kSel, lam, muDiv).toAggregateExpression())
+}
+
+/** Bounded candidate buffer for [[MmrSelect]]: the kCand best
+  * (score, id, vec) triples under (score desc, id asc) —
+  * insertion-sorted array (kCand is small by contract; the common-case
+  * reject of a worse-than-last row on a full buffer is O(1)). */
+final class MmrBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  val vecs = new Array[Array[Float]](k)
+  var size = 0
+
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
+
+  def insert(s: Double, id: Long, v: Array[Float]): Unit = {
+    if (size == k && worse(s, id, scores(size - 1), ids(size - 1))) return
+    // find insertion point (first slot the new row is better than)
+    var pos = if (size == k) size - 1 else size
+    if (size == k) size -= 1 // drop the current worst
+    while (pos > 0 && worse(scores(pos - 1), ids(pos - 1), s, id)) {
+      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1)
+      vecs(pos) = vecs(pos - 1); pos -= 1
+    }
+    scores(pos) = s; ids(pos) = id; vecs(pos) = v
+    size += 1
+  }
+}
+
+case class MmrSelect(
+    score: Expression,
+    id: Expression,
+    vec: Expression,
+    kCand: Int,
+    kSel: Int,
+    lam: Double,
+    muDiv: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MmrBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id, vec)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rk", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): MmrBuffer = new MmrBuffer(kCand)
+
+  override def update(b: MmrBuffer, input: InternalRow): MmrBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val v = vec.eval(input)
+    if (s != null && i != null && v != null)
+      b.insert(s.asInstanceOf[Double], i.asInstanceOf[Long],
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toFloatArray())
+    b
+  }
+
+  override def merge(b: MmrBuffer, other: MmrBuffer): MmrBuffer = {
+    var i = 0
+    while (i < other.size) {
+      b.insert(other.scores(i), other.ids(i), other.vecs(i)); i += 1
+    }
+    b
+  }
+
+  /** Same double arithmetic as
+    * [[graft.functions.VectorFunctions.cosine]] (per-element double
+    * accumulation in index order; zero norm → 0.0). */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else d / nn
+  }
+
+  override def eval(b: MmrBuffer): Any = {
+    val n = b.size
+    val div = new Array[Double](n)
+    val taken = new Array[Boolean](n)
+    val out = new Array[Any](math.min(kSel, n))
+    var step = 0
+    while (step < out.length) {
+      // argmax of lam*cos − muDiv*div, ties → lowest id (buffer is
+      // already (cos desc, id asc)-sorted, so first strict winner wins)
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lam * b.scores(i) - muDiv * div(i)
+          if (best < 0 || java.lang.Double.compare(s, bestScore) > 0 ||
+              (java.lang.Double.compare(s, bestScore) == 0 &&
+                b.ids(i) < b.ids(best))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(step) = InternalRow((step + 1).toLong, b.ids(best), bestScore)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val c = cos(b.vecs(i), b.vecs(best))
+          if (c > div(i)) div(i) = c
+        }
+        i += 1
+      }
+      step += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: MmrBuffer): Array[Byte] = {
+    val dim = if (b.size > 0) b.vecs(0).length else 0
+    val bb = ByteBuffer.allocate(8 + b.size * (16 + 4 * dim))
+    bb.putInt(b.size); bb.putInt(dim)
+    var i = 0
+    while (i < b.size) {
+      bb.putDouble(b.scores(i)); bb.putLong(b.ids(i))
+      var j = 0
+      while (j < dim) { bb.putFloat(b.vecs(i)(j)); j += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MmrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val dim = bb.getInt
+    val b = new MmrBuffer(kCand)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble; val id = bb.getLong
+      val v = new Array[Float](dim)
+      var j = 0
+      while (j < dim) { v(j) = bb.getFloat; j += 1 }
+      b.insert(s, id, v)
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MmrSelect =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MmrSelect =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(score = cs(0), id = cs(1), vec = cs(2))
 }
 
 /** Growable bounded buffer: keeps the k best (score, id) pairs.

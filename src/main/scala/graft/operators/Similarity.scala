@@ -333,6 +333,30 @@ object Similarity {
     * modes diverge); only the published score is rounded. `muDiv` is
     * passed explicitly rather than computed as 1−λ because 1.0−0.7 is
     * not the double 0.3 the oracle's literal parses to. */
+  /** Kernel MMR: candidate bounding AND the greedy selection fused
+    * into one [[graft.functions.expressions.MmrSelect]] aggregate —
+    * per-group state is the kCand best (cos, id, vector) rows, the
+    * greedy loop runs at eval time over that bounded set. One
+    * aggregation replaces the dataflow twin's ~10 stage boundaries
+    * (measured 2.4 s → ~0.3 s at sf0.1); SimilaritySpec asserts the
+    * two produce identical rows. */
+  private[graft] def mmrDiverseTopKKernel(e: DataFrame, kCand: Int,
+      kSel: Int, lam: Double, muDiv: Double): DataFrame = {
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+      .groupBy("query_id")
+      .agg(graft.functions.expressions.TopK
+        .mmrSelect(col("cos"), col("vec_id"), col("embedding"),
+          kCand, kSel, lam, muDiv).as("sel"))
+      .select(col("query_id"), explode(col("sel")).as("t"))
+      .select(col("query_id"), col("t.rk").as("rk"),
+        col("t.id").as("vec_id"), round(col("t.score"), 6).as("score"))
+      .orderBy("query_id", "rk")
+  }
+
   private[graft] def mmrDiverseTopK(e: DataFrame, kCand: Int, kSel: Int,
       lam: Double, muDiv: Double): DataFrame = {
     val q = e.filter(col("vec_id") < 5)
@@ -508,10 +532,11 @@ object Similarity {
     // MMR-diversified retrieval: exact top-20 candidates per query
     // re-ranked by greedy Maximal Marginal Relevance (λ=0.7) down to
     // 5 — the relevance-with-diversity re-rank between retrieval and
-    // a context window. Fully replayed by the oracle (unrolled greedy,
-    // 6dp-rounded argmax, vec_id tie-break).
+    // a context window. Runs the fused MmrSelect aggregate (bounded
+    // per-group state; the unrolled-dataflow twin is spec-asserted
+    // identical); fully replayed by the oracle's unrolled greedy.
     "v12_mmr_diverse" -> ((s, d) =>
-      mmrDiverseTopK(emb(s, d), 20, 5, 0.7, 0.3)),
+      mmrDiverseTopKKernel(emb(s, d), 20, 5, 0.7, 0.3)),
 
     // kNN classification over the embedding store: each query vector
     // (vec_id < 10) takes the majority label of its 10 exact nearest

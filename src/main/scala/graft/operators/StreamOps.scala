@@ -82,6 +82,15 @@ object StreamOps {
       EventPipeline.runStreamEnrich(s, d)
         .orderBy("win_start_us", "tier")),
 
+    // Sliding-window streaming aggregation (2 h window / 1 h slide —
+    // each event in exactly 2 overlapping windows): the window()
+    // expansion is a constant 2× multiplier on the partial-aggregate
+    // exchange, never a join. Oracle replays the expansion as a
+    // 2-element unnest.
+    "st7_stream_sliding" -> ((s, d) =>
+      EventPipeline.runStreamingSliding(s, d)
+        .orderBy("win_start_us", "event_type")),
+
     // Sessionization: session breaks at >30 min inactivity per user.
     "st2_sessions" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
@@ -108,6 +117,17 @@ object StreamOps {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    // st7: 2h/1h sliding windows — an event at t belongs to the
+    // windows starting at floor_h(t) and floor_h(t) − 1h
+    "st7_stream_sliding" ->
+      """SELECT win_start_us, event_type, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM (SELECT unnest([
+             (epoch_us(ts) // 3600000000) * 3600000000,
+             (epoch_us(ts) // 3600000000) * 3600000000 - 3600000000])
+             AS win_start_us,
+           event_type, value FROM events)
+         GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
     "st3_stream_tail" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          UNION ALL

@@ -142,16 +142,17 @@ object Temporal {
         .orderBy("event_id", "pus")
     }),
 
-    // Batch sessionization — the gap-based twin of the streaming
-    // session windows (st2): a new session starts when a user is idle
-    // past the gap; session id = running count of session starts.
-    // ONE shuffle on user_id serves the lag, the running sum AND the
-    // per-session aggregation (same partitioning reused across all
-    // three — no re-exchange), and per-user event history is the only
-    // state; sessions never straddle users, so 10⁹ users parallelize
-    // perfectly. Gap = 30 000 s (the synthetic corpus's median
-    // inter-event gap is ~7 h; a web-scale 30-min gap degenerates to
-    // one session per event here).
+    // Session DURATION analysis — st2's gap sessionization re-tuned to
+    // where it is non-degenerate: st2 keeps the web-canonical 30-min
+    // gap, which on this corpus (median inter-event gap ~7 h) makes
+    // nearly every session a singleton; j11 sets the gap near the
+    // median so multi-event sessions actually form, reports durations,
+    // and carries the plan contract st2 leaves implicit — ONE user_id
+    // exchange serves the lag, the running session-start sum AND the
+    // per-session aggregation (hashpartitioning(user_id) satisfies the
+    // (user_id, sid) clustering; spec-asserted exactly one hash
+    // exchange in the executed plan). Sessions never straddle users,
+    // so 10⁹ users parallelize perfectly.
     "j11_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))

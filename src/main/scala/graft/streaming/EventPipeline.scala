@@ -185,6 +185,35 @@ object EventPipeline {
     }
   }
 
+  /** Sliding-window streaming aggregation (2 h window, 1 h slide —
+    * each event belongs to exactly len/slide = 2 windows). Spark's
+    * window() expands the event to its member windows BEFORE the
+    * aggregation, so state is (windows × types) rows and the exchange
+    * moves partial aggregates of the 2×-expanded stream — the overlap
+    * factor is a constant multiplier, never a join. Same micro-batch
+    * harness as [[runStreamingWindowed]]. */
+  def runStreamingSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = "graft_slide_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, parquetRows(spark, s"$sfDir/events.parquet")) { work =>
+      val stream = work.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .transform(graft.Tables.normalizeTs)
+      val q = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("total"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      work.table(name)
+    }
+  }
+
   /** FIRST-CLASS streaming dedup — watermark-bounded state. The state
     * store holds a key only while `max(event time seen) − delay` has
     * not passed it (`dropDuplicatesWithinWatermark`), so state size is

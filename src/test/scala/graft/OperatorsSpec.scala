@@ -562,4 +562,13 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(got != plain, "MMR never deviated from plain top-5 (λ inert?)")
   }
+
+  test("v12 kernel MMR equals the unrolled-dataflow twin row-for-row") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val kernel = operators.Similarity
+      .mmrDiverseTopKKernel(e, 20, 5, 0.7, 0.3).collect().map(_.toSeq).toSeq
+    val dataflow = operators.Similarity
+      .mmrDiverseTopK(e, 20, 5, 0.7, 0.3).collect().map(_.toSeq).toSeq
+    assert(kernel == dataflow)
+  }
 }

@@ -24,7 +24,8 @@ object GraftSqlFunctions {
     DotFn, CosineFn, Hash60Fn, TokenCountFn, SimhashFn, FingerprintFn,
     Hilbert2dFn, HilbertNdFn, Sq8Fn, Sq8DotFn, HashedFeaturesFn,
     BucketFn, StPointFn, StGeomFromWkbFn, StIntersectsFn, StWithinFn,
-    StEqualsFn, StOverlapsFn, UnicodeNormalizeFn, CompressionRatioFn)
+    StEqualsFn, StOverlapsFn, UnicodeNormalizeFn, CompressionRatioFn,
+    CharNgramsFn)
 
   def byName(name: String): Option[UnboundFunction] =
     all.find(_.name == name.toLowerCase)
@@ -351,6 +352,39 @@ object GraftSqlFunctions {
         counts(b.toInt) += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+    }
+    override def produceResult(input: InternalRow): ArrayData =
+      invoke(input.getUTF8String(0), input.getInt(1))
+  }
+
+  // ---- char_ngrams --------------------------------------------------
+
+  object CharNgramsFn extends UnboundFunction {
+    override def name: String = "char_ngrams"
+    override def description: String =
+      "char_ngrams(s string, k int) -> array<string>: distinct " +
+        "character k-grams in first-occurrence order (code-point " +
+        "windows — the d9 tokenizer-free dedup shingle as pure SQL; " +
+        "pair with lower()/regexp_replace to normalize first)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType(0).dataType == StringType &&
+        inputType(1).dataType == IntegerType,
+        s"char_ngrams expects (string, int), got " +
+          inputType.map(_.dataType.simpleString).mkString(", "))
+      CharNgramsBound
+    }
+  }
+
+  object CharNgramsBound extends ScalarFunction[ArrayData] {
+    override def inputTypes(): Array[DataType] =
+      Array(StringType, IntegerType)
+    override def resultType(): DataType =
+      ArrayType(StringType, containsNull = false)
+    override def name(): String = "char_ngrams"
+    def invoke(s: UTF8String, k: Int): ArrayData = {
+      require(k > 0, s"char_ngrams k must be positive, got $k")
+      expressions.CharGramsExpr.compute(s, k)
     }
     override def produceResult(input: InternalRow): ArrayData =
       invoke(input.getUTF8String(0), input.getInt(1))

@@ -82,6 +82,38 @@ object Multimodal {
       })
   }
 
+  /** One RMS-energy window of a decoded audio payload. */
+  case class AudioWin(doc_id: Long, win_idx: Int, n_samples: Int,
+      rms: Double)
+
+  /** STUB audio decode + windowed RMS energy — stands in for a real
+    * PCM decode feeding voice-activity detection / silence trimming:
+    * payload bytes (after the 8-byte header) act as samples centered
+    * at 64, RMS per `win`-sample window. Deterministic, partition-
+    * parallel, shuffle-free; a real deployment swaps the sample
+    * extraction for a codec, the window loop stays. */
+  def audioEnergy(spark: SparkSession, media: DataFrame,
+      win: Int): Dataset[AudioWin] = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val body = bytes.drop(8)
+        val nWin = (body.length + win - 1) / win
+        (0 until nWin).map { wi =>
+          val from = wi * win
+          val until = math.min(from + win, body.length)
+          var acc = 0.0
+          var i = from
+          while (i < until) {
+            val s = (body(i) & 0xff) - 64.0
+            acc += s * s
+            i += 1
+          }
+          AudioWin(id, wi, until - from, math.sqrt(acc / (until - from)))
+        }
+      }
+  }
+
   /** Frame sampling stub: every `stride`-th 16-byte block of the payload
     * as a "frame" (video analog; keeps the explode-shaped plumbing). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
@@ -132,7 +164,21 @@ object Multimodal {
       sampleFrames(fakeMedia(Tables.load(s, d, "documents")), stride = 4)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           decode(col("frame"), "UTF-8").as("frame_txt"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Audio analog: windowed RMS energy over the payload "samples"
+    // (each payload byte centered at 64 stands in for a PCM sample) —
+    // the VAD/silence-trim primitive shape: partition-parallel stub
+    // decode, one row per 64-sample window, no shuffle. The synthetic
+    // corpus is ASCII so byte i = code point i and the oracle replays
+    // the exact windows and energies.
+    "m5_audio_energy" -> ((s, d) =>
+      audioEnergy(s, fakeMedia(Tables.load(s, d, "documents")), win = 64)
+        .toDF()
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          col("n_samples").cast("long").as("n_samples"),
+          round(col("rms"), 4).as("rms"))
+        .orderBy("doc_id", "win_idx"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,6 +216,21 @@ object Multimodal {
          FROM (SELECT doc_id, text,
              unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS i
            FROM documents)
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+    // m5: windows of 64 payload bytes; sample = ascii(code) − 64
+    // (ASCII corpus: byte i = code point i); RMS replayed exactly
+    "m5_audio_energy" ->
+      """SELECT doc_id, w AS win_idx,
+         least(64, octet_length(text::blob) - w * 64)::bigint AS n_samples,
+         round(sqrt(list_sum([
+             (ascii(substr(text, (w * 64 + j)::int, 1)) - 64.0) *
+             (ascii(substr(text, (w * 64 + j)::int, 1)) - 64.0)
+             for j in range(1, least(64,
+               octet_length(text::blob) - w * 64)::int + 1)]) /
+           least(64, octet_length(text::blob) - w * 64)), 4) AS rms
+         FROM (SELECT doc_id, text,
+             unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS w
+           FROM documents)
+         ORDER BY doc_id, win_idx"""
   )
 }

@@ -288,7 +288,8 @@ object TextOps {
         s"""SELECT doc_id,
            |  CAST($cat.token_count(text) AS BIGINT) AS n_tokens,
            |  $cat.fingerprint(text) AS fp,
-           |  $cat.simhash(text) AS sim
+           |  $cat.simhash(text) AS sim,
+           |  CAST(size($cat.char_ngrams(text, 5)) AS BIGINT) AS n_grams
            |FROM $v ORDER BY doc_id""".stripMargin)
     }),
 
@@ -803,7 +804,10 @@ object TextOps {
          list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
                                        for h in hashes]) > 0
                         THEN (1::bigint << j) ELSE 0::bigint END
-                   for j in range(0, 60)])::bigint AS sim
+                   for j in range(0, 60)])::bigint AS sim,
+         len(list_distinct([substr(text, i, 5)
+                            for i in range(1, greatest(len(text) - 4, 0) + 1)]))::bigint
+           AS n_grams
          FROM (SELECT doc_id, text,
            [('0x' || substr(md5(t), 1, 15))::bigint
             for t in string_split_regex(trim(text), '\s+')] AS hashes

@@ -219,4 +219,35 @@ class FunctionsSpec extends SparkSpec {
     // the combining-accent row normalized to the precomposed-form key
     assert(viaCol.last.getString(0) == "cafe du monde naive")
   }
+
+  test("char_ngrams: kernel == HOF twin incl. astral-plane code points") {
+    val cat = mkCat()
+    // surrogate-pair characters (astral plane) — grams must be
+    // CODE-POINT windows, where UTF-16-unit slicing would split pairs
+    val samples = Seq("abcdef", "ab", "", "日本語のテキスト処理",
+      "a😀b😁c😂d", "aaaaaa")
+    val df = samples.toDF("t")
+    df.createOrReplaceTempView("fn_cg")
+    val viaSql = spark.sql(
+      s"SELECT $cat.char_ngrams(t, 3) AS g FROM fn_cg")
+      .collect().map(_.getSeq[String](0).toList).toList
+    // declarative twin: sequence → transform → substr → array_distinct
+    // (guarded: sequence(1, 0) DESCENDS in Spark — an unguarded
+    // greatest(len-2, 0) twin emits bogus grams for strings under k)
+    val viaHof = df.select(when(length(col("t")) >= 3,
+        array_distinct(transform(
+          sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>")).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(viaSql == viaHof)
+    // and the Dedup column path is the same kernel
+    val viaCol = df.select(
+        graft.operators.Dedup.charShingles(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(viaCol == viaSql)
+    assert(viaSql.head == List("abc", "bcd", "cde", "def"))
+    assert(viaSql(1) == Nil && viaSql(2) == Nil)
+    assert(viaSql.last == List("aaa"))
+  }
 }

@@ -314,6 +314,21 @@ class OperatorsSpec extends SparkSpec {
     assert(lens.forall(_ <= 16))
   }
 
+  test("audio energy stub: exact windows, hand-checked RMS, silence=0") {
+    import spark.implicits._
+    // "silence" = all bytes 64 (RMS 0); a square wave of 0/128 bytes
+    // has every sample at ±64 → RMS exactly 64
+    val silent = Array.fill[Byte](8)(0) ++ Array.fill[Byte](100)(64)
+    val square = Array.fill[Byte](8)(0) ++
+      Array.tabulate[Byte](128)(i => if (i % 2 == 0) 0 else -128)
+    val media = Seq((1L, silent), (2L, square)).toDF("doc_id", "media")
+    val got = operators.Multimodal.audioEnergy(spark, media, win = 64)
+      .collect().map(w => (w.doc_id, w.win_idx, w.n_samples, w.rms))
+      .sortBy(w => (w._1, w._2)).toSeq
+    assert(got == Seq((1L, 0, 64, 0.0), (1L, 1, 36, 0.0),
+      (2L, 0, 64, 64.0), (2L, 1, 64, 64.0)), s"windows: $got")
+  }
+
   test("simhash of identical text is identical; small edits stay near") {
     import spark.implicits._
     val df = Seq(

@@ -330,6 +330,74 @@ object Pipeline {
           .as("balanced_ok"))
     }),
 
+    // Chunk-level (paragraph-granularity) dedup audit: fingerprint
+    // NON-overlapping 64-token chunks, count each fingerprint across
+    // the corpus, report per-doc duplicated-chunk fraction — the
+    // dedup signal BETWEEN d1's whole-doc exact and d6/d8's span
+    // level: a doc that is 40% verbatim-recycled paragraphs scores
+    // 0.4 here while passing whole-doc dedup. One chunk explode
+    // (~n_tokens/64 rows per doc), one fingerprint-keyed count, one
+    // join back — all linear, no self-join anywhere.
+    "x15_chunk_dedup" -> ((s, d) => {
+      val chunks = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / 64).cast("int")),
+          c => md5(array_join(
+            slice(col("toks"), c * 64 + 1, lit(64)), " ")))).as("fp"))
+      val dfreq = chunks.groupBy("fp").agg(count(lit(1)).as("n"))
+      chunks.join(dfreq, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_chunks"), 4)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style importance selection (Xie et al. 2023, "Data
+    // Selection via Importance Resampling" — unigram variant): score
+    // each corpus doc by the mean token log-likelihood RATIO between
+    // the target distribution (the eval/domain exemplar docs,
+    // doc_id < 20 — the x6 convention) and the corpus distribution,
+    // add-0.5 smoothed over the joint vocabulary; keep docs scoring
+    // above 0 (more target-like than corpus-like). The scale shape is
+    // t8's: both count tables are vocabulary-bounded, the ratio model
+    // joins UNHINTED (AQE sizes it), the one-row stat table
+    // broadcasts, and the per-doc mean folds in token order
+    // (bit-replayable sum). The tiny target side is corpus-priced:
+    // a 20-doc exemplar set versus a 100 TB corpus is the real
+    // regime, and nothing here scales with the target.
+    "x16_dsir_select" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val isEval = col("doc_id") < 20
+      val cFreq = toks.filter(!isEval).groupBy("tok")
+        .agg(count(lit(1)).cast("double").as("cc"))
+      val tFreq = toks.filter(isEval).groupBy("tok")
+        .agg(count(lit(1)).cast("double").as("tc"))
+      val vocab = cFreq.join(tFreq, Seq("tok"), "full_outer")
+        .select(col("tok"), coalesce(col("cc"), lit(0.0)).as("cc"),
+          coalesce(col("tc"), lit(0.0)).as("tc"))
+      val stats = vocab.agg(sum(col("cc")).as("ct"),
+        sum(col("tc")).as("tt"), count(lit(1)).cast("double").as("vn"))
+      toks.filter(!isEval)
+        .join(vocab, "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("lr",
+          log((col("tc") + 0.5) / (col("tt") + col("vn") * 0.5)) -
+            log((col("cc") + 0.5) / (col("ct") + col("vn") * 0.5)))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("lr"))))
+          .as("ps"))
+        .select(col("doc_id"), round(
+          graft.functions.expressions.Kernels.structDoubleSum(col("ps"), 1)
+            / size(col("ps")), 4).as("dsir"))
+        .withColumn("kept", col("dsir") > 0.0)
+        .orderBy("doc_id")
+    }),
+
     // Quality-curriculum ordering: clean-first training order — docs
     // band into 4 stages by the t2 quality score (fixed thresholds,
     // per-row, shuffle-free — NOT ntile, whose global sort funnels the
@@ -721,6 +789,45 @@ object Pipeline {
     "x13_domain_mixture" ->
       """SELECT true AS multi_domain, true AS subset_ok,
          true AS balanced_ok""",
+    // x16: the smoothed log-ratio model as a DuckDB map, folded per
+    // doc in token order (the t8 oracle pattern)
+    "x16_dsir_select" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         ctab AS (SELECT tok, count(*)::double AS cc
+           FROM (SELECT unnest(toks) AS tok FROM d WHERE doc_id >= 20)
+           GROUP BY tok),
+         ttab AS (SELECT tok, count(*)::double AS tc
+           FROM (SELECT unnest(toks) AS tok FROM d WHERE doc_id < 20)
+           GROUP BY tok),
+         v AS (SELECT tok, coalesce(cc, 0) AS cc, coalesce(tc, 0) AS tc
+           FROM ctab FULL OUTER JOIN ttab USING (tok)),
+         s AS (SELECT sum(cc) AS ct, sum(tc) AS tt,
+             count(*)::double AS vn FROM v),
+         m AS (SELECT map(list(tok),
+             list(ln((tc + 0.5) / (tt + 0.5 * vn)) -
+                  ln((cc + 0.5) / (ct + 0.5 * vn)))) AS lrm FROM v, s)
+       SELECT doc_id,
+         round(list_sum([map_extract(lrm, x)[1] for x in toks])
+           / len(toks), 4) AS dsir,
+         round(list_sum([map_extract(lrm, x)[1] for x in toks])
+           / len(toks), 4) > 0 AS kept
+       FROM d, m WHERE doc_id >= 20 ORDER BY doc_id""",
+    // x15: 64-token chunk fingerprints (md5 of the space-joined
+    // slice), corpus-wide fingerprint counts, per-doc dup fraction
+    "x15_chunk_dedup" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         ch AS (SELECT doc_id,
+             md5(array_to_string(toks[c*64+1 : c*64+64], ' ')) AS fp
+           FROM tk, unnest(range(0, (len(toks)-1)//64 + 1)) AS u(c)),
+         df AS (SELECT fp, count(*) AS n FROM ch GROUP BY fp)
+       SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::bigint AS n_dup,
+         round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::double / count(*), 4)
+           AS dup_frac
+       FROM ch JOIN df USING (fp) GROUP BY doc_id ORDER BY doc_id""",
     // x14: t2's quality formula (4dp-rounded), fixed band thresholds
     // on the rounded score, md5 intra-stage order key
     "x14_curriculum" -> {

@@ -91,6 +91,17 @@ object StreamOps {
       EventPipeline.runStreamingSliding(s, d)
         .orderBy("win_start_us", "event_type")),
 
+    // NATIVE streaming session windows (session_window + watermark,
+    // append mode, watermark-flush sentinel): state = open sessions
+    // only, evicted as the watermark passes each session's end. The
+    // batch oracle replays the merge rule exactly — a session breaks
+    // when the inter-event gap is >= the 8 h window gap (session
+    // windows are [t, t+gap); an event AT the end does not merge —
+    // note the >= where the lag-based st2 uses >).
+    "st8_stream_session_window" -> ((s, d) =>
+      EventPipeline.runStreamingSessionWindow(s, d)
+        .orderBy("user_id", "start_us")),
+
     // Sessionization: session breaks at >30 min inactivity per user.
     "st2_sessions" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
@@ -117,6 +128,25 @@ object StreamOps {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    // st8: session_window merge rule — break at gap >= 8h (strictly:
+    // [t, t+gap) windows merge only when the next start is INSIDE);
+    // end_us = last event + gap
+    "st8_stream_session_window" ->
+      """WITH raw AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+         e AS (
+           SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) >= 28800000000 THEN 1 ELSE 0 END
+             AS new_sess
+           FROM raw),
+         s AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e)
+       SELECT user_id, min(us) AS start_us,
+         max(us) + 28800000000 AS end_us,
+         count(*) AS n, round(sum(value), 2) AS total
+       FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
     // st7: 2h/1h sliding windows — an event at t belongs to the
     // windows starting at floor_h(t) and floor_h(t) − 1h
     "st7_stream_sliding" ->

@@ -378,6 +378,27 @@ object TextOps {
         .orderBy("doc_id", "pos")
     }),
 
+    // First BPE merge step (tokenizer induction): corpus-wide counts
+    // of adjacent character pairs WITHIN tokens, top-20 by (count
+    // desc, pair asc) — the argmax of this table IS the first merge a
+    // BPE trainer performs; iterating it (re-pair, re-count) trains
+    // the vocabulary. One explode + one hash-aggregated shuffle of
+    // (pair, partial count) + a k-bounded TakeOrdered: the full BPE
+    // inner loop's scale shape. (Tokens are short, so the per-token
+    // substr lambda is O(len²) on ~6-char strings — trivial; the d9
+    // O(n_chars²) trap applies to DOCUMENT-length strings.)
+    "t19_bpe_pairs" -> ((s, d) => {
+      docs(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("t")) - 1),
+          i => col("t").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
     // Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1):
     // per-document boolean keep from hard thresholds on word count,
     // mean word length, alphabetic-word fraction, symbol-to-word
@@ -861,6 +882,15 @@ object TextOps {
            FROM hsrc)
        SELECT DISTINCT doc_id, (u).p AS pos, (u).h AS fp FROM w
        ORDER BY doc_id, pos""",
+    // t19: within-token adjacent char pairs, count desc, pair asc
+    "t19_bpe_pairs" ->
+      """SELECT pair, count(*) AS cnt
+         FROM (SELECT unnest([substr(t, i, 2) for i in range(1, len(t))])
+                 AS pair
+               FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                       AS t FROM documents)
+               WHERE len(t) >= 2)
+         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
     // t18: every rule replayed bit-for-bit — integer inputs, IEEE
     // double division, identical thresholds on the UNrounded values
     "t18_gopher_rules" ->

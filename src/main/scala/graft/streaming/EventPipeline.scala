@@ -214,6 +214,86 @@ object EventPipeline {
     }
   }
 
+  /** NATIVE streaming session windows (`session_window(ts, gap)`,
+    * append mode): Spark merges overlapping [t, t+gap) windows in the
+    * state store, evicting a session once the watermark passes its
+    * end — state is open sessions only, bounded by (active users ×
+    * gap), the canonical streaming-sessionization contract.
+    *
+    * Append-mode mechanics this run makes explicit: a session emits
+    * ONLY when the watermark passes its end, and the watermark only
+    * advances between micro-batches — a single-batch source would
+    * emit NOTHING. The input is therefore staged as two files
+    * (`maxFilesPerTrigger=1`): the corpus, then a watermark-flush
+    * SENTINEL row (user_id = −1, ts = max + gap + 2×delay) that is
+    * filtered out AFTER `withWatermark` — it advances the clock,
+    * closes every real session, and never reaches the aggregation.
+    * That is exactly how a production pipeline drains sessions at
+    * end-of-stream. */
+  def runStreamingSessionWindow(spark: SparkSession, sfDir: String,
+      gap: String = "8 hours"): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val gapUs = 8L * 3600 * 1000000
+    val name = "graft_sess_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_st8").toString
+      // stage 1: the corpus (normalized so the sentinel ts aligns)
+      val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
+      // ONE file for the corpus: if it split across files, each would
+      // be its own micro-batch and the first file's watermark could
+      // drop the second file's events as late data
+      ev.coalesce(1).write.parquet(s"$staged/batch0")
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // stages 2+3: TWO flush sentinels. A batch applies the watermark
+      // computed at the END of the PREVIOUS batch, so sentinel #1 only
+      // raises the clock — sentinel #2's batch is the one that evicts
+      // the sessions sentinel #1 closed (a lone sentinel strands every
+      // session of the final gap window in state; measured 79 missing
+      // sessions at sf0.01).
+      Seq(1, 2).foreach { i =>
+        ev.limit(1).select(
+            lit(-i.toLong).as("event_id"),
+            timestamp_micros(lit(maxUs + gapUs + i * 1200L * 1000000))
+              .as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.parquet(s"$staged/batch$i")
+      }
+      val stagedSchema = work.read.parquet(s"$staged/batch0").schema
+      val stream = work.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+      // NO sentinel filter anywhere in the query: any
+      // filter(user_id >= 0) — even placed after the aggregation — is
+      // a grouping-key predicate, so Catalyst pushes it through the
+      // Aggregate, through the watermark node, into the parquet scan,
+      // where row-group stats skip the sentinel file entirely and the
+      // clock never advances (measured: watermark stuck at
+      // corpus-max − delay, 79 stranded sessions). The sentinel
+      // excludes ITSELF instead: its session ends at sentinel#2's
+      // ts + gap, which the final watermark (sentinel#1 − delay)
+      // never passes, so append mode simply never emits it.
+      val q = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n"), col("total"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      work.table(name)
+    }
+  }
+
   /** FIRST-CLASS streaming dedup — watermark-bounded state. The state
     * store holds a key only while `max(event time seen) − delay` has
     * not passed it (`dropDuplicatesWithinWatermark`), so state size is

@@ -378,6 +378,73 @@ class PipelineSpec extends SparkSpec {
     assert(even.size == 1 && odd.size == 1 && even != odd)
   }
 
+  test("x15 chunk dedup: recycled 64-token chunk flagged in both docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def filler(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(100000)}").mkString(" ")
+    val shared = (1 to 64).map(i => s"c$i").mkString(" ")
+    // doc 1: shared chunk EXACTLY at chunk boundary 0; doc 2: same
+    // chunk at ITS boundary 0 + own tail; doc 3: unrelated
+    val docs = Seq(
+      (1L, s"$shared ${filler(64)}"),
+      (2L, s"$shared ${filler(30)}"),
+      (3L, filler(128)))
+    val dir = java.nio.file.Files.createTempDirectory("x15").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Pipeline.queries("x15_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L)), s"doc3: ${got(3L)}")
+  }
+
+  test("x16 DSIR: target-like docs score above off-domain docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // target exemplars (doc_id < 20) use the "medical" vocabulary;
+    // corpus docs 20-29 are medical-like, 30-39 are legal-like
+    val rnd = new scala.util.Random(5)
+    def doc(vocab: Seq[String], n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val med = Seq("dose", "patient", "trial", "symptom", "clinical")
+    val leg = Seq("court", "statute", "plaintiff", "appeal", "contract")
+    val docs = (0L to 19L).map(i => (i, doc(med, 50))) ++
+      (20L to 29L).map(i => (i, doc(med, 50))) ++
+      (30L to 39L).map(i => (i, doc(leg, 50)))
+    val dir = java.nio.file.Files.createTempDirectory("x16").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Pipeline.queries("x16_dsir_select")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val medRows = got.filter(_._1 < 30)
+    val legRows = got.filter(_._1 >= 30)
+    assert(medRows.forall(_._3), "every medical-like doc must be kept")
+    assert(legRows.forall(!_._3), "every legal-like doc must be dropped")
+    assert(medRows.map(_._2).min > legRows.map(_._2).max,
+      "score separation between domains")
+  }
+
+  test("t19 BPE pairs: hand-checked counts on a fixed corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "abab abc" -> pairs ab,ba,ab / ab,bc ; "ab" -> ab
+    val docs = Seq((1L, "abab abc"), (2L, "ab x"))
+    val dir = java.nio.file.Files.createTempDirectory("t19").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.queries("t19_bpe_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ab", 4L), ("ba", 1L), ("bc", 1L)), s"pairs: $got")
+  }
+
   test("t18 gopher rules: each rule fires on its boundary case") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -356,6 +356,51 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("sq2 EXISTS subqueries decorrelate to one semi + one anti join") {
+    val df = operators.Relational.queries("sq2_exists_subquery")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    // decorrelated — no per-row subquery execution node survives
+    assert(!plan.contains("InSubqueryExec") && !plan.contains("Subquery s"),
+      "predicate subqueries must not execute per-row")
+  }
+
+  test("a9 pivot: literal value list, no distinct-values pre-scan") {
+    val df = operators.Relational.queries("a9_pivot")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    // the explicit Seq("F","O","P") appears as literals inside
+    // pivotfirst — had it been omitted, Spark would run a separate
+    // collect-distinct JOB before even building this plan
+    assert(plan.contains("pivotfirst(o_orderstatus"), plan.take(3000))
+    assert(plan.contains("F, O, P"), "pivot values must be plan literals")
+    // (yr, status) sum + yr pivotfirst = two aggregation phases; the
+    // second exchange is on a subset key — at scale AQE coalesces it
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2)
+  }
+
+  test("a10 unpivot is an Expand projection — no join, no extra shuffle") {
+    val df = operators.Relational.queries("a10_unpivot")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert(plan.contains("Expand"), "unpivot should plan an Expand")
+    assert(!plan.contains("Join"), "unpivot must not plan a join")
+    // only the output ORDER BY exchanges (range partitioning)
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("t19 BPE top-20 is a bounded TakeOrdered, not a global sort") {
+    val df = operators.TextOps.queries("t19_bpe_pairs")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("p1 projection prunes the parquet read schema to 2 columns") {
     val df = operators.Relational.queries("p1_projection")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString

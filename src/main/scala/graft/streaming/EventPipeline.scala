@@ -214,6 +214,37 @@ object EventPipeline {
     }
   }
 
+  /** st8's staged input, built once per source path per JVM (it is a
+    * pure function of the source file): the normalized corpus as ONE
+    * file (if it split, each part would be its own micro-batch and the
+    * first part's watermark could drop later parts' events as late
+    * data), then TWO flush-sentinel files. Two because a batch applies
+    * the watermark computed at the END of the PREVIOUS batch — a lone
+    * sentinel only raises the clock and strands every session of the
+    * final gap window in state (measured 79 missing at sf0.01);
+    * sentinel #2's batch is the one that evicts what #1 closed. */
+  private val sessionStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageSessionInput(work: SparkSession, path: String): String =
+    sessionStageCache.computeIfAbsent(path, _ => {
+      val gapUs = 8L * 3600 * 1000000
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_st8").toString
+      val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
+      ev.coalesce(1).write.parquet(s"$staged/batch0")
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      Seq(1, 2).foreach { i =>
+        ev.limit(1).select(
+            lit(-i.toLong).as("event_id"),
+            timestamp_micros(lit(maxUs + gapUs + i * 1200L * 1000000))
+              .as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.parquet(s"$staged/batch$i")
+      }
+      staged
+    })
+
   /** NATIVE streaming session windows (`session_window(ts, gap)`,
     * append mode): Spark merges overlapping [t, t+gap) windows in the
     * state store, evicting a session once the watermark passes its
@@ -234,34 +265,10 @@ object EventPipeline {
       gap: String = "8 hours"): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val gapUs = 8L * 3600 * 1000000
     val name = "graft_sess_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     withStatePartitions(spark, parquetRows(spark, path)) { work =>
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_st8").toString
-      // stage 1: the corpus (normalized so the sentinel ts aligns)
-      val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
-      // ONE file for the corpus: if it split across files, each would
-      // be its own micro-batch and the first file's watermark could
-      // drop the second file's events as late data
-      ev.coalesce(1).write.parquet(s"$staged/batch0")
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      // stages 2+3: TWO flush sentinels. A batch applies the watermark
-      // computed at the END of the PREVIOUS batch, so sentinel #1 only
-      // raises the clock — sentinel #2's batch is the one that evicts
-      // the sessions sentinel #1 closed (a lone sentinel strands every
-      // session of the final gap window in state; measured 79 missing
-      // sessions at sf0.01).
-      Seq(1, 2).foreach { i =>
-        ev.limit(1).select(
-            lit(-i.toLong).as("event_id"),
-            timestamp_micros(lit(maxUs + gapUs + i * 1200L * 1000000))
-              .as("ts"),
-            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-          .coalesce(1).write.parquet(s"$staged/batch$i")
-      }
+      val staged = stageSessionInput(work, path)
       val stagedSchema = work.read.parquet(s"$staged/batch0").schema
       val stream = work.readStream.schema(stagedSchema)
         .option("maxFilesPerTrigger", "1")

@@ -596,6 +596,30 @@ object ArrayOps {
         .orderBy("lang", "source")
     }),
 
+    // INSERT INTO ... SELECT through the pure-SQL route [ref:
+    // mysql-test/mytile/t/insert_into_select.test]: DDL-created array,
+    // one INSERT..SELECT load (per-task fragment writes — the insert
+    // parallelizes with the SELECT's partitioning, no driver funnel),
+    // filtered read-back.
+    "arr29_insert_select" -> ((s, d) => {
+      val cat = "gis" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val wh = java.nio.file.Files.createTempDirectory("graft_insq").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.load(s, d, "supplier").createOrReplaceTempView(s"src_$cat")
+      s.sql(s"""CREATE TABLE $cat.sup (s_suppkey BIGINT, s_name STRING,
+        |  s_nationkey INT, s_acctbal DOUBLE)
+        |TBLPROPERTIES('graft.dimensions'='s_suppkey')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.sup
+        |SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM src_$cat WHERE s_nationkey >= 10""".stripMargin)
+      s.sql(s"""SELECT s_suppkey, s_name, s_nationkey,
+        |  round(s_acctbal, 2) AS bal
+        |FROM $cat.sup WHERE s_suppkey % 2 = 0
+        |ORDER BY s_suppkey""".stripMargin)
+    }),
+
     // Multi-value attributes (reference cell_val_num>1 → ArrayType,
     // SURVEY §1.2): embeddings stored IN the array format, ANN top-k
     // served straight off the array scan.
@@ -1012,6 +1036,10 @@ object ArrayOps {
     "arr27_json_ingest" ->
       """SELECT lang, source, count(*) AS n, sum(n_chars)::bigint AS chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "arr29_insert_select" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+         FROM supplier WHERE s_nationkey >= 10 AND s_suppkey % 2 = 0
+         ORDER BY s_suppkey""",
     "arr10_embedding_store" ->
       """SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
          SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

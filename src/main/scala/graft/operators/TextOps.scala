@@ -201,6 +201,35 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // HTML boilerplate stripping (the web-corpus cleaning step before
+    // any quality scoring): drop head/nav/footer BLOCKS (content and
+    // all — a tag-only strip leaks menu text into the corpus), strip
+    // remaining tags, collapse whitespace. Pure codegen'd regexp
+    // chain, shuffle-free, scan speed. The synthetic corpus has no
+    // markup, so the query grafts a deterministic page skeleton per
+    // document (the t10/t15 fixture pattern): the stripper
+    // demonstrably fires and recovering the original text IS the
+    // correctness property (clean_md5 = md5 of the body text). ASCII
+    // regexes, so Java and RE2 dialects agree.
+    "t20_boilerplate_strip" -> ((s, d) => {
+      val dirty = concat(
+        lit("<html><head><title>Page "), col("doc_id").cast("string"),
+        lit("</title></head><body><nav>Home | About | Page "),
+        col("doc_id").cast("string"), lit("</nav><p>"), col("text"),
+        lit("</p><footer>(c) 2024 Example Corp</footer></body></html>"))
+      val noBlocks = regexp_replace(regexp_replace(regexp_replace(dirty,
+        "<head>.*?</head>", " "), "<nav>.*?</nav>", " "),
+        "<footer>.*?</footer>", " ")
+      val clean = trim(regexp_replace(
+        regexp_replace(noBlocks, "<[^>]*>", " "), "\\s+", " "))
+      docs(s, d).select(col("doc_id"),
+        regexp_count(dirty, lit("<[^>]*>")).cast("long").as("n_tags"),
+        md5(clean).as("clean_md5"),
+        round(length(clean).cast("double") / length(dirty), 4)
+          .as("kept_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Hashing-trick featurizer (the fasttext-style input layer): each
     // doc → a dense 64-bucket token-count vector, bucket = the token's
     // 52-bit md5 prefix mod 64. Entirely per-row (md5 HOF over the
@@ -882,6 +911,28 @@ object TextOps {
            FROM hsrc)
        SELECT DISTINCT doc_id, (u).p AS pos, (u).h AS fp FROM w
        ORDER BY doc_id, pos""",
+    // t20: same graft, same block/tag/collapse regexp chain
+    "t20_boilerplate_strip" ->
+      """WITH g AS (SELECT doc_id,
+           '<html><head><title>Page ' || doc_id::varchar ||
+           '</title></head><body><nav>Home | About | Page ' ||
+           doc_id::varchar || '</nav><p>' || text ||
+           '</p><footer>(c) 2024 Example Corp</footer></body></html>'
+             AS dirty
+         FROM documents),
+         c AS (SELECT doc_id, dirty,
+           trim(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(dirty,
+               '<head>.*?</head>', ' ', 'g'),
+               '<nav>.*?</nav>', ' ', 'g'),
+               '<footer>.*?</footer>', ' ', 'g'),
+             '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+         FROM g)
+       SELECT doc_id,
+         len(regexp_extract_all(dirty, '<[^>]*>'))::bigint AS n_tags,
+         md5(clean) AS clean_md5,
+         round(length(clean)::double / length(dirty), 4) AS kept_frac
+       FROM c ORDER BY doc_id""",
     // t19: within-token adjacent char pairs, count desc, pair asc
     "t19_bpe_pairs" ->
       """SELECT pair, count(*) AS cnt

@@ -445,6 +445,21 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq(("ab", 4L), ("ba", 1L), ("bc", 1L)), s"pairs: $got")
   }
 
+  test("t20 boilerplate strip recovers the body text exactly") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextOps.queries("t20_boilerplate_strip")(spark, sf)
+      .select("doc_id", "clean_md5")
+    val want = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("m"))
+    assert(got.join(want, "doc_id").filter(col("clean_md5") =!= col("m"))
+      .count() == 0, "stripping the grafted skeleton must yield the body")
+    // nav/footer CONTENT is gone, not just the tags
+    val frac = graft.operators.TextOps.queries("t20_boilerplate_strip")(spark, sf)
+      .agg(max(col("kept_frac"))).head().getDouble(0)
+    assert(frac < 1.0, "boilerplate must reduce length")
+  }
+
   test("t18 gopher rules: each rule fires on its boundary case") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

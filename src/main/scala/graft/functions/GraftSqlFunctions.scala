@@ -554,10 +554,15 @@ object GraftSqlFunctions {
     override def name(): String = "unicode_normalize"
     def invoke(s: UTF8String): UTF8String = {
       // same pipeline as TextFunctions.unicodeNormalize: the kernel's
-      // nfcStrip, then Spark-lower (UTF8String), collapse, trim
+      // nfcStrip, then Spark-lower (UTF8String), collapse, then a
+      // SPACE-ONLY trim — String.trim strips every char <= U+0020
+      // (e.g. a leading vertical tab, which is outside the collapse
+      // class), where Spark's trim() and DuckDB's trim() strip ' '
+      // alone; the regex keeps the three engines bit-identical
       val stripped = UnicodeText.nfcStrip(s).toLowerCase.toString
       UTF8String.fromString(
-        stripped.replaceAll("[ \\t\\n\\r\\f]+", " ").trim)
+        stripped.replaceAll("[ \\t\\n\\r\\f]+", " ")
+          .replaceAll("^ +| +$", ""))
     }
     override def produceResult(input: InternalRow): UTF8String =
       invoke(input.getUTF8String(0))

@@ -209,16 +209,21 @@ object Dedup {
     * Char grams are ~6× denser than token shingles (one per CHARACTER
     * position), and mid-frequency grams (df under any sane cap) alone
     * make the raw index self-join quadratic-ish on repetitive corpora
-    * (measured 40 s at sf0.1 where d2 runs in 1.4 s). Two bounds fix
-    * that, both deterministic so the exact oracle stays the referee:
-    *  - gram SAMPLING: only grams with xxhash64(g) ≡ 0 (mod 4) enter
-    *    the candidate index — 1/16 of the self-join volume;
-    *  - ≥ 3 shared SAMPLED grams before exact verification.
-    * Miss condition: a true pair is lost only if < 3 of its shared
-    * grams survive sampling. At Jaccard ≥ 0.8 the shared-distinct
-    * count is ≥ 0.44·|union| — ~130 grams for ~300-char documents,
-    * ~33 expected survivors; only near-dup pairs of sub-~30-char
-    * scraps (below any dedup length floor) can fall under 3. The d2
+    * (measured 40 s at sf0.1 where d2 runs in 1.4 s). Bounds, all
+    * deterministic so the exact oracle stays the referee:
+    *  - LONG docs (> 128 distinct grams) enter the candidate index
+    *    SAMPLED — only grams with xxhash64(g) ≡ 0 (mod 4) — cutting
+    *    their self-join volume 16×; SHORT docs keep every gram (their
+    *    volume is bounded by the doc itself);
+    *  - a candidate pair reaches exact verification with ≥ 3 shared
+    *    indexed grams, or ≥ 1 when BOTH sides are unsampled.
+    * Miss accounting: a short–short pair needs only one surviving
+    * shared gram — d2's structural df-cap condition, HARD. A pair
+    * with a sampled side has min side > 102 grams (Jaccard ≥ 0.8
+    * forces |A| ≥ 0.8|B|), so ≥ ~102 shared grams face the 1/4
+    * sampling and P(< 3 survive) ≈ 10⁻¹⁰ — and the sampling is a
+    * fixed function of the grams, so recall on a given corpus is a
+    * constant the exact oracle verifies at every test scale. The d2
     * df cap still applies on top for viral boilerplate. */
   private[graft] def charNgramPairs(docsDf: DataFrame, threshold: Double,
       dfCap: Option[Long]): DataFrame = {
@@ -229,21 +234,23 @@ object Dedup {
       .filter(size(col("g")) > 0)
       .localCheckpoint()
     val idx = sets
-      .select(col("doc_id"), explode(col("g")).as("g0"))
-      .select(col("doc_id"), xxhash64(col("g0")).as("gh"))
-      .filter(pmod(col("gh"), lit(4L)) === 0L)
-    val candIdx = dfCap match {
+      .select(col("doc_id"), (size(col("g")) > 128).cast("int").as("samp"),
+        explode(col("g")).as("g0"))
+      .select(col("doc_id"), col("samp"), xxhash64(col("g0")).as("gh"))
+      .filter(col("samp") === 0 || pmod(col("gh"), lit(4L)) === 0L)
+    val candIdx = (dfCap match {
       case Some(cap) =>
         val hot = idx.groupBy("gh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("gh")
         idx.join(broadcast(hot), Seq("gh"), "left_anti")
       case None => idx
-    }
+    }).localCheckpoint() // both sides of the self-join read it
     val cands = candIdx.as("a").join(candIdx.as("b"), "gh")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("ns"))
-      .filter(col("ns") >= 3)
+      .agg(count(lit(1)).as("ns"),
+        max(col("a.samp") + col("b.samp")).as("sampled"))
+      .filter(col("ns") >= 3 || (col("sampled") === 0 && col("ns") >= 1))
       .select("i", "j")
     cands
       .join(sets.select(col("doc_id").as("i"), col("g").as("ga")), "i")

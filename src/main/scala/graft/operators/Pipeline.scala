@@ -320,13 +320,20 @@ object Pipeline {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
       // single invariant row (cluster population is a corpus fact, not
       // an oracle constant): every domain's sample is a subset and
-      // levels to the smallest domain's mass within wide tolerance
+      // levels to the smallest domain's mass. The tolerance is
+      // binomial-aware, not a bare ratio: n_kept ~ Binom(n, target/n)
+      // has σ ≈ √target, so a FIXED ±60% band flakes when k-means
+      // hands back a small smallest-domain (target = 10 → ±6σ events
+      // at percent-level probability). Band = ±max(0.6·target, 6√target)
+      // keeps the invariant deterministic-in-practice (≥ 6σ) at every
+      // domain size while still asserting real leveling.
+      val slack = math.max(0.6 * target, 6.0 * math.sqrt(target.toDouble))
       perCluster.agg(
         (count(lit(1)) >= 2).as("multi_domain"),
         (max(when(col("n_kept") > col("n"), 1).otherwise(0)) === 0)
           .as("subset_ok"),
-        (max(when(col("n_kept") < lit(target * 0.4) ||
-            col("n_kept") > lit(target * 1.6), 1).otherwise(0)) === 0)
+        (max(when(col("n_kept") < lit(target - slack) ||
+            col("n_kept") > lit(target + slack), 1).otherwise(0)) === 0)
           .as("balanced_ok"))
     }),
 
@@ -339,12 +346,17 @@ object Pipeline {
     // (~n_tokens/64 rows per doc), one fingerprint-keyed count, one
     // join back — all linear, no self-join anywhere.
     "x15_chunk_dedup" -> ((s, d) => {
+      // materialized once: the chunk explode feeds BOTH the
+      // fingerprint-frequency aggregation and the join back (the
+      // x13/Pq lesson — without this the tokenize+md5 subtree runs
+      // twice per query)
       val chunks = docs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(transform(
           sequence(lit(0), ((size(col("toks")) - 1) / 64).cast("int")),
           c => md5(array_join(
             slice(col("toks"), c * 64 + 1, lit(64)), " ")))).as("fp"))
+        .localCheckpoint()
       val dfreq = chunks.groupBy("fp").agg(count(lit(1)).as("n"))
       chunks.join(dfreq, "fp")
         .groupBy("doc_id")
@@ -370,8 +382,12 @@ object Pipeline {
     // a 20-doc exemplar set versus a 100 TB corpus is the real
     // regime, and nothing here scales with the target.
     "x16_dsir_select" -> ((s, d) => {
+      // materialized once: the token table feeds the corpus counts,
+      // the target counts AND the scoring join — three corpus-wide
+      // tokenize passes otherwise (the x13 lesson)
       val toks = docs(s, d).select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .localCheckpoint()
       val isEval = col("doc_id") < 20
       val cFreq = toks.filter(!isEval).groupBy("tok")
         .agg(count(lit(1)).cast("double").as("cc"))

@@ -313,33 +313,21 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** MMR-diversified retrieval: per query, take the exact top-`kCand`
-    * candidates, then greedily select `kSel` of them maximizing
-    * λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s) (Carbonell & Goldstein
-    * 1998) — relevant results that are not near-duplicates of each
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998): per
+    * query, take the exact top-`kCand` candidates, then greedily
+    * select `kSel` of them maximizing λ·cos(q,d) − μ·max_{s∈S}
+    * cos(d,s) — relevant results that are not near-duplicates of each
     * other, the standard re-rank between retrieval and a context
-    * window.
-    *
-    * Scale design: the greedy loop is unrolled into `kSel` dataflow
-    * steps, each a per-query argmax (groupBy(query_id).min(struct)) +
-    * one join updating the running diversity penalty from the
-    * precomputed candidate-pairwise cosine table (kCand² rows per
-    * query, k-bounded). Nothing is collected: the plan is identical
-    * work per query, so it scales with #queries across executors —
-    * millions of concurrent queries are just more groups. Every
-    * comparison runs on RAW doubles (identical IEEE ops in both
-    * engines — rounding first would put scores on a near-decimal grid
-    * where half-way rounding ties are frequent and engine rounding
-    * modes diverge); only the published score is rounded. `muDiv` is
+    * window. This is the SHIPPED form: candidate bounding AND the
+    * greedy fused into one [[graft.functions.expressions.MmrSelect]]
+    * aggregate — per-group state through every exchange is the kCand
+    * best (cos, id, vector) rows, the greedy loop runs at eval time
+    * over that bounded set, so millions of concurrent queries are
+    * just more groups. One aggregation replaces the dataflow twin's
+    * ~10 stage boundaries (measured 2.4 s → 0.3 s at sf0.1);
+    * OperatorsSpec asserts the two produce identical rows. `muDiv` is
     * passed explicitly rather than computed as 1−λ because 1.0−0.7 is
     * not the double 0.3 the oracle's literal parses to. */
-  /** Kernel MMR: candidate bounding AND the greedy selection fused
-    * into one [[graft.functions.expressions.MmrSelect]] aggregate —
-    * per-group state is the kCand best (cos, id, vector) rows, the
-    * greedy loop runs at eval time over that bounded set. One
-    * aggregation replaces the dataflow twin's ~10 stage boundaries
-    * (measured 2.4 s → ~0.3 s at sf0.1); SimilaritySpec asserts the
-    * two produce identical rows. */
   private[graft] def mmrDiverseTopKKernel(e: DataFrame, kCand: Int,
       kSel: Int, lam: Double, muDiv: Double): DataFrame = {
     val q = e.filter(col("vec_id") < 5)
@@ -357,6 +345,16 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** The unrolled-DATAFLOW twin of [[mmrDiverseTopKKernel]], kept as
+    * the independently-constructed equality witness: the greedy loop
+    * as `kSel` dataflow steps — per-query argmax
+    * (groupBy(query_id).min(struct)) + one join updating the running
+    * diversity penalty from a precomputed candidate-pairwise cosine
+    * table (kCand² rows per query, k-bounded). Nothing collected.
+    * Every comparison runs on RAW doubles (identical IEEE ops in both
+    * engines — rounding first puts scores on a near-decimal grid
+    * where half-way rounding ties are frequent and engine rounding
+    * modes diverge); only the published score is rounded. */
   private[graft] def mmrDiverseTopK(e: DataFrame, kCand: Int, kSel: Int,
       lam: Double, muDiv: Double): DataFrame = {
     val q = e.filter(col("vec_id") < 5)

@@ -325,12 +325,16 @@ object TextOps {
     // Unicode canonicalization (the cross-source dedup-key
     // normalizer): NFC + accent strip + lowercase + whitespace
     // collapse, per-row codegen (one static nfcStrip call + builtins
-    // — scan speed at 100 TB). Grafted accented / combining-char /
-    // fullwidth fixtures prove the Unicode path fires — the synthetic
-    // corpus is ASCII, where normalization is near-identity; the
-    // fixture rows replay literally in the oracle's VALUES and both
-    // engines implement UAX #15 + Mn-strip (NFC forms -1 and -2
-    // collapse to the SAME norm_text, the dedup win this exists for).
+    // — scan speed at 100 TB). Grafted accented / combining-char
+    // fixtures prove the Unicode path fires — the synthetic corpus is
+    // ASCII, where normalization is near-identity; the fixture rows
+    // replay literally in the oracle's VALUES and both engines
+    // implement UAX #15 + Mn-strip (NFC forms -1 and -2 collapse to
+    // the SAME norm_text, the dedup win this exists for). The
+    // fullwidth row (-4) pins the DELIBERATE non-fold: this is NFC,
+    // not NFKC, so fullwidth letters pass through unchanged in both
+    // engines (compatibility folding would also conflate ① with 1,
+    // ﬁ with fi — too lossy for a dedup key).
     "t15_normalize" -> ((s, d) => {
       import s.implicits._
       val fixtures = Seq(

@@ -287,9 +287,15 @@ class GraftWriteBuilder(
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     // cell-order clustering for DSv2 writes: no forced shuffle
     // (distribution unspecified), but Spark sorts each task's rows by
-    // the cell order before the writer sees them, so every part file
-    // is ordered exactly like the library write path's — recorded as
-    // the fragment's `sortedBy` so scans can report output ordering
+    // the ROW-MAJOR cell order before the writer sees them, so those
+    // part files match the library write path and record `sortedBy`
+    // for the scan-side ordering report. HILBERT schemas are the
+    // exception: requiredOrdering is empty there (the curve key is a
+    // derived expression, not a sortable column ref), so a DSv2
+    // INSERT into a hilbert array writes unordered parts — honest
+    // (`sortedBy` stays empty, no false ordering report) but without
+    // the MBR-tightness the library path's hilbert sort buys; bulk
+    // hilbert loads should go through GraftArray.write
     // [cell/tile order ha_mytile.cc:71–73, 1380–1395].
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution =

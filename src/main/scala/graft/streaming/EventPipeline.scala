@@ -225,8 +225,17 @@ object EventPipeline {
     * sentinel #2's batch is the one that evicts what #1 closed. */
   private val sessionStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stageSessionInput(work: SparkSession, path: String): String =
-    sessionStageCache.computeIfAbsent(path, _ => {
+  private def stageSessionInput(work: SparkSession, path: String): String = {
+    // key includes size+mtime so a rewritten source file restages
+    // (a path-only key would serve the OLD corpus and sentinel
+    // timestamps — and a later max ts than the cached sentinels means
+    // the watermark never closes the real sessions: silently empty)
+    val f = new java.io.File(path)
+    val sig = if (f.isDirectory)
+      f.listFiles().map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+        .sorted.mkString(",")
+    else s"${f.length}:${f.lastModified}"
+    sessionStageCache.computeIfAbsent(s"$path|$sig", _ => {
       val gapUs = 8L * 3600 * 1000000
       val staged = java.nio.file.Files
         .createTempDirectory("graft_st8").toString
@@ -244,6 +253,7 @@ object EventPipeline {
       }
       staged
     })
+  }
 
   /** NATIVE streaming session windows (`session_window(ts, gap)`,
     * append mode): Spark merges overlapping [t, t+gap) windows in the

@@ -293,4 +293,27 @@ class DedupSpec extends SparkSpec {
     val d2 = graft.operators.Dedup.queries("d2_ngram_jaccard")(spark, dir)
     assert(d2.count() == 0, "token shingles should see nothing")
   }
+
+  test("d9 short near-dups survive via the unsampled index (hard path)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // SHORT whitespace-free docs (~40 chars → ~36 grams, well under
+    // the 128-gram sampling cutoff): identical pair must surface
+    // through the ≥1-shared unsampled gate — mod-4 sampling alone
+    // could leave such a pair with < 3 surviving shared grams
+    val rnd = new scala.util.Random(13)
+    def rndStr(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val short = rndStr(40)
+    val docs = Seq((1L, short), (2L, short)) ++
+      (3L to 15L).map(i => (i, rndStr(40)))
+    val dir = java.nio.file.Files.createTempDirectory("d9s").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.queries("d9_char_ngram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"short identical pair lost: $got")
+  }
 }

@@ -351,6 +351,21 @@ object Relational {
       val b = t(s, d, "orders").select(col("o_custkey").as("k"))
       a.except(b).orderBy("k")
     }),
+    // ALL variants — different Catalyst rewrites from the DISTINCT
+    // forms (multiplicity-preserving: replicated via count-difference
+    // generate, not a semi/anti join).
+    "set4_intersect_all" -> ((s, d) => {
+      val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        .filter(col("k") < 200)
+      val b = t(s, d, "customer").select(col("c_custkey").as("k"))
+      a.intersectAll(b).orderBy("k")
+    }),
+    "set5_except_all" -> ((s, d) => {
+      val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        .filter(col("k") < 200)
+      val b = t(s, d, "customer").select(col("c_custkey").as("k"))
+      a.exceptAll(b).orderBy("k")
+    }),
 
     // Scalar function surface: arithmetic, CASE, string fns, cast,
     // coalesce, date parts — all codegen'd builtins.
@@ -629,6 +644,12 @@ object Relational {
     "set3_except" ->
       """SELECT c_custkey AS k FROM customer
          EXCEPT SELECT o_custkey FROM orders ORDER BY k""",
+    "set4_intersect_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_custkey < 200
+         INTERSECT ALL SELECT c_custkey FROM customer ORDER BY k""",
+    "set5_except_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_custkey < 200
+         EXCEPT ALL SELECT c_custkey FROM customer ORDER BY k""",
     "f1_scalar_funcs" ->
       """SELECT o_orderkey,
          cast(cast(o_totalprice * 0.1 + 5.0 AS decimal(18,4)) AS varchar) AS arith,

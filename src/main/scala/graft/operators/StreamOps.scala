@@ -91,6 +91,15 @@ object StreamOps {
       EventPipeline.runStreamingSliding(s, d)
         .orderBy("win_start_us", "event_type")),
 
+    // Stream → fragment-sink → array-read loop, oracle-verified: the
+    // corpus streamed one staged file per micro-batch through a
+    // stateless filter into the replay-ledgered array sink (one
+    // immutable fragment per batch — n_fragments states the
+    // deterministic 3), then the ARRAY scan answers the aggregation.
+    "st9_stream_sink" -> ((s, d) =>
+      EventPipeline.runStreamSinkPipeline(s, d)
+        .orderBy("event_type")),
+
     // NATIVE streaming session windows (session_window + watermark,
     // append mode, watermark-flush sentinel): state = open sessions
     // only, evicted as the watermark passes each session's end. The
@@ -128,6 +137,14 @@ object StreamOps {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    // st9: the array round-trip preserves the filtered events exactly,
+    // so the batch aggregation is the oracle; 3 staged non-empty
+    // micro-batches → exactly 3 fragments
+    "st9_stream_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+         CAST(3 AS BIGINT) AS n_fragments
+         FROM events WHERE event_type <> 'view'
+         GROUP BY event_type ORDER BY event_type""",
     // st8: session_window merge rule — break at gap >= 8h (strictly:
     // [t, t+gap) windows merge only when the next start is INSIDE);
     // end_us = last event + gap

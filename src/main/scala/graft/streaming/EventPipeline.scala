@@ -118,6 +118,58 @@ object EventPipeline {
     }
   }
 
+  /** End-to-end stream→array-sink pipeline for the st9 oracle: the
+    * corpus staged as THREE files (event_id mod 3 — deterministic),
+    * streamed one file per micro-batch through a stateless filter into
+    * [[writeStreamToArray]] (one immutable fragment per non-empty
+    * batch, replay-ledgered), then the ARRAY scan answers the
+    * aggregation. Proves the full loop stream → fragment sink → array
+    * read equals the relational answer, with the fragment count a
+    * deterministic constant (3) the oracle states. */
+  def runStreamSinkPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_st9").toString
+      val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
+      (0 until 3).foreach { k =>
+        ev.filter(pmod(col("event_id"), lit(3L)) === k)
+          .coalesce(1).write.parquet(s"$staged/b$k")
+      }
+      // the sink array lives OUTSIDE the streamed directory — under it,
+      // the file source would discover the array's own fragments as
+      // new input files and feed the stream its own output
+      val uri = java.nio.file.Files
+        .createTempDirectory("graft_st9_arr").toString + "/arr"
+      graft.sources.GraftArray.create(work, uri,
+        graft.core.ArraySchema(graft.core.ArrayKind.Sparse,
+          Seq(graft.core.DimensionSpec("event_id",
+            org.apache.spark.sql.types.LongType)),
+          Seq(graft.core.AttributeSpec("user_id",
+              org.apache.spark.sql.types.LongType),
+            graft.core.AttributeSpec("event_type",
+              org.apache.spark.sql.types.StringType),
+            graft.core.AttributeSpec("value",
+              org.apache.spark.sql.types.DoubleType))))
+      val stagedSchema = work.read.parquet(s"$staged/b0").schema
+      val stream = work.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+        .filter(col("event_type") =!= "view") // stateless clean step
+        .select("event_id", "user_id", "event_type", "value")
+      val q = writeStreamToArray(stream, uri, "st9")
+      try { q.processAllAvailable() } finally q.stop()
+      val nFrags = graft.sources.GraftArray.fragments(work, uri).size
+      work.read.format("graftarray").option("path", uri).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .withColumn("n_fragments", lit(nFrags.toLong))
+    }
+  }
+
   /** Size streaming state partitions from the input estimate.
     *
     * AQE cannot coalesce stateful exchanges — the state-store partition

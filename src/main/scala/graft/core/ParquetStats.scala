@@ -21,8 +21,15 @@ object ParquetStats {
   /** (rows, per-column stats) aggregated across `files`. Sums are not
     * in parquet footers; callers fill them separately if needed. */
   def collect(files: Seq[Path], schema: StructType, conf: Configuration)
-      : (Long, Map[String, ColumnStats]) = {
-    val per = collectPerFile(files, schema, conf)
+      : (Long, Map[String, ColumnStats]) =
+    merge(collectPerFile(files, schema, conf), schema)
+
+  /** Fragment-level stats as a pure fold of already-collected per-file
+    * stats — callers that hold `collectPerFile`'s result use this
+    * instead of `collect`, which would re-open and re-parse every
+    * footer (2N metadata GETs per commit on object stores). */
+  def merge(per: Seq[(Path, Long, Map[String, ColumnStats])],
+      schema: StructType): (Long, Map[String, ColumnStats]) = {
     val rows = per.map(_._2).sum
     val ord = TypedValue.ordering
     val merged = schema.fields.map { f =>

@@ -82,8 +82,6 @@ object GraftArray {
 
     val fragId = java.util.UUID.randomUUID.toString.take(12)
     val dataDir = st.fragmentDataDir(fragId)
-    // the fragment readers speak INT64-micros only — never INT96
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     // conform input to the array's column types (parquet physical type
     // must match the schema exactly for the readers); sameType skips
@@ -176,9 +174,20 @@ object GraftArray {
       else clustered.observe(obs,
         sum(col(numeric.head.name)).as(numeric.head.name),
         numeric.tail.map(f => sum(col(f.name)).as(f.name)): _*)
-    observed.write.mode("errorifexists")
+    // the fragment readers speak INT64-micros only — never INT96. The
+    // conf is scoped to this write and RESTORED: setting it
+    // permanently silently changed every later non-graft parquet write
+    // in a session configured for INT96 interop.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try observed.write.mode("errorifexists")
       .option("compression", schema.effectiveCodec.toLowerCase)
       .parquet(dataDir.toString)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
 
     // min/max/nullCount from parquet footers (no data re-read)
     val fs = st.fileSystem
@@ -187,8 +196,8 @@ object GraftArray {
     val perFile = ParquetStats.collectPerFile(files, struct,
       spark.sparkContext.hadoopConfiguration)
     val rows = perFile.map(_._2).sum
-    val (_, footerStats) =
-      ParquetStats.collect(files, struct, spark.sparkContext.hadoopConfiguration)
+    // fragment stats = pure fold of the footers read ONCE above
+    val (_, footerStats) = ParquetStats.merge(perFile, struct)
     val sums: Map[String, (Option[Long], Option[Double])] =
       if (numeric.isEmpty || rows == 0) Map.empty
       else {
@@ -393,12 +402,28 @@ object GraftArray {
     // dropped columns are simply not requested
     var df = spark.read.schema(struct).parquet(paths: _*)
 
-    // evolved-column fill values for pre-evolution fragments
+    // evolved-column fill values — ONLY for fragments that physically
+    // lack the column (pre-evolution: no stats entry, the manifest
+    // records stats for every written column incl. all-null ones). An
+    // unconditional coalesce would also rewrite EXPLICITLY-written
+    // NULLs in post-evolution fragments to the fill, silently altering
+    // data and diverging from the DSv2 read path, which leaves them
+    // null.
     schema.attrs.foreach { a =>
       a.fillValue.foreach { fv =>
-        df = df.withColumn(a.name,
-          coalesce(col(a.name), lit(TypedValue.parse(a.dataType, fv))
-            .cast(a.dataType)))
+        if (frags.exists(!_.stats.contains(a.name))) {
+          // per-fragment "lacks this column" flag, keyed off the file
+          // path like _frag_ts below — no extra column storage
+          val perFrag = map(frags.flatMap { f =>
+            Seq(lit(f.id), lit(!f.stats.contains(a.name)))
+          }: _*)
+          df = df.withColumn(a.name,
+            when(element_at(perFrag,
+                regexp_extract(input_file_name(), "frag_([^/]+)/", 1)) &&
+                col(a.name).isNull,
+              lit(TypedValue.parse(a.dataType, fv)).cast(a.dataType))
+              .otherwise(col(a.name)))
+        }
       }
     }
 

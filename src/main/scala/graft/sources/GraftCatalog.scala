@@ -246,8 +246,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => GraftArray.exists(spark,
-        namespace.foldLeft(warehouse)(_ + "/" + _) + "/" + n))
+      // a listed table is an array OR a subset registration (a
+      // directory holding only _subset.json) — the same resolution set
+      // tableExists/loadTable accept, so SHOW TABLES and reads agree
+      .filter { n =>
+        val uri = namespace.foldLeft(warehouse)(_ + "/" + _) + "/" + n
+        GraftArray.exists(spark, uri) || subsetRegistration(uri).isDefined
+      }
       .map(Identifier.of(namespace, _))
   }
 

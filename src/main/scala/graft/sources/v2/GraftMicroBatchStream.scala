@@ -198,7 +198,11 @@ class GraftMicroBatchStream(
             f.deleteCoordFiles.map(rel => s"$uri/$rel"))
       },
       dimStruct = org.apache.spark.sql.types.StructType(schema.dims.map(d =>
-        org.apache.spark.sql.types.StructField(d.name, d.dataType))))
+        org.apache.spark.sql.types.StructField(d.name, d.dataType))),
+      evoFills = schema.attrs.collect {
+        case a if a.fillValue.isDefined =>
+          a.name -> graft.core.TypedValue.parse(a.dataType, a.fillValue.get)
+      }.toMap)
 
   override def commit(end: Offset): Unit = () // fragments are immutable
 

@@ -136,7 +136,10 @@ class GraftReaderFactory(
     tombstones: Seq[TombstoneSpec] = Nil,
     /** Dimension columns in array order with their types — needed to
       * decode coordinate-tombstone files. */
-    dimStruct: StructType = new StructType())
+    dimStruct: StructType = new StructType(),
+    /** storage-domain fill per evolved attr declaring one (applied
+      * per file only where the column is physically absent). */
+    evoFills: Map[String, Any] = Map.empty)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -146,7 +149,7 @@ class GraftReaderFactory(
           preds, conf.value, keyHex, tombstones, dimStruct)
       case g: GraftInputPartition =>
         new GraftPartitionReader(g, readSchema, dimNames, preds,
-          conf.value, keyHex, metaCols, tombstones, dimStruct)
+          conf.value, keyHex, metaCols, tombstones, dimStruct, evoFills)
     }
 
   /** All-or-nothing per scan; see `columnar` above. When true, EVERY
@@ -163,7 +166,8 @@ class GraftReaderFactory(
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarPartitionReader(
-      p.asInstanceOf[GraftInputPartition], readSchema, conf.value, metaCols)
+      p.asInstanceOf[GraftInputPartition], readSchema, conf.value, metaCols,
+      evoFills)
 }
 
 object GraftColumnarPartitionReader {
@@ -189,7 +193,11 @@ class GraftColumnarPartitionReader(
     part: GraftInputPartition,
     readSchema: StructType,
     conf: Configuration,
-    metaCols: Set[String] = Set.empty)
+    metaCols: Set[String] = Set.empty,
+    /** storage-domain fill per evolved attr declaring one — applied
+      * ONLY to files that physically lack the column (same semantics
+      * as the merge path and GraftArray.load). */
+    evoFills: Map[String, Any] = Map.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.datasources.parquet.{GraftParquetReadShim, VectorizedParquetRecordReader}
@@ -214,7 +222,9 @@ class GraftColumnarPartitionReader(
   }
 
   /** Constant vector for a non-file column: fragment-provenance
-    * metadata (file-constant by construction) or evolution null. */
+    * metadata (file-constant by construction), the attr's declared
+    * fill value when one exists (schema evolution — the file predates
+    * the column), or null. */
   private def constFor(f: StructField, path: String,
       ts: Long): ConstantColumnVector = {
     val c = new ConstantColumnVector(Capacity, f.dataType)
@@ -223,6 +233,19 @@ class GraftColumnarPartitionReader(
         c.setUtf8String(UTF8String.fromString(GraftMetaCols.fragIdOf(path)))
       case GraftMetaCols.CommitTs if metaCols.contains(f.name) =>
         c.setLong(ts)
+      case n if evoFills.contains(n) =>
+        (evoFills(n), f.dataType) match {
+          case (l: Long, ByteType) => c.setByte(l.toByte)
+          case (l: Long, ShortType) => c.setShort(l.toShort)
+          case (l: Long, IntegerType | DateType) => c.setInt(l.toInt)
+          case (l: Long, LongType | TimestampType) => c.setLong(l)
+          case (d: Double, FloatType) => c.setFloat(d.toFloat)
+          case (d: Double, DoubleType) => c.setDouble(d)
+          case (s: String, StringType) =>
+            c.setUtf8String(UTF8String.fromString(s))
+          case (b: Boolean, BooleanType) => c.setBoolean(b)
+          case _ => c.setNull() // exotic fill types stay null
+        }
       case _ => c.setNull()
     }
     constVectors = constVectors :+ c
@@ -330,8 +353,22 @@ class GraftPartitionReader(
     keyHex: Option[String] = None,
     metaCols: Set[String] = Set.empty,
     tombstones: Seq[TombstoneSpec] = Nil,
-    dimStruct: StructType = new StructType())
+    dimStruct: StructType = new StructType(),
+    /** storage-domain fill per evolved attr declaring one — applied
+      * ONLY where a file physically lacks the column, so explicit
+      * NULLs in post-evolution fragments stay null (mirrors
+      * GraftArray.load's per-fragment fill). */
+    evoFills: Map[String, Any] = Map.empty)
   extends PartitionReader[InternalRow] {
+
+  /** (readCols index, storage fill) for the columns `fileSchema`
+    * lacks that declare fills. */
+  private def evoFillIdx(
+      hasField: String => Boolean): Seq[(Int, Any)] =
+    readCols.zipWithIndex.collect {
+      case (f0, i) if !hasField(f0.name) && evoFills.contains(f0.name) =>
+        (i, evoFills(f0.name))
+    }
 
   private def hasSlab: Boolean = part.slabLo.isDefined || part.slabHi.isDefined
   private def hasHash: Boolean = part.hashMod > 0
@@ -539,6 +576,7 @@ class GraftPartitionReader(
     val md = fr.getFooter
     val fileSchema = md.getFileMetaData.getSchema
     val wanted = readCols.map(_.name).filter(fileSchema.containsField)
+    val fillsForFile = evoFillIdx(fileSchema.containsField)
     val parquetFields = wanted.map(n =>
       fileSchema.getType(Array(n): _*))
     val fileRows = md.getBlocks.asScala.map(_.getRowCount).sum
@@ -602,6 +640,7 @@ class GraftPartitionReader(
         val out = new Array[Any](readCols.size)
         var c = 0
         while (c < target.length) { out(target(c)) = extract(c)(i); c += 1 }
+        fillsForFile.foreach { case (fi, fv) => out(fi) = fv }
         i += 1
         out
       }
@@ -623,6 +662,7 @@ class GraftPartitionReader(
     openReader = reader
     val fileSchema = reader.getFooter.getFileMetaData.getSchema
     val wanted = readCols.map(_.name).filter(fileSchema.containsField)
+    val fillsForFile = evoFillIdx(fileSchema.containsField)
     val fieldByName = fileSchema.getFields.asScala
       .map(t => t.getName -> t).toMap
     val requested = new MessageType("requested",
@@ -659,7 +699,9 @@ class GraftPartitionReader(
         val g = recordReader.read()
         remaining -= 1
         if (remaining == 0L) advanceIfNeeded()
-        decode(g)
+        val row = decode(g)
+        fillsForFile.foreach { case (fi, fv) => row(fi) = fv }
+        row
       }
     }
   }

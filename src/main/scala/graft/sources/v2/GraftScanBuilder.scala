@@ -174,11 +174,26 @@ class GraftScanBuilder(
     }
 
   // ---- A1–A7: aggregate pushdown from fragment stats ----------------
+  // Spark calls supportCompletePushDown then pushAggregation on the
+  // SAME Aggregation; tryAggregate sweeps every fragment box + file
+  // MBR, so memoize the last evaluation instead of paying the
+  // driver-side planning cost twice per pushed aggregate.
+  private var lastAgg: Option[(Aggregation, Option[(Seq[Any], StructType)])] =
+    None
+  private def tryAggregateCached(agg: Aggregation)
+      : Option[(Seq[Any], StructType)] = lastAgg match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = tryAggregate(agg)
+      lastAgg = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    tryAggregate(agg).isDefined
+    tryAggregateCached(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    tryAggregate(agg) match {
+    tryAggregateCached(agg) match {
       case Some((values, st)) =>
         aggValues = Some(values); aggSchema = st; true
       case None => false
@@ -809,7 +824,15 @@ class GraftScanImpl(
   private def topNPrune(pairs: Seq[(FragmentMeta, String)])
       : Seq[(FragmentMeta, String)] = topN match {
     case Some((asc, k))
-        if mergeFree && !rawCells && !denseFillable && !runtimeNarrowed =>
+        if mergeFree && !rawCells && !denseFillable && !runtimeNarrowed &&
+          // tombstones mask rows IN-READER, so planning-time fileRows
+          // overcount the surviving rows of "before" files — a later
+          // fragment whose delete predicate erases an earlier file's
+          // rows (disjoint boxes → still mergeFree) would let that
+          // ghost count prune the file actually holding the first k
+          // survivors. Stand down whenever any visible fragment
+          // carries a delete.
+          tombstones.isEmpty =>
       val d0 = schema.dims.head
       val ord = TypedValue.ordering
       val infos = pairs.map { case (f, rel) =>
@@ -1003,7 +1026,15 @@ class GraftScanImpl(
         .diff(schema.columnNames.toSet),
       tombstones = tombstones,
       dimStruct = StructType(schema.dims.map(d =>
-        StructField(d.name, d.dataType))))
+        StructField(d.name, d.dataType))),
+      // evolution fills (storage domain): applied by the readers only
+      // where a FILE physically lacks the column, so explicit NULLs in
+      // post-evolution fragments stay null — same semantics as
+      // GraftArray.load's per-fragment fill
+      evoFills = schema.attrs.collect {
+        case a if a.fillValue.isDefined =>
+          a.name -> TypedValue.parse(a.dataType, a.fillValue.get)
+      }.toMap)
 
   // ---- SupportsReportStatistics [ref: records estimate §4] ---------
   override def estimateStatistics(): Statistics = new Statistics {

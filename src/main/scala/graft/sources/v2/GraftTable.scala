@@ -480,7 +480,7 @@ class GraftDataWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(uri, fragId, partitionId, schema, writeSchema,
-      conf.value, keyHex)
+      conf.value, keyHex, taskId = taskId)
 }
 
 /** Fragment writer: InternalRow → parquet via Spark's own
@@ -495,13 +495,22 @@ class GraftDataWriter(
     keyHex: Option[String] = None,
     /** `part` for data files; `del` for row-level-delete coordinate
       * files (never listed in FragmentMeta.files). */
-    filePrefix: String = "part")
+    filePrefix: String = "part",
+    /** Spark task attempt id — part of the file name so a RETRIED or
+      * SPECULATIVE attempt never collides with a dead attempt's
+      * partial file (ParquetWriter opens in CREATE mode; a
+      * partitionId-only name made every retry fail with
+      * FileAlreadyExists, and speculation raced two attempts onto one
+      * path). Only the committing attempt's file enters
+      * FragmentMeta.files, so a loser's orphan is invisible to reads
+      * and reclaimed by vacuum. */
+    taskId: Long = 0L)
   extends DataWriter[InternalRow] {
 
   import org.apache.spark.sql.execution.datasources.parquet.GraftParquetWriteShim
 
   private val relFile =
-    f"frag_$fragId/$filePrefix%s-$partitionId%05d.parquet"
+    f"frag_$fragId/$filePrefix%s-$partitionId%05d-t$taskId%d.parquet"
   private val path = new Path(uri, relFile)
   private val conf = new org.apache.hadoop.conf.Configuration(taskConf)
 

@@ -106,8 +106,12 @@ object PredicateSupport {
   }
 
   private def literal(e: Expression, dt: DataType): Option[Any] = e match {
-    case l: Literal[_] =>
-      Some(TypedValue.normalize(dt, catalystToScala(l.value, dt)))
+    // a NULL literal never helps pruning (dim = NULL / IN (…, NULL)
+    // match nothing under SQL semantics) and a null point would NPE
+    // TypedValue.ordering inside overlapsMbr at planning time — bail
+    // to the residual path instead
+    case l: Literal[_] if l.value != null =>
+      Option(TypedValue.normalize(dt, catalystToScala(l.value, dt)))
     case _ => None
   }
 

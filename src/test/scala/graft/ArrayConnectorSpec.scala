@@ -210,6 +210,41 @@ class ArrayConnectorSpec extends SparkSpec {
     assert(!GraftArray.load(spark, uri).columns.contains("extra"))
   }
 
+  test("evolution fill: explicit NULLs survive; load and DSv2 agree") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    // pre-evolution fragment → fill on read
+    GraftArray.write(spark, uri,
+      Seq((1L, 1L, 1L, "x")).toDF("rows", "cols", "a", "s"))
+    GraftArray.addColumn(spark, uri,
+      AttributeSpec("extra", LongType, nullable = true, fillValue = Some("42")))
+    // post-evolution fragment with an EXPLICITLY-written NULL — must
+    // stay NULL (the round-8 bug coalesced it to the fill on load,
+    // while DSv2 read left it null: two readers, two answers)
+    GraftArray.write(spark, uri,
+      Seq((2L, 2L, 2L, "y", Some(7L)), (3L, 3L, 3L, "z", None))
+        .toDF("rows", "cols", "a", "s", "extra"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Option[Long])] =
+      df.orderBy("rows").select("rows", "extra")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    val expect = Seq((1L, Some(42L)), (2L, Some(7L)), (3L, None))
+    assert(rows(GraftArray.load(spark, uri)) == expect, "load path")
+    assert(rows(spark.read.format("graftarray").option("path", uri).load())
+      == expect, "DSv2 path (incl. pre-evolution fill, a round-8 fix)")
+  }
+
+  test("IN list with a NULL literal plans without NPE, right rows") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, schema2d)
+    GraftArray.write(spark, uri,
+      Seq((1L, 1L, 1L, "x"), (5L, 5L, 5L, "y"))
+        .toDF("rows", "cols", "a", "s"))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+      .filter(col("rows").isin(5L, null))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("SQL catalog: CREATE/INSERT/SELECT + @ts + @metadata sugar") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.catalog.g", "graft.sources.GraftCatalog")
@@ -427,6 +462,9 @@ class ArrayConnectorSpec extends SparkSpec {
         |  'graft.allow_subset'='true')""".stripMargin)
     assert(spark.table("gs.sub").columns.toSeq == Seq("k", "a"))
     assert(spark.sql("SELECT sum(a) FROM gs.sub").as[Double].head() == 4.0)
+    // SHOW TABLES lists the subset too — listing and resolution agree
+    assert(spark.sql("SHOW TABLES IN gs").select("tableName")
+      .as[String].collect().toSet == Set("base", "sub"))
     // writes through the base surface in the subset immediately
     spark.sql("INSERT INTO gs.base VALUES (3, 3.5, 'z')")
     assert(spark.table("gs.sub").count() == 3)

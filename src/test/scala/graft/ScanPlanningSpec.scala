@@ -164,6 +164,24 @@ class ScanPlanningSpec extends SparkSpec {
     assert(multi.collect().map(_.getLong(0)).toSeq == (0L until 50L).toSeq)
   }
 
+  test("TopN pruning stands down under tombstones (ghost-count hazard)") {
+    // F1 holds k in [0,100); a later fragment deletes ALL of F1 and
+    // writes [200,300). With planning-time fileRows, F1's 100 masked
+    // rows would "sort before" the survivors and prune their file —
+    // ORDER BY k LIMIT 10 must still return 200..209.
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(col("id").as("k"), col("id").cast("double").as("v")))
+    GraftArray.commitTombstone(spark, uri,
+      graft.sources.v2.PredicateSupport.Cmp("<=", "k", 100L))
+    GraftArray.write(spark, uri, spark.range(200, 300)
+      .select(col("id").as("k"), col("id").cast("double").as("v")))
+    val df = spark.read.format("graftarray").option("path", uri).load()
+    val got = df.orderBy("k").limit(10).collect().map(_.getLong(0)).toSeq
+    assert(got == (200L until 210L).toSeq, s"got $got")
+  }
+
   test("TopN pruning is exact under randomized disjoint layouts") {
     val rnd = new scala.util.Random(12345)
     for (_ <- 1 to 3) {

@@ -17,8 +17,29 @@ import graft.sources.GraftArray
   */
 object ArrayOps {
 
-  private def freshUri(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$name").toString + "/arr"
+  // every created temp array is registered for recursive deletion at
+  // JVM exit — bench iterates these queries, and without the hook each
+  // iteration leaks a full table copy under /tmp until the OS cleans
+  // it (File.deleteOnExit cannot remove non-empty directories)
+  private val tmpDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.io.File]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tmpDirs.forEach { d =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(d)
+      catch { case _: Throwable => () }
+    }))
+
+  private def freshUri(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    tmpDirs.add(dir.toFile)
+    dir.toString + "/arr"
+  }
+
+  /** lineitemSchema's column list — derived, so the five queries that
+    * project lineitem for the array write can never drift from the
+    * declared array schema. */
+  private lazy val lineitemCols: Seq[String] = lineitemSchema.columnNames
 
   private val lineitemSchema = ArraySchema(
     kind = ArrayKind.Sparse,
@@ -38,8 +59,7 @@ object ArrayOps {
       val uri = freshUri("rt")
       GraftArray.create(s, uri, lineitemSchema)
       GraftArray.write(s, uri, Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_returnflag", "l_shipdate"))
+        .select(lineitemCols.map(col): _*))
       s.read.format("graftarray").option("path", uri).load()
         .filter(col("l_orderkey").between(100L, 2000L) &&
           col("l_returnflag") === "A" && col("l_quantity") > 10.0)
@@ -54,8 +74,7 @@ object ArrayOps {
       val uri = freshUri("agg")
       GraftArray.create(s, uri, lineitemSchema)
       GraftArray.write(s, uri, Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_returnflag", "l_shipdate"))
+        .select(lineitemCols.map(col): _*))
       s.read.format("graftarray").option("path", uri).load()
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -109,8 +128,7 @@ object ArrayOps {
       val uri = freshUri("topn")
       GraftArray.create(s, uri, lineitemSchema)
       GraftArray.write(s, uri, Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_returnflag", "l_shipdate"))
+        .select(lineitemCols.map(col): _*))
       s.read.format("graftarray").option("path", uri).load()
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 2).as("qty"))
@@ -125,8 +143,7 @@ object ArrayOps {
       val uri = freshUri("aggr")
       GraftArray.create(s, uri, lineitemSchema)
       val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_returnflag", "l_shipdate")
+        .select(lineitemCols.map(col): _*)
       GraftArray.write(s, uri, li.filter(col("l_orderkey") <= 3000L))
       GraftArray.write(s, uri, li.filter(col("l_orderkey") > 3000L))
       s.read.format("graftarray").option("path", uri).load()
@@ -649,8 +666,7 @@ object ArrayOps {
       val uri = freshUri("sagg")
       GraftArray.create(s, uri, lineitemSchema)
       GraftArray.write(s, uri, Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_returnflag", "l_shipdate"))
+        .select(lineitemCols.map(col): _*))
       s.read.format("graftarray").option("path", uri).load()
         .agg(min(col("l_returnflag")).as("mn_rf"),
           max(col("l_returnflag")).as("mx_rf"),

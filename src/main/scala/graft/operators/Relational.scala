@@ -389,8 +389,12 @@ object Relational {
     // average order value (decorrelated by Catalyst into a join).
     "sq1_scalar_subquery" -> ((s, d) => {
       val o = t(s, d, "orders")
+      // the avg is ROUNDED before the comparison (both engines): an
+      // unrounded double aggregate in a predicate is the one place the
+      // file-header convention matters most — a 1-ulp sum-order
+      // difference would flip rows across the threshold
       val avgs = o.groupBy("o_custkey")
-        .agg(avg(col("o_totalprice")).as("avg_price"))
+        .agg(round(avg(col("o_totalprice")), 2).as("avg_price"))
       o.join(avgs, Seq("o_custkey"))
         .filter(col("o_totalprice") > col("avg_price") * 1.5)
         .select("o_orderkey", "o_custkey")
@@ -661,7 +665,7 @@ object Relational {
          FROM orders ORDER BY o_orderkey""",
     "sq1_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders o
-         JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
+         JOIN (SELECT o_custkey AS ck, round(avg(o_totalprice), 2) AS avg_price
                FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
          WHERE o_totalprice > avg_price * 1.5 ORDER BY o_orderkey""",
     "sq2_exists_subquery" ->

@@ -25,6 +25,15 @@ object TextOps {
       (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
     }
 
+  /** t11's md5-bucket expression — the SINGLE definition of the
+    * hashed-feature space (52-bit md5 prefix mod dim). t14's classifier
+    * scores exactly these features; sharing the builder keeps the
+    * featurizer and the scorer from silently drifting apart. */
+  private def hashBuckets(dim: Int) =
+    transform(tokens(col("text")),
+      t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
+        lit(dim.toLong)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish subword tokens.
     "t1_token_count" -> ((s, d) =>
@@ -133,8 +142,12 @@ object TextOps {
     "t8_unigram_logprob" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      // vocabulary-bounded → cheap to materialize; without this the
+      // corpus explode+aggregate re-runs for every consumer (tot AND
+      // the scoring join) — the bigramCounts lesson
       val freq = toks.groupBy("tok")
         .agg(count(lit(1)).cast("double").as("cnt"))
+        .localCheckpoint()
       val tot = freq.agg(sum(col("cnt")).as("t"))
       toks.join(freq, "tok").crossJoin(broadcast(tot))
         .withColumn("logp", log(col("cnt") / col("t")))
@@ -239,9 +252,7 @@ object TextOps {
     // closes the loop text → features → ANN/semdedup (v2–v8) without
     // leaving the engine.
     "t11_hashed_features" -> ((s, d) => {
-      val bks = transform(tokens(col("text")),
-        t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
-          lit(64L)))
+      val bks = hashBuckets(64)
       docs(s, d)
         .select(col("doc_id"),
           graft.functions.expressions.Kernels.bucketCounts(bks, 64)
@@ -267,9 +278,7 @@ object TextOps {
     // count once at the end, so the double sum replays bit-exactly
     // in the oracle's in-order list_sum.
     "t14_quality_classifier" -> ((s, d) => {
-      val bks = transform(tokens(col("text")),
-        t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
-          lit(64L)))
+      val bks = hashBuckets(64)
       val vec = graft.functions.expressions.Kernels
         .bucketCounts(bks, 64).cast("array<double>")
       val dot = aggregate(
@@ -481,8 +490,11 @@ object TextOps {
   def unigramLogProbTopV(documents: DataFrame, topV: Int): DataFrame = {
     val toks = documents.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    // vocabulary-bounded; consumed by tot, vocab (→ inV) and the
+    // scoring join — materialize once (the bigramCounts lesson)
     val freq = toks.groupBy("tok")
       .agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint()
     val tot = freq.agg(sum(col("cnt")).as("t"),
       count(lit(1)).cast("double").as("v"))
     // top-V by (count desc, token): k-bounded TakeOrdered, no full sort
@@ -540,13 +552,6 @@ object TextOps {
     WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 30"""
   }
 
-  /** Aggregated bigram-count table `(w1, bigram, c)` of a corpus —
-    * the shared count step for t12 (LM training) and t13 (held-out
-    * perplexity). Materialized once with a localCheckpoint: without
-    * it Catalyst re-derives every downstream aggregate's subtree from
-    * the raw scan and the corpus is exploded + aggregated once per
-    * consumer (plan-audited); the table is vocabulary²-bounded, never
-    * corpus-sized. */
   /** Array of (w1, bigram) structs over a token-array column named
     * `t` — the ONE definition of bigram construction, shared by
     * t12 training and t13 scoring so their join keys can never
@@ -557,6 +562,13 @@ object TextOps {
          concat_ws(' ', element_at(t, i), element_at(t, i + 1))
            AS bigram))"""
 
+  /** Aggregated bigram-count table `(w1, bigram, c)` of a corpus —
+    * the shared count step for t12 (LM training) and t13 (held-out
+    * perplexity). Materialized once with a localCheckpoint: without
+    * it Catalyst re-derives every downstream aggregate's subtree from
+    * the raw scan and the corpus is exploded + aggregated once per
+    * consumer (plan-audited); the table is vocabulary²-bounded, never
+    * corpus-sized. */
   private[graft] def bigramCounts(dd: DataFrame): DataFrame = {
     val t = dd.select(tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)

@@ -56,7 +56,10 @@ def main(sf_dir, out_dir):
         for c in got.columns:
             a, b = got[c], want[c]
             try:
-                same = a.equals(b) or (a.astype(str) == b.astype(str)).all()
+                # string-render compare only: Series.equals treats
+                # -0.0 == 0.0 and would mask a signed-zero divergence
+                # the driver's value hash catches (the x16 lesson)
+                same = (a.astype(str) == b.astype(str)).all()
             except Exception:
                 same = False
             if not same:

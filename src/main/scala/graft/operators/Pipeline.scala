@@ -407,6 +407,15 @@ object Pipeline {
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("pos"), col("lr"))))
           .as("ps"))
+        // Signed-zero trap (the round-8 red row): a raw score in
+        // (-5e-5, 0) rounds to ZERO at 4dp, and Spark's Round (a
+        // BigDecimal route, which has no signed zero) publishes +0.0
+        // while DuckDB's float round keeps the sign and publishes
+        // -0.0 — a hash mismatch on bit-compared doubles. The oracle
+        // adds `+ 0.0` (IEEE: -0.0 + 0.0 = +0.0) to match. NOT a
+        // half-way tie: the diff showed every raw score ≥ 4e-3 grid
+        // cells away from a 4dp boundary; doc 52's raw -4.4e-5 was
+        // the one straddler.
         .select(col("doc_id"), round(
           graft.functions.expressions.Kernels.structDoubleSum(col("ps"), 1)
             / size(col("ps")), 4).as("dsir"))
@@ -825,7 +834,7 @@ object Pipeline {
                   ln((cc + 0.5) / (ct + 0.5 * vn)))) AS lrm FROM v, s)
        SELECT doc_id,
          round(list_sum([map_extract(lrm, x)[1] for x in toks])
-           / len(toks), 4) AS dsir,
+           / len(toks), 4) + 0.0 AS dsir,
          round(list_sum([map_extract(lrm, x)[1] for x in toks])
            / len(toks), 4) > 0 AS kept
        FROM d, m WHERE doc_id >= 20 ORDER BY doc_id""",

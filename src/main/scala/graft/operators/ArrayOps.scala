@@ -21,20 +21,8 @@ object ArrayOps {
   // JVM exit — bench iterates these queries, and without the hook each
   // iteration leaks a full table copy under /tmp until the OS cleans
   // it (File.deleteOnExit cannot remove non-empty directories)
-  private val tmpDirs =
-    java.util.Collections.synchronizedList(
-      new java.util.ArrayList[java.io.File]())
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    tmpDirs.forEach { d =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(d)
-      catch { case _: Throwable => () }
-    }))
-
-  private def freshUri(name: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    tmpDirs.add(dir.toFile)
-    dir.toString + "/arr"
-  }
+  private def freshUri(name: String): String =
+    graft.core.TempDirs.fresh(s"graft_$name") + "/arr"
 
   /** lineitemSchema's column list — derived, so the five queries that
     * project lineitem for the array write can never drift from the
@@ -92,7 +80,7 @@ object ArrayOps {
     "j8_bucketed_join" -> ((s, d) => {
       val cat = "gbk" + java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
-      val wh = java.nio.file.Files.createTempDirectory("graft_bktq").toString
+      val wh = graft.core.TempDirs.fresh("graft_bktq")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       // left enabled for the session deliberately: the returned plan
@@ -173,7 +161,7 @@ object ArrayOps {
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_spat").toString)
+        graft.core.TempDirs.fresh("graft_spat"))
       val v = s"spat_$cat"
       s.read.format("graftarray").option("path", uri).load()
         .createOrReplaceTempView(v)
@@ -220,7 +208,7 @@ object ArrayOps {
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_geoc").toString)
+        graft.core.TempDirs.fresh("graft_geoc"))
       val v = s"geoc_$cat"
       s.read.format("graftarray").option("path", uri).load()
         .createOrReplaceTempView(v)
@@ -619,12 +607,18 @@ object ArrayOps {
     // parallelizes with the SELECT's partitioning, no driver funnel),
     // filtered read-back.
     "arr29_insert_select" -> ((s, d) => {
-      val cat = "gis" + java.lang.Long.toHexString(
-        java.util.concurrent.ThreadLocalRandom.current().nextLong())
-      val wh = java.nio.file.Files.createTempDirectory("graft_insq").toString
-      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // ONE catalog name + warehouse per session (not per call):
+      // bench iterates this query, and a fresh random catalog each
+      // run leaked a conf entry, a temp view and a table copy per
+      // iteration. DROP + re-CREATE makes each run self-contained.
+      val cat = "gis29"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          graft.core.TempDirs.fresh("graft_insq"))
+      }
       Tables.load(s, d, "supplier").createOrReplaceTempView(s"src_$cat")
+      s.sql(s"DROP TABLE IF EXISTS $cat.sup")
       s.sql(s"""CREATE TABLE $cat.sup (s_suppkey BIGINT, s_name STRING,
         |  s_nationkey INT, s_acctbal DOUBLE)
         |TBLPROPERTIES('graft.dimensions'='s_suppkey')""".stripMargin)

@@ -229,7 +229,11 @@ object Dedup {
       dfCap: Option[Long]): DataFrame = {
     val sets = docsDf
       .select(col("doc_id"),
-        charShingles(regexp_replace(lower(col("text")), "\\s", ""), 5)
+        // explicit ASCII class, NOT \s: Java \s includes U+000B
+        // vertical tab, RE2 (the DuckDB oracle) excludes it — the
+        // unicodeNormalize convention
+        charShingles(
+          regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]", ""), 5)
           .as("g"))
       .filter(size(col("g")) > 0)
       .localCheckpoint()
@@ -680,7 +684,7 @@ object Dedup {
              list_distinct([substr(s0, i, 5)
                             for i in range(1, greatest(len(s0) - 4, 0) + 1)]) AS g
            FROM (SELECT doc_id,
-                   regexp_replace(lower(text), '\s', '', 'g') AS s0
+                   regexp_replace(lower(text), '[ \t\n\r\f]', '', 'g') AS s0
                  FROM documents)),
          s2 AS (SELECT doc_id, g FROM s WHERE len(g) > 0)
        SELECT a.doc_id AS i, b.doc_id AS j,

@@ -29,8 +29,7 @@ object StreamOps {
     // fragments incl. an upsert — the stream delivers BOTH versions
     // (CDC semantics), the oracle states the expected event log.
     "st3_stream_tail" -> ((s, d) => {
-      val uri = java.nio.file.Files
-        .createTempDirectory("graft_st3").toString + "/arr"
+      val uri = graft.core.TempDirs.fresh("graft_st3") + "/arr"
       val sch = ArraySchema(ArrayKind.Sparse,
         Seq(DimensionSpec("n_nationkey", IntegerType)),
         Seq(AttributeSpec("n_name", StringType),
@@ -94,8 +93,9 @@ object StreamOps {
     // Stream → fragment-sink → array-read loop, oracle-verified: the
     // corpus streamed one staged file per micro-batch through a
     // stateless filter into the replay-ledgered array sink (one
-    // immutable fragment per batch — n_fragments states the
-    // deterministic 3), then the ARRAY scan answers the aggregation.
+    // immutable fragment per NON-EMPTY batch — the oracle derives the
+    // expected count from the staging rule), then the ARRAY scan
+    // answers the aggregation.
     "st9_stream_sink" -> ((s, d) =>
       EventPipeline.runStreamSinkPipeline(s, d)
         .orderBy("event_type")),
@@ -138,13 +138,19 @@ object StreamOps {
          event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
     // st9: the array round-trip preserves the filtered events exactly,
-    // so the batch aggregation is the oracle; 3 staged non-empty
-    // micro-batches → exactly 3 fragments
+    // so the batch aggregation is the oracle. n_fragments is DERIVED
+    // from the staging rule, not a literal: the sink commits a
+    // fragment only for a NON-EMPTY micro-batch, so the expected count
+    // is the number of event_id%3 slices with at least one non-view
+    // row — a literal 3 would silently couple the oracle to the
+    // current corpus's event-type distribution.
     "st9_stream_sink" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
-         CAST(3 AS BIGINT) AS n_fragments
-         FROM events WHERE event_type <> 'view'
-         GROUP BY event_type ORDER BY event_type""",
+      """WITH fr AS (SELECT count(DISTINCT event_id % 3) AS nf
+           FROM events WHERE event_type <> 'view')
+       SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+         fr.nf AS n_fragments
+         FROM events, fr WHERE event_type <> 'view'
+         GROUP BY event_type, fr.nf ORDER BY event_type""",
     // st8: session_window merge rule — break at gap >= 8h (strictly:
     // [t, t+gap) windows merge only when the next start is INSIDE);
     // end_us = last event + gap

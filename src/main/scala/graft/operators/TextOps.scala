@@ -319,7 +319,7 @@ object TextOps {
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_fncat").toString)
+        graft.core.TempDirs.fresh("graft_fncat"))
       val v = s"docs_$cat"
       docs(s, d).createOrReplaceTempView(v)
       s.sql(
@@ -452,8 +452,11 @@ object TextOps {
     "t18_gopher_rules" -> ((s, d) => {
       val toks = tokens(col("text"))
       val nW = size(toks).cast("long")
-      val nChars = length(regexp_replace(col("text"), "\\s", ""))
-        .cast("double")
+      // explicit ASCII class, NOT \s: Java \s includes U+000B
+      // vertical tab, RE2 (the DuckDB oracle) excludes it
+      val nChars =
+        length(regexp_replace(col("text"), "[ \\t\\n\\r\\f]", ""))
+          .cast("double")
       val meanWl = nChars / nW.cast("double")
       val nAlpha =
         size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
@@ -963,7 +966,8 @@ object TextOps {
     "t18_gopher_rules" ->
       """WITH b AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks,
-             length(regexp_replace(text, '\s', '', 'g')) AS n_chars2,
+             length(regexp_replace(text, '[ \t\n\r\f]', '', 'g'))
+               AS n_chars2,
              length(text) - length(replace(text, '#', '')) AS n_hash
            FROM documents),
          m AS (SELECT doc_id,

@@ -122,7 +122,7 @@ class GraftDeltaWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
     new GraftDeltaWriter(uri, fragId, partitionId, schema, rowSchema,
-      conf.value, keyHex)
+      conf.value, keyHex, taskId)
 }
 
 /** Task-side delta writer: inserts/updates stream into a data part
@@ -133,7 +133,10 @@ class GraftDeltaWriter(
     uri: String, fragId: String, partitionId: Int,
     schema: ArraySchema, rowSchema: StructType,
     conf: org.apache.hadoop.conf.Configuration,
-    keyHex: Option[String]) extends DeltaWriter[InternalRow] {
+    keyHex: Option[String],
+    /** Task attempt id, in both inner writers' file names — same
+      * retry/speculation collision guard as GraftDataWriterFactory. */
+    taskId: Long = 0L) extends DeltaWriter[InternalRow] {
 
   private val dimStruct = StructType(schema.dims.map(d =>
     StructField(d.name, d.dataType, nullable = false)))
@@ -144,13 +147,13 @@ class GraftDeltaWriter(
   private def data(): GraftDataWriter = {
     if (dataWriter == null)
       dataWriter = new GraftDataWriter(uri, fragId, partitionId, schema,
-        rowSchema, conf, keyHex)
+        rowSchema, conf, keyHex, taskId = taskId)
     dataWriter
   }
   private def coords(): GraftDataWriter = {
     if (coordWriter == null)
       coordWriter = new GraftDataWriter(uri, fragId, partitionId, schema,
-        dimStruct, conf, keyHex, filePrefix = "del")
+        dimStruct, conf, keyHex, filePrefix = "del", taskId = taskId)
     coordWriter
   }
 

@@ -124,14 +124,14 @@ object EventPipeline {
     * [[writeStreamToArray]] (one immutable fragment per non-empty
     * batch, replay-ledgered), then the ARRAY scan answers the
     * aggregation. Proves the full loop stream → fragment sink → array
-    * read equals the relational answer, with the fragment count a
-    * deterministic constant (3) the oracle states. */
+    * read equals the relational answer; the fragment count is the
+    * number of staged slices with any surviving (non-view) row, which
+    * the oracle derives from the same rule. */
   def runStreamSinkPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     withStatePartitions(spark, parquetRows(spark, path)) { work =>
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_st9").toString
+      val staged = graft.core.TempDirs.fresh("graft_st9")
       val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
       (0 until 3).foreach { k =>
         ev.filter(pmod(col("event_id"), lit(3L)) === k)
@@ -140,8 +140,7 @@ object EventPipeline {
       // the sink array lives OUTSIDE the streamed directory — under it,
       // the file source would discover the array's own fragments as
       // new input files and feed the stream its own output
-      val uri = java.nio.file.Files
-        .createTempDirectory("graft_st9_arr").toString + "/arr"
+      val uri = graft.core.TempDirs.fresh("graft_st9_arr") + "/arr"
       graft.sources.GraftArray.create(work, uri,
         graft.core.ArraySchema(graft.core.ArrayKind.Sparse,
           Seq(graft.core.DimensionSpec("event_id",
@@ -266,18 +265,44 @@ object EventPipeline {
     }
   }
 
-  /** st8's staged input, built once per source path per JVM (it is a
-    * pure function of the source file): the normalized corpus as ONE
-    * file (if it split, each part would be its own micro-batch and the
-    * first part's watermark could drop later parts' events as late
-    * data), then TWO flush-sentinel files. Two because a batch applies
-    * the watermark computed at the END of the PREVIOUS batch — a lone
-    * sentinel only raises the clock and strands every session of the
-    * final gap window in state (measured 79 missing at sf0.01);
-    * sentinel #2's batch is the one that evicts what #1 closed. */
-  private val sessionStageCache =
+  /** Stage a bounded event-time source so a stateful APPEND-mode query
+    * over it DRAINS completely at end-of-stream — the reusable form of
+    * the two traps st8 paid a debugging loop each to learn:
+    *
+    *  1. TWO sentinel batches, not one: a micro-batch applies the
+    *     watermark computed at the END of the PREVIOUS batch, so a lone
+    *     sentinel only raises the clock and strands every session of
+    *     the final gap window in state (measured 79 missing at
+    *     sf0.01); sentinel #2's batch is the one that evicts what #1
+    *     closed.
+    *  2. The sentinel must exclude ITSELF — the caller's query must
+    *     carry NO sentinel filter: any grouping-key predicate (even
+    *     placed after the aggregation) pushes through Aggregate and
+    *     watermark into the parquet scan, where row-group stats skip
+    *     the sentinel file and the event-time clock never advances.
+    *     `sentinelRow` must therefore produce a row whose own
+    *     group/session is never watermark-passed (its ts sits
+    *     `horizonUs` past the corpus max, so its window's end stays
+    *     ahead of the final watermark forever).
+    *
+    * The corpus stages as ONE file (if it split, each part would be
+    * its own micro-batch and the first part's watermark could drop
+    * later parts' events as late data). Read the returned dir with
+    * `maxFilesPerTrigger=1`, `latestFirst=false`.
+    *
+    * @param horizonUs  how far past the corpus max event time the
+    *                   sentinels sit — at least the session gap (or
+    *                   window length) so sentinel #1 closes every real
+    *                   group
+    * @param sentinelRow (source frame, sentinel ts µs, batch index
+    *                   1/2) → ONE row in the staged schema carrying
+    *                   the sentinel markers
+    */
+  private val drainStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stageSessionInput(work: SparkSession, path: String): String = {
+  private[graft] def drainSessions(work: SparkSession, path: String,
+      horizonUs: Long, cacheKey: String)(
+      sentinelRow: (DataFrame, Long, Int) => DataFrame): String = {
     // key includes size+mtime so a rewritten source file restages
     // (a path-only key would serve the OLD corpus and sentinel
     // timestamps — and a later max ts than the cached sentinels means
@@ -287,25 +312,30 @@ object EventPipeline {
       f.listFiles().map(c => s"${c.getName}:${c.length}:${c.lastModified}")
         .sorted.mkString(",")
     else s"${f.length}:${f.lastModified}"
-    sessionStageCache.computeIfAbsent(s"$path|$sig", _ => {
-      val gapUs = 8L * 3600 * 1000000
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_st8").toString
+    drainStageCache.computeIfAbsent(s"$cacheKey|$path|$sig", _ => {
+      val staged = graft.core.TempDirs.fresh("graft_drain")
       val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
       ev.coalesce(1).write.parquet(s"$staged/batch0")
       val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       Seq(1, 2).foreach { i =>
-        ev.limit(1).select(
-            lit(-i.toLong).as("event_id"),
-            timestamp_micros(lit(maxUs + gapUs + i * 1200L * 1000000))
-              .as("ts"),
-            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
+        sentinelRow(ev, maxUs + horizonUs + i * 1200L * 1000000, i)
           .coalesce(1).write.parquet(s"$staged/batch$i")
       }
       staged
     })
   }
+
+  /** st8's staged input: the events corpus + drain sentinels for an
+    * 8 h session gap. The sentinel's ids are negative and distinct per
+    * batch; its session is never emitted (trap 2 above). */
+  private def stageSessionInput(work: SparkSession, path: String): String =
+    drainSessions(work, path, 8L * 3600 * 1000000, "st8") { (ev, tsUs, i) =>
+      ev.limit(1).select(
+        lit(-i.toLong).as("event_id"),
+        timestamp_micros(lit(tsUs)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    }
 
   /** NATIVE streaming session windows (`session_window(ts, gap)`,
     * append mode): Spark merges overlapping [t, t+gap) windows in the

@@ -197,6 +197,34 @@ class UpdateMergeSpec extends SparkSpec {
     assert(spark.table(s"$cat.dt").count() == 3)
   }
 
+  test("delta writer attempts never collide on file paths (retry/speculation)") {
+    // Two attempts of the SAME partition (retry or speculation) must
+    // write attempt-distinct data AND del files — the driver commits
+    // one winner, the loser aborts, and neither can clobber the other
+    // mid-write (ParquetWriter opens in CREATE mode).
+    val (cat, wh) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.sp (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    val uri = s"$wh/sp"
+    val schema = GraftArray.store(spark, uri).loadSchema()
+    val rowSchema = spark.table(s"$cat.sp").schema
+    val conf = spark.sparkContext.hadoopConfiguration
+    import org.apache.spark.sql.catalyst.InternalRow
+    val files = Seq(1L, 2L).flatMap { attempt =>
+      val w = new graft.sources.v2.GraftDeltaWriter(
+        uri, "fragspec", 0, schema, rowSchema, conf, None, taskId = attempt)
+      w.insert(InternalRow(7L, 7.5))
+      w.delete(null, InternalRow(9L))
+      val msg = w.commit()
+        .asInstanceOf[graft.sources.v2.GraftDeltaCommitMessage]
+      w.close()
+      Seq(msg.data.get.file, msg.coords.get.file)
+    }
+    assert(files.distinct.size == 4, s"attempt file collision: $files")
+    assert(files.count(_.contains("-t1.")) == 2 &&
+      files.count(_.contains("-t2.")) == 2)
+  }
+
   test("row-level operations on encrypted arrays round-trip") {
     val (cat, _) = mkCat()
     spark.conf.set(graft.core.EncryptionKeys.ConfKey,

@@ -22,6 +22,53 @@ import graft.functions.TextFunctions._
 object Dedup {
   private val K = 5 // shingle width (tokens)
 
+  /** Corpus row count for df-cap sizing WITHOUT a count job wherever
+    * the plan's metadata already states it: a graft-array scan answers
+    * from its fragment manifests (exact — SupportsReportStatistics
+    * territory), a parquet scan from its file footers (exact, read on
+    * the driver, zero Spark jobs). At 100 TB the old
+    * `dd.count()`-derived cap was an avoidable extra full corpus pass
+    * per dedup query. Falls back to `count()` only for frames whose
+    * cardinality metadata cannot state (filters, joins, checkpointed
+    * or in-memory frames); cardinality-preserving Project/alias nodes
+    * unwrap. Footer reading is capped at 256 files — past that the
+    * input should be an array table, whose manifests answer in O(1). */
+  private[graft] def corpusRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def walk(p: LogicalPlan): Option[Long] = p match {
+      case SubqueryAlias(_, c) => walk(c)
+      case Project(_, c) => walk(c)
+      case r: DataSourceV2Relation => r.table match {
+        case t: graft.sources.v2.GraftTable => Some(t.manifestRowSum)
+        case _ => None
+      }
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          val files = fs.location.inputFiles
+          if (files.length > 256) None
+          else {
+            val conf = df.sparkSession.sessionState.newHadoopConf()
+            Some(files.map { f =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }.sum)
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed).getOrElse(df.count())
+  }
+
+  /** The shared 1%-of-corpus (min 50) document-frequency cap. */
+  private def dfCap(dd: DataFrame): Long =
+    math.max(50L, corpusRows(dd) / 100)
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
@@ -117,6 +164,80 @@ object Dedup {
       .select(col("contained_id"), col("container_id"), col("shared"),
         round(col("containment"), 6).as("containment"))
       .orderBy("contained_id", "container_id")
+  }
+
+  /** Corpus-wide exact duplicated-substring coverage, >= SubstrTokens
+    * tokens (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better" — ExactSubstr): per document, the token
+    * positions covered by some substring of >= 50 tokens that occurs
+    * VERBATIM at least twice in the corpus (other docs or the same
+    * doc). This pays the debt d6's pair surface stood in for ("the
+    * scalable stand-in for suffix-array exact-substring dedup").
+    *
+    * The suffix-array-free equivalence that makes it one aggregation
+    * instead of a distributed suffix array: a duplicated substring of
+    * length >= 50 exists iff a duplicated 50-token WINDOW exists, and
+    * the union of duplicated 50-windows covers exactly the token
+    * positions of all maximal duplicated substrings >= 50 — so
+    * stride-1 window hashes (the "anchor hash" bucketing) + a
+    * count>=2 group-by decide everything. Scale shape: the window
+    * table is one row per corpus token (the same volume Lee et al.'s
+    * suffix array indexes), the duplicate decision is a linear
+    * hash aggregation — never an all-pairs join, and NO df cap is
+    * needed because hot boilerplate windows aggregate instead of
+    * joining quadratically (better than d6's capped-recall contract).
+    * Per-doc state is the sorted duplicated-start list, bounded by
+    * doc length; interval union folds in one pass over it. */
+  private[graft] val SubstrTokens = 50
+  private[graft] def substringDedup(docsDf: DataFrame): DataFrame = {
+    val L = SubstrTokens
+    // tokens referenced by the window build AND the per-doc stats —
+    // materialize once (the x13 lesson)
+    val toks = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint()
+    // one row per token position p: the md5 of the 50-token window at
+    // p (1-based slice; md5 replays byte-identically in DuckDB).
+    // sequence() guard: sequence(0, n-L) DESCENDS when n < L. The
+    // hashes are computed INSIDE the array context and only then
+    // exploded — exploding positions first would drag the whole toks
+    // array through every per-position generate-output row (O(doc²)
+    // bytes wide; at sf0.1 the two shapes time the same, but row
+    // width past the generate is what the shuffle pays at scale).
+    val wins = toks
+      .filter(col("n") >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n") - L),
+          p => md5(array_join(
+            slice(col("toks"), (p + 1).cast("int"), lit(L)), " "))))
+          .as(Seq("pos", "wh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wh"))
+    // duplicated window = hash occurring >= 2 times ANYWHERE (map-side
+    // partial aggregation collapses per-partition repeats first)
+    val dup = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("wh")
+    // per-doc duplicated starts, sorted; interval union via a single
+    // integer fold: each start adds min(gap to previous, L) new
+    // covered positions (first start's "gap" is saturated by the
+    // sentinel previous = -L)
+    val perDoc = wins.join(dup, "wh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ss"),
+        count(lit(1)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        aggregate(col("ss"),
+          struct(lit(-L.toLong).as("prev"), lit(0L).as("acc")),
+          (st, p) => struct(p.as("prev"),
+            (st.getField("acc") + least(p - st.getField("prev"),
+              lit(L.toLong))).as("acc")),
+          st => st.getField("acc")).as("dup_cover"))
+    toks.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_cover"), lit(0L)).as("dup_cover"))
+      .orderBy("doc_id")
   }
 
   /** Long-span duplicate pairs (i<j, shared distinct-window count):
@@ -420,8 +541,7 @@ object Dedup {
     // oracle (exact O(n²) Jaccard) proves the pair set is unaffected.
     "d2_ngram_jaccard" -> ((s, d) => {
       val dd = docs(s, d)
-      val cap = math.max(50L, dd.count() / 100)
-      jaccardPairsOn(dd, 0.5, Some(cap))
+      jaccardPairsOn(dd, 0.5, Some(dfCap(dd)))
     }),
 
     // MinHash(64) + LSH(16 bands × 4 rows) candidates, verified with
@@ -458,12 +578,16 @@ object Dedup {
         simhash(col("text")).as("sim")))),
 
     // Long-span duplicate pairs: documents sharing a VERBATIM 32-token
-    // window — the scalable stand-in for suffix-array exact-substring
-    // dedup (a 32-token verbatim overlap is the classic memorized-span
-    // cut; cf. the Gopher/C4-style repeated-passage filters). Same
-    // inverted-index + df-cap shape as d2, exact shared-window count
-    // on candidates. This synthetic corpus shares no 32-token span (the
-    // oracle proves the empty answer); DedupSpec injects real spans.
+    // window — the PAIR view of memorized spans (a 32-token verbatim
+    // overlap is the classic memorized-span cut; cf. the Gopher/
+    // C4-style repeated-passage filters). Formerly the stand-in for
+    // suffix-array exact-substring dedup; that tier is now first-class
+    // as d10 ([[substringDedup]] — position-level >= 50-token coverage,
+    // Lee et al.), while d6 keeps the who-overlaps-whom pair surface.
+    // Same inverted-index + df-cap shape as d2, exact shared-window
+    // count on candidates. This synthetic corpus shares no 32-token
+    // span (the oracle proves the empty answer); DedupSpec injects
+    // real spans.
     "d6_span_dup" -> ((s, d) => spanDupPairs(docs(s, d), Some(1024))),
 
     // Winnowing near-dup pairs: the t17 fingerprints as the inverted
@@ -471,7 +595,7 @@ object Dedup {
     // than d6's stride-1 window set. df-capped like d2/d6.
     "d8_winnow_dup" -> ((s, d) => {
       val dd = docs(s, d)
-      winnowDupPairs(dd, Some(math.max(50L, dd.count() / 100)))
+      winnowDupPairs(dd, Some(dfCap(dd)))
     }),
 
     // Char-5-gram Jaccard near-dup (tokenizer-free, for scripts with
@@ -479,7 +603,7 @@ object Dedup {
     // character grams. Oracle replays the exact O(n²) Jaccard.
     "d9_char_ngram" -> ((s, d) => {
       val dd = docs(s, d)
-      charNgramPairs(dd, 0.8, Some(math.max(50L, dd.count() / 100)))
+      charNgramPairs(dd, 0.8, Some(dfCap(dd)))
     }),
 
     // Containment dedup (one-sided Jaccard): subset-duplicates at
@@ -488,9 +612,14 @@ object Dedup {
     // pair set unaffected).
     "d7_containment" -> ((s, d) => {
       val dd = docs(s, d)
-      val cap = math.max(50L, dd.count() / 100)
-      containmentPairs(dd, 0.8, Some(cap))
-    })
+      containmentPairs(dd, 0.8, Some(dfCap(dd)))
+    }),
+
+    // Corpus-wide EXACT duplicated-substring coverage at >= 50 tokens
+    // (the Lee et al. 2021 "Deduplicating Training Data Makes Language
+    // Models Better" standard) — the tier d6's pair surface stood in
+    // for. Linear, no pair join: see [[substringDedup]].
+    "d10_substring_dedup" -> ((s, d) => substringDedup(docs(s, d)))
   )
 
   /** Default per-band distinct-signature frequency cap for the banded
@@ -650,6 +779,27 @@ object Dedup {
            len(list_intersect(a.w, b.w))::bigint AS n_shared
          FROM w a JOIN w b ON a.doc_id < b.doc_id)
        WHERE n_shared > 0 ORDER BY i, j""",
+    // d10: the same window/coverage math, independently in DuckDB —
+    // stride-1 50-token window md5s, duplicated = count >= 2 anywhere,
+    // per-doc interval union of [pos, pos+50) via the sorted-starts
+    // fold (all-integer arithmetic, exact)
+    "d10_substring_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         w AS (SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i+1 : i+50], ' ')) AS wh
+           FROM t, unnest(range(0, greatest(len(toks) - 49, 0))) AS u(i)),
+         d AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+         s AS (SELECT doc_id, list_sort(list(pos)) AS ss,
+             count(*)::bigint AS n_dup_windows
+           FROM w JOIN d USING (wh) GROUP BY doc_id)
+       SELECT t.doc_id, len(t.toks)::bigint AS n_tokens,
+         coalesce(s.n_dup_windows, 0)::bigint AS n_dup_windows,
+         coalesce(50 + list_sum(
+             [least(ss[i+1] - ss[i], 50) for i in range(1, len(ss))]),
+           CASE WHEN s.doc_id IS NULL THEN 0 ELSE 50 END)::bigint
+           AS dup_cover
+       FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""",
     // d8: the t17 fingerprint CTE (rightmost-min windows over
     // positional 5-gram hash60s), distinct per doc, hot fingerprints
     // (df > max(50, n/100)) dropped, self-joined, >= 2 shared

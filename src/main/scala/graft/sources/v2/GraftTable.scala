@@ -125,6 +125,15 @@ class GraftTable(
   override def metadataColumns(): Array[MetadataColumn] =
     GraftMetaCols.columns
 
+  /** Exact row total from the fragment manifests alone — NO scan job.
+    * Sum of committed fragment row counts in this table's time
+    * window: exact for append-only corpora (the 100 TB regime), an
+    * upper bound when latest-wins shadows older versions. The dedup
+    * operators size their df caps from this instead of a full
+    * `count()` pass over the corpus. */
+  private[graft] def manifestRowSum: Long =
+    store.listFragments(asOf, since).map(_.rows).sum
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val scanAsOf = Option(options.get("asOfTimestamp")).map(_.toLong)
       .orElse(asOf)

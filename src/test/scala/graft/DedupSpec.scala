@@ -35,6 +35,87 @@ class DedupSpec extends SparkSpec {
     assert(capped >= 1)
   }
 
+  test("corpusRows answers from metadata — zero Spark jobs (d2/d7/d9 caps)") {
+    // parquet-backed corpus: footer counts, read on the driver
+    val dir = graft.core.TempDirs.fresh("graft_caps")
+    spark.range(0, 1234).selectExpr("id AS doc_id", "'x y z' AS text")
+      .write.parquet(s"$dir/docs")
+    val pq = spark.read.parquet(s"$dir/docs")
+    // array-backed corpus: fragment-manifest counts
+    val uri = s"$dir/arr"
+    graft.sources.GraftArray.create(spark, uri, graft.core.ArraySchema(
+      graft.core.ArrayKind.Sparse,
+      Seq(graft.core.DimensionSpec("doc_id",
+        org.apache.spark.sql.types.LongType)),
+      Seq(graft.core.AttributeSpec("text",
+        org.apache.spark.sql.types.StringType))))
+    graft.sources.GraftArray.write(spark, uri,
+      spark.range(0, 777).selectExpr("id AS doc_id", "'x' AS text"))
+    val arr = spark.read.format("graftarray").option("path", uri).load()
+
+    // count only jobs tagged with our job group — job-count deltas
+    // race (AQE splits even range(1).count() into several jobs)
+    val probe = new java.util.concurrent.atomic.AtomicInteger
+    val sentinel = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == "caps-probe") probe.incrementAndGet()
+        if (g == "caps-sentinel") sentinel.incrementAndGet()
+        ()
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(l)
+    try {
+      sc.setJobGroup("caps-probe", "corpusRows must not run jobs")
+      assert(Dedup.corpusRows(pq) == 1234L)
+      assert(Dedup.corpusRows(arr) == 777L)
+      // a Project on top (the normalizeTs/select shape) still answers
+      assert(Dedup.corpusRows(pq.select(col("doc_id"))) == 1234L)
+      sc.setJobGroup("caps-sentinel", "flush listener bus")
+      spark.range(1).count()
+      sc.clearJobGroup()
+      val deadline = System.nanoTime + 30L * 1000000000
+      while (sentinel.get() < 1 && System.nanoTime < deadline)
+        Thread.sleep(10)
+      // FIFO bus: the sentinel's event arrived, so any probe-group
+      // event would already have arrived too — there must be none
+      assert(sentinel.get() >= 1)
+      assert(probe.get() == 0, s"corpusRows ran ${probe.get()} job(s)")
+      // a filtered frame cannot answer from metadata — falls back
+      assert(Dedup.corpusRows(pq.filter(col("doc_id") < 100)) == 100L)
+    } finally { sc.clearJobGroup(); sc.removeSparkListener(l) }
+  }
+
+  test("d10: injected verbatim spans are covered exactly (Lee et al. cut)") {
+    // A and B share a verbatim 60-token span (cross-doc dup); C
+    // repeats its own 55-token block (intra-doc dup — ExactSubstr
+    // counts it); D is clean and must report zero
+    val span60 = (1 to 60).map(i => s"s$i").mkString(" ")
+    val prefA = (1 to 25).map(i => s"a$i").mkString(" ")
+    val sufB = (1 to 25).map(i => s"b$i").mkString(" ")
+    val block55 = (1 to 55).map(i => s"c$i").mkString(" ")
+    val corpus4 = Seq(
+      (0L, s"$prefA $span60"), // span at 25..84, n=85
+      (1L, s"$span60 $sufB"), // span at 0..59, n=85
+      (2L, s"$block55 $block55"), // n=110, fully self-duplicated
+      (3L, (1 to 80).map(i => s"d$i").mkString(" ")) // clean
+    ).toDF("doc_id", "text")
+    val res = Dedup.substringDedup(corpus4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 11 shared 50-windows inside the 60-span; union covers 60 tokens
+    assert(res(0L) == ((85L, 11L, 60L)))
+    assert(res(1L) == ((85L, 11L, 60L)))
+    // self-repeat at shift 55: dup starts {0..5} ∪ {55..60} = 12
+    // windows whose interval union is the WHOLE doc
+    assert(res(2L) == ((110L, 12L, 110L)))
+    assert(res(3L) == ((80L, 0L, 0L)))
+  }
+
   test("connected components: min-label propagation is transitive") {
     // a 4-chain (1-2-3-4) plus a separate pair (10-11): every member
     // must reach the smallest id in its component even without a

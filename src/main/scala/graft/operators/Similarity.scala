@@ -16,9 +16,25 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
   private val Dim = 64
+  private val RpK = 16 // JL projection output dims (v14); 1/√k = 0.25
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
+
+  /** v14's fixed ±1 sign matrix, row j = output coordinate: sign(i,j)
+    * = +1 iff the first hex digit of md5("rp:i:j") < '8' — a pure
+    * function both engines rebuild identically (the t14
+    * classifierWeights pattern). ±1 is exact in float, so the dotFF
+    * products are exact sign flips. */
+  private[graft] lazy val rpSigns: Seq[Seq[Float]] =
+    (0 until RpK).map { j =>
+      (0 until Dim).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        if (hex.charAt(0) < '8') 1.0f else -1.0f
+      }
+    }
 
   /** Per-query bounded top-k over scored rows (columns `query_id`,
     * `vec_id`, `cos`): a k-sized-heap aggregate with partial merge, so
@@ -515,6 +531,26 @@ object Similarity {
     // cosine scan + filter — shuffle-free except the output ordering,
     // output bounded by the radius. (The k-bounded heap is the wrong
     // tool here by definition; the scan IS the scalable shape.)
+    // Johnson–Lindenstrauss random projection 64 → 16 dims (Achlioptas
+    // ±1 signs): the standard cheap pre-clustering / pre-ANN reduction
+    // for embedding corpora — 4× less vector I/O downstream with
+    // distance distortion concentrated around 1. The sign matrix is a
+    // pure md5 function of (i, j) (the t14 classifier-weights
+    // pattern), so the oracle rebuilds it bit-identically; each output
+    // coordinate is one codegen dotFF against a ±1 literal vector
+    // scaled by 1/√k = 0.25 (exact binary). Published doubles are RAW:
+    // products and a fixed-order sum of identical inputs — no libm, so
+    // cross-engine bit parity holds by IEEE determinism alone. Scale
+    // shape: per-row map, shuffle-free, corpus never collected.
+    "v14_random_projection" -> ((s, d) => {
+      val cols = rpSigns.zipWithIndex.map { case (sj, j) =>
+        (graft.functions.expressions.Kernels
+          .dotFF(col("embedding"), typedLit(sj)) * lit(0.25))
+          .as(f"p$j%02d")
+      }
+      emb(s, d).select(col("vec_id") +: cols: _*).orderBy("vec_id")
+    }),
+
     "v13_range_search" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -710,6 +746,19 @@ object Similarity {
       """SELECT CAST(8 AS BIGINT) AS k, true AS all_domains_used,
          true AS labels_in_range, true AS coherent""",
     // v13: direct replay — cosine filter against the 5 query vectors
+    // v14: the sign matrix rebuilt from the same md5 rule, the same
+    // left-to-right per-coordinate sum on raw doubles (no libm → bit
+    // parity by IEEE determinism; 0.25·x commutes exactly)
+    "v14_random_projection" -> {
+      val cols = (0 until RpK).map { j =>
+        s"""0.25 * list_sum([embedding[i+1]::double *
+           (CASE WHEN substr(md5('rp:' || i || ':' || $j), 1, 1) < '8'
+                 THEN 1.0 ELSE -1.0 END)
+           for i in range(0, len(embedding))]) AS p${"%02d".format(j)}"""
+      }.mkString(",\n         ")
+      s"""SELECT vec_id, $cols FROM embeddings ORDER BY vec_id"""
+    },
+
     "v13_range_search" ->
       s"""SELECT query_id, vec_id, round(cos, 6) AS cos FROM (
          SELECT a.vec_id AS query_id, b.vec_id, $cosSql AS cos

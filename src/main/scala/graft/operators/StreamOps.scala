@@ -100,6 +100,15 @@ object StreamOps {
       EventPipeline.runStreamSinkPipeline(s, d)
         .orderBy("event_type")),
 
+    // APPEND-mode tumbling windows (emit-once; st1's aggregation in
+    // the production output mode) — drains via the shared
+    // drainSessions sentinels, hour-aligned so the sentinel window
+    // self-excludes. Same oracle math as st1: append mode changes
+    // WHEN rows emit, never their values.
+    "st10_stream_append_windows" -> ((s, d) =>
+      EventPipeline.runStreamingAppendWindows(s, d)
+        .orderBy("win_start_us", "event_type")),
+
     // NATIVE streaming session windows (session_window + watermark,
     // append mode, watermark-flush sentinel): state = open sessions
     // only, evicted as the watermark passes each session's end. The
@@ -134,6 +143,12 @@ object StreamOps {
 
   val oracles: Map[String, String] = Map(
     "st1_stream_windowed" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+         event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    // st10: append mode changes when windows emit, not their values —
+    // the batch hourly aggregation is the oracle, identical to st1's
+    "st10_stream_append_windows" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",

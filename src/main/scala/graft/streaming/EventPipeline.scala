@@ -393,6 +393,52 @@ object EventPipeline {
     }
   }
 
+  /** APPEND-mode tumbling windows — the emit-once production shape.
+    * st1 runs this aggregation in COMPLETE mode, which rematerializes
+    * the whole result every micro-batch and cannot feed an append-only
+    * sink; here a window emits exactly once, when the watermark passes
+    * its end, so state is open windows only and the output is a log.
+    * The bounded corpus drains through [[drainSessions]] — the first
+    * reuse of the helper beyond session windows, proving the contract
+    * generalizes: both sentinels HOUR-ALIGN into one tumbling window
+    * two hours past the corpus max, so (a) sentinel #2's watermark
+    * (its hour + 1 min − 10 min delay) has passed every real window's
+    * end, flushing them all, while (b) the sentinel's own window end
+    * (its hour + 1 h) stays ahead of that watermark forever — the
+    * self-excluding-sentinel rule (trap 2) instantiated for tumbling
+    * windows instead of a session gap. */
+  def runStreamingAppendWindows(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val name = "graft_appwin_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val hourUs = 3600L * 1000000
+      val staged = drainSessions(work, path, 2 * hourUs, "st10") {
+        (ev, tsUs, i) =>
+          val aligned = tsUs / hourUs * hourUs + (i - 1) * 60L * 1000000
+          ev.limit(1).select(
+            lit(-i.toLong).as("event_id"),
+            timestamp_micros(lit(aligned)).as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+      }
+      val stagedSchema = work.read.parquet(s"$staged/batch0").schema
+      val stream = work.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+      // NO sentinel filter (trap 2) — its window never emits
+      val q = windowedCounts(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      work.table(name)
+    }
+  }
+
   /** FIRST-CLASS streaming dedup — watermark-bounded state. The state
     * store holds a key only while `max(event time seen) − delay` has
     * not passed it (`dropDuplicatesWithinWatermark`), so state size is

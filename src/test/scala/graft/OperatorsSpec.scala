@@ -20,6 +20,28 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("v14 JL projection: norm preserved in expectation, ±1 signs exact") {
+    // E‖y‖² = ‖x‖² under ±1/√k projection; per-vector Var ~ 2/k, so
+    // the corpus MEAN ratio concentrates tightly around 1
+    val proj = SparkEntry.queries("v14_random_projection")(spark, sf)
+    val pCols = proj.columns.filter(_.startsWith("p"))
+    assert(pCols.length == 16)
+    val y2 = pCols.map(c => col(c) * col(c)).reduce(_ + _)
+    val joined = proj.join(
+      Tables.load(spark, sf, "embeddings").select(col("vec_id"),
+        graft.functions.expressions.Kernels
+          .dotFF(col("embedding"), col("embedding")).as("x2")),
+      "vec_id")
+    val mean = joined.agg(avg(y2 / col("x2"))).head().getDouble(0)
+    assert(mean > 0.8 && mean < 1.2, s"mean ||y||^2/||x||^2 = $mean")
+    // the sign matrix is a fixed md5 function: balanced-ish and
+    // deterministic across processes (lazy val rebuilt per JVM)
+    val flat = graft.operators.Similarity.rpSigns.flatten
+    assert(flat.size == 64 * 16)
+    val pos = flat.count(_ > 0)
+    assert(pos > 400 && pos < 624, s"sign balance off: $pos/1024")
+  }
+
   test("v3/v4/v6 driver queries self-assert recall_ok for all 5 queries") {
     for (name <- Seq("v3_ann_lsh", "v4_ann_ivf", "v6_ann_sq8", "v9_ann_pq")) {
       val rows = operators.Similarity.queries(name)(spark, sf).collect()

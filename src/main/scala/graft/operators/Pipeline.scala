@@ -423,6 +423,54 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Token-budget curation (the data-constrained-scaling step: a
+    // fixed training budget buys the highest-quality prefix): keep
+    // docs in (quality desc, doc_id asc) order while the running
+    // token total fits B = 30% of corpus tokens — greedy prefix, no
+    // knapsack. Scale shape: NO corpus-wide sort. Quality is
+    // 4dp-rounded, so the level table is bounded (≤ 10⁴+1 rows): level
+    // masses aggregate in one pass, the boundary level is found on
+    // that bounded table, whole levels keep/drop wholesale, and only
+    // the ONE boundary level pays a per-doc running sum — a window
+    // over that level's slice, never the corpus. The oracle replays
+    // the same rule as the corpus-wide window cumsum (the shape this
+    // plan exists to avoid); both reduce to identical integer
+    // comparisons, so the equivalence is exact.
+    "x17_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d).select(col("doc_id"),
+          round(qualityScore(col("text")), 4).as("quality"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint() // feeds budget, levels AND the final union
+      val budget = dd.agg(sum(col("n_tokens"))).head().getLong(0) * 3 / 10
+      val lvc = dd.groupBy("quality").agg(sum(col("n_tokens")).as("m"))
+        .withColumn("cum", sum(col("m")).over(Window
+          .orderBy(col("quality").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      // first level (quality desc) whose cumulative mass overflows:
+      // a 1-row collect off the bounded level table
+      val boundary = lvc.filter(col("cum") > budget)
+        .orderBy(col("quality").desc).limit(1)
+        .select(col("quality"), (col("cum") - col("m")).as("prior"))
+        .collect().headOption
+      val marked = boundary match {
+        case None => dd.withColumn("kept", lit(true)) // corpus fits
+        case Some(row) =>
+          val qStar = row.getDouble(0)
+          val prior = row.getLong(1)
+          val w = Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val bnd = dd.filter(col("quality") === qStar)
+            .withColumn("kept",
+              (sum(col("n_tokens")).over(w) + prior) <= budget)
+          dd.filter(col("quality") =!= qStar)
+            .withColumn("kept", col("quality") > qStar)
+            .unionByName(bnd)
+      }
+      marked.select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("kept")).orderBy("doc_id")
+    }),
+
     // Quality-curriculum ordering: clean-first training order — docs
     // band into 4 stages by the t2 quality score (fixed thresholds,
     // per-row, shuffle-free — NOT ntile, whose global sort funnels the
@@ -855,6 +903,34 @@ object Pipeline {
        FROM ch JOIN df USING (fp) GROUP BY doc_id ORDER BY doc_id""",
     // x14: t2's quality formula (4dp-rounded), fixed band thresholds
     // on the rounded score, md5 intra-stage order key
+    // x17: the selection rule replayed as the corpus-wide window
+    // cumsum in (quality desc, doc_id) order — budget = 30% of total
+    // tokens with matching integer floor division; kept is a pure
+    // integer comparison, so threshold-selection ≡ cumsum exactly
+    "x17_token_budget" -> {
+      val stops = graft.functions.TextFunctions.StopWords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (SELECT doc_id, n_tokens::bigint AS n_tokens,
+             round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
+                   * 4.0, 1.0)
+               + 0.3 * (1.0 - least(n_punct::double /
+                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
+             FROM (SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
+                    if t IN ($stops)]) AS n_stop,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS n_punct
+               FROM documents)),
+         b AS (SELECT (sum(n_tokens) * 3) // 10 AS bud FROM q),
+         w AS (SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+       SELECT doc_id, quality, n_tokens, cum <= b.bud AS kept
+       FROM w, b ORDER BY doc_id"""
+    },
+
     "x14_curriculum" -> {
       val stops = graft.functions.TextFunctions.StopWords
         .map(w => s"'$w'").mkString(", ")

@@ -99,9 +99,12 @@ object Pq {
     * per query, rerank exactly. ADC ranks by the reconstructed dot
     * over the TRUE stored norm — ‖q‖ is constant per query so the
     * ranking matches approximate cosine. */
-  private[graft] def adcTopK(e: DataFrame, k: Int,
-      oversample: Int = 16): DataFrame = {
-    val books = fitCodebooks(e)
+  /** Per-query ADC lookup tables for the 5 fixed query vectors:
+    * LUT[m·K + k] = ⟨query subvector m, codeword k⟩. Returns
+    * (query ids, one M·K-float LUT per query) — kilobytes, broadcast
+    * as literals. Shared by [[adcTopK]] and the IVF-PQ composition. */
+  private[operators] def queryLuts(e: DataFrame,
+      books: Array[Array[Float]]): (Array[Long], Array[Array[Float]]) = {
     val qRows: Array[Row] = e.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding").cast("array<float>"))
       .orderBy("vec_id").collect()
@@ -119,6 +122,13 @@ object Pq {
         acc.toFloat
       }
     }
+    (qIds, luts)
+  }
+
+  private[graft] def adcTopK(e: DataFrame, k: Int,
+      oversample: Int = 16): DataFrame = {
+    val books = fitCodebooks(e)
+    val (qIds, luts) = queryLuts(e, books)
     val enc = e.select(col("vec_id"),
       PqKernels.pqEncode(col("embedding").cast("array<float>"), books, K,
         SubDim).as("codes"),

@@ -43,13 +43,29 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("v3/v4/v6 driver queries self-assert recall_ok for all 5 queries") {
-    for (name <- Seq("v3_ann_lsh", "v4_ann_ivf", "v6_ann_sq8", "v9_ann_pq")) {
+    for (name <- Seq("v3_ann_lsh", "v4_ann_ivf", "v6_ann_sq8", "v9_ann_pq",
+        "v15_ann_ivfpq")) {
       val rows = operators.Similarity.queries(name)(spark, sf).collect()
       assert(rows.map(_.getLong(0)).toSeq == (0L to 4L),
         s"$name query_ids wrong: ${rows.mkString(",")}")
       rows.foreach(r => assert(r.getBoolean(1),
         s"$name recall bound violated for query ${r.getLong(0)}"))
     }
+  }
+
+  test("v15 IVF-PQ composition beats its composed recall bound with margin") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val brute = operators.Similarity.queries("v2_ann_topk")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = operators.Similarity.ivfPqTopK(e, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.nonEmpty, "IVF-PQ returned nothing")
+    val recall = (ivfpq & brute).size.toDouble / brute.size
+    // composed approximation (routing miss × ADC misrank); published
+    // bound 0.3 — require headroom above it here
+    assert(recall >= 0.4, s"IVF-PQ mean recall $recall below margin")
   }
 
   test("multi-table LSH ANN beats its stated recall bound with margin") {

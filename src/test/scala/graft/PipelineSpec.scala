@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
   * split leakage safety, packing parallelism, split determinism. */
 class PipelineSpec extends SparkSpec {
 
+  test("x17 keeps exactly the greedy quality-prefix under the budget") {
+    val out = SparkEntry.queries("x17_token_budget")(spark, sf).collect()
+    val budget = out.map(_.getLong(2)).sum * 3 / 10
+    val keptTok = out.filter(_.getBoolean(3)).map(_.getLong(2)).sum
+    assert(keptTok <= budget, s"budget exceeded: $keptTok > $budget")
+    // prefix property in (quality desc, doc_id asc) order: kept is a
+    // contiguous prefix, and the first dropped doc would overflow
+    val sorted = out.sortBy(r => (-r.getDouble(1), r.getLong(0)))
+    val firstDrop = sorted.indexWhere(!_.getBoolean(3))
+    if (firstDrop >= 0) {
+      assert(sorted.take(firstDrop).forall(_.getBoolean(3)))
+      // positive token counts make the cumsum monotone, so the kept
+      // set must be CONTIGUOUS — nothing after the first drop survives
+      assert(sorted.drop(firstDrop).forall(!_.getBoolean(3)))
+      assert(keptTok + sorted(firstDrop).getLong(2) > budget,
+        "first dropped doc would have fit — not a maximal prefix")
+    }
+  }
+
   test("x4 cluster split never separates a near-dup pair") {
     val out = operators.Pipeline.queries("x4_cluster_split")(spark, sf)
       .cache()

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object CatalogDrive {
   def main(args: Array[String]): Unit = {
-    val wh = java.nio.file.Files.createTempDirectory("drive_wh").toString
+    val wh = graft.core.TempDirs.fresh("drive_wh")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.catalog.g", "graft.sources.GraftCatalog")

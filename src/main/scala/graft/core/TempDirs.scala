@@ -25,10 +25,4 @@ object TempDirs {
     dirs.add(dir.toFile)
     dir.toString
   }
-
-  /** Register an existing dir for exit cleanup. */
-  def register(path: String): String = {
-    dirs.add(new java.io.File(path))
-    path
-  }
 }

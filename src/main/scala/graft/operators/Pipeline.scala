@@ -431,8 +431,9 @@ object Pipeline {
     // 4dp-rounded, so the level table is bounded (≤ 10⁴+1 rows): level
     // masses aggregate in one pass, the boundary level is found on
     // that bounded table, whole levels keep/drop wholesale, and only
-    // the ONE boundary level pays a per-doc running sum — a window
-    // over that level's slice, never the corpus. The oracle replays
+    // the ONE boundary level pays a per-doc running sum — a sharded
+    // two-level prefix over that level's slice (see below), never one
+    // task and never the corpus. The oracle replays
     // the same rule as the corpus-wide window cumsum (the shape this
     // plan exists to avoid); both reduce to identical integer
     // comparisons, so the equivalence is exact.
@@ -458,11 +459,34 @@ object Pipeline {
         case Some(row) =>
           val qStar = row.getDouble(0)
           val prior = row.getLong(1)
-          val w = Window.orderBy("doc_id")
+          // exact running sum in doc_id order over the boundary level
+          // WITHOUT one global window (quality can saturate at a
+          // single 4dp value, making this level a large corpus
+          // fraction): value-based shards preserve the order
+          // ((shard asc, doc_id asc) ≡ doc_id asc), each shard
+          // cumsums in parallel, and only the per-shard TOTALS — a
+          // table 10⁴× smaller — pay a single-partition prefix pass.
+          // The shard-prefix join is UNHINTED (the t8 lesson): AQE
+          // broadcasts the usual tiny case and shuffles the
+          // pathological one.
+          val bnd0 = dd.filter(col("quality") === qStar)
+            .withColumn("bshard", floor(col("doc_id") / 10000L))
+          val wIn = Window.partitionBy("bshard").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, 0)
-          val bnd = dd.filter(col("quality") === qStar)
+          val wSh = Window.orderBy("bshard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val shardPrefix = bnd0.groupBy("bshard")
+            .agg(sum(col("n_tokens")).as("stot"))
+            .withColumn("soff",
+              coalesce(sum(col("stot")).over(wSh), lit(0L)))
+            .select(col("bshard"), col("soff"))
+          val bnd = bnd0
+            .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+            .join(shardPrefix, "bshard")
             .withColumn("kept",
-              (sum(col("n_tokens")).over(w) + prior) <= budget)
+              (col("soff") + col("cum_in") + prior) <= budget)
+            .select(col("doc_id"), col("quality"), col("n_tokens"),
+              col("kept"))
           dd.filter(col("quality") =!= qStar)
             .withColumn("kept", col("quality") > qStar)
             .unionByName(bnd)

@@ -93,12 +93,6 @@ object Pq {
       c :+ (-c.map(x => x.toDouble * x.toDouble).sum / 2.0).toFloat
     }
 
-  /** PQ-ADC top-k for the 5 fixed query vectors: encode the corpus to
-    * M-byte codes, score every row against broadcast query LUTs in one
-    * codegen pass, heap-select an `oversample`·k candidate superset
-    * per query, rerank exactly. ADC ranks by the reconstructed dot
-    * over the TRUE stored norm — ‖q‖ is constant per query so the
-    * ranking matches approximate cosine. */
   /** Per-query ADC lookup tables for the 5 fixed query vectors:
     * LUT[m·K + k] = ⟨query subvector m, codeword k⟩. Returns
     * (query ids, one M·K-float LUT per query) — kilobytes, broadcast
@@ -125,6 +119,12 @@ object Pq {
     (qIds, luts)
   }
 
+  /** PQ-ADC top-k for the 5 fixed query vectors: encode the corpus to
+    * M-byte codes, score every row against broadcast query LUTs in one
+    * codegen pass, heap-select an `oversample`·k candidate superset
+    * per query, rerank exactly. ADC ranks by the reconstructed dot
+    * over the TRUE stored norm — ‖q‖ is constant per query so the
+    * ranking matches approximate cosine. */
   private[graft] def adcTopK(e: DataFrame, k: Int,
       oversample: Int = 16): DataFrame = {
     val books = fitCodebooks(e)

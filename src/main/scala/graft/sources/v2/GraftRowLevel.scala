@@ -135,8 +135,10 @@ class GraftDeltaWriter(
     conf: org.apache.hadoop.conf.Configuration,
     keyHex: Option[String],
     /** Task attempt id, in both inner writers' file names — same
-      * retry/speculation collision guard as GraftDataWriterFactory. */
-    taskId: Long = 0L) extends DeltaWriter[InternalRow] {
+      * retry/speculation collision guard as GraftDataWriterFactory.
+      * Required (no default): an omitted id would silently name every
+      * attempt -t0 and reintroduce the collision. */
+    taskId: Long) extends DeltaWriter[InternalRow] {
 
   private val dimStruct = StructType(schema.dims.map(d =>
     StructField(d.name, d.dataType, nullable = false)))

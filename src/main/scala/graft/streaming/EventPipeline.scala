@@ -312,7 +312,11 @@ object EventPipeline {
       f.listFiles().map(c => s"${c.getName}:${c.length}:${c.lastModified}")
         .sorted.mkString(",")
     else s"${f.length}:${f.lastModified}"
-    drainStageCache.computeIfAbsent(s"$cacheKey|$path|$sig", _ => {
+    // horizonUs is part of the key: two callers sharing a cacheKey
+    // but disagreeing on the horizon must NOT share staged sentinels
+    // (wrong-horizon sentinels silently strand state or emit the
+    // sentinel's own group)
+    drainStageCache.computeIfAbsent(s"$cacheKey|$horizonUs|$path|$sig", _ => {
       val staged = graft.core.TempDirs.fresh("graft_drain")
       val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
       ev.coalesce(1).write.parquet(s"$staged/batch0")
@@ -400,13 +404,21 @@ object EventPipeline {
     * its end, so state is open windows only and the output is a log.
     * The bounded corpus drains through [[drainSessions]] — the first
     * reuse of the helper beyond session windows, proving the contract
-    * generalizes: both sentinels HOUR-ALIGN into one tumbling window
-    * two hours past the corpus max, so (a) sentinel #2's watermark
-    * (its hour + 1 min − 10 min delay) has passed every real window's
-    * end, flushing them all, while (b) the sentinel's own window end
-    * (its hour + 1 h) stays ahead of that watermark forever — the
-    * self-excluding-sentinel rule (trap 2) instantiated for tumbling
-    * windows instead of a session gap. */
+    * generalizes. The sentinels HOUR-ALIGN (one or two hour windows,
+    * depending on the corpus max's minute-of-hour band) at least two
+    * hours past the corpus max, which gives both halves of the
+    * contract in every band:
+    *  (a) flush — sentinel #1's watermark (its aligned hour − 10 min
+    *      delay ≥ corpus max + 1 h − 10 min) has passed every real
+    *      window's end by the time batch 2 processes, so all real
+    *      windows emit;
+    *  (b) self-exclusion — each sentinel window's END exceeds the
+    *      FINAL watermark (sentinel #2's aligned ts − 10 min) in all
+    *      three minute bands; the tightest is minute ∈ [20, 40),
+    *      where the sentinels straddle an hour boundary and sentinel
+    *      #1's window end clears the final watermark by only 9 min —
+    *      positive, but the margin to mind if the per-sentinel 60 s
+    *      offset or the 10 min delay is ever changed. */
   def runStreamingAppendWindows(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val path = s"$sfDir/events.parquet"

@@ -136,6 +136,12 @@ object Kernels {
   def charGrams(s: Column, k: Int): Column =
     column(CharGramsExpr(expression(s), k))
 
+  /** Rolling 64-bit keys of every L-token window — the d10
+    * exact-substring prefilter (see [[RollingWindowKeys]]): no false
+    * negatives, candidates verified by the md5 tier. */
+  def rollingWindowKeys(tokens: Column, l: Int): Column =
+    column(RollingWindowKeys(expression(tokens), l))
+
   /** Winnowing fingerprint selection over a positional k-gram hash
     * array: distinct (1-based position, hash) rightmost-window-min
     * picks — the MOSS document-fingerprinting kernel. */
@@ -823,4 +829,60 @@ case class MinHashSig(child: Expression, n: Int) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Rolling 64-bit window keys for the d10 exact-substring PREFILTER:
+  * key(p) = Σᵢ xxh64(tok[p+i]) · B^(L−1−i) over wrapping Long
+  * arithmetic (B odd ⇒ multiplication by B is a bijection on ℤ/2⁶⁴),
+  * computed in ONE pass per document via the rolling recurrence
+  * w(p+1) = (w(p) − h(p)·B^(L−1))·B + h(p+L). Identical windows get
+  * identical keys BY CONSTRUCTION (no false negatives); 64-bit
+  * collisions only ever ADD candidates, which the exact md5 verify
+  * stage removes — so the published result is independent of this
+  * hash. Spark-internal only: the DuckDB oracle never sees these
+  * keys, it replays the md5 tier. Replaces one md5 per corpus token
+  * (~50× the corpus bytes hashed) with one xxh64 per token plus
+  * O(1)/window arithmetic. */
+case class RollingWindowKeys(child: Expression, L: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    RollingWindowKeys.compute(v.asInstanceOf[ArrayData], L)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.RollingWindowKeys.compute($a, $L);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RollingWindowKeys {
+  val B: Long = 0x100000001b3L // odd (FNV-ish) — bijective under wrap
+
+  def compute(tokens: ArrayData, L: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < L) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      h(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    var bl = 1L // B^(L-1) wrapped
+    i = 1
+    while (i < L) { bl *= B; i += 1 }
+    val out = new Array[Long](n - L + 1)
+    var w = 0L
+    i = 0
+    while (i < L) { w = w * B + h(i); i += 1 }
+    out(0) = w
+    var p = 0
+    while (p + L < n) {
+      w = (w - h(p) * bl) * B + h(p + L)
+      p += 1
+      out(p) = w
+    }
+    new GenericArrayData(out)
+  }
 }

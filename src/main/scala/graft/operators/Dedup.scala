@@ -197,24 +197,39 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .localCheckpoint()
-    // one row per token position p: the md5 of the 50-token window at
-    // p (1-based slice; md5 replays byte-identically in DuckDB).
-    // sequence() guard: sequence(0, n-L) DESCENDS when n < L. The
-    // hashes are computed INSIDE the array context and only then
-    // exploded — exploding positions first would drag the whole toks
-    // array through every per-position generate-output row (O(doc²)
-    // bytes wide; at sf0.1 the two shapes time the same, but row
-    // width past the generate is what the shuffle pays at scale).
-    val wins = toks
+    // TIER 1 — rolling prefilter: one cheap 64-bit key per window
+    // position ([[RollingWindowKeys]]: one xxh64 per TOKEN + O(1) per
+    // window), keys computed inside the array context so the
+    // generate-output rows are 16 bytes wide. Identical windows get
+    // identical keys by construction, so a key seen once corpus-wide
+    // proves its window unique — and on a mostly-clean corpus that
+    // eliminates ~all positions before any md5 is computed (the md5
+    // tier previously hashed ~50× the corpus bytes).
+    val rk = toks
       .filter(col("n") >= L)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0L), col("n") - L),
-          p => md5(array_join(
-            slice(col("toks"), (p + 1).cast("int"), lit(L)), " "))))
-          .as(Seq("pos", "wh")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wh"))
-    // duplicated window = hash occurring >= 2 times ANYWHERE (map-side
-    // partial aggregation collapses per-partition repeats first)
+        posexplode(graft.functions.expressions.Kernels
+          .rollingWindowKeys(col("toks"), L)).as(Seq("pos", "rk")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rk"))
+    val hotKeys = rk.groupBy("rk").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("rk")
+    // candidate positions: windows whose rolling key collides. The
+    // join is UNHINTED — the hot-key side is near-empty on clean
+    // corpora (AQE broadcasts it) but corpus-sized on a degenerate
+    // all-duplicate corpus (AQE shuffles it).
+    val cand = rk.join(hotKeys, "rk").select("doc_id", "pos")
+    // TIER 2 — exact md5 verify on candidates only: re-slice the
+    // window text (candidates join back to the checkpointed token
+    // table; row width here is candidate-bound, not corpus-bound) and
+    // require the EXACT window to occur >= 2 times. 64-bit collisions
+    // from tier 1 die here, so the published result is bit-identical
+    // to the single-tier md5 pipeline and to the DuckDB oracle.
+    val wins = cand
+      .join(toks.select(col("doc_id"), col("toks")), "doc_id")
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(
+          slice(col("toks"), (col("pos") + 1).cast("int"), lit(L)), " "))
+          .as("wh"))
     val dup = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("wh")
     // per-doc duplicated starts, sorted; interval union via a single

@@ -25,6 +25,35 @@ class KernelPropertySpec extends AnyFunSuite {
   private val strGen: Gen[String] =
     Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
 
+  test("RollingWindowKeys == direct polynomial per window; dup windows collide") {
+    import graft.functions.expressions.RollingWindowKeys
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val tokGen = Gen.oneOf("a", "b", "cc", "dd", "éé", "x1")
+    val docGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, tokGen))
+    holds(Prop.forAll(docGen, Gen.chooseNum(1, 7)) { (toks, l) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = RollingWindowKeys.compute(arr, l)
+        .toLongArray().toList
+      // naive: per-token xxh64, direct Horner per window (wrapping)
+      val h = toks.map { t =>
+        val u = UTF8String.fromString(t)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      }
+      val naive = (0 to toks.length - l).map { p =>
+        (0 until l).foldLeft(0L)((w, i) =>
+          w * RollingWindowKeys.B + h(p + i))
+      }.toList
+      val eq = got == (if (toks.length < l) Nil else naive)
+      // no false negatives: equal token windows ⇒ equal keys
+      val windows = (0 to toks.length - l).map(p => toks.slice(p, p + l))
+      val collide = windows.zip(got).groupBy(_._1).values
+        .forall(g => g.map(_._2).distinct.size == 1)
+      eq && (toks.length < l || collide)
+    })
+  }
+
   test("CharGramsExpr == naive code-point k-gram set, any unicode") {
     holds(Prop.forAll(strGen, Gen.chooseNum(1, 6)) { (s, k) =>
       val got = graft.functions.expressions.CharGramsExpr

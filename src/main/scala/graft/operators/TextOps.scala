@@ -429,6 +429,39 @@ object TextOps {
     // inner loop's scale shape. (Tokens are short, so the per-token
     // substr lambda is O(len²) on ~6-char strings — trivial; the d9
     // O(n_chars²) trap applies to DOCUMENT-length strings.)
+    // Per-document TF-IDF keyword extraction (top-3 terms): the
+    // classic corpus-indexing / topic-tagging primitive. Scale shape:
+    // tf aggregates once on (doc, term) keys; the df table is
+    // VOCABULARY-bounded and joins UNHINTED (AQE sizes it — web-scale
+    // vocabularies are billions of keys, the t8 lesson); N comes from
+    // scan metadata ([[graft.operators.Dedup.corpusRows]] — no count
+    // job); ranking is a doc-partitioned window (parallel per doc),
+    // never a global sort. Determinism: tf/df/N are integer-valued
+    // doubles, the score is one log and one multiply (t8's ln-parity
+    // precedent), ties break on term asc; tfidf >= +0.0 always
+    // (df <= N → ln >= 0), so the 4dp/6dp signed-zero trap cannot
+    // fire.
+    "t21_tfidf_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val n = Dedup.corpusRows(dd).toDouble
+      val tf = dd.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .localCheckpoint() // feeds df AND the scoring join
+      val dfTab = tf.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("s").desc, col("term").asc)
+      tf.join(dfTab, "term")
+        .withColumn("s", col("tf") * log(lit(n) / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("term"), round(col("s"), 6).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
     "t19_bpe_pairs" -> ((s, d) => {
       docs(s, d)
         .select(explode(tokens(col("text"))).as("t"))
@@ -961,6 +994,23 @@ object TextOps {
                        AS t FROM documents)
                WHERE len(t) >= 2)
          GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+    // t21: same tf/df/N integers, same single ln + multiply on raw
+    // doubles, same (score desc, term asc) tie-break; round only the
+    // published score (always >= +0.0 — no signed-zero exposure)
+    "t21_tfidf_keywords" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         tf AS (SELECT doc_id, tok AS term, count(*)::double AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+           GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*)::double AS df FROM tf GROUP BY term),
+         nn AS (SELECT count(*)::double AS n FROM tk),
+         sc AS (SELECT doc_id, term, tf * ln(n / df) AS s
+           FROM tf JOIN dfx USING (term), nn),
+         rk AS (SELECT doc_id, term, s, row_number() OVER (
+             PARTITION BY doc_id ORDER BY s DESC, term) AS rk FROM sc)
+       SELECT doc_id, rk::bigint AS rk, term, round(s, 6) AS tfidf
+       FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
     // t18: every rule replayed bit-for-bit — integer inputs, IEEE
     // double division, identical thresholds on the UNrounded values
     "t18_gopher_rules" ->

@@ -42,6 +42,13 @@ class OperatorsSpec extends SparkSpec {
     assert(pos > 400 && pos < 624, s"sign balance off: $pos/1024")
   }
 
+  test("v14 plan: pure projection — no join, no aggregate before the sort") {
+    val plan = SparkEntry.queries("v14_random_projection")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
+  }
+
   test("v3/v4/v6 driver queries self-assert recall_ok for all 5 queries") {
     for (name <- Seq("v3_ann_lsh", "v4_ann_ivf", "v6_ann_sq8", "v9_ann_pq",
         "v15_ann_ivfpq")) {

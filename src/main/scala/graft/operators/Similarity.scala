@@ -247,6 +247,69 @@ object Similarity {
       e, k)
   }
 
+  /** ANN served BY the array engine — the vector index as a STORAGE
+    * layout: the corpus is written into a graft array whose LEADING
+    * dimension is the IVF cluster id, so the cell-order clustered
+    * write puts each inverted list in its own file range and a probe
+    * list becomes a pushed dimension predicate (P4/P9) that prunes
+    * fragments/files from the scan — routing happens in the scan
+    * planner, and the executors never read the non-probed lists at
+    * all. This is the integration the engine exists for: at 100 TB
+    * the inverted lists ARE the physical partitioning, and ANN
+    * queries read nprobe/nlist of the corpus bytes. Recall equals
+    * v4's (same routing, exact scoring inside probed lists);
+    * `AnnArraySpec` asserts the file pruning on the physical plan. */
+  private[graft] def annArrayTopK(s: SparkSession, e: DataFrame, k: Int)
+      : (DataFrame, String) = {
+    val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
+    val uri = graft.core.TempDirs.fresh("graft_annarr") + "/arr"
+    graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
+      graft.core.ArrayKind.Sparse,
+      Seq(graft.core.DimensionSpec("cluster",
+          org.apache.spark.sql.types.IntegerType),
+        graft.core.DimensionSpec("vec_id",
+          org.apache.spark.sql.types.LongType)),
+      Seq(graft.core.AttributeSpec("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))))
+    // one part file per inverted-list group: the write path
+    // range-partitions on (cluster, vec_id), so nlist write
+    // partitions put each cluster in (at most) its own file and the
+    // probe predicate prunes at file granularity regardless of
+    // corpus size
+    val prevParts = s.conf.getOption("spark.graft.write.partitions")
+    s.conf.set("spark.graft.write.partitions", "16")
+    try
+      graft.sources.GraftArray.write(s, uri, assigned.select(
+        col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")))
+    finally prevParts match {
+      case Some(v) => s.conf.set("spark.graft.write.partitions", v)
+      case None => s.conf.unset("spark.graft.write.partitions")
+    }
+    val arr = s.read.format("graftarray").option("path", uri).load()
+    // per-query probe lists from the driver-side centroid table
+    // (kilobytes): the probe set becomes a LITERAL IN predicate on
+    // the leading dimension — pushable, no join in front of the scan
+    val qRows = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .orderBy("vec_id").collect()
+    val scored = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      val probes = centroids.zipWithIndex.map { case (c, ci) =>
+        val dot = c.indices.foldLeft(0.0)((a, i) =>
+          a + c(i).toDouble * qv(i).toDouble)
+        (ci, dot)
+      }.sortBy { case (ci, dot) => (-dot, ci) }.take(2).map(_._1)
+      arr.filter(col("cluster").isin(probes.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id"),
+          cosine(typedLit(qv), col("embedding")).as("cos"))
+    }.reduce(_ unionByName _)
+    (topkSelect(scored, k), uri)
+  }
+
   /** SQ8 scalar-quantized top-k: the corpus is scanned as int8 vectors
     * (4× smaller than float32 — at 100 TB of embeddings that is the
     * difference between fitting the scan in page cache or not), scored
@@ -561,6 +624,15 @@ object Similarity {
       recallCheck(Pq.adcTopK(emb(s, d), 10), bruteTopK(emb(s, d)),
         bound = 0.4)),
 
+    // ANN through the ARRAY connector: IVF cluster = leading storage
+    // dimension, probe list = pushed dim predicate, scan pruned to
+    // the probed inverted lists (see [[annArrayTopK]]). Same routing
+    // as v4 with exact in-list scoring → v4's recall bound.
+    "v16_ann_array_pruned" -> ((s, d) => {
+      val e = emb(s, d)
+      recallCheck(annArrayTopK(s, e, 10)._1, bruteTopK(e), bound = 0.5)
+    }),
+
     // IVF-PQ composition (FAISS IVFPQ — the production 100 TB ANN):
     // routed scan pruning × compressed candidate scoring, exact
     // rerank. Approximate by design — published as the recall check;
@@ -786,6 +858,7 @@ object Similarity {
     "v6_ann_sq8" -> recallOracle,
     "v9_ann_pq" -> recallOracle,
     "v15_ann_ivfpq" -> recallOracle,
+    "v16_ann_array_pruned" -> recallOracle,
     // v11 publishes algorithm invariants (k-means objective strictly
     // improves over the k=1 baseline; assignment is total and
     // in-range) — constants like the recall oracles.

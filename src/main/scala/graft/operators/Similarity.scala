@@ -259,34 +259,47 @@ object Similarity {
     * queries read nprobe/nlist of the corpus bytes. Recall equals
     * v4's (same routing, exact scoring inside probed lists);
     * `AnnArraySpec` asserts the file pruning on the physical plan. */
-  private[graft] def annArrayTopK(s: SparkSession, e: DataFrame, k: Int)
-      : (DataFrame, String) = {
-    val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
-    val uri = graft.core.TempDirs.fresh("graft_annarr") + "/arr"
-    graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
-      graft.core.ArrayKind.Sparse,
-      Seq(graft.core.DimensionSpec("cluster",
-          org.apache.spark.sql.types.IntegerType),
-        graft.core.DimensionSpec("vec_id",
-          org.apache.spark.sql.types.LongType)),
-      Seq(graft.core.AttributeSpec("embedding",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType, containsNull = false)))))
-    // one part file per inverted-list group: the write path
-    // range-partitions on (cluster, vec_id), so nlist write
-    // partitions put each cluster in (at most) its own file and the
-    // probe predicate prunes at file granularity regardless of
-    // corpus size
-    val prevParts = s.conf.getOption("spark.graft.write.partitions")
-    s.conf.set("spark.graft.write.partitions", "16")
-    try
+  /** v16's built index array, memoized per (dataset dir, corpus
+    * signature): the IVF fit + clustered corpus write is an INDEX
+    * BUILD — bench iterations and repeated queries in one JVM must
+    * re-read it, not rebuild a corpus copy per call (the drainSessions
+    * staging-cache discipline). The signature is the source file's
+    * size+mtime so a regenerated corpus re-indexes. */
+  private val annArrayCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Array[Array[Float]])]()
+  private def annArrayBuild(s: SparkSession, d: String, e: DataFrame)
+      : (String, Array[Array[Float]]) = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    annArrayCache.computeIfAbsent(s"$d|${f.length}:${f.lastModified}", _ => {
+      val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
+      val uri = graft.core.TempDirs.fresh("graft_annarr") + "/arr"
+      graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
+        graft.core.ArrayKind.Sparse,
+        Seq(graft.core.DimensionSpec("cluster",
+            org.apache.spark.sql.types.IntegerType),
+          graft.core.DimensionSpec("vec_id",
+            org.apache.spark.sql.types.LongType)),
+        Seq(graft.core.AttributeSpec("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)))))
+      // one part file per inverted-list group: the write path
+      // range-partitions on (cluster, vec_id), so nlist write
+      // partitions give the probe predicate file-granular pruning at
+      // any corpus size; the count is passed EXPLICITLY (a session
+      // conf set/restore around the write would race concurrent
+      // query construction on the same session)
       graft.sources.GraftArray.write(s, uri, assigned.select(
         col("cluster").cast("int").as("cluster"), col("vec_id"),
-        col("embedding").cast("array<float>").as("embedding")))
-    finally prevParts match {
-      case Some(v) => s.conf.set("spark.graft.write.partitions", v)
-      case None => s.conf.unset("spark.graft.write.partitions")
-    }
+        col("embedding").cast("array<float>").as("embedding")),
+        partitions = Some(16))
+      (uri, centroids)
+    })
+  }
+
+  private[graft] def annArrayTopK(s: SparkSession, d: String,
+      e: DataFrame, k: Int): (DataFrame, String) = {
+    val (uri, centroids) = annArrayBuild(s, d, e)
     val arr = s.read.format("graftarray").option("path", uri).load()
     // per-query probe lists from the driver-side centroid table
     // (kilobytes): the probe set becomes a LITERAL IN predicate on
@@ -306,7 +319,12 @@ object Similarity {
           col("vec_id") =!= qid)
         .select(lit(qid).as("query_id"), col("vec_id"),
           cosine(typedLit(qv), col("embedding")).as("cos"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _)
+      // no query vectors (empty corpus / no vec_id < 5) → empty
+      // result, like every other ANN path — not an empty.reduce crash
+      .getOrElse(s.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("vec_id"),
+          lit(0.0).as("cos")))
     (topkSelect(scored, k), uri)
   }
 
@@ -630,7 +648,7 @@ object Similarity {
     // as v4 with exact in-list scoring → v4's recall bound.
     "v16_ann_array_pruned" -> ((s, d) => {
       val e = emb(s, d)
-      recallCheck(annArrayTopK(s, e, 10)._1, bruteTopK(e), bound = 0.5)
+      recallCheck(annArrayTopK(s, d, e, 10)._1, bruteTopK(e), bound = 0.5)
     }),
 
     // IVF-PQ composition (FAISS IVFPQ — the production 100 TB ANN):

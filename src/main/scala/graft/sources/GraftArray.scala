@@ -63,15 +63,21 @@ object GraftArray {
     * (dims are the coordinate key [ha_mytile.cc:3166–3171]). Returns
     * the fragment timestamp (time-travel handle). */
   def write(spark: SparkSession, uri: String, df: DataFrame,
-      origin: Option[String] = None): Long =
-    writeFragment(spark, uri, df, origin, None, Nil)
+      origin: Option[String] = None,
+      /** Explicit file/partition count for the clustered layout —
+        * preferred over the `spark.graft.write.partitions` conf when a
+        * caller needs a specific granularity (session-conf mutation is
+        * a read-modify-write race under concurrent query building). */
+      partitions: Option[Int] = None): Long =
+    writeFragment(spark, uri, df, origin, None, Nil, partitions)
 
   /** Full write path; `commitTs`/`replaces` are consolidation's hooks
     * (commit the merged fragment at the originals' max timestamp so
     * the time-travel axis is preserved). */
   private[graft] def writeFragment(spark: SparkSession, uri: String,
       df: DataFrame, origin: Option[String],
-      commitTs: Option[Long], replaces: Seq[String]): Long = {
+      commitTs: Option[Long], replaces: Seq[String],
+      partitions: Option[Int] = None): Long = {
     val st = store(spark, uri)
     val schema = st.loadSchema()
     require(!schema.encrypted, "encrypted arrays write through the DSv2 " +
@@ -167,7 +173,7 @@ object GraftArray {
       // id and mix buckets per task), rows sorted by dims within. The
       // file written by task i is bucket i, recorded in the manifest.
       case Some(n) => bucketByDim0(schema, strGuarded, n)
-      case None => clusterByCellOrder(schema, strGuarded)
+      case None => clusterByCellOrder(schema, strGuarded, partitions)
     }
     val observed =
       if (numeric.isEmpty) clustered
@@ -315,14 +321,15 @@ object GraftArray {
     * Hilbert curve [t/hilbert.test; TileDB's Hilbert order is n-D] —
     * 2-D keeps the rot-and-fold kernel, d-D uses the Skilling
     * transpose with bits = min(20, 63/d); UNORDERED writes as-is. */
-  private def clusterByCellOrder(schema: ArraySchema, df: DataFrame): DataFrame = {
+  private def clusterByCellOrder(schema: ArraySchema, df: DataFrame,
+      partitions: Option[Int] = None): DataFrame = {
     val dims = schema.dims
     // explicit partition count — AQE would otherwise coalesce the range
     // shuffle and collapse the per-file MBR granularity. Settable via
     // spark.graft.write.partitions (skips the extra physical-plan
     // conversion df.rdd costs); defaults to the input's partitioning.
-    def parts: Int = df.sparkSession.conf
-      .getOption("spark.graft.write.partitions").map(_.toInt)
+    def parts: Int = partitions.orElse(df.sparkSession.conf
+      .getOption("spark.graft.write.partitions").map(_.toInt))
       .getOrElse(math.max(df.rdd.getNumPartitions, 1))
     schema.cellOrder match {
       case "UNORDERED" => df

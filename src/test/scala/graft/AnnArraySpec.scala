@@ -11,7 +11,7 @@ class AnnArraySpec extends SparkSpec {
 
   test("v16 probe predicate prunes files; results match in-memory routing") {
     val e = Tables.load(spark, sf, "embeddings")
-    val (topk, uri) = operators.Similarity.annArrayTopK(spark, e, 10)
+    val (topk, uri) = operators.Similarity.annArrayTopK(spark, sf, e, 10)
     val rows = topk.collect()
     assert(rows.length == 50, s"expected 5 queries x 10: ${rows.length}")
 

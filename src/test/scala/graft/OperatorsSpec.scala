@@ -51,7 +51,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("v3/v4/v6 driver queries self-assert recall_ok for all 5 queries") {
     for (name <- Seq("v3_ann_lsh", "v4_ann_ivf", "v6_ann_sq8", "v9_ann_pq",
-        "v15_ann_ivfpq")) {
+        "v15_ann_ivfpq", "v16_ann_array_pruned")) {
       val rows = operators.Similarity.queries(name)(spark, sf).collect()
       assert(rows.map(_.getLong(0)).toSeq == (0L to 4L),
         s"$name query_ids wrong: ${rows.mkString(",")}")

@@ -438,12 +438,41 @@ object Pipeline {
     // plan exists to avoid); both reduce to identical integer
     // comparisons, so the equivalence is exact.
     "x17_token_budget" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val dd = docs(s, d).select(col("doc_id"),
           round(qualityScore(col("text")), 4).as("quality"),
           tokenCount(col("text")).cast("long").as("n_tokens"))
         .localCheckpoint() // feeds budget, levels AND the final union
       val budget = dd.agg(sum(col("n_tokens"))).head().getLong(0) * 3 / 10
+      tokenBudgetSelect(dd, budget)
+    }),
+
+    // Quality-curriculum ordering: clean-first training order — docs
+    // band into 4 stages by the t2 quality score (fixed thresholds,
+    // per-row, shuffle-free — NOT ntile, whose global sort funnels the
+    // corpus through one ordering at 100 TB), and the training order
+    // within a stage is the x7-style deterministic md5 shuffle key.
+    // (stage, ord) IS the curriculum: a writer range-partitions on it
+    // and readers stream stages in order. Band thresholds compare the
+    // 4dp-ROUNDED score so both engines agree on every edge case.
+    "x14_curriculum" -> ((s, d) => {
+      val q = round(qualityScore(col("text")), 4)
+      val stage = when(q >= 0.7, 0L).when(q >= 0.6, 1L)
+        .when(q >= 0.5, 2L).otherwise(3L)
+      val ord = md5(concat(lit("cur:"), col("doc_id").cast("string")))
+      docs(s, d).select(col("doc_id"), q.as("quality"),
+        stage.as("stage"), ord.as("ord"))
+        .orderBy("stage", "ord")
+    })
+  )
+
+  /** x17's selection core over a prepared (doc_id, quality,
+    * n_tokens) frame — extracted so specs can drive adversarial
+    * corpora (saturated single-level quality, multi-shard boundary
+    * levels, zero budgets) that the fixed test corpus never produces.
+    * See the x17 query comment for the level/boundary design. */
+  private[graft] def tokenBudgetSelect(dd: DataFrame, budget: Long)
+      : DataFrame = {
+
       val lvc = dd.groupBy("quality").agg(sum(col("n_tokens")).as("m"))
         .withColumn("cum", sum(col("m")).over(Window
           .orderBy(col("quality").desc)
@@ -493,26 +522,7 @@ object Pipeline {
       }
       marked.select(col("doc_id"), col("quality"), col("n_tokens"),
         col("kept")).orderBy("doc_id")
-    }),
-
-    // Quality-curriculum ordering: clean-first training order — docs
-    // band into 4 stages by the t2 quality score (fixed thresholds,
-    // per-row, shuffle-free — NOT ntile, whose global sort funnels the
-    // corpus through one ordering at 100 TB), and the training order
-    // within a stage is the x7-style deterministic md5 shuffle key.
-    // (stage, ord) IS the curriculum: a writer range-partitions on it
-    // and readers stream stages in order. Band thresholds compare the
-    // 4dp-ROUNDED score so both engines agree on every edge case.
-    "x14_curriculum" -> ((s, d) => {
-      val q = round(qualityScore(col("text")), 4)
-      val stage = when(q >= 0.7, 0L).when(q >= 0.6, 1L)
-        .when(q >= 0.5, 2L).otherwise(3L)
-      val ord = md5(concat(lit("cur:"), col("doc_id").cast("string")))
-      docs(s, d).select(col("doc_id"), q.as("quality"),
-        stage.as("stage"), ord.as("ord"))
-        .orderBy("stage", "ord")
-    })
-  )
+  }
 
   /** x11's body over an arbitrary (doc_id, text) frame — eval set =
     * doc_id < 20, corpus = the rest (the x6 convention). See the query

@@ -25,6 +25,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x17 core: saturated level + multi-shard boundary == cumsum replay") {
+    import spark.implicits._
+    def replay(rows: Seq[(Long, Double, Long)], b: Long): Map[Long, Boolean] = {
+      var cum = 0L
+      rows.sortBy(r => (-r._2, r._1)).map { case (id, _, t) =>
+        cum += t; id -> (cum <= b)
+      }.toMap
+    }
+    def run(rows: Seq[(Long, Double, Long)], b: Long): Map[Long, Boolean] =
+      operators.Pipeline.tokenBudgetSelect(
+        rows.toDF("doc_id", "quality", "n_tokens"), b)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+
+    // 30k docs across 4 doc_id shards, ALL one quality level — the
+    // boundary is the whole corpus and the sharded two-level prefix
+    // must stitch shard offsets exactly (the fixed corpus never
+    // crosses a shard: ids 0..499)
+    val flat = (0L until 30000L).map(i => (i, 0.5, i % 7 + 1))
+    val half = flat.map(_._3).sum / 2
+    assert(run(flat, half) == replay(flat, half))
+    // boundary inside the SECOND of two levels, still multi-shard
+    val two = (0L until 30000L).map(i =>
+      (i, if (i % 3 == 0) 0.9 else 0.5, i % 7 + 1))
+    val b2 = (two.map(_._3).sum * 2) / 3
+    assert(run(two, b2) == replay(two, b2))
+    // degenerate budgets: zero (nothing fits) and total (None branch)
+    assert(run(flat.take(100), 0L).values.forall(!_))
+    val total = flat.take(100).map(_._3).sum
+    assert(run(flat.take(100), total).values.forall(identity))
+    assert(run(flat.take(100), total - 1) == replay(flat.take(100), total - 1))
+  }
+
   test("x4 cluster split never separates a near-dup pair") {
     val out = operators.Pipeline.queries("x4_cluster_split")(spark, sf)
       .cache()

@@ -218,18 +218,25 @@ object Dedup {
     // corpora (AQE broadcasts it) but corpus-sized on a degenerate
     // all-duplicate corpus (AQE shuffles it).
     val cand = rk.join(hotKeys, "rk").select("doc_id", "pos")
-    // TIER 2 — exact md5 verify on candidates only: re-slice the
-    // window text (candidates join back to the checkpointed token
-    // table; row width here is candidate-bound, not corpus-bound) and
-    // require the EXACT window to occur >= 2 times. 64-bit collisions
-    // from tier 1 die here, so the published result is bit-identical
-    // to the single-tier md5 pipeline and to the DuckDB oracle.
-    val wins = cand
+    // TIER 2 — exact md5 verify on candidates only: candidates group
+    // per doc FIRST, so the checkpointed token array joins into ONE
+    // row per candidate-bearing doc (joining per-position would carry
+    // the whole array in every candidate row — O(doc²) bytes on an
+    // adversarial all-duplicate corpus where every position is a
+    // candidate); the window md5s then compute inside the array
+    // context and explode as 32-byte rows. Requiring the EXACT window
+    // to occur >= 2 times kills tier-1's 64-bit collisions, so the
+    // published result is bit-identical to the single-tier md5
+    // pipeline and to the DuckDB oracle.
+    val wins = cand.groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("ps"))
       .join(toks.select(col("doc_id"), col("toks")), "doc_id")
-      .select(col("doc_id"), col("pos"),
-        md5(array_join(
-          slice(col("toks"), (col("pos") + 1).cast("int"), lit(L)), " "))
-          .as("wh"))
+      .select(col("doc_id"), explode(transform(col("ps"),
+        p => struct(p.as("pos"),
+          md5(array_join(
+            slice(col("toks"), (p + 1).cast("int"), lit(L)), " "))
+            .as("wh")))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
     val dup = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("wh")
     // per-doc duplicated starts, sorted; interval union via a single

@@ -315,11 +315,15 @@ object TextOps {
     // imports. Per-row JVM replicas of the Column builders; the
     // md5-derived ones replay in DuckDB identically.
     "t6_sql_functions" -> ((s, d) => {
-      val cat = "gfn" + java.lang.Long.toHexString(
-        java.util.concurrent.ThreadLocalRandom.current().nextLong())
-      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        graft.core.TempDirs.fresh("graft_fncat"))
+      // ONE catalog name per session (the arr29 discipline): bench
+      // iterates this query, and a fresh random catalog each call
+      // accumulated a conf entry + temp view + warehouse per run
+      val cat = "gfn6"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          graft.core.TempDirs.fresh("graft_fncat"))
+      }
       val v = s"docs_$cat"
       docs(s, d).createOrReplaceTempView(v)
       s.sql(

@@ -612,11 +612,7 @@ object ArrayOps {
       // run leaked a conf entry, a temp view and a table copy per
       // iteration. DROP + re-CREATE makes each run self-contained.
       val cat = "gis29"
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          graft.core.TempDirs.fresh("graft_insq"))
-      }
+      graft.sources.GraftCatalogs.ensure(s, cat, "graft_insq")
       Tables.load(s, d, "supplier").createOrReplaceTempView(s"src_$cat")
       s.sql(s"DROP TABLE IF EXISTS $cat.sup")
       s.sql(s"""CREATE TABLE $cat.sup (s_suppkey BIGINT, s_name STRING,

@@ -237,6 +237,13 @@ object Dedup {
             slice(col("toks"), (p + 1).cast("int"), lit(L)), " "))
             .as("wh")))).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+      // referenced by dup AND perDoc — materialize so the md5 work
+      // runs once (the x13 rule); candidate-sized, tiny on clean
+      // corpora. Tier-1's rk is ALSO read twice but deliberately NOT
+      // checkpointed: it is corpus-token-sized and its recompute (one
+      // codegen kernel pass over the already-checkpointed toks) is
+      // cheaper than materializing a row per corpus token.
+      .localCheckpoint()
     val dup = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("wh")
     // per-doc duplicated starts, sorted; interval union via a single

@@ -469,7 +469,12 @@ object Pipeline {
     * n_tokens) frame — extracted so specs can drive adversarial
     * corpora (saturated single-level quality, multi-shard boundary
     * levels, zero budgets) that the fixed test corpus never produces.
-    * See the x17 query comment for the level/boundary design. */
+    * See the x17 query comment for the level/boundary design.
+    *
+    * Precondition: `quality` must be NON-NULL and non-NaN (the x17
+    * caller's `round(qualityScore, 4)` guarantees both) — a null
+    * quality would fall into neither the boundary nor the
+    * complement branch and silently vanish from the output. */
   private[graft] def tokenBudgetSelect(dd: DataFrame, budget: Long)
       : DataFrame = {
 

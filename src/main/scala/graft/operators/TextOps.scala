@@ -315,16 +315,17 @@ object TextOps {
     // imports. Per-row JVM replicas of the Column builders; the
     // md5-derived ones replay in DuckDB identically.
     "t6_sql_functions" -> ((s, d) => {
-      // ONE catalog name per session (the arr29 discipline): bench
-      // iterates this query, and a fresh random catalog each call
-      // accumulated a conf entry + temp view + warehouse per run
+      // ONE catalog per session (shared GraftCatalogs.ensure — bench
+      // iteration must not accumulate a conf entry + warehouse per
+      // run). The view name is keyed by DATASET so concurrent t6
+      // calls on different sf dirs cannot swap each other's corpus
+      // (same-dataset replacements are idempotent); views accumulate
+      // one per dataset, not one per call.
       val cat = "gfn6"
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-          graft.core.TempDirs.fresh("graft_fncat"))
-      }
-      val v = s"docs_$cat"
+      graft.sources.GraftCatalogs.ensure(s, cat, "graft_fncat")
+      val v = s"docs_${cat}_" + java.security.MessageDigest
+        .getInstance("MD5").digest(d.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
       docs(s, d).createOrReplaceTempView(v)
       s.sql(
         s"""SELECT doc_id,

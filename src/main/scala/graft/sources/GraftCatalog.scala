@@ -403,3 +403,21 @@ class MetadataTable(spark: SparkSession, uri: String, ident: String)
 
 case class MetaPartition(kv: Seq[(String, String)])
   extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Session-catalog helpers shared by the driver queries that expose a
+  * graft catalog under a FIXED name (arr29's `gis29`, t6's `gfn6`):
+  * registration is memoized per session and SYNCHRONIZED — the naive
+  * check-then-set on session conf is a race that can orphan a
+  * warehouse dir under concurrent query construction. */
+object GraftCatalogs {
+  def ensure(s: org.apache.spark.sql.SparkSession, name: String,
+      warehousePrefix: String): Unit = synchronized {
+    if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$name.warehouse",
+        graft.core.TempDirs.fresh(warehousePrefix))
+      // the catalog impl key is set LAST: a concurrent reader that
+      // sees the catalog registered also sees its warehouse
+      s.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    }
+  }
+}

@@ -38,7 +38,7 @@ class PipelineSpec extends SparkSpec {
         rows.toDF("doc_id", "quality", "n_tokens"), b)
         .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
 
-    // 30k docs across 4 doc_id shards, ALL one quality level — the
+    // 30k docs across 3 doc_id shards (0/1/2), ALL one quality level — the
     // boundary is the whole corpus and the sharded two-level prefix
     // must stitch shard offsets exactly (the fixed corpus never
     // crosses a shard: ids 0..499)

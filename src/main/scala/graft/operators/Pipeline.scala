@@ -446,6 +446,34 @@ object Pipeline {
       tokenBudgetSelect(dd, budget)
     }),
 
+    // Dataset card (per-source corpus report) — the standard release
+    // table every corpus ships: per source, doc/token counts, mean
+    // quality, language coverage, and the exact-duplicate share.
+    // Scale shape: ONE pass computes the per-doc features
+    // (fingerprint, tokens, quality — all per-row codegen), the
+    // corpus-wide fingerprint counts are a hash aggregation with
+    // map-side partials joined back UNHINTED, and the report is a
+    // per-source aggregation — no sort, no window, nothing
+    // driver-side. The per-doc feature frame is checkpointed once so
+    // fingerprints aren't computed for both the count and join sides
+    // (the x13 rule).
+    "x18_dataset_card" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+          col("lang"), fingerprint(col("text")).as("fp"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(qualityScore(col("text")), 4).as("q"))
+        .localCheckpoint()
+      val fpc = base.groupBy("fp").agg(count(lit(1)).as("nfp"))
+      base.join(fpc, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(avg(col("q")), 4).as("avg_quality"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .orderBy("source")
+    }),
+
     // Quality-curriculum ordering: clean-first training order — docs
     // band into 4 stages by the t2 quality score (fixed thresholds,
     // per-row, shuffle-free — NOT ntile, whose global sort funnels the
@@ -942,6 +970,37 @@ object Pipeline {
        FROM ch JOIN df USING (fp) GROUP BY doc_id ORDER BY doc_id""",
     // x14: t2's quality formula (4dp-rounded), fixed band thresholds
     // on the rounded score, md5 intra-stage order key
+    // x18: same per-doc features (d1's fingerprint, t1's tokens, t2's
+    // 4dp quality), same dup rule, per-source rollup; avg of
+    // 4dp-grid qualities rounds at 4dp (the a-family precedent)
+    "x18_dataset_card" -> {
+      val stops = graft.functions.TextFunctions.StopWords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (SELECT doc_id, source, lang,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             len(string_split_regex(trim(text), '\\s+'))::bigint
+               AS n_tokens,
+             round(0.4 * least(
+                 len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+               + 0.3 * least(
+                 len([t for t in string_split_regex(trim(lower(text)), '\\s+')
+                      if t IN ($stops)])::double
+                   / greatest(len(string_split_regex(trim(text), '\\s+'))::double,
+                       1.0) * 4.0, 1.0)
+               + 0.3 * (1.0 - least(
+                 (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::double
+                   / greatest(len(string_split_regex(trim(text), '\\s+'))::double,
+                       1.0), 1.0)), 4) AS q
+             FROM documents),
+         c AS (SELECT fp, count(*) AS nfp FROM f GROUP BY fp)
+       SELECT source, count(*) AS n_docs,
+         sum(n_tokens)::bigint AS n_tokens,
+         round(avg(q), 4) AS avg_quality,
+         count(DISTINCT lang) AS n_langs,
+         sum(CASE WHEN nfp > 1 THEN 1 ELSE 0 END)::bigint AS n_dup_docs
+       FROM f JOIN c USING (fp) GROUP BY source ORDER BY source"""
+    },
+
     // x17: the selection rule replayed as the corpus-wide window
     // cumsum in (quality desc, doc_id) order — budget = 30% of total
     // tokens with matching integer floor division; kept is a pure

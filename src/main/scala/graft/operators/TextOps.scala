@@ -434,6 +434,30 @@ object TextOps {
     // inner loop's scale shape. (Tokens are short, so the per-token
     // substr lambda is O(len²) on ~6-char strings — trivial; the d9
     // O(n_chars²) trap applies to DOCUMENT-length strings.)
+    // Corpus vocabulary statistics — the tokenizer-design /
+    // Heaps-law report: vocabulary size, hapax count and fraction
+    // (the long-tail mass that decides vocab truncation), total
+    // tokens, max term frequency. One token-keyed hash aggregation
+    // with map-side partials, then a single-row rollup — integers
+    // except the two published ratios, which divide integer-valued
+    // doubles (deterministic) and round only at publication.
+    "t22_vocab_stats" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      counts.agg(
+        count(lit(1)).as("vocab_size"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("c")).as("max_freq"))
+        .select(col("vocab_size"), col("n_tokens"), col("n_hapax"),
+          col("max_freq"),
+          round(col("n_hapax").cast("double") /
+            col("vocab_size").cast("double"), 6).as("hapax_frac"),
+          round(col("n_tokens").cast("double") /
+            col("vocab_size").cast("double"), 4).as("mean_freq"))
+    }),
+
     // Per-document TF-IDF keyword extraction (top-3 terms): the
     // classic corpus-indexing / topic-tagging primitive. Scale shape:
     // tf aggregates once on (doc, term) keys; the df table is
@@ -999,6 +1023,19 @@ object TextOps {
                        AS t FROM documents)
                WHERE len(t) >= 2)
          GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+    // t22: pure integer aggregation + two integer-ratio divisions
+    "t22_vocab_stats" ->
+      """WITH c AS (SELECT tok, count(*)::bigint AS c
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents) GROUP BY tok)
+       SELECT count(*)::bigint AS vocab_size,
+         sum(c)::bigint AS n_tokens,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::bigint AS n_hapax,
+         max(c)::bigint AS max_freq,
+         round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::double
+           / count(*)::double, 6) AS hapax_frac,
+         round(sum(c)::double / count(*)::double, 4) AS mean_freq
+       FROM c""",
     // t21: same tf/df/N integers, same single ln + multiply on raw
     // doubles, same (score desc, term asc) tie-break; round only the
     // published score (always >= +0.0 — no signed-zero exposure)

@@ -446,6 +446,38 @@ object Pipeline {
       tokenBudgetSelect(dd, budget)
     }),
 
+    // Filter-attribution funnel ("why was this doc dropped") — the
+    // lineage table curation teams actually ship: each corpus doc
+    // annotated with every x8-pipeline rule it trips (exact-dup
+    // non-survivor, quality < 0.5, eval contamination, Gopher rules)
+    // plus the flag count and the final keep verdict. Pure
+    // COMPOSITION: each rule is the registered operator's own body
+    // (d1's fingerprint survivorship, t2's quality, x6's shingle
+    // rule, t18's keep), joined on doc_id — four linear passes, no
+    // new machinery, and the oracle rebuilds the same four rules.
+    "x19_filter_funnel" -> ((s, d) => {
+      val dd = docs(s, d)
+      val fp = dd.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val surv = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val dup = fp.join(surv, "fp")
+        .select(col("doc_id"),
+          (col("doc_id") =!= col("keep_id")).as("dup_exact"))
+      val lowq = dd.select(col("doc_id"),
+        (round(qualityScore(col("text")), 4) < 0.5).as("low_quality"))
+      val contam = queries("x6_decontaminate")(s, d)
+        .select(col("doc_id"), col("contaminated"))
+      val gopher = TextOps.queries("t18_gopher_rules")(s, d)
+        .select(col("doc_id"), (!col("keep")).as("gopher_fail"))
+      dd.filter(col("doc_id") >= 20).select("doc_id")
+        .join(dup, "doc_id").join(lowq, "doc_id")
+        .join(contam, "doc_id").join(gopher, "doc_id")
+        .withColumn("n_flags",
+          col("dup_exact").cast("long") + col("low_quality").cast("long") +
+            col("contaminated").cast("long") + col("gopher_fail").cast("long"))
+        .withColumn("kept", col("n_flags") === 0L)
+        .orderBy("doc_id")
+    }),
+
     // Dataset card (per-source corpus report) — the standard release
     // table every corpus ships: per source, doc/token counts, mean
     // quality, language coverage, and the exact-duplicate share.
@@ -970,6 +1002,69 @@ object Pipeline {
        FROM ch JOIN df USING (fp) GROUP BY doc_id ORDER BY doc_id""",
     // x14: t2's quality formula (4dp-rounded), fixed band thresholds
     // on the rounded score, md5 intra-stage order key
+    // x19: the four standalone rules rebuilt verbatim (d1 fingerprint
+    // survivorship, t2 quality, x6 shingle rule, t18 keep), joined
+    "x19_filter_funnel" -> {
+      val stops = graft.functions.TextFunctions.StopWords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH fpk AS (SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+           FROM documents),
+         keepers AS (SELECT f, min(doc_id) AS keep_id FROM fpk GROUP BY f),
+         q AS (SELECT doc_id,
+             round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
+                   * 4.0, 1.0)
+               + 0.3 * (1.0 - least(n_punct::double /
+                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
+             FROM (SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
+                    if t IN ($stops)]) AS n_stop,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS n_punct
+               FROM documents)),
+         sh AS (${Dedup.shingleSql}),
+         ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+         cont AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20) c
+             JOIN ev USING (s)),
+         g AS (SELECT doc_id,
+             (len(toks) BETWEEN 50 AND 100000
+              AND n_chars2::double / len(toks) BETWEEN 3 AND 10
+              AND len([t for t in toks
+                  if regexp_matches(t, '[A-Za-z]')])::double / len(toks)
+                >= 0.8
+              AND n_hash::double / len(toks) <= 0.1
+              AND len(list_intersect(
+                  list_distinct([lower(t) for t in toks]),
+                  ['the','be','to','of','and','that','have','with'])) >= 2)
+               AS keep
+           FROM (SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               length(regexp_replace(text, '[ \t\n\r\f]', '', 'g'))
+                 AS n_chars2,
+               length(text) - length(replace(text, '#', '')) AS n_hash
+             FROM documents)),
+         flags AS (SELECT d.doc_id,
+             (d.doc_id <> k.keep_id) AS dup_exact,
+             (q.quality < 0.5) AS low_quality,
+             (d.doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
+             NOT g.keep AS gopher_fail
+           FROM fpk d JOIN keepers k ON d.f = k.f
+           JOIN q ON q.doc_id = d.doc_id
+           JOIN g ON g.doc_id = d.doc_id
+           WHERE d.doc_id >= 20)
+       SELECT doc_id, dup_exact, low_quality, contaminated, gopher_fail,
+         (CASE WHEN dup_exact THEN 1 ELSE 0 END
+          + CASE WHEN low_quality THEN 1 ELSE 0 END
+          + CASE WHEN contaminated THEN 1 ELSE 0 END
+          + CASE WHEN gopher_fail THEN 1 ELSE 0 END)::bigint AS n_flags,
+         (NOT dup_exact AND NOT low_quality AND NOT contaminated
+          AND NOT gopher_fail) AS kept
+       FROM flags ORDER BY doc_id"""
+    },
+
     // x18: same per-doc features (d1's fingerprint, t1's tokens, t2's
     // 4dp quality), same dup rule, per-source rollup; avg of
     // 4dp-grid qualities rounds at 4dp (the a-family precedent)

@@ -551,6 +551,38 @@ object ArrayOps {
 
     // S13: CSV ingestion — documents → csv file → array → scan
     // (LOAD DATA INFILE analog, t/csv.test).
+    // x14's curriculum made PHYSICAL (round 9): the (stage, ord)
+    // training order stored in an array whose LEADING dimension is
+    // the quality stage, so "stream stage 0 first" is a pushed dim
+    // predicate served by file pruning — the reader touches only the
+    // stage-0 files, which is how a curriculum feeder actually runs
+    // at 100 TB (the v16 pattern applied to the text side). Write
+    // partitions pinned so stages land in separate files at any
+    // corpus size; the oracle recomputes stage 0 relationally.
+    "arr30_curriculum_store" -> ((s, d) => {
+      val uri = freshUri("curr")
+      val q = round(graft.functions.TextFunctions.qualityScore(col("text")), 4)
+      val stage = when(q >= 0.7, 0L).when(q >= 0.6, 1L)
+        .when(q >= 0.5, 2L).otherwise(3L)
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("stage", LongType),
+          DimensionSpec("doc_id", LongType)),
+        Seq(AttributeSpec("quality", DoubleType),
+          AttributeSpec("n_tokens", LongType),
+          AttributeSpec("text", StringType)))
+      GraftArray.create(s, uri, sch)
+      GraftArray.write(s, uri, Tables.load(s, d, "documents")
+        .select(stage.as("stage"), col("doc_id"), q.as("quality"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          col("text")),
+        partitions = Some(8))
+      s.read.format("graftarray").option("path", uri).load()
+        .filter(col("stage") === 0L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "arr9_csv_ingest" -> ((s, d) => {
       val csvDir = freshUri("csv").stripSuffix("/arr") + "/docs_csv"
       val docs = Tables.load(s, d, "documents")
@@ -1046,6 +1078,27 @@ object ArrayOps {
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
          FROM supplier WHERE s_nationkey >= 10 AND s_suppkey % 2 = 0
          ORDER BY s_suppkey""",
+    // arr30: the t2/x14 quality+stage rules recomputed relationally —
+    // stage 0 is quality >= 0.7 on the 4dp-rounded score
+    "arr30_curriculum_store" -> {
+      val stops = graft.functions.TextFunctions.StopWords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (SELECT doc_id, n_tokens::bigint AS n_tokens,
+             round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
+                   * 4.0, 1.0)
+               + 0.3 * (1.0 - least(n_punct::double /
+                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
+             FROM (SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
+                    if t IN ($stops)]) AS n_stop,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS n_punct
+               FROM documents))
+       SELECT doc_id, quality, n_tokens FROM q
+       WHERE quality >= 0.7 ORDER BY doc_id"""
+    },
     "arr10_embedding_store" ->
       """SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
          SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -554,11 +554,14 @@ object ArrayOps {
     // x14's curriculum made PHYSICAL (round 9): the (stage, ord)
     // training order stored in an array whose LEADING dimension is
     // the quality stage, so "stream stage 0 first" is a pushed dim
-    // predicate served by file pruning — the reader touches only the
-    // stage-0 files, which is how a curriculum feeder actually runs
-    // at 100 TB (the v16 pattern applied to the text side). Write
-    // partitions pinned so stages land in separate files at any
-    // corpus size; the oracle recomputes stage 0 relationally.
+    // predicate served by file pruning (the v16 pattern applied to
+    // the text side). Precision of the claim: the clustered write
+    // RANGE-partitions on (stage, doc_id), so each of the P files
+    // covers a contiguous stage range — at most P−1 boundary files
+    // straddle two stages, and the stage-0 read prunes to the files
+    // whose stage MBR covers 0 (within one boundary file of optimal,
+    // at ANY corpus size). The oracle recomputes stage 0
+    // relationally.
     "arr30_curriculum_store" -> ((s, d) => {
       val uri = freshUri("curr")
       val q = round(graft.functions.TextFunctions.qualityScore(col("text")), 4)
@@ -1081,21 +1084,7 @@ object ArrayOps {
     // arr30: the t2/x14 quality+stage rules recomputed relationally —
     // stage 0 is quality >= 0.7 on the 4dp-rounded score
     "arr30_curriculum_store" -> {
-      val stops = graft.functions.TextFunctions.StopWords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH q AS (SELECT doc_id, n_tokens::bigint AS n_tokens,
-             round(0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
-                   * 4.0, 1.0)
-               + 0.3 * (1.0 - least(n_punct::double /
-                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
-             FROM (SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
-                    if t IN ($stops)]) AS n_stop,
-               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                 AS n_punct
-               FROM documents))
+      s"""WITH q AS (${graft.operators.TextOps.qualitySql})
        SELECT doc_id, quality, n_tokens FROM q
        WHERE quality >= 0.7 ORDER BY doc_id"""
     },

@@ -458,6 +458,7 @@ object Pipeline {
     "x19_filter_funnel" -> ((s, d) => {
       val dd = docs(s, d)
       val fp = dd.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .localCheckpoint() // read by the survivor agg AND the join back
       val surv = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
       val dup = fp.join(surv, "fp")
         .select(col("doc_id"),
@@ -496,11 +497,18 @@ object Pipeline {
           round(qualityScore(col("text")), 4).as("q"))
         .localCheckpoint()
       val fpc = base.groupBy("fp").agg(count(lit(1)).as("nfp"))
+      // avg_quality via an INTEGER mean: quality sits on the 1e-4
+      // grid, so round(q*10000) is an exact per-doc integer and the
+      // published mean is one division of exact integers — immune to
+      // partition-order float-summation drift (avg of grid doubles
+      // then round(.,4) is the recorded "never round intermediates"
+      // parity trap: the mean can land on a half-way point)
       base.join(fpc, "fp")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
-          round(avg(col("q")), 4).as("avg_quality"),
+          round(sum(round(col("q") * 10000).cast("long")).cast("double") /
+            (count(lit(1)) * 10000), 4).as("avg_quality"),
           countDistinct(col("lang")).as("n_langs"),
           sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
         .orderBy("source")
@@ -823,19 +831,7 @@ object Pipeline {
              SELECT doc_id,
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
              FROM documents) GROUP BY f),
-         q AS (SELECT doc_id FROM (
-             SELECT doc_id, round(0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
-                   * 4.0, 1.0)
-               + 0.3 * (1.0 - least(n_punct::double /
-                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
-             FROM (SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
-                    if t IN ($stops)]) AS n_stop,
-               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                 AS n_punct
-               FROM documents))
+         q AS (SELECT doc_id FROM (${TextOps.qualitySql})
            WHERE quality >= 0.5),
          sh AS (${Dedup.shingleSql}),
          ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
@@ -1005,25 +1001,12 @@ object Pipeline {
     // x19: the four standalone rules rebuilt verbatim (d1 fingerprint
     // survivorship, t2 quality, x6 shingle rule, t18 keep), joined
     "x19_filter_funnel" -> {
-      val stops = graft.functions.TextFunctions.StopWords
-        .map(w => s"'$w'").mkString(", ")
       s"""WITH fpk AS (SELECT doc_id,
              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
            FROM documents),
          keepers AS (SELECT f, min(doc_id) AS keep_id FROM fpk GROUP BY f),
-         q AS (SELECT doc_id,
-             round(0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
-                   * 4.0, 1.0)
-               + 0.3 * (1.0 - least(n_punct::double /
-                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
-             FROM (SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
-                    if t IN ($stops)]) AS n_stop,
-               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                 AS n_punct
-               FROM documents)),
+         q AS (SELECT doc_id, quality
+           FROM (${TextOps.qualitySql})),
          sh AS (${Dedup.shingleSql}),
          ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
          cont AS (SELECT DISTINCT doc_id FROM
@@ -1069,28 +1052,16 @@ object Pipeline {
     // 4dp quality), same dup rule, per-source rollup; avg of
     // 4dp-grid qualities rounds at 4dp (the a-family precedent)
     "x18_dataset_card" -> {
-      val stops = graft.functions.TextFunctions.StopWords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH f AS (SELECT doc_id, source, lang,
-             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
-             len(string_split_regex(trim(text), '\\s+'))::bigint
-               AS n_tokens,
-             round(0.4 * least(
-                 len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
-               + 0.3 * least(
-                 len([t for t in string_split_regex(trim(lower(text)), '\\s+')
-                      if t IN ($stops)])::double
-                   / greatest(len(string_split_regex(trim(text), '\\s+'))::double,
-                       1.0) * 4.0, 1.0)
-               + 0.3 * (1.0 - least(
-                 (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::double
-                   / greatest(len(string_split_regex(trim(text), '\\s+'))::double,
-                       1.0), 1.0)), 4) AS q
-             FROM documents),
+      s"""WITH qs AS (${TextOps.qualitySql}),
+         f AS (SELECT d.doc_id, d.source, d.lang,
+             md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS fp,
+             qs.n_tokens,
+             CAST(round(qs.quality * 10000) AS BIGINT) AS qi
+           FROM documents d JOIN qs USING (doc_id)),
          c AS (SELECT fp, count(*) AS nfp FROM f GROUP BY fp)
        SELECT source, count(*) AS n_docs,
          sum(n_tokens)::bigint AS n_tokens,
-         round(avg(q), 4) AS avg_quality,
+         round(sum(qi)::double / (count(*) * 10000), 4) AS avg_quality,
          count(DISTINCT lang) AS n_langs,
          sum(CASE WHEN nfp > 1 THEN 1 ELSE 0 END)::bigint AS n_dup_docs
        FROM f JOIN c USING (fp) GROUP BY source ORDER BY source"""
@@ -1101,21 +1072,7 @@ object Pipeline {
     // tokens with matching integer floor division; kept is a pure
     // integer comparison, so threshold-selection ≡ cumsum exactly
     "x17_token_budget" -> {
-      val stops = graft.functions.TextFunctions.StopWords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH q AS (SELECT doc_id, n_tokens::bigint AS n_tokens,
-             round(0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
-                   * 4.0, 1.0)
-               + 0.3 * (1.0 - least(n_punct::double /
-                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
-             FROM (SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
-                    if t IN ($stops)]) AS n_stop,
-               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                 AS n_punct
-               FROM documents)),
+      s"""WITH q AS (${TextOps.qualitySql}),
          b AS (SELECT (sum(n_tokens) * 3) // 10 AS bud FROM q),
          w AS (SELECT doc_id, quality, n_tokens,
              sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
@@ -1125,21 +1082,8 @@ object Pipeline {
     },
 
     "x14_curriculum" -> {
-      val stops = graft.functions.TextFunctions.StopWords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH q AS (SELECT doc_id,
-             round(0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
-                   * 4.0, 1.0)
-               + 0.3 * (1.0 - least(n_punct::double /
-                   greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
-             FROM (SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-               len([t for t in string_split_regex(trim(lower(text)), '\\s+')
-                    if t IN ($stops)]) AS n_stop,
-               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                 AS n_punct
-               FROM documents))
+      s"""WITH q AS (SELECT doc_id, quality
+           FROM (${TextOps.qualitySql}))
        SELECT doc_id, quality,
          (CASE WHEN quality >= 0.7 THEN 0 WHEN quality >= 0.6 THEN 1
                WHEN quality >= 0.5 THEN 2 ELSE 3 END)::bigint AS stage,

@@ -34,6 +34,30 @@ object TextOps {
       t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
         lit(dim.toLong)))
 
+  /** Shared DuckDB replica of t2's 4dp quality score — ONE definition
+    * interpolated by every oracle that needs it (t2/x8/x14/x17/x18/
+    * x19/arr30 previously carried byte-for-byte copies that had to
+    * stay in sync with [[graft.functions.TextFunctions.qualityScore]]
+    * independently — the `Dedup.shingleSql` discipline). Yields a
+    * subquery of (doc_id, n_tokens BIGINT, quality DOUBLE 4dp). */
+  private[operators] lazy val qualitySql: String = {
+    val stops = graft.functions.TextFunctions.StopWords
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tokens::bigint AS n_tokens,
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * least(n_stop::double / greatest(n_tokens::double, 1.0)
+               * 4.0, 1.0)
+           + 0.3 * (1.0 - least(n_punct::double /
+               greatest(n_tokens::double, 1.0), 1.0)), 4) AS quality
+       FROM (SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len([t for t in string_split_regex(trim(lower(text)), '\\s+')
+              if t IN ($stops)]) AS n_stop,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS n_punct
+         FROM documents)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish subword tokens.
     "t1_token_count" -> ((s, d) =>

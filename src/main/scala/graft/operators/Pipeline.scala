@@ -530,6 +530,49 @@ object Pipeline {
       docs(s, d).select(col("doc_id"), q.as("quality"),
         stage.as("stage"), ord.as("ord"))
         .orderBy("stage", "ord")
+    }),
+
+    // Weighted priority sampling WITHOUT replacement (Efraimidis–
+    // Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    // per-source k=10 sample where a doc's inclusion odds scale with
+    // its length — the principled upgrade of x10's uniform cap for
+    // size-biased curation (sampling bytes, not documents). Key
+    // k_i = u^(1/w) selected via the equivalent log key ln(u)/w (top-k
+    // by key desc ≡ largest u^(1/w); one ln + one IEEE-exact divide —
+    // no pow, whose libm implementations disagree across engines).
+    // u is exact by construction: a 52-bit md5 prefix + 0.5, divided
+    // by 2^52 (both steps exact in double), so the only cross-engine
+    // surface is ln itself — the t8/t13-proven parity. Scale shape =
+    // x10's: the k-bounded TopKByScore heap makes a mega-source cost
+    // each map task O(k), and the exchange moves k-sized states, never
+    // the source's rows. Deterministic: the sample replays
+    // bit-identically at any cluster size and is stable under corpus
+    // growth (a kept doc is evicted only by a genuinely higher-key
+    // arrival in its source).
+    "x20_priority_sample" -> ((s, d) => {
+      val u = (conv(substring(md5(concat(lit("pri:"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double") +
+        lit(0.5)) / lit(4503599627370496.0) // 2^52
+      val key = log(u) / greatest(col("n_chars"), lit(1L)).cast("double")
+      val dd = docs(s, d)
+      dd.select(col("source"), col("doc_id"), key.as("k"))
+        .groupBy("source")
+        .agg(graft.functions.expressions.TopK
+          .topKByScore(col("k"), col("doc_id"), 10).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        // ranking/eviction used the RAW key; only the published copy
+        // is rounded (the t8/x16 convention — Spark StrictMath.log and
+        // DuckDB libm log differ by ~1 ulp, and 10 dp is far above
+        // ulp noise while keys are irrational, i.e. never grid-tied)
+        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+          col("t.id").as("doc_id"),
+          round(col("t.score"), 10).as("pri_key"))
+        // n_chars re-joined AFTER selection: the heap state stays
+        // (score, id) pairs; the join side is ≤ k·|sources| rows
+        .join(dd.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("source"), col("rk"), col("doc_id"),
+          col("n_chars"), col("pri_key"))
+        .orderBy("source", "rk")
     })
   )
 
@@ -1089,6 +1132,23 @@ object Pipeline {
                WHEN quality >= 0.5 THEN 2 ELSE 3 END)::bigint AS stage,
          md5('cur:' || doc_id::varchar) AS ord
        FROM q ORDER BY stage, ord"""
-    }
+    },
+
+    // x20: the window replay of the bounded-heap ES selection — same
+    // exact u (52-bit md5 prefix + 0.5 over 2^52), same ln(u)/w key,
+    // rank by (key desc, doc_id)
+    "x20_priority_sample" ->
+      """WITH k AS (SELECT source, doc_id, n_chars,
+           ln((('0x' || substr(md5('pri:' || doc_id::VARCHAR), 1, 13))::BIGINT
+               + 0.5) / 4503599627370496.0)
+             / greatest(n_chars, 1) AS pri_key
+         FROM documents)
+       SELECT source, rk, doc_id, n_chars,
+         round(pri_key, 10) + 0.0 AS pri_key FROM (
+         SELECT source, doc_id, n_chars, pri_key,
+           row_number() OVER (PARTITION BY source
+             ORDER BY pri_key DESC, doc_id) AS rk
+         FROM k)
+       WHERE rk <= 10 ORDER BY source, rk"""
   )
 }

@@ -549,4 +549,39 @@ class PipelineSpec extends SparkSpec {
     assert(keys == keys.sorted, "not in (stage, ord) order")
     assert(keys.map(_._1).distinct.size > 1, "degenerate single stage")
   }
+
+  test("x20 priority sample: ES window replay, size-biased, heap plan") {
+    val out = SparkEntry.queries("x20_priority_sample")(spark, sf)
+    // window replay of the same ln(u)/w key (the oracle's shape)
+    val u = (conv(substring(md5(concat(lit("pri:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double") +
+      lit(0.5)) / lit(4503599627370496.0)
+    val key = log(u) / greatest(col("n_chars"), lit(1L)).cast("double")
+    val want = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), key.as("k"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("k").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = out.collect()
+    assert(got.nonEmpty &&
+      got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        want.toSeq)
+    // the whole point of WEIGHTED sampling: the sample is size-biased —
+    // its mean length exceeds the corpus mean (deterministic for the
+    // fixed corpus; u^(1/w) inclusion odds grow with w)
+    val sampleMean = got.map(_.getLong(3)).sum.toDouble / got.length
+    val corpusMean = Tables.load(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample not size-biased: $sampleMean <= $corpusMean")
+    // published plan selects with the bounded heap, not a window —
+    // a mega-source costs each map task O(k), never a single reducer
+    val plan = out.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }

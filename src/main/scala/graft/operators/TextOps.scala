@@ -566,6 +566,43 @@ object TextOps {
         round(alphaFrac, 4).as("alpha_frac"),
         nStop.as("n_stopset"), keep.as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // Readability scoring (Flesch reading ease + Flesch–Kincaid grade,
+    // the classic length-complexity quality signals): word / sentence /
+    // syllable counts → the published formulas. Syllables are the
+    // standard vowel-group heuristic (runs of [aeiouy] in the
+    // lowercased text). The synthetic corpus carries no sentence
+    // punctuation, so the query grafts a deterministic sentence
+    // skeleton (the t10/t20 fixture pattern): a period lands after
+    // every g-th token with g = 5 + doc_id % 7 — sentence DETECTION
+    // (the regex count) demonstrably fires and its result is
+    // independently checkable as ⌈n/g⌉-style arithmetic (spec). All
+    // counts are integers and the formulas are multiply/divide/
+    // subtract only — IEEE-exact in both engines, so the scores
+    // publish RAW (no libm anywhere in the chain). Pure per-row
+    // codegen expressions: scan speed, shuffle-free, the only
+    // exchange is the output ORDER BY.
+    "t23_readability" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val g = (pmod(col("doc_id"), lit(7L)) + 5L).cast("int")
+      // indexed transform, NOT zip_with(sequence(1, n)): sequence(1, 0)
+      // DESCENDS on an empty token array (the x12 trap)
+      val sent = concat_ws(" ", transform(toks,
+        (t, i) => when(pmod(i + 1, g) === 0, concat(t, lit("."))).otherwise(t)))
+      val nW = greatest(size(toks).cast("long"), lit(1L))
+      val nS = greatest(regexp_count(sent, lit("[.!?]+")).cast("long"),
+        lit(1L))
+      val nY = greatest(
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long"),
+        lit(1L))
+      val wps = nW.cast("double") / nS.cast("double")
+      val spw = nY.cast("double") / nW.cast("double")
+      docs(s, d).select(col("doc_id"), nW.as("n_words"),
+        nS.as("n_sentences"), nY.as("n_syllables"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+        (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1104,6 +1141,30 @@ object TextOps {
           AND alpha_frac >= 0.8
           AND sym_ratio <= 0.1
           AND n_stopset >= 2) AS keep
-       FROM m ORDER BY doc_id"""
+       FROM m ORDER BY doc_id""",
+    // t23: identical graft (period after every g-th token,
+    // g = 5 + doc_id % 7), identical regex counts, identical
+    // multiply/divide/subtract order — raw-double parity holds by
+    // IEEE determinism (no libm in the chain)
+    "t23_readability" ->
+      """WITH b AS (SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             (5 + doc_id % 7) AS g
+           FROM documents),
+         c AS (SELECT doc_id,
+             greatest(len(toks), 1)::bigint AS n_words,
+             greatest(len(regexp_extract_all(array_to_string(
+               [CASE WHEN i % g = 0 THEN toks[i] || '.' ELSE toks[i] END
+                for i in range(1, len(toks) + 1)], ' '),
+               '[.!?]+')), 1)::bigint AS n_sentences,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+               1)::bigint AS n_syllables
+           FROM b)
+       SELECT doc_id, n_words, n_sentences, n_syllables,
+         206.835 - 1.015 * (n_words::double / n_sentences)
+           - 84.6 * (n_syllables::double / n_words) AS flesch,
+         0.39 * (n_words::double / n_sentences)
+           + 11.8 * (n_syllables::double / n_words) - 15.59 AS fk_grade
+       FROM c ORDER BY doc_id"""
   )
 }

@@ -550,6 +550,36 @@ class PipelineSpec extends SparkSpec {
     assert(keys.map(_._1).distinct.size > 1, "degenerate single stage")
   }
 
+  test("t23 readability: sentence graft arithmetic + formula replay") {
+    val rows = SparkEntry.queries("t23_readability")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the grafted period lands after every g-th token, so the regex
+    // sentence count must equal max(floor(n_words / g), 1) — proves
+    // the detection actually fired on the skeleton
+    rows.foreach { r =>
+      val (id, nW, nS, nY) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val g = 5 + id % 7
+      assert(nS == math.max(nW / g, 1L),
+        s"doc $id: n_sentences $nS != max($nW / $g, 1)")
+      val wps = nW.toDouble / nS
+      val spw = nY.toDouble / nW
+      assert(r.getDouble(4) == 206.835 - 1.015 * wps - 84.6 * spw)
+      assert(r.getDouble(5) == 0.39 * wps + 11.8 * spw - 15.59)
+    }
+    // hand-checked syllable groups on an injected doc
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t23").toString
+    Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val one = graft.operators.TextOps.queries("t23_readability")(spark, dir)
+      .collect()(0)
+    // vowel groups: e, a, a, o, a, a → 6; 6 words; 1 sentence (n < g)
+    assert((one.getLong(1), one.getLong(2), one.getLong(3)) == ((6L, 1L, 6L)))
+  }
+
   test("x20 priority sample: ES window replay, size-biased, heap plan") {
     val out = SparkEntry.queries("x20_priority_sample")(spark, sf)
     // window replay of the same ln(u)/w key (the oracle's shape)

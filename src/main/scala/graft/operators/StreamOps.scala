@@ -109,6 +109,14 @@ object StreamOps {
       EventPipeline.runStreamingAppendWindows(s, d)
         .orderBy("win_start_us", "event_type")),
 
+    // Per-window distinct users: the MULTI-STATEFUL append chain
+    // (windowed (win, user) pre-agg → windowed user count, one
+    // watermark, both operators' state watermark-evicted) + the HLL
+    // sketch twin whose bounded-error agreement is published per
+    // window. Oracle = the batch COUNT(DISTINCT) replay.
+    "st11_stream_distinct" -> ((s, d) =>
+      EventPipeline.runStreamingDistinctUsers(s, d)),
+
     // NATIVE streaming session windows (session_window + watermark,
     // append mode, watermark-flush sentinel): state = open sessions
     // only, evicted as the watermark passes each session's end. The
@@ -205,6 +213,14 @@ object StreamOps {
     "st4_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // st11: append mode changes when windows emit, never their
+    // values — the batch distinct replay is the oracle; approx_ok is
+    // the published HLL-agreement invariant (true at any corpus whose
+    // per-window cardinality keeps HLL± inside 15%)
+    "st11_stream_distinct" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+         count(DISTINCT user_id) AS n_users, true AS approx_ok
+         FROM events GROUP BY 1 ORDER BY win_start_us""",
     "st5_stream_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
            FROM events WHERE event_type = 'click'),

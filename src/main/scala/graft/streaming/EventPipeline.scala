@@ -571,6 +571,88 @@ object EventPipeline {
     * COUNT(DISTINCT) (which is why the correctness harness uses it),
     * but state is unbounded: on an endless stream prefer
     * [[runStreamingDedupBounded]]. */
+  /** Per-window DISTINCT-user counting as a MULTI-STATEFUL append
+    * chain (Spark's multiple-stateful-operator support): windowed
+    * (window, user) pre-aggregation → windowed count of users, both
+    * under ONE watermark. State contract at 100 TB: op1 holds one row
+    * per (open window × active user) and op2 one row per open window,
+    * BOTH watermark-evicted — versus the tempting
+    * `dropDuplicates(user, win)` chain, whose dedup keys carry no
+    * event-time column, so its state never evicts (st4 documents that
+    * shape; it is fine keyed by the static type dimension, fatal keyed
+    * by time). The chained aggregation re-windows op1's output via
+    * `window_time` (the documented chained-agg idiom), so watermark
+    * propagation closes both operators in the same drain.
+    *
+    * A sketch TWIN (approx_count_distinct, complete mode) runs beside
+    * the exact chain and the published row asserts bounded-error
+    * agreement per window: HLL± state is O(sketch bytes) per window
+    * regardless of user cardinality — the state shape to prefer when
+    * even (windows × users) rows is too much store. Published columns
+    * are the exact counts (oracle-replayable) + the agreement flag.
+    */
+  def runStreamingDistinctUsers(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val name = "graft_dusers_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val hourUs = 3600L * 1000000
+      // st10's sentinel shape: hour-aligned, negative ids, its own
+      // window never watermark-passed (trap 2 — no sentinel filter)
+      val staged = drainSessions(work, path, 2 * hourUs, "st11") {
+        (ev, tsUs, i) =>
+          val aligned = tsUs / hourUs * hourUs + (i - 1) * 60L * 1000000
+          ev.limit(1).select(
+            lit(-i.toLong).as("event_id"),
+            timestamp_micros(lit(aligned)).as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+      }
+      val stagedSchema = work.read.parquet(s"$staged/batch0").schema
+      def src() = work.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+      val q = src()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(window(window_time(col("window")), "1 hour"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n_users"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val exact = work.table(name)
+      val q2 = src()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n_approx"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name + "a").start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      // inner join drops the sentinel window the complete-mode twin
+      // necessarily carries (complete output is never watermark-cut)
+      // band = max(±2, 15%): HLL's error is RELATIVE, so a tiny
+      // window (n = 5) legitimately lands ±1 off — a pure 15% band
+      // flakes exactly there (observed: 4 of 720 windows at the
+      // default rsd 0.05; rsd 0.01 above buys the margin back —
+      // sketch state is still O(KB) per window)
+      exact.join(work.table(name + "a"), "win_start_us")
+        .select(col("win_start_us"), col("n_users"),
+          (abs(col("n_approx") - col("n_users")).cast("double") <=
+            greatest(lit(2.0), lit(0.15) * col("n_users")))
+            .as("approx_ok"))
+        .orderBy("win_start_us")
+    }
+  }
+
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")

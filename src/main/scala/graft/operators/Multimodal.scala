@@ -114,6 +114,41 @@ object Multimodal {
       }
   }
 
+  /** (doc_id, 60-bit average-hash) of a media payload. */
+  case class MediaHash(doc_id: Long, ahash: Long)
+
+  /** STUB perceptual hash — stands in for decode + downsample + pHash
+    * of a real image: 60 stride-sampled payload bytes act as the
+    * downsampled pixels, and the hash is the standard AVERAGE HASH
+    * (bit i = pixel i above the sample mean). The mean compare is
+    * kept integer (`px*60 > sum`) so both engines agree on every
+    * edge case without a division in sight. 60 bits (not 64) for the
+    * same reason as hash60: always positive in a signed long, and
+    * string/integer representations agree everywhere. Deterministic,
+    * partition-parallel, shuffle-free; a real deployment swaps the
+    * byte sampling for codec decode + 8×8 luma downsample, the hash
+    * rule and everything downstream stay. */
+  def imageHash(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val body = bytes.drop(8)
+        val n = body.length
+        val px = new Array[Long](60)
+        var s = 0L
+        var i = 0
+        while (i < 60) {
+          px(i) = body((i.toLong * n / 60).toInt) & 0xffL
+          s += px(i)
+          i += 1
+        }
+        var h = 0L
+        i = 0
+        while (i < 60) { if (px(i) * 60L > s) h |= 1L << i; i += 1 }
+        MediaHash(id, h)
+      })
+  }
+
   /** Frame sampling stub: every `stride`-th 16-byte block of the payload
     * as a "frame" (video analog; keeps the explode-shaped plumbing). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
@@ -178,7 +213,45 @@ object Multimodal {
         .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
           col("n_samples").cast("long").as("n_samples"),
           round(col("rms"), 4).as("rms"))
-        .orderBy("doc_id", "win_idx"))
+        .orderBy("doc_id", "win_idx")),
+
+    // Image near-duplicate detection (the image-dedup step of a
+    // multimodal pipeline): stub-codec average hash per payload, then
+    //  - identical hashes collapse to (head, member, dist=0) rows —
+    //    LINEAR in group size (the d-family (gid, member) lesson: a
+    //    mega-cluster of byte-identical images must not emit O(n²)
+    //    pairs);
+    //  - DISTINCT hashes (one representative head each) pair through
+    //    a 10-band × 6-bit LSH self-join, exactly the d3/d4 banding:
+    //    dist ≤ 6 < 10 bands pigeonholes at least one exact band, so
+    //    recall is GUARANTEED, and candidates are band collisions
+    //    only — never all pairs.
+    "m6_image_neardup" -> ((s, d) => {
+      val hs = imageHash(s, fakeMedia(Tables.load(s, d, "documents")))
+        .toDF().localCheckpoint() // 1 row/doc; feeds groups AND bands
+      val heads = hs.groupBy("ahash").agg(min("doc_id").as("head"))
+      val dup0 = hs.join(heads, "ahash")
+        .filter(col("doc_id") =!= col("head"))
+        .select(col("head").as("i"), col("doc_id").as("j"),
+          lit(0L).as("dist"))
+      val bands = heads.select(col("head"), col("ahash"),
+        posexplode(expr(
+          "transform(sequence(0, 9), b -> int(shiftright(ahash, b * 6) & 63))"))
+          .as(Seq("band", "bv")))
+      val near = bands
+        .select(col("band"), col("bv"), col("head").as("i"),
+          col("ahash").as("ha"))
+        .join(bands.select(col("band"), col("bv"), col("head").as("j"),
+          col("ahash").as("hb")), Seq("band", "bv"))
+        .filter(col("i") < col("j"))
+        .select("i", "j", "ha", "hb").distinct()
+        .withColumn("dist", expr("bigint(bit_count(ha ^ hb))"))
+        // dist 0 across DISTINCT hashes is impossible; ≥1 keeps the
+        // two output families disjoint by construction
+        .filter(col("dist") >= 1 && col("dist") <= 6)
+        .select("i", "j", "dist")
+      dup0.unionByName(near).orderBy("i", "j")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +304,32 @@ object Multimodal {
          FROM (SELECT doc_id, text,
              unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS w
            FROM documents)
-         ORDER BY doc_id, win_idx"""
+         ORDER BY doc_id, win_idx""",
+    // m6: same 60 stride-sampled bytes (payload offset i·n/60 =
+    // 1-based text position i·n//60 + 1 on the ASCII corpus), same
+    // integer px·60 > sum bit rule, exact O(n²) hamming replay of the
+    // banded join (the banding only prunes candidates; dist ≤ 6 < 10
+    // bands guarantees recall, so the outputs are identical)
+    "m6_image_neardup" ->
+      """WITH b AS (SELECT doc_id, text,
+             octet_length(text::blob) AS n FROM documents),
+         p AS (SELECT doc_id,
+             [ascii(substr(text, (i * n // 60 + 1)::int, 1))::bigint
+              for i in range(0, 60)] AS px
+           FROM b),
+         hh AS (SELECT doc_id,
+             list_sum([CASE WHEN px[i + 1] * 60 > list_sum(px)
+                 THEN (1::bigint << i::int) ELSE 0::bigint END
+               for i in range(0, 60)])::bigint AS ahash
+           FROM p),
+         g AS (SELECT ahash, min(doc_id) AS head FROM hh GROUP BY ahash),
+         d0 AS (SELECT g.head AS i, hh.doc_id AS j, 0::bigint AS dist
+           FROM hh JOIN g USING (ahash) WHERE hh.doc_id <> g.head),
+         nr AS (SELECT a.head AS i, b.head AS j,
+             bit_count(xor(a.ahash, b.ahash))::bigint AS dist
+           FROM g a JOIN g b ON a.head < b.head
+           WHERE bit_count(xor(a.ahash, b.ahash)) BETWEEN 1 AND 6)
+       SELECT i, j, dist FROM d0
+       UNION ALL SELECT i, j, dist FROM nr ORDER BY i, j"""
   )
 }

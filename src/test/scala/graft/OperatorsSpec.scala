@@ -374,6 +374,49 @@ class OperatorsSpec extends SparkSpec {
       (2L, 0, 64, 64.0), (2L, 1, 64, 64.0)), s"windows: $got")
   }
 
+  test("m6 image near-dup: injected fixtures hit every output family") {
+    import spark.implicits._
+    // 60-char texts → the 60 sampled "pixels" are exactly the chars.
+    // base: 30×'a' + 30×'z' (bit = char > mean ≈ 109.5 → the z-half);
+    // dup: byte-identical; near: 3 a→z flips (dist 3, mean barely
+    // moves); far: inverted pattern (dist ≈ 60)
+    val base = "a" * 30 + "z" * 30
+    val near = "zzz" + "a" * 27 + "z" * 30
+    val far = "z" * 30 + "a" * 30
+    val dir = java.nio.file.Files.createTempDirectory("m6").toString
+    Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Multimodal.queries("m6_image_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (1,2,0): identical-hash member row; (1,3,3): banded near pair
+    // (heads only — 2 is represented by 1); (·,4): dist ≈ 60, dropped
+    assert(got == Seq((1L, 2L, 0L), (1L, 3L, 3L)), s"pairs: $got")
+    // pure-Scala brute-force replay of the hash rule + O(n²) hamming:
+    // banding must lose nothing at dist ≤ 6 (10 bands pigeonhole)
+    def ahash(t: String): Long = {
+      val px = (0 until 60).map(i => t.charAt(i * t.length / 60).toLong)
+      val s = px.sum
+      px.zipWithIndex.foldLeft(0L) { case (h, (p, i)) =>
+        if (p * 60L > s) h | (1L << i) else h
+      }
+    }
+    val docs = Seq(1L -> base, 2L -> base, 3L -> near, 4L -> far)
+    val heads = docs.groupBy(d => ahash(d._2))
+      .map { case (h, ds) => h -> ds.map(_._1).min }
+    val d0 = docs.filter(d => heads(ahash(d._2)) != d._1)
+      .map(d => (heads(ahash(d._2)), d._1, 0L))
+    val nr = heads.toSeq.combinations(2).map(_.sortBy(_._2)).collect {
+      case Seq((ha, i), (hb, j))
+          if java.lang.Long.bitCount(ha ^ hb) >= 1 &&
+            java.lang.Long.bitCount(ha ^ hb) <= 6 =>
+        (i, j, java.lang.Long.bitCount(ha ^ hb).toLong)
+    }.toSeq
+    assert(got == (d0 ++ nr).sortBy(p => (p._1, p._2)), "brute-force diff")
+  }
+
   test("simhash of identical text is identical; small edits stay near") {
     import spark.implicits._
     val df = Seq(

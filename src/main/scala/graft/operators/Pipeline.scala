@@ -549,6 +549,37 @@ object Pipeline {
     // bit-identically at any cluster size and is stable under corpus
     // growth (a kept doc is evicted only by a genuinely higher-key
     // arrival in its source).
+    // Quality-threshold sweep (curation tooling): keep-rate curves —
+    // for each candidate cutoff τ, how many docs/tokens survive
+    // `quality ≥ τ`. The operator a curator runs BEFORE committing to
+    // x17/x14's fixed thresholds. Scale shape = x17's level trick:
+    // aggregate once onto the 4dp quality grid (≤ 10⁴+1 level rows),
+    // then sweep thresholds over the LEVEL table (9 × 10⁴ tiny cross
+    // join) — never docs × thresholds. All published numbers are
+    // integers (thresholds as basis points, fraction as integer
+    // floor-division bp) — no rounding-mode surface at all.
+    "x21_threshold_sweep" -> ((s, d) => {
+      val lv = docs(s, d)
+        .select(round(qualityScore(col("text")), 4).as("q"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy("q")
+        .agg(count(lit(1)).as("nd"), sum("n_tokens").as("nt"))
+        .withColumn("qi", round(col("q") * 10000).cast("long"))
+      val taus = s.range(1).select(
+        explode(sequence(lit(3000L), lit(7000L), lit(500L))).as("tau_bp"))
+      val tot = lv.agg(sum("nd").as("td"))
+      lv.crossJoin(broadcast(taus))
+        .groupBy("tau_bp")
+        .agg(sum(when(col("qi") >= col("tau_bp"), col("nd"))
+          .otherwise(0L)).as("n_docs"),
+          sum(when(col("qi") >= col("tau_bp"), col("nt"))
+            .otherwise(0L)).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("tau_bp"), col("n_docs"), col("n_tokens"),
+          floor(col("n_docs") * 10000L / col("td")).as("frac_bp"))
+        .orderBy("tau_bp")
+    }),
+
     "x20_priority_sample" -> ((s, d) => {
       val u = (conv(substring(md5(concat(lit("pri:"),
         col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double") +
@@ -1133,6 +1164,22 @@ object Pipeline {
          md5('cur:' || doc_id::varchar) AS ord
        FROM q ORDER BY stage, ord"""
     },
+
+    // x21: per-doc replay (no level trick needed at oracle scale) —
+    // integer comparisons on the shared 4dp quality basis points
+    "x21_threshold_sweep" ->
+      s"""WITH q AS (SELECT doc_id,
+             CAST(round(quality * 10000) AS BIGINT) AS qi, n_tokens
+           FROM (${TextOps.qualitySql})),
+         tot AS (SELECT count(*) AS td FROM q),
+         t AS (SELECT unnest(range(3000, 7500, 500)) AS tau_bp)
+       SELECT tau_bp,
+         sum(CASE WHEN qi >= tau_bp THEN 1 ELSE 0 END)::bigint AS n_docs,
+         sum(CASE WHEN qi >= tau_bp THEN n_tokens ELSE 0 END)::bigint
+           AS n_tokens,
+         (sum(CASE WHEN qi >= tau_bp THEN 1 ELSE 0 END) * 10000 // td)
+           ::bigint AS frac_bp
+       FROM t, q, tot GROUP BY tau_bp, td ORDER BY tau_bp""",
 
     // x20: the window replay of the bounded-heap ES selection — same
     // exact u (52-bit md5 prefix + 0.5 over 2^52), same ln(u)/w key,

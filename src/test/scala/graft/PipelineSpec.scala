@@ -580,6 +580,30 @@ class PipelineSpec extends SparkSpec {
     assert((one.getLong(1), one.getLong(2), one.getLong(3)) == ((6L, 1L, 6L)))
   }
 
+  test("x21 threshold sweep: per-doc replay, monotone keep curves") {
+    val out = SparkEntry.queries("x21_threshold_sweep")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (3000L to 7000L by 500L).toSeq)
+    // keep curves are non-increasing in the threshold
+    assert(out.sliding(2).forall(p => p(0)._2 >= p(1)._2 &&
+      p(0)._3 >= p(1)._3), "non-monotone sweep")
+    // per-doc replay of one interior threshold (the level-table
+    // aggregation must equal the naive per-doc filter)
+    val q = Tables.load(spark, sf, "documents")
+      .select(round(graft.functions.TextFunctions
+        .qualityScore(col("text")), 4).as("q"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("t"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val tau = 0.5
+    val kept = q.filter(p => math.round(p._1 * 10000) >= tau * 10000)
+    val row = out.find(_._1 == 5000L).get
+    assert(row._2 == kept.length && row._3 == kept.map(_._2).sum,
+      s"sweep row $row != replay (${kept.length}, ${kept.map(_._2).sum})")
+    assert(row._4 == kept.length * 10000L / q.length)
+  }
+
   test("x20 priority sample: ES window replay, size-biased, heap plan") {
     val out = SparkEntry.queries("x20_priority_sample")(spark, sf)
     // window replay of the same ln(u)/w key (the oracle's shape)

@@ -586,6 +586,52 @@ object ArrayOps {
         .orderBy("doc_id")
     }),
 
+    // Snapshot diff (CDC between two time-travel reads): base commit,
+    // then an update commit + an insert commit + a dim-range DELETE
+    // tombstone; diff(asOf t1, asOf t2) classifies every key as
+    // added / updated / deleted (unchanged keys are excluded — CDC
+    // output is the CHANGE set, not the table). The diff is two
+    // pruned snapshot scans + ONE full-outer join keyed on the
+    // dimension — on a bucketed layout (`graft.buckets`) that join is
+    // shuffle-free (the j8 storage-partitioned path), so "what changed
+    // between yesterday and today" costs two scans and no corpus
+    // shuffle. Prices compare RAW (the ×2 update is IEEE-exact);
+    // only the published columns round.
+    "arr31_snapshot_diff" -> ((s, d) => {
+      val uri = freshUri("sdiff")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("o_orderkey", LongType)),
+        Seq(AttributeSpec("o_totalprice", DoubleType)))
+      GraftArray.create(s, uri, sch)
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val t1 = GraftArray.write(s, uri,
+        orders.filter(col("o_orderkey") <= 500L))
+      GraftArray.write(s, uri, orders.filter(col("o_orderkey") <= 200L)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      GraftArray.write(s, uri,
+        orders.filter(col("o_orderkey") > 500L && col("o_orderkey") <= 800L))
+      import graft.sources.v2.PredicateSupport
+      val t2 = GraftArray.commitTombstone(s, uri, PredicateSupport.AndP(
+        PredicateSupport.Cmp(">=", "o_orderkey", 100L),
+        PredicateSupport.Cmp("<=", "o_orderkey", 150L)))
+      def snap(ts: Long) = s.read.format("graftarray")
+        .option("path", uri).option("asOfTimestamp", ts.toString).load()
+      snap(t1).select(col("o_orderkey"), col("o_totalprice").as("v_old"))
+        .join(snap(t2).select(col("o_orderkey"),
+          col("o_totalprice").as("v_new")), Seq("o_orderkey"), "full_outer")
+        .withColumn("change",
+          when(col("v_old").isNull, "added")
+            .when(col("v_new").isNull, "deleted")
+            .when(col("v_old") =!= col("v_new"), "updated")
+            .otherwise("unchanged"))
+        .filter(col("change") =!= "unchanged")
+        .select(col("o_orderkey"), col("change"),
+          round(col("v_old"), 2).as("price_old"),
+          round(col("v_new"), 2).as("price_new"))
+        .orderBy("o_orderkey")
+    }),
+
     "arr9_csv_ingest" -> ((s, d) => {
       val csvDir = freshUri("csv").stripSuffix("/arr") + "/docs_csv"
       val docs = Tables.load(s, d, "documents")
@@ -1088,6 +1134,22 @@ object ArrayOps {
        SELECT doc_id, quality, n_tokens FROM q
        WHERE quality >= 0.7 ORDER BY doc_id"""
     },
+    // arr31: both snapshots replayed relationally — t1 = keys ≤ 500,
+    // t2 = keys ≤ 800 minus the [100,150] tombstone with the ×2
+    // update below 200; CDC classes from the same full outer join
+    "arr31_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+         t1 AS (SELECT k, p FROM o WHERE k <= 500),
+         t2 AS (SELECT k, CASE WHEN k <= 200 THEN p * 2 ELSE p END AS p
+           FROM o WHERE k <= 800 AND NOT (k BETWEEN 100 AND 150))
+       SELECT coalesce(t1.k, t2.k) AS o_orderkey,
+         CASE WHEN t1.k IS NULL THEN 'added'
+              WHEN t2.k IS NULL THEN 'deleted'
+              ELSE 'updated' END AS change,
+         round(t1.p, 2) AS price_old, round(t2.p, 2) AS price_new
+       FROM t1 FULL JOIN t2 ON t1.k = t2.k
+       WHERE t1.k IS NULL OR t2.k IS NULL OR t1.p <> t2.p
+       ORDER BY o_orderkey""",
     "arr10_embedding_store" ->
       """SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
          SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -374,6 +374,22 @@ class OperatorsSpec extends SparkSpec {
       (2L, 0, 64, 64.0), (2L, 1, 64, 64.0)), s"windows: $got")
   }
 
+  test("arr31 snapshot diff emits all three CDC classes, no unchanged") {
+    val rows = operators.ArrayOps.queries("arr31_snapshot_diff")(spark, sf)
+      .collect()
+    val classes = rows.map(_.getString(1)).toSet
+    assert(classes == Set("added", "updated", "deleted"), s"got $classes")
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "added" => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "deleted" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "updated" =>
+          assert(!r.isNullAt(2) && !r.isNullAt(3) &&
+            r.getDouble(2) != r.getDouble(3))
+      }
+    }
+  }
+
   test("m6 image near-dup: injected fixtures hit every output family") {
     import spark.implicits._
     // 60-char texts → the 60 sampled "pixels" are exactly the chars.

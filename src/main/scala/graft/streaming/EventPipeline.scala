@@ -628,7 +628,13 @@ object EventPipeline {
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
       val exact = work.table(name)
-      val q2 = src()
+      // the sketch twin is COMPLETE mode — no append emission, so no
+      // sentinels: it reads the raw corpus file (one micro-batch, not
+      // the 3-batch drain staging), a third of the exact chain's cost
+      val rawSchema = work.read.parquet(path).schema
+      val q2 = work.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .transform(graft.Tables.normalizeTs)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))

@@ -300,6 +300,16 @@ object Similarity {
   private[graft] def annArrayTopK(s: SparkSession, d: String,
       e: DataFrame, k: Int): (DataFrame, String) = {
     val (uri, centroids) = annArrayBuild(s, d, e)
+    (annArrayProbeScore(s, uri, centroids, e, k), uri)
+  }
+
+  /** The v16/v17 query path over an ALREADY-BUILT index array: probe
+    * lists from the driver-side centroid table become a literal IN
+    * predicate on the leading dimension (pushed → file pruning), exact
+    * cosine inside the probed lists only. */
+  private[graft] def annArrayProbeScore(s: SparkSession, uri: String,
+      centroids: Array[Array[Float]], e: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
     val arr = s.read.format("graftarray").option("path", uri).load()
     // per-query probe lists from the driver-side centroid table
     // (kilobytes): the probe set becomes a LITERAL IN predicate on
@@ -314,7 +324,7 @@ object Similarity {
         val dot = c.indices.foldLeft(0.0)((a, i) =>
           a + c(i).toDouble * qv(i).toDouble)
         (ci, dot)
-      }.sortBy { case (ci, dot) => (-dot, ci) }.take(2).map(_._1)
+      }.sortBy { case (ci, dot) => (-dot, ci) }.take(nprobe).map(_._1)
       arr.filter(col("cluster").isin(probes.map(Integer.valueOf): _*) &&
           col("vec_id") =!= qid)
         .select(lit(qid).as("query_id"), col("vec_id"),
@@ -325,7 +335,50 @@ object Similarity {
       .getOrElse(s.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("vec_id"),
           lit(0.0).as("cos")))
-    (topkSelect(scored, k), uri)
+    topkSelect(scored, k)
+  }
+
+  /** v17's incrementally-maintained index: centroids fit on the BASE
+    * half only (even vec_ids), then frozen; the increment (odd
+    * vec_ids) is routed by one codegen argmax pass against the frozen
+    * centroid table and APPENDED as a second fragment — no refit, no
+    * rewrite of the base fragment. Each fragment's files are
+    * internally (cluster, vec_id)-clustered, so probe-predicate file
+    * pruning keeps working per fragment. Memoized like annArrayCache:
+    * index maintenance is a build step, not a per-query cost. */
+  private val annIncrCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Array[Array[Float]])]()
+  private[graft] def annArrayIncrBuild(s: SparkSession, d: String,
+      e: DataFrame): (String, Array[Array[Float]]) = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    annIncrCache.computeIfAbsent(s"$d|${f.length}:${f.lastModified}", _ => {
+      val base = e.filter(col("vec_id") % 2 === 0)
+      val (assignedBase, centroids) = Ivf.fit(base, k = 16, iters = 3)
+      val uri = graft.core.TempDirs.fresh("graft_annincr") + "/arr"
+      graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
+        graft.core.ArrayKind.Sparse,
+        Seq(graft.core.DimensionSpec("cluster",
+            org.apache.spark.sql.types.IntegerType),
+          graft.core.DimensionSpec("vec_id",
+            org.apache.spark.sql.types.LongType)),
+        Seq(graft.core.AttributeSpec("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)))))
+      def store(a: DataFrame): Unit =
+        graft.sources.GraftArray.write(s, uri, a.select(
+          col("cluster").cast("int").as("cluster"), col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")),
+          partitions = Some(16))
+      store(assignedBase)
+      // the INCREMENT: frozen-centroid assignment (argmax codegen,
+      // per-row, shuffle-free) + fragment append — the storage
+      // engine's native incremental commit IS the index maintenance
+      store(e.filter(col("vec_id") % 2 === 1).withColumn("cluster",
+        graft.functions.expressions.TopK.argMaxDot(
+          col("embedding"), centroids)))
+      (uri, centroids)
+    })
   }
 
   /** SQ8 scalar-quantized top-k: the corpus is scanned as int8 vectors
@@ -651,6 +704,27 @@ object Similarity {
       recallCheck(annArrayTopK(s, d, e, 10)._1, bruteTopK(e), bound = 0.5)
     }),
 
+    // INCREMENTAL index maintenance (the production question v16
+    // leaves open: what happens when tomorrow's vectors arrive?):
+    // centroids fit on the base half and FROZEN, the increment routed
+    // by one argmax pass and appended as a second fragment — no
+    // refit, no rewrite, probe pruning intact per fragment. Published
+    // as the recall check against exact brute force over the FULL
+    // corpus. The honest cost of half-fit (stale) centroids on this
+    // isotropic corpus is real: nprobe 2 measured below v16's 0.5
+    // recall for 3 of 5 queries, so v17 probes 6 of 16 lists
+    // (measured min recall 0.6 at sf0.01, 0.7 at sf0.1) — stale
+    // centroids are paid for in probe width (still a 2.7× scan
+    // prune), the standard IVF freshness/recall dial; under real
+    // distribution drift a production deployment re-fits
+    // periodically — this operator is the cheap between-refits path.
+    "v17_ann_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val (uri, centroids) = annArrayIncrBuild(s, d, e)
+      recallCheck(annArrayProbeScore(s, uri, centroids, e, 10, nprobe = 6),
+        bruteTopK(e), bound = 0.5)
+    }),
+
     // IVF-PQ composition (FAISS IVFPQ — the production 100 TB ANN):
     // routed scan pruning × compressed candidate scoring, exact
     // rerank. Approximate by design — published as the recall check;
@@ -877,6 +951,7 @@ object Similarity {
     "v9_ann_pq" -> recallOracle,
     "v15_ann_ivfpq" -> recallOracle,
     "v16_ann_array_pruned" -> recallOracle,
+    "v17_ann_incremental" -> recallOracle,
     // v11 publishes algorithm invariants (k-means objective strictly
     // improves over the k=1 baseline; assignment is total and
     // in-range) — constants like the recall oracles.

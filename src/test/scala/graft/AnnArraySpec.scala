@@ -50,4 +50,43 @@ class AnnArraySpec extends SparkSpec {
         s"cos mismatch for ($qid, $vid)")
     }
   }
+
+  test("v17 increment appends a second fragment; routing matches frozen-centroid argmax") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (uri, centroids) = operators.Similarity.annArrayIncrBuild(spark, sf, e)
+
+    // index maintenance is an APPEND: exactly two fragments (base fit +
+    // routed increment), the base fragment untouched by the increment
+    val frags = sources.GraftArray.store(spark, uri).listFragments()
+    assert(frags.size == 2, s"expected base+increment fragments: ${frags.size}")
+
+    val arr = spark.read.format("graftarray").option("path", uri).load()
+    assert(arr.count() == e.count(), "increment lost or duplicated rows")
+
+    // the increment half (odd vec_ids) must sit in the list its frozen-
+    // centroid argmax picks — replay the assignment directly
+    val assigned = arr.filter(col("vec_id") % 2 === 1)
+      .select("cluster", "vec_id", "embedding").collect()
+    assert(assigned.nonEmpty)
+    assigned.foreach { r =>
+      val (ci, vid, v) = (r.getInt(0), r.getLong(1), r.getSeq[Float](2))
+      val best = centroids.indices.maxBy { k =>
+        val c = centroids(k)
+        c.indices.foldLeft(0.0)((a, i) => a + c(i).toDouble * v(i).toDouble)
+      }
+      assert(ci == best, s"vec $vid routed to $ci, argmax says $best")
+    }
+
+    // probe-predicate pruning still holds with two fragments: each
+    // fragment is internally (cluster, vec_id)-clustered, so a
+    // one-cluster predicate scans fewer files than the array holds
+    val totalFiles = frags.map(_.files.size).sum
+    assert(totalFiles > 2, s"need multiple files per fragment: $totalFiles")
+    val one = arr.filter(col("cluster") === 0)
+    val parts = one.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions
+    }.flatten
+    assert(parts.size < totalFiles,
+      s"no pruning across fragments: ${parts.size} of $totalFiles files")
+  }
 }

@@ -72,6 +72,42 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Distributed Bloom filter over `keyed`'s `key` column. Sizing is
+    * ~16 bits/key (k = 4 → fpr ≈ (1−e^(−1/4))⁴ ≈ 0.2%) from metadata
+    * cardinality ([[corpusRows]] — no count job), next power of two,
+    * capped at 2²² bits (512 KiB of words): past the cap a deployment
+    * shards the filter by key range rather than growing one literal.
+    * The BUILD is a plain aggregation — k hash positions per key,
+    * bit-words via `bit_or`, so at most m/64 rows reach the driver
+    * regardless of corpus size. The returned probe closure tests all k
+    * positions against the word array carried as a literal (whole-stage
+    * codegen; no UDF). Guarantees: no false negatives (every inserted
+    * key probes positive — asserted in DedupSpec), false positives
+    * bounded by the sizing above. */
+  private[graft] def bloomOf(s: SparkSession, keyed: DataFrame, key: Column,
+      sizeFrom: DataFrame): (Array[Long], Column => Column) = {
+    val k = 4
+    val want = math.max(1L << 14, 16L * math.max(1L, corpusRows(sizeFrom)))
+    val m = math.min(1L << 22, java.lang.Long.highestOneBit(want * 2 - 1))
+    def pos(i: Int)(c: Column): Column = pmod(xxhash64(lit(i), c), lit(m))
+    val words = keyed
+      .select(explode(array((0 until k).map(i => pos(i)(key)): _*)).as("p"))
+      .select(expr("int(p div 64)").as("w"),
+        expr("shiftleft(1L, int(p % 64))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect() // ≤ m/64 rows — bounded by the FILTER size, not the corpus
+    val bits = new Array[Long](((m + 63) / 64).toInt)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val blit = typedLit(bits.toSeq)
+    val hits = (c: Column) => (0 until k).map { i =>
+      val p = pos(i)(c)
+      element_at(blit, floor(p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int")))
+        .=!=(lit(0L))
+    }.reduce(_ && _)
+    (bits, hits)
+  }
+
   /** (doc_id, shingle-hash) inverted index, distinct per doc. Shingles
     * are xxhash64'd before the join — an 8-byte shuffle key instead of
     * a ~30-byte string (collision odds over the corpus ≈ n²/2⁶⁴,
@@ -564,6 +600,39 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("keep_id")),
 
+    // Bloom-filter ADMISSION tier for incremental dedup — the state
+    // shape between arr26's exact anti-join (O(keys) shuffle) and
+    // st4's unbounded stream state: membership of the already-ingested
+    // base is compressed to O(bits). The filter is built DISTRIBUTED
+    // (hash positions → bit-words via bit_or aggregation, ≤ m/64 rows
+    // ever reach the driver — bounded by the filter size, never the
+    // corpus), then carried to the probe side as a literal array
+    // (kilobytes; a 100 TB deployment broadcasts or shards it by key
+    // range). Increment docs whose probe misses are DEFINITELY new and
+    // skip the verify join entirely; only bloom-positives (true dups +
+    // ~(1−e^(−k/16))^k ≈ 0.2% false positives) pay the join — so the
+    // exact join's left side shrinks from |increment| to |dups| + ε.
+    // Published is_dup flows THROUGH the gated path: a Bloom false
+    // negative would publish is_dup=false for a true duplicate and the
+    // exact-SQL oracle would catch it — the no-false-negative guarantee
+    // is what the hash comparison verifies.
+    "d11_bloom_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      val keyed = dd.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val base = keyed.filter(col("doc_id") % 3 =!= 0)
+      val inc = keyed.filter(col("doc_id") % 3 === 0)
+      val (blit, hits) = bloomOf(s, base, col("fp"), dd)
+      val probed = inc.withColumn("bloom_pos", hits(col("fp"))).localCheckpoint()
+      val verified = probed.filter(col("bloom_pos"))
+        .join(base.select("fp").distinct().withColumn("seen", lit(true)),
+          Seq("fp"), "left")
+        .select(col("doc_id"), coalesce(col("seen"), lit(false)).as("is_dup"))
+      val fresh = probed.filter(!col("bloom_pos"))
+        .select(col("doc_id"), lit(false).as("is_dup"))
+      blit // bits are embedded in `hits`; name kept for the spec surface
+      fresh.unionByName(verified).orderBy("doc_id")
+    }),
+
     // n-gram Jaccard near-dup pairs via shingle-join candidates, with
     // a document-frequency cap (1% of corpus, min 50) on candidate
     // generation. On this corpus the cap fires on zero shingles — the
@@ -783,6 +852,18 @@ object Dedup {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "d2_ngram_jaccard" -> exactJaccardSql(0.5),
     "d3_minhash_lsh" -> exactJaccardSql(0.8),
+    // d11: the oracle is the EXACT membership answer — a Bloom false
+    // negative on the Spark side would publish is_dup=false for a true
+    // duplicate and hash-mismatch here, so the comparison verifies the
+    // filter's no-false-negative guarantee, not just the join.
+    "d11_bloom_dedup" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents)
+         SELECT i.doc_id,
+           i.fp IN (SELECT fp FROM keyed WHERE doc_id % 3 <> 0) AS is_dup
+         FROM keyed i WHERE i.doc_id % 3 = 0 ORDER BY doc_id""",
     // d7: exact all-pairs directional containment (oracle-side O(n²)
     // is fine at sf0.01); shared counted over the same distinct
     // shingle sets, ONE division, round(6) on both engines

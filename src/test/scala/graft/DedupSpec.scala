@@ -397,4 +397,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)), s"short identical pair lost: $got")
   }
+
+  test("bloomOf: no false negatives, bounded false positives (d11)") {
+    val keys = (0L until 2000L).map(i => (i, s"key-$i")).toDF("id", "k")
+    val (bits, hits) = Dedup.bloomOf(spark, keys, col("k"), keys)
+    // every inserted key probes positive — the guarantee d11's gated
+    // is_dup path rests on
+    val misses = keys.filter(!hits(col("k"))).count()
+    assert(misses == 0L, s"$misses false negatives")
+    // disjoint probe set: fpr must sit near the ~0.2% design point
+    // (generous 2% bar — the property is boundedness, not the exact ε)
+    val other = (0L until 5000L).map(i => (i, s"other-$i")).toDF("id", "k")
+    val fp = other.filter(hits(col("k"))).count()
+    assert(fp <= 100L, s"false-positive count $fp of 5000 probes")
+    // build is bounded by the FILTER, not the corpus
+    assert(bits.length <= (1 << 22) / 64, s"word array ${bits.length}")
+  }
 }

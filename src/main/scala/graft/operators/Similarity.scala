@@ -381,6 +381,43 @@ object Similarity {
     })
   }
 
+  /** v18's index with a ROW-LEVEL DELETE applied: one range tombstone
+    * on the `vec_id` dimension masks [100, 300) from every read at or
+    * after the commit — manifest-only (no data I/O), exactly how a
+    * GDPR erasure or a recalled batch leaves a production vector
+    * index. The probe path needs NO changes: tombstone masking happens
+    * in the scan, underneath the pushed probe predicate, so pruning
+    * and deletion compose. Physical reclaim is arr18's
+    * consolidate+vacuum, deliberately decoupled. */
+  private val annDelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Array[Array[Float]])]()
+  private[graft] def annArrayDeleteBuild(s: SparkSession, d: String,
+      e: DataFrame): (String, Array[Array[Float]]) = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    annDelCache.computeIfAbsent(s"$d|${f.length}:${f.lastModified}", _ => {
+      val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
+      val uri = graft.core.TempDirs.fresh("graft_anndel") + "/arr"
+      graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
+        graft.core.ArrayKind.Sparse,
+        Seq(graft.core.DimensionSpec("cluster",
+            org.apache.spark.sql.types.IntegerType),
+          graft.core.DimensionSpec("vec_id",
+            org.apache.spark.sql.types.LongType)),
+        Seq(graft.core.AttributeSpec("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)))))
+      graft.sources.GraftArray.write(s, uri, assigned.select(
+        col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+        partitions = Some(16))
+      import graft.sources.v2.PredicateSupport.{AndP, Cmp}
+      graft.sources.GraftArray.commitTombstone(s, uri,
+        AndP(Cmp(">=", "vec_id", 100L), Cmp("<", "vec_id", 300L)))
+      (uri, centroids)
+    })
+  }
+
   /** SQ8 scalar-quantized top-k: the corpus is scanned as int8 vectors
     * (4× smaller than float32 — at 100 TB of embeddings that is the
     * difference between fitting the scan in page cache or not), scored
@@ -725,6 +762,28 @@ object Similarity {
         bruteTopK(e), bound = 0.5)
     }),
 
+    // DELETES against the index (the other half of maintenance): a
+    // range tombstone on vec_id masks [100, 300) at read time, the
+    // probe path unchanged — pruning and deletion compose in the scan.
+    // Published per query: recall vs exact brute force over the LIVE
+    // corpus, and the hard correctness bit — no deleted id may surface
+    // (a tombstone the probe path bypassed would flip no_deleted and
+    // hash-mismatch the constant oracle).
+    "v18_ann_delete" -> ((s, d) => {
+      val e = emb(s, d)
+      val live = e.filter(col("vec_id") < 100L || col("vec_id") >= 300L)
+      val (uri, centroids) = annArrayDeleteBuild(s, d, e)
+      val approx = annArrayProbeScore(s, uri, centroids, e, 10)
+        .localCheckpoint() // ≤ 50 rows, feeds both checks
+      val noDel = approx.groupBy("query_id")
+        .agg((sum(when(col("vec_id") >= 100L && col("vec_id") < 300L, 1)
+          .otherwise(0)) === 0).as("no_deleted"))
+      recallCheck(approx, bruteTopK(live), bound = 0.5)
+        .join(noDel, "query_id")
+        .select("query_id", "recall_ok", "no_deleted")
+        .orderBy("query_id")
+    }),
+
     // IVF-PQ composition (FAISS IVFPQ — the production 100 TB ANN):
     // routed scan pruning × compressed candidate scoring, exact
     // rerank. Approximate by design — published as the recall check;
@@ -952,6 +1011,10 @@ object Similarity {
     "v15_ann_ivfpq" -> recallOracle,
     "v16_ann_array_pruned" -> recallOracle,
     "v17_ann_incremental" -> recallOracle,
+    "v18_ann_delete" ->
+      """SELECT CAST(v AS BIGINT) AS query_id, true AS recall_ok,
+         true AS no_deleted
+         FROM (VALUES (0),(1),(2),(3),(4)) AS t(v) ORDER BY query_id""",
     // v11 publishes algorithm invariants (k-means objective strictly
     // improves over the k=1 baseline; assignment is total and
     // in-range) — constants like the recall oracles.

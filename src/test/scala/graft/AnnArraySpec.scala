@@ -89,4 +89,25 @@ class AnnArraySpec extends SparkSpec {
     assert(parts.size < totalFiles,
       s"no pruning across fragments: ${parts.size} of $totalFiles files")
   }
+
+  test("v18 tombstone masks the deleted range under probe pruning") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (uri, _) = operators.Similarity.annArrayDeleteBuild(spark, sf, e)
+    val arr = spark.read.format("graftarray").option("path", uri).load()
+
+    // the delete is a manifest-only mask: live count drops by exactly
+    // the tombstoned range, nothing else
+    val delCount = e.filter(col("vec_id") >= 100L && col("vec_id") < 300L)
+      .count()
+    assert(delCount > 0, "fixture range must delete something")
+    assert(arr.count() == e.count() - delCount, "masked count wrong")
+    assert(arr.filter(col("vec_id") >= 100L && col("vec_id") < 300L)
+      .count() == 0, "deleted ids visible")
+
+    // deletion composes with the pushed probe predicate: a pruned
+    // one-cluster scan still applies the tombstone
+    val one = arr.filter(col("cluster") === 3)
+    assert(one.filter(col("vec_id") >= 100L && col("vec_id") < 300L)
+      .count() == 0, "pruned scan bypassed the tombstone")
+  }
 }

@@ -251,6 +251,36 @@ object Multimodal {
         .filter(col("dist") >= 1 && col("dist") <= 6)
         .select("i", "j", "dist")
       dup0.unionByName(near).orderBy("i", "j")
+    }),
+
+    // Silence trimming (the VAD step after m5's energy pass): per doc,
+    // the first/last 64-sample window whose RMS clears the threshold
+    // bounds the voiced span; everything outside is trimmed. One
+    // grouped aggregation over m5's shuffle-free window rows — no
+    // per-window lookup is needed because every window except the tail
+    // holds exactly 64 samples, so the span ends at
+    // min(total, (last+1)·64). The RMS values are bit-replayable
+    // (integer sums, one division, one sqrt — both engines IEEE), so
+    // the raw-double threshold compare agrees with the oracle; an
+    // all-silent doc publishes NULL bounds.
+    "m7_audio_trim" -> ((s, d) => {
+      val thr = 42.0
+      audioEnergy(s, fakeMedia(Tables.load(s, d, "documents")), win = 64)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("n_samples").cast("long")).as("total"),
+          min(when(col("rms") > thr, col("win_idx"))).as("fv"),
+          max(when(col("rms") > thr, col("win_idx"))).as("lv"))
+        .select(col("doc_id"), col("n_windows"),
+          (col("fv") * 64L).cast("long").as("start_sample"),
+          when(col("lv").isNotNull,
+            least(col("total"), (col("lv") + 1L) * 64L)).cast("long")
+            .as("end_sample"),
+          (when(col("lv").isNotNull,
+            least(col("total"), (col("lv") + 1L) * 64L)) - col("fv") * 64L)
+            .cast("long").as("kept_samples"))
+        .orderBy("doc_id")
     })
   )
 
@@ -305,6 +335,35 @@ object Multimodal {
              unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS w
            FROM documents)
          ORDER BY doc_id, win_idx""",
+    // m7: m5's window CTE with UNROUNDED rms (the sum is exact-integer
+    // in double, division and sqrt IEEE — bit-identical both engines,
+    // so the raw threshold compare agrees), grouped to the voiced span
+    "m7_audio_trim" ->
+      """WITH w AS (
+           SELECT doc_id, w AS win_idx,
+             least(64, octet_length(text::blob) - w * 64)::bigint AS n_samples,
+             sqrt(list_sum([
+                 (ascii(substr(text, (w * 64 + j)::int, 1)) - 64.0) *
+                 (ascii(substr(text, (w * 64 + j)::int, 1)) - 64.0)
+                 for j in range(1, least(64,
+                   octet_length(text::blob) - w * 64)::int + 1)]) /
+               least(64, octet_length(text::blob) - w * 64)) AS rms
+           FROM (SELECT doc_id, text,
+               unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS w
+             FROM documents)),
+         g AS (SELECT doc_id, count(*)::bigint AS n_windows,
+             sum(n_samples)::bigint AS total,
+             min(CASE WHEN rms > 42.0 THEN win_idx END) AS fv,
+             max(CASE WHEN rms > 42.0 THEN win_idx END) AS lv
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, n_windows,
+           (fv * 64)::bigint AS start_sample,
+           (CASE WHEN lv IS NULL THEN NULL
+                 ELSE least(total, (lv + 1) * 64) END)::bigint AS end_sample,
+           (CASE WHEN lv IS NULL THEN NULL
+                 ELSE least(total, (lv + 1) * 64) END
+             - fv * 64)::bigint AS kept_samples
+         FROM g ORDER BY doc_id""",
     // m6: same 60 stride-sampled bytes (payload offset i·n/60 =
     // 1-based text position i·n//60 + 1 on the ASCII corpus), same
     // integer px·60 > sum bit rule, exact O(n²) hamming replay of the

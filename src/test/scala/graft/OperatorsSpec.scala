@@ -374,6 +374,30 @@ class OperatorsSpec extends SparkSpec {
       (2L, 0, 64, 64.0), (2L, 1, 64, 64.0)), s"windows: $got")
   }
 
+  test("m7 audio trim: voiced span bounds, all-silent doc is NULL") {
+    import spark.implicits._
+    // '@' is byte 64 → sample 0 (silence); 'z' is 122 → sample 58 > 42
+    val docs = Seq(
+      (1L, "@" * 64 + "z" * 64 + "@" * 64), // silence|voice|silence
+      (2L, "@" * 80),                       // all silent
+      (3L, "z" * 100))                      // all voiced, short tail win
+    val dir = java.nio.file.Files.createTempDirectory("m7t").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Multimodal.queries("m7_audio_trim")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 64L, 128L, 64L),  // middle window only
+      (2L, 2L, -1L, -1L, -1L),   // nothing voiced
+      (3L, 2L, 0L, 100L, 100L)), // span ends at the 36-sample tail
+      s"got $got")
+  }
+
   test("arr31 snapshot diff emits all three CDC classes, no unchanged") {
     val rows = operators.ArrayOps.queries("arr31_snapshot_diff")(spark, sf)
       .collect()

@@ -580,6 +580,36 @@ object Pipeline {
         .orderBy("tau_bp")
     }),
 
+    // Contamination GOVERNANCE report — the per-split rollup of x6's
+    // doc-level rule (the number a data card or eval-integrity review
+    // actually asks for: "what fraction of each split overlaps the
+    // eval set?"). Same scale shape as x6: the eval side is distinct
+    // shingles of a fixed small set (broadcast), the corpus side is
+    // one explode + hash aggregation, then a second aggregation over
+    // splits. The rate is published in integer basis points (x21's
+    // frac_bp idiom) — no float division reaches the hash compare.
+    "x22_contamination_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = dd.select(col("doc_id"), explode(shingles(col("text"), 5)).as("s"))
+      val ev = sh.filter(col("doc_id") < 20).select("s").distinct()
+        .withColumn("hit", lit(1L))
+      val flags = sh.filter(col("doc_id") >= 20)
+        .join(broadcast(ev), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))) > 0).as("contam"))
+      dd.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+        .join(flags, Seq("doc_id"), "left") // short docs: no shingles → 0
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("contam"), lit(false)), 1L).otherwise(0L))
+            .as("n_contaminated"))
+        .select(col("split"), col("n_docs"), col("n_contaminated"),
+          floor(col("n_contaminated") * 10000L / col("n_docs"))
+            .as("contam_bp"))
+        .orderBy("split")
+    }),
+
     "x20_priority_sample" -> ((s, d) => {
       val u = (conv(substring(md5(concat(lit("pri:"),
         col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double") +
@@ -1167,6 +1197,22 @@ object Pipeline {
 
     // x21: per-doc replay (no level trick needed at oracle scale) —
     // integer comparisons on the shared 4dp quality basis points
+    "x22_contamination_report" ->
+      s"""WITH sh AS (${Dedup.shingleSql}),
+         ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+         c AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20),
+         o AS (SELECT c.doc_id, count(ev.s) AS n_overlap
+               FROM c LEFT JOIN ev ON c.s = ev.s GROUP BY c.doc_id),
+         f AS (SELECT d.doc_id, ${splitSql.format("d.doc_id", "d.doc_id")}
+                 AS split, coalesce(o.n_overlap, 0) > 0 AS contam
+               FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+               LEFT JOIN o ON d.doc_id = o.doc_id)
+       SELECT split, count(*) AS n_docs,
+         sum(CASE WHEN contam THEN 1 ELSE 0 END)::bigint AS n_contaminated,
+         (sum(CASE WHEN contam THEN 1 ELSE 0 END) * 10000 // count(*))
+           ::bigint AS contam_bp
+       FROM f GROUP BY split ORDER BY split""",
+
     "x21_threshold_sweep" ->
       s"""WITH q AS (SELECT doc_id,
              CAST(round(quality * 10000) AS BIGINT) AS qi, n_tokens

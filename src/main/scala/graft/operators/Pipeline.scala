@@ -580,6 +580,31 @@ object Pipeline {
         .orderBy("tau_bp")
     }),
 
+    // N-gram NOVELTY score (the dedup-aware curation signal between
+    // x6's eval-overlap and d2's pair detection): per candidate doc
+    // (odd ids), the fraction of its distinct 5-gram shingles unseen
+    // in the base half (even ids) — "how much genuinely new text does
+    // this doc add?". Unlike x6 the reference side is CORPUS-sized, so
+    // it is NOT broadcast: both sides shuffle on the shingle key (an
+    // ordinary hash join that scales with the corpus), then one
+    // aggregation back to doc grain. Rates in integer basis points.
+    "x23_ngram_novelty" -> ((s, d) => {
+      val sh = docs(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("s"))
+        .distinct()
+      val base = sh.filter(col("doc_id") % 2 === 0).select("s").distinct()
+        .withColumn("seen", lit(1L))
+      sh.filter(col("doc_id") % 2 === 1)
+        .join(base, Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          floor(col("n_novel") * 10000L / col("n_shingles"))
+            .as("novelty_bp"))
+        .orderBy("doc_id")
+    }),
+
     // Contamination GOVERNANCE report — the per-split rollup of x6's
     // doc-level rule (the number a data card or eval-integrity review
     // actually asks for: "what fraction of each split overlaps the
@@ -1197,6 +1222,19 @@ object Pipeline {
 
     // x21: per-doc replay (no level trick needed at oracle scale) —
     // integer comparisons on the shared 4dp quality basis points
+    "x23_ngram_novelty" ->
+      s"""WITH sh AS (${Dedup.shingleSql}),
+         base AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+                  WHERE doc_id % 2 = 0),
+         c AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id % 2 = 1)
+       SELECT c.doc_id, count(*)::bigint AS n_shingles,
+         sum(CASE WHEN base.s IS NULL THEN 1 ELSE 0 END)::bigint AS n_novel,
+         (sum(CASE WHEN base.s IS NULL THEN 1 ELSE 0 END) * 10000
+           // count(*))::bigint AS novelty_bp
+       FROM c LEFT JOIN base ON c.s = base.s
+       GROUP BY c.doc_id ORDER BY doc_id""",
+
     "x22_contamination_report" ->
       s"""WITH sh AS (${Dedup.shingleSql}),
          ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),

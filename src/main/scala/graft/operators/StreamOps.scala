@@ -117,6 +117,14 @@ object StreamOps {
     "st11_stream_distinct" -> ((s, d) =>
       EventPipeline.runStreamingDistinctUsers(s, d)),
 
+    // Bloom admission at ingest (d11 online): ZERO keyed streaming
+    // state — the membership structure is a static O(bits) filter,
+    // bloom-negatives skip the verify join entirely, and the
+    // batch-exact oracle catches any false negative the filter could
+    // theoretically produce (it can't — asserted in DedupSpec).
+    "st12_stream_bloom_admission" -> ((s, d) =>
+      EventPipeline.runStreamingBloomAdmission(s, d)),
+
     // NATIVE streaming session windows (session_window + watermark,
     // append mode, watermark-flush sentinel): state = open sessions
     // only, evicted as the watermark passes each session's end. The
@@ -150,6 +158,17 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // st12: the exact membership answer, as in d11 — a Bloom false
+    // negative would publish is_dup=false for a true duplicate and
+    // hash-mismatch here
+    "st12_stream_bloom_admission" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents)
+         SELECT i.doc_id,
+           i.fp IN (SELECT fp FROM keyed WHERE doc_id % 3 <> 0) AS is_dup
+         FROM keyed i WHERE i.doc_id % 3 = 0 ORDER BY doc_id""",
     "st1_stream_windowed" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -659,6 +659,47 @@ object EventPipeline {
     }
   }
 
+  /** Streaming Bloom ADMISSION — d11's tier at INGEST time: arriving
+    * documents are screened against a static Bloom filter of the
+    * already-ingested base. The whole pipeline is STATELESS streaming:
+    * the filter is a broadcast-sized literal inside a per-row
+    * expression, bloom-negatives ("definitely new") are admitted
+    * without touching any join, and only bloom-positives pay the
+    * stream-static verify join against the base fingerprints. Contrast
+    * the state ladder: st4's dropDuplicates holds one state row per
+    * key forever, the bounded variant holds a watermark window, this
+    * holds ZERO keyed state — the membership structure is O(bits) and
+    * shared read-only by every task. The published is_dup flows
+    * through the gated path, so the batch-exact oracle verifies the
+    * filter's no-false-negative guarantee end to end (d11's trick). */
+  def runStreamingBloomAdmission(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val dd = graft.Tables.load(spark, sfDir, "documents")
+    val keyed = dd.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val base = keyed.filter(col("doc_id") % 3 =!= 0)
+    val (_, hits) = graft.operators.Dedup.bloomOf(spark, base, col("fp"), dd)
+    val baseFps = base.select("fp").distinct().withColumn("seen", lit(true))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("bloom_pos", hits(col("fp")))
+    val fresh = stream.filter(!col("bloom_pos"))
+      .select(col("doc_id"), lit(false).as("is_dup"))
+    val verified = stream.filter(col("bloom_pos"))
+      .join(baseFps, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("seen"), lit(false)).as("is_dup"))
+    val name = "graft_badm_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = fresh.unionByName(verified)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("doc_id")
+  }
+
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")

@@ -480,4 +480,15 @@ class StreamingSpec extends SparkSpec {
     // the sketch twin agreed everywhere (rsd 0.01 + small-n slack)
     assert(out.forall(_.getBoolean(2)), "HLL twin out of band")
   }
+
+  test("st12 bloom admission equals batch d11 through the gated path") {
+    val stream = operators.StreamOps
+      .queries("st12_stream_bloom_admission")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(stream.nonEmpty)
+    val batch = operators.Dedup.queries("d11_bloom_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(stream == batch,
+      "streaming admission diverged from the batch tier")
+  }
 }

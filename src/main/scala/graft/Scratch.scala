@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-// Throwaway stage timing for v5 (not committed).
+// Throwaway measurement harness (not part of any shipped path).
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[32]")
@@ -12,23 +12,30 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-    val e = Tables.load(s, d, "embeddings")
-    // stage 1: banded pairs (includes the two localCheckpoints)
-    val pairs = time("lshVerifiedPairs build+count") {
-      val p = operators.Similarity.lshVerifiedPairs(e).select("i", "j")
-      p.count(); p
-    }
-    time("connectedComponents") {
-      operators.Dedup.connectedComponents(pairs).count()
-    }
-    time("v5 full query end-to-end") {
-      SparkEntry.queries("v5_embedding_clusters")(s, d).count()
+    // v19 filtered-ANN recall vs exact filtered brute force, per nprobe
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.load(s, d, "embeddings")
+      val (uri, cents) = operators.Similarity.annArrayFilteredBuild(s, d, e)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val exact = operators.Similarity.topkSelect(
+        e.filter(col("label") === 2).select(col("vec_id"), col("embedding"))
+          .join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            graft.functions.VectorFunctions
+              .cosine(col("qv"), col("embedding"))), 10)
+        .select("query_id", "vec_id")
+      for (np <- Seq(4, 6, 8)) {
+        val ap = operators.Similarity.annArrayProbeScore(
+          s, uri, cents, e, 10, nprobe = np, extra = col("label") === 2)
+        val rec = exact.join(
+            ap.select(col("query_id"), col("vec_id")).withColumn("h", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("h"), lit(0))) / count(lit(1))).as("r"))
+          .orderBy("query_id").collect().map(_.getDouble(1))
+        println(s"[scratch] $d nprobe=$np recalls=${rec.mkString(",")}")
+      }
     }
     s.stop()
   }

@@ -90,6 +90,37 @@ class AnnArraySpec extends SparkSpec {
       s"no pruning across fragments: ${parts.size} of $totalFiles files")
   }
 
+  test("v19 label predicate composes with probe pruning in one scan") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (uri, cents) =
+      operators.Similarity.annArrayFilteredBuild(spark, sf, e)
+    val arr = spark.read.format("graftarray").option("path", uri).load()
+    // label is stored beside the vectors: a (probe ∧ label) filter
+    // returns exactly the in-memory answer...
+    val got = arr.filter(col("cluster").isin(0, 1) && col("label") === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect = arr.collect()
+      .filter(r => Set(0, 1)(r.getAs[Int]("cluster")) &&
+        r.getAs[Int]("label") == 2)
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(got == expect && got.nonEmpty)
+    // ...and the probe dimension still prunes files under it
+    val totalFiles = sources.GraftArray.store(spark, uri)
+      .listFragments().map(_.files.size).sum
+    val parts = arr.filter(col("cluster") === 0 && col("label") === 2)
+      .queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputPartitions
+      }.flatten
+    assert(parts.size < totalFiles,
+      s"label filter broke pruning: ${parts.size} of $totalFiles")
+    // the probe path end-to-end returns only labeled rows
+    val res = operators.Similarity.annArrayProbeScore(
+      spark, uri, cents, e, 10, nprobe = 8, extra = col("label") === 2)
+    val labels = res.join(e.select("vec_id", "label"), "vec_id")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(labels == Set(2), s"unlabeled rows leaked: $labels")
+  }
+
   test("v18 tombstone masks the deleted range under probe pruning") {
     val e = Tables.load(spark, sf, "embeddings")
     val (uri, _) = operators.Similarity.annArrayDeleteBuild(spark, sf, e)

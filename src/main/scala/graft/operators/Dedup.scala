@@ -666,6 +666,30 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware canonical selection — what production dedup
+    // actually keeps: not the LOWEST id per cluster (d5's min-label
+    // convention) but the BEST member (highest t2 quality, id as the
+    // deterministic tiebreak). One struct-max aggregation over the
+    // cluster assignment — the keeper argmax adds no join or sort
+    // beyond d5's own machinery, so the scale shape is unchanged
+    // (edge-sized CC + one hash aggregation). The published keep_q is
+    // qualityScore's already-rounded value (the only float, engine-
+    // replayed 1:1 by the t2 oracle formula).
+    "d12_keep_best" -> ((s, d) => {
+      val dd = docs(s, d)
+      val edges = minhashVerifiedPairs(dd, 0.8).select("i", "j")
+      val cl = connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      val q = dd.select(col("doc_id"), qualityScore(col("text")).as("q"))
+      cl.join(q, "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster"), col("n_members"),
+          (-col("best.nid")).as("keep_id"), col("best.q").as("keep_q"))
+        .orderBy("cluster")
+    }),
+
     // SimHash near-dup pairs: hamming(sig_i, sig_j) ≤ 6. Candidates via
     // 9-bit band join — 7 bands cover 60 bits, and by pigeonhole ≤6
     // flipped bits always leave ≥1 band identical, so the banded join
@@ -846,6 +870,17 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d5_dup_clusters" -> dupClustersSql,
+    // d12: d5's recursive-CC clusters joined to t2's quality formula;
+    // keeper = ordered-first by (quality DESC, doc_id) — Spark's
+    // struct-max with negated id is the same total order
+    "d12_keep_best" ->
+      s"""WITH cl AS (${dupClustersSql.replace("ORDER BY doc_id", "")}),
+         q AS (${TextOps.qualitySql})
+       SELECT cl.cluster, count(*)::bigint AS n_members,
+         first(cl.doc_id ORDER BY q.quality DESC, cl.doc_id) AS keep_id,
+         max(q.quality) AS keep_q
+       FROM cl JOIN q ON cl.doc_id = q.doc_id
+       GROUP BY cl.cluster ORDER BY cluster""",
     "d1_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_dups

@@ -398,6 +398,27 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)), s"short identical pair lost: $got")
   }
 
+  test("d12 keeps the best-quality member, not the lowest id") {
+    import org.apache.spark.sql.functions.{length => slen}
+    // docs 1 and 2 are near-dups (jaccard ≥ 0.8); doc 1 carries a
+    // punctuation tail that lowers its t2 quality, so the keeper must
+    // be the HIGHER id — the exact case min-label dedup gets wrong
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base !!! ??? ;;;"),
+      (2L, base),
+      (3L, "entirely unrelated words nothing shared here at all"))
+    val dir = java.nio.file.Files.createTempDirectory("d12t").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", slen(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.queries("d12_keep_best")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)),
+      s"cluster 1 should keep doc 2 (better quality): ${got.toSeq}")
+  }
+
   test("bloomOf: no false negatives, bounded false positives (d11)") {
     val keys = (0L until 2000L).map(i => (i, s"key-$i")).toDF("id", "k")
     val (bits, hits) = Dedup.bloomOf(spark, keys, col("k"), keys)

@@ -819,6 +819,38 @@ object Similarity {
         .orderBy("query_id")
     }),
 
+    // Retrieve-then-rerank (the RAG serving shape): exact top-20 by
+    // cosine per query, then a CROSS-TABLE rerank joining the
+    // documents table's t2 quality — final score 0.7·cos + 0.3·quality
+    // (both weights literal; the 1−λ derivation trap), top-5 kept.
+    // Scale shape: candidates are k-bounded before the documents join
+    // (≤ 20 rows/query join, never corpus×corpus), the rerank window
+    // runs over ≤ 20 rows per query. The rerank key is built from the
+    // PUBLISHED-precision parts (cos rounded 6, quality rounded 4 —
+    // both engine-identical), so the ordering replays exactly.
+    "v20_retrieve_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cands = topkSelect(
+        e.select(col("vec_id"), col("embedding"))
+          .join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qv"), col("embedding"))), 20)
+      val quality = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("vec_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      val rr = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      cands.join(quality, "vec_id")
+        .withColumn("score", lit(0.7) * col("cos") + lit(0.3) * col("q"))
+        .withColumn("rrk", row_number().over(rr).cast("long"))
+        .filter(col("rrk") <= 5)
+        .select(col("query_id"), col("vec_id"), col("rrk"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rrk")
+    }),
+
     // FILTERED (hybrid) ANN — vector similarity under a metadata
     // predicate, the production query shape behind "nearest docs from
     // source X" / "same-language neighbors". The label attribute is
@@ -1094,6 +1126,30 @@ object Similarity {
       """SELECT CAST(v AS BIGINT) AS query_id, true AS recall_ok,
          true AS all_match
          FROM (VALUES (0),(1),(2),(3),(4)) AS t(v) ORDER BY query_id""",
+    // v20: v2's exact top-20 CTE (published-precision cos) joined to
+    // t2's quality, reranked on 0.7·cos6 + 0.3·quality4 — the key is
+    // built from engine-identical rounded parts, so the ordering
+    // replays exactly
+    "v20_retrieve_rerank" ->
+      s"""WITH cand AS (
+           SELECT query_id, vec_id, round(cos, 6) AS cos FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               $cosSql AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $cosSql DESC, b.vec_id) AS rk
+             FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+             JOIN embeddings b ON a.vec_id <> b.vec_id)
+           WHERE rk <= 20),
+         q AS (${graft.operators.TextOps.qualitySql}),
+         r AS (SELECT cand.query_id, cand.vec_id,
+             0.7 * cand.cos + 0.3 * q.quality AS score
+           FROM cand JOIN q ON cand.vec_id = q.doc_id)
+       SELECT query_id, vec_id, rrk, round(score, 6) AS score FROM (
+         SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id)::bigint AS rrk
+         FROM r)
+       WHERE rrk <= 5 ORDER BY query_id, rrk""",
     // v11 publishes algorithm invariants (k-means objective strictly
     // improves over the k=1 baseline; assignment is total and
     // in-range) — constants like the recall oracles.

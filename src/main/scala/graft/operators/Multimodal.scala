@@ -253,6 +253,32 @@ object Multimodal {
       dup0.unionByName(near).orderBy("i", "j")
     }),
 
+    // Scene-cut detection (the shot-boundary step of a video
+    // pipeline): consecutive sampled frames (m4's stub frames) compare
+    // by per-position byte distance + length delta; a cut is declared
+    // where dist ≥ 8 of 16. One lag window per doc (frames are few and
+    // doc-local — no shuffle beyond the doc partitioning) and a
+    // BOUNDED 16-element fold per row (fixed frame width, so the HOF
+    // is constant work — not the per-char-lambda trap).
+    "m8_scene_cut" -> ((s, d) => {
+      val fr = sampleFrames(fakeMedia(Tables.load(s, d, "documents")),
+          stride = 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          decode(col("frame"), "UTF-8").as("ft"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      fr.withColumn("prev", lag(col("ft"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("dist", expr(
+          "aggregate(sequence(1, int(least(length(ft), length(prev)))), " +
+            "bigint(abs(length(ft) - length(prev))), " +
+            "(acc, i) -> acc + IF(substring(ft, i, 1) = substring(prev, i, 1), " +
+            "0L, 1L))"))
+        .filter(col("dist") >= 8)
+        .select(col("doc_id"), col("frame_idx").as("cut_at"), col("dist"))
+        .orderBy("doc_id", "cut_at")
+    }),
+
     // Silence trimming (the VAD step after m5's energy pass): per doc,
     // the first/last 64-sample window whose RMS clears the threshold
     // bounds the voiced span; everything outside is trimmed. One
@@ -335,6 +361,26 @@ object Multimodal {
              unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS w
            FROM documents)
          ORDER BY doc_id, win_idx""",
+    // m8: m4's frame CTE + lag, per-position mismatch count over the
+    // shared prefix + length delta, cuts at dist ≥ 8
+    "m8_scene_cut" ->
+      """SELECT doc_id, cut_at, dist FROM (
+           SELECT doc_id, frame_idx AS cut_at,
+             (len([x for x in range(1,
+                 least(length(ft), length(prev))::int + 1)
+               if substr(ft, x, 1) <> substr(prev, x, 1)])
+              + abs(length(ft) - length(prev)))::bigint AS dist
+           FROM (SELECT doc_id, frame_idx, ft,
+               lag(ft) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                 AS prev
+             FROM (SELECT doc_id, i AS frame_idx,
+                 substr(text, (1 + i * 64)::int, 16) AS ft
+               FROM (SELECT doc_id, text,
+                   unnest(range(0,
+                     ((octet_length(text::blob) - 1) // 64) + 1)) AS i
+                 FROM documents)))
+           WHERE prev IS NOT NULL)
+         WHERE dist >= 8 ORDER BY doc_id, cut_at""",
     // m7: m5's window CTE with UNROUNDED rms (the sum is exact-integer
     // in double, division and sqrt IEEE — bit-identical both engines,
     // so the raw threshold compare agrees), grouped to the voiced span

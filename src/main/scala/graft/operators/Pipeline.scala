@@ -580,6 +580,56 @@ object Pipeline {
         .orderBy("tau_bp")
     }),
 
+    // Packing-EFFICIENCY sweep — the report behind choosing a context
+    // length: for each candidate window size, total windows, padding
+    // tokens lost at shard tails (x2's per-shard streams pad only
+    // their last window), and the padding rate in basis points. Two
+    // bounded aggregations (shards, then 4 window sizes × shards) —
+    // ALL-INTEGER arithmetic ((tok + w − 1) div w, no float ceil), so
+    // the sweep is engine-exact by construction.
+    "x25_pack_efficiency" -> ((s, d) => {
+      val st = docs(s, d)
+        .select(expr("doc_id div 10000").as("shard"),
+          tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("shard").agg(sum("n").as("tok"))
+      val ws = s.range(1).select(explode(array(
+        lit(512L), lit(1024L), lit(2048L), lit(4096L))).as("w"))
+      st.crossJoin(broadcast(ws))
+        .withColumn("nw", expr("(tok + w - 1) div w"))
+        .groupBy("w")
+        .agg(sum("nw").as("n_windows"),
+          sum(expr("nw * w - tok")).as("pad_tokens"),
+          sum(expr("nw * w")).as("cap"))
+        .select(col("w"), col("n_windows"), col("pad_tokens"),
+          expr("pad_tokens * 10000 div cap").as("pad_bp"))
+        .orderBy("w")
+    }),
+
+    // Corpus SNAPSHOT DIFF — dataset versioning for raw corpora (the
+    // crawl-v1 → crawl-v2 changelog; arr31 is the same CDC shape for
+    // array tables): two deterministic views of the corpus (v1 lacks
+    // the %7 docs; v2 drops the %13 docs and revises the %11 texts)
+    // diff by doc_id presence + content fingerprint. ONE full-outer
+    // hash join on the id — linear, and emits added/removed/changed
+    // rows ONLY (the arr31 lesson: never materialize the unchanged
+    // majority, which at 100 TB is nearly everything).
+    "x24_corpus_diff" -> ((s, d) => {
+      val dd = docs(s, d)
+      val v1 = dd.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp1"))
+      val v2 = dd.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), fingerprint(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "changed").as("change"))
+        .filter(col("change").isNotNull)
+        .orderBy("doc_id")
+    }),
+
     // N-gram NOVELTY score (the dedup-aware curation signal between
     // x6's eval-overlap and d2's pair detection): per candidate doc
     // (odd ids), the fraction of its distinct 5-gram shingles unseen
@@ -1222,6 +1272,34 @@ object Pipeline {
 
     // x21: per-doc replay (no level trick needed at oracle scale) —
     // integer comparisons on the shared 4dp quality basis points
+    "x25_pack_efficiency" ->
+      s"""WITH st AS (SELECT doc_id // 10000 AS shard,
+             sum($tokSql)::bigint AS tok
+           FROM documents GROUP BY 1),
+         ws AS (SELECT unnest([512, 1024, 2048, 4096])::bigint AS w)
+       SELECT w, sum((tok + w - 1) // w)::bigint AS n_windows,
+         sum((tok + w - 1) // w * w - tok)::bigint AS pad_tokens,
+         (sum((tok + w - 1) // w * w - tok) * 10000 //
+           sum((tok + w - 1) // w * w))::bigint AS pad_bp
+       FROM st, ws GROUP BY w ORDER BY w""",
+
+    "x24_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp1
+           FROM documents WHERE doc_id % 7 <> 0),
+         v2 AS (SELECT doc_id,
+             md5(lower(regexp_replace(trim(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+                    ELSE text END), '\s+', ' ', 'g'))) AS fp2
+           FROM documents WHERE doc_id % 13 <> 0)
+       SELECT doc_id, change FROM (
+         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN fp1 <> fp2 THEN 'changed' END AS change
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+       WHERE change IS NOT NULL ORDER BY doc_id""",
+
     "x23_ngram_novelty" ->
       s"""WITH sh AS (${Dedup.shingleSql}),
          base AS (SELECT DISTINCT unnest(sh) AS s FROM sh

@@ -117,6 +117,13 @@ object StreamOps {
     "st11_stream_distinct" -> ((s, d) =>
       EventPipeline.runStreamingDistinctUsers(s, d)),
 
+    // Windowed trending: per-hour top-3 event types by count — the
+    // streaming stage is st1's (window × type) state; the top-3 is the
+    // dashboard read over the complete-mode sink (≤ types rows per
+    // window, bounded window function).
+    "st13_stream_trending" -> ((s, d) =>
+      EventPipeline.runStreamingTrending(s, d)),
+
     // Bloom admission at ingest (d11 online): ZERO keyed streaming
     // state — the membership structure is a static O(bits) filter,
     // bloom-negatives skip the verify join entirely, and the
@@ -173,6 +180,17 @@ object StreamOps {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    // st13: st1's hourly counts, top-3 per window, (n desc, type) ties
+    "st13_stream_trending" ->
+      """SELECT win_start_us, event_type, n, rk FROM (
+           SELECT win_start_us, event_type, n,
+             row_number() OVER (PARTITION BY win_start_us
+               ORDER BY n DESC, event_type)::bigint AS rk
+           FROM (SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                   AS win_start_us,
+                 event_type, count(*) AS n
+               FROM events GROUP BY 1, 2))
+         WHERE rk <= 3 ORDER BY win_start_us, rk""",
     // st10: append mode changes when windows emit, not their values —
     // the batch hourly aggregation is the oracle, identical to st1's
     "st10_stream_append_windows" ->

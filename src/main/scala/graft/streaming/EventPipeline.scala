@@ -236,6 +236,24 @@ object EventPipeline {
     }
   }
 
+  /** Windowed TRENDING top-k: the streaming stage maintains per
+    * (window, type) counts — state is (windows × types) rows, the
+    * exchange moves partial aggregates — and the top-3 selection runs
+    * over the MATERIALIZED result (a ≤types-rows-per-window window
+    * function; on a real deployment this is the per-trigger dashboard
+    * read over the complete-mode sink, not a streaming operator).
+    * Deterministic tiebreak (n desc, type asc). */
+  def runStreamingTrending(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runStreamingWindowed(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start_us")
+      .orderBy(col("n").desc, col("event_type"))
+    counts.select(col("win_start_us"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("win_start_us", "rk")
+  }
+
   /** Sliding-window streaming aggregation (2 h window, 1 h slide —
     * each event belongs to exactly len/slide = 2 windows). Spark's
     * window() expands the event to its member windows BEFORE the

@@ -615,13 +615,18 @@ object Dedup {
     // Published is_dup flows THROUGH the gated path: a Bloom false
     // negative would publish is_dup=false for a true duplicate and the
     // exact-SQL oracle would catch it — the no-false-negative guarantee
-    // is what the hash comparison verifies.
+    // is what the hash comparison verifies. The increment includes a
+    // RE-CRAWL slice (%97 docs re-submitted verbatim) so the positive
+    // branch is exercised at EVERY scale: the synthetic corpus has no
+    // organic exact duplicates at sf0.01, and a gate that never sees a
+    // bloom-positive proves nothing about the verify join.
     "d11_bloom_dedup" -> ((s, d) => {
       val dd = docs(s, d)
       val keyed = dd.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       val base = keyed.filter(col("doc_id") % 3 =!= 0)
-      val inc = keyed.filter(col("doc_id") % 3 === 0)
-      val (blit, hits) = bloomOf(s, base, col("fp"), dd)
+      val inc = keyed.filter(
+        col("doc_id") % 3 === 0 || col("doc_id") % 97 === 1)
+      val (_, hits) = bloomOf(s, base, col("fp"), dd)
       val probed = inc.withColumn("bloom_pos", hits(col("fp"))).localCheckpoint()
       val verified = probed.filter(col("bloom_pos"))
         .join(base.select("fp").distinct().withColumn("seen", lit(true)),
@@ -629,7 +634,6 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("seen"), lit(false)).as("is_dup"))
       val fresh = probed.filter(!col("bloom_pos"))
         .select(col("doc_id"), lit(false).as("is_dup"))
-      blit // bits are embedded in `hits`; name kept for the spec surface
       fresh.unionByName(verified).orderBy("doc_id")
     }),
 
@@ -868,6 +872,21 @@ object Dedup {
        SELECT id AS doc_id, min(root)::bigint AS cluster
        FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** Exact base-membership answer for the Bloom admission tier — ONE
+    * definition referenced by both d11 (batch) and st12 (streaming),
+    * so the two paths can never be verified against drifting
+    * contracts. Increment = the %3 slice plus the %97 re-crawl slice
+    * (see d11's comment). */
+  private[operators] val bloomMembershipSql: String =
+    """WITH keyed AS (
+         SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents)
+       SELECT i.doc_id,
+         i.fp IN (SELECT fp FROM keyed WHERE doc_id % 3 <> 0) AS is_dup
+       FROM keyed i WHERE i.doc_id % 3 = 0 OR i.doc_id % 97 = 1
+       ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "d5_dup_clusters" -> dupClustersSql,
     // d12: d5's recursive-CC clusters joined to t2's quality formula;
@@ -890,15 +909,9 @@ object Dedup {
     // d11: the oracle is the EXACT membership answer — a Bloom false
     // negative on the Spark side would publish is_dup=false for a true
     // duplicate and hash-mismatch here, so the comparison verifies the
-    // filter's no-false-negative guarantee, not just the join.
-    "d11_bloom_dedup" ->
-      """WITH keyed AS (
-           SELECT doc_id,
-             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-           FROM documents)
-         SELECT i.doc_id,
-           i.fp IN (SELECT fp FROM keyed WHERE doc_id % 3 <> 0) AS is_dup
-         FROM keyed i WHERE i.doc_id % 3 = 0 ORDER BY doc_id""",
+    // filter's no-false-negative guarantee, not just the join. Shared
+    // verbatim with st12 (one stream, one batch, one contract).
+    "d11_bloom_dedup" -> bloomMembershipSql,
     // d7: exact all-pairs directional containment (oracle-side O(n²)
     // is fine at sf0.01); shared counted over the same distinct
     // shingle sets, ONE division, round(6) on both engines

@@ -576,7 +576,7 @@ object Pipeline {
             .otherwise(0L)).as("n_tokens"))
         .crossJoin(broadcast(tot))
         .select(col("tau_bp"), col("n_docs"), col("n_tokens"),
-          floor(col("n_docs") * 10000L / col("td")).as("frac_bp"))
+          expr("n_docs * 10000 div td").as("frac_bp"))
         .orderBy("tau_bp")
     }),
 
@@ -650,8 +650,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-          floor(col("n_novel") * 10000L / col("n_shingles"))
-            .as("novelty_bp"))
+          expr("n_novel * 10000 div n_shingles").as("novelty_bp"))
         .orderBy("doc_id")
     }),
 
@@ -680,8 +679,10 @@ object Pipeline {
           sum(when(coalesce(col("contam"), lit(false)), 1L).otherwise(0L))
             .as("n_contaminated"))
         .select(col("split"), col("n_docs"), col("n_contaminated"),
-          floor(col("n_contaminated") * 10000L / col("n_docs"))
-            .as("contam_bp"))
+          // integer div end-to-end (x25's rule): double '/' + floor
+          // diverges from the oracle's exact // once the denominator
+          // is large enough for the q·2⁻⁵³ error to cross an integer
+          expr("n_contaminated * 10000 div n_docs").as("contam_bp"))
         .orderBy("split")
     }),
 

@@ -265,37 +265,62 @@ object Similarity {
     * re-read it, not rebuild a corpus copy per call (the drainSessions
     * staging-cache discipline). The signature is the source file's
     * size+mtime so a regenerated corpus re-indexes. */
-  private val annArrayCache =
+  /** ONE memoized IVF-array builder behind v16–v19 (the four variants
+    * differ only in cache prefix, extra attributes, and a post step).
+    * Dims are always (cluster, vec_id); attrs are the float vector
+    * plus `extraAttrs`. One part file per inverted-list group: the
+    * write path range-partitions on (cluster, vec_id), so nlist write
+    * partitions give the probe predicate file-granular pruning at any
+    * corpus size; the count is passed EXPLICITLY (a session conf
+    * set/restore around the write would race concurrent query
+    * construction on the same session). The cache key is the source
+    * file's size+mtime so a regenerated corpus re-indexes — bench
+    * iterations and repeated queries in one JVM re-READ the index,
+    * never rebuild a corpus copy per call (the drainSessions
+    * staging-cache discipline). */
+  private val annBuildCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, Array[Array[Float]])]()
-  private def annArrayBuild(s: SparkSession, d: String, e: DataFrame)
+  private def annIndexBuild(s: SparkSession, d: String, prefix: String,
+      extraAttrs: Seq[graft.core.AttributeSpec] = Nil)
+      (build: => (DataFrame, Array[Array[Float]]))
+      (post: (String, Array[Array[Float]]) => Unit = (_, _) => ())
       : (String, Array[Array[Float]]) = {
     val f = new java.io.File(s"$d/embeddings.parquet")
-    annArrayCache.computeIfAbsent(s"$d|${f.length}:${f.lastModified}", _ => {
-      val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
-      val uri = graft.core.TempDirs.fresh("graft_annarr") + "/arr"
-      graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
-        graft.core.ArrayKind.Sparse,
-        Seq(graft.core.DimensionSpec("cluster",
-            org.apache.spark.sql.types.IntegerType),
-          graft.core.DimensionSpec("vec_id",
-            org.apache.spark.sql.types.LongType)),
-        Seq(graft.core.AttributeSpec("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType, containsNull = false)))))
-      // one part file per inverted-list group: the write path
-      // range-partitions on (cluster, vec_id), so nlist write
-      // partitions give the probe predicate file-granular pruning at
-      // any corpus size; the count is passed EXPLICITLY (a session
-      // conf set/restore around the write would race concurrent
-      // query construction on the same session)
-      graft.sources.GraftArray.write(s, uri, assigned.select(
-        col("cluster").cast("int").as("cluster"), col("vec_id"),
-        col("embedding").cast("array<float>").as("embedding")),
-        partitions = Some(16))
-      (uri, centroids)
-    })
+    annBuildCache.computeIfAbsent(
+      s"$prefix|$d|${f.length}:${f.lastModified}", _ => {
+        val (assigned, centroids) = build
+        val uri = graft.core.TempDirs.fresh(prefix) + "/arr"
+        graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
+          graft.core.ArrayKind.Sparse,
+          Seq(graft.core.DimensionSpec("cluster",
+              org.apache.spark.sql.types.IntegerType),
+            graft.core.DimensionSpec("vec_id",
+              org.apache.spark.sql.types.LongType)),
+          graft.core.AttributeSpec("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType,
+              containsNull = false)) +: extraAttrs))
+        annStore(s, uri, assigned, extraAttrs)
+        post(uri, centroids)
+        (uri, centroids)
+      })
   }
+
+  /** Commit `rows` (cluster-assigned) as one fragment of an index
+    * array built by [[annIndexBuild]] — also the v17 increment's
+    * append path. */
+  private def annStore(s: SparkSession, uri: String, rows: DataFrame,
+      extraAttrs: Seq[graft.core.AttributeSpec]): Unit =
+    graft.sources.GraftArray.write(s, uri, rows.select(
+      (Seq(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")) ++
+        extraAttrs.map(a => col(a.name).cast(a.dataType).as(a.name))): _*),
+      partitions = Some(16))
+
+  private def annArrayBuild(s: SparkSession, d: String, e: DataFrame)
+      : (String, Array[Array[Float]]) =
+    annIndexBuild(s, d, "graft_annarr")(Ivf.fit(e, k = 16, iters = 3))()
 
   private[graft] def annArrayTopK(s: SparkSession, d: String,
       e: DataFrame, k: Int): (DataFrame, String) = {
@@ -346,40 +371,19 @@ object Similarity {
     * internally (cluster, vec_id)-clustered, so probe-predicate file
     * pruning keeps working per fragment. Memoized like annArrayCache:
     * index maintenance is a build step, not a per-query cost. */
-  private val annIncrCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[Array[Float]])]()
   private[graft] def annArrayIncrBuild(s: SparkSession, d: String,
-      e: DataFrame): (String, Array[Array[Float]]) = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    annIncrCache.computeIfAbsent(s"$d|${f.length}:${f.lastModified}", _ => {
-      val base = e.filter(col("vec_id") % 2 === 0)
-      val (assignedBase, centroids) = Ivf.fit(base, k = 16, iters = 3)
-      val uri = graft.core.TempDirs.fresh("graft_annincr") + "/arr"
-      graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
-        graft.core.ArrayKind.Sparse,
-        Seq(graft.core.DimensionSpec("cluster",
-            org.apache.spark.sql.types.IntegerType),
-          graft.core.DimensionSpec("vec_id",
-            org.apache.spark.sql.types.LongType)),
-        Seq(graft.core.AttributeSpec("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType, containsNull = false)))))
-      def store(a: DataFrame): Unit =
-        graft.sources.GraftArray.write(s, uri, a.select(
-          col("cluster").cast("int").as("cluster"), col("vec_id"),
-          col("embedding").cast("array<float>").as("embedding")),
-          partitions = Some(16))
-      store(assignedBase)
+      e: DataFrame): (String, Array[Array[Float]]) =
+    annIndexBuild(s, d, "graft_annincr")(
+      Ivf.fit(e.filter(col("vec_id") % 2 === 0), k = 16, iters = 3)) {
       // the INCREMENT: frozen-centroid assignment (argmax codegen,
       // per-row, shuffle-free) + fragment append — the storage
       // engine's native incremental commit IS the index maintenance
-      store(e.filter(col("vec_id") % 2 === 1).withColumn("cluster",
-        graft.functions.expressions.TopK.argMaxDot(
-          col("embedding"), centroids)))
-      (uri, centroids)
-    })
-  }
+      (uri, centroids) =>
+        annStore(s, uri,
+          e.filter(col("vec_id") % 2 === 1).withColumn("cluster",
+            graft.functions.expressions.TopK.argMaxDot(
+              col("embedding"), centroids)), Nil)
+    }
 
   /** v18's index with a ROW-LEVEL DELETE applied: one range tombstone
     * on the `vec_id` dimension masks [100, 300) from every read at or
@@ -389,34 +393,15 @@ object Similarity {
     * in the scan, underneath the pushed probe predicate, so pruning
     * and deletion compose. Physical reclaim is arr18's
     * consolidate+vacuum, deliberately decoupled. */
-  private val annDelCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[Array[Float]])]()
   private[graft] def annArrayDeleteBuild(s: SparkSession, d: String,
-      e: DataFrame): (String, Array[Array[Float]]) = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    annDelCache.computeIfAbsent(s"$d|${f.length}:${f.lastModified}", _ => {
-      val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
-      val uri = graft.core.TempDirs.fresh("graft_anndel") + "/arr"
-      graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
-        graft.core.ArrayKind.Sparse,
-        Seq(graft.core.DimensionSpec("cluster",
-            org.apache.spark.sql.types.IntegerType),
-          graft.core.DimensionSpec("vec_id",
-            org.apache.spark.sql.types.LongType)),
-        Seq(graft.core.AttributeSpec("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType, containsNull = false)))))
-      graft.sources.GraftArray.write(s, uri, assigned.select(
-        col("cluster").cast("int").as("cluster"), col("vec_id"),
-        col("embedding").cast("array<float>").as("embedding")),
-        partitions = Some(16))
-      import graft.sources.v2.PredicateSupport.{AndP, Cmp}
-      graft.sources.GraftArray.commitTombstone(s, uri,
-        AndP(Cmp(">=", "vec_id", 100L), Cmp("<", "vec_id", 300L)))
-      (uri, centroids)
-    })
-  }
+      e: DataFrame): (String, Array[Array[Float]]) =
+    annIndexBuild(s, d, "graft_anndel")(Ivf.fit(e, k = 16, iters = 3)) {
+      (uri, _) =>
+        import graft.sources.v2.PredicateSupport.{AndP, Cmp}
+        graft.sources.GraftArray.commitTombstone(s, uri,
+          AndP(Cmp(">=", "vec_id", 100L), Cmp("<", "vec_id", 300L)))
+        ()
+    }
 
   /** v19's index with the `label` METADATA ATTRIBUTE stored beside the
     * vectors: filtered (hybrid) search pushes the label predicate into
@@ -424,34 +409,12 @@ object Similarity {
     * evaluated where the data lives (P5's QueryCondition surface) —
     * never as a post-pass over fetched candidates. One array serves
     * any label predicate; the probe dimension still prunes files. */
-  private val annFiltCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[Array[Float]])]()
   private[graft] def annArrayFilteredBuild(s: SparkSession, d: String,
-      e: DataFrame): (String, Array[Array[Float]]) = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    annFiltCache.computeIfAbsent(s"$d|${f.length}:${f.lastModified}", _ => {
-      val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
-      val uri = graft.core.TempDirs.fresh("graft_annfilt") + "/arr"
-      graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
-        graft.core.ArrayKind.Sparse,
-        Seq(graft.core.DimensionSpec("cluster",
-            org.apache.spark.sql.types.IntegerType),
-          graft.core.DimensionSpec("vec_id",
-            org.apache.spark.sql.types.LongType)),
-        Seq(graft.core.AttributeSpec("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType, containsNull = false)),
-          graft.core.AttributeSpec("label",
-            org.apache.spark.sql.types.IntegerType))))
-      graft.sources.GraftArray.write(s, uri, assigned.select(
-        col("cluster").cast("int").as("cluster"), col("vec_id"),
-        col("embedding").cast("array<float>").as("embedding"),
-        col("label").cast("int").as("label")),
-        partitions = Some(16))
-      (uri, centroids)
-    })
-  }
+      e: DataFrame): (String, Array[Array[Float]]) =
+    annIndexBuild(s, d, "graft_annfilt",
+      extraAttrs = Seq(graft.core.AttributeSpec("label",
+        org.apache.spark.sql.types.IntegerType)))(
+      Ivf.fit(e, k = 16, iters = 3))()
 
   /** SQ8 scalar-quantized top-k: the corpus is scanned as int8 vectors
     * (4× smaller than float32 — at 100 TB of embeddings that is the

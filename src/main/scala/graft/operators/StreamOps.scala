@@ -165,17 +165,9 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
-    // st12: the exact membership answer, as in d11 — a Bloom false
-    // negative would publish is_dup=false for a true duplicate and
-    // hash-mismatch here
-    "st12_stream_bloom_admission" ->
-      """WITH keyed AS (
-           SELECT doc_id,
-             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-           FROM documents)
-         SELECT i.doc_id,
-           i.fp IN (SELECT fp FROM keyed WHERE doc_id % 3 <> 0) AS is_dup
-         FROM keyed i WHERE i.doc_id % 3 = 0 ORDER BY doc_id""",
+    // st12: the exact membership answer — ONE definition shared with
+    // d11 (a Bloom false negative would hash-mismatch here)
+    "st12_stream_bloom_admission" -> Dedup.bloomMembershipSql,
     "st1_stream_windowed" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -701,7 +701,9 @@ object EventPipeline {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-      .filter(col("doc_id") % 3 === 0)
+      // the %3 increment + the %97 re-crawl slice (d11's fixture rule:
+      // guarantees the bloom-positive branch runs at every scale)
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 97 === 1)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .withColumn("bloom_pos", hits(col("fp")))
     val fresh = stream.filter(!col("bloom_pos"))

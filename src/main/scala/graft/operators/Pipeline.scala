@@ -368,6 +368,31 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Per-SOURCE duplication report — the data-vendor quality rollup
+    // of x15: for each source, chunk counts, chunks duplicated
+    // anywhere in the corpus (cross-source attribution is the point —
+    // a vendor re-selling another's crawl shows up here), and the
+    // rate in basis points. Same materialize-once chunk table as x15,
+    // corpus-wide frequency join, one extra aggregation to source
+    // grain; all-integer published values.
+    "x26_source_dup_report" -> ((s, d) => {
+      val chunks = docs(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"), explode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / 64).cast("int")),
+          c => md5(array_join(
+            slice(col("toks"), c * 64 + 1, lit(64)), " ")))).as("fp"))
+        .localCheckpoint()
+      val dfreq = chunks.groupBy("fp").agg(count(lit(1)).as("n"))
+      chunks.join(dfreq, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("source"), col("n_chunks"), col("n_dup"),
+          expr("n_dup * 10000 div n_chunks").as("dup_bp"))
+        .orderBy("source")
+    }),
+
     // DSIR-style importance selection (Xie et al. 2023, "Data
     // Selection via Importance Resampling" — unigram variant): score
     // each corpus doc by the mean token log-likelihood RATIO between
@@ -1176,6 +1201,21 @@ object Pipeline {
          round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::double / count(*), 4)
            AS dup_frac
        FROM ch JOIN df USING (fp) GROUP BY doc_id ORDER BY doc_id""",
+    // x26: x15's chunk CTE with source carried through, rolled to
+    // source grain, integer bp
+    "x26_source_dup_report" ->
+      """WITH tk AS (SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         ch AS (SELECT doc_id, source,
+             md5(array_to_string(toks[c*64+1 : c*64+64], ' ')) AS fp
+           FROM tk, unnest(range(0, (len(toks)-1)//64 + 1)) AS u(c)),
+         df AS (SELECT fp, count(*) AS n FROM ch GROUP BY fp)
+       SELECT source, count(*) AS n_chunks,
+         sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::bigint AS n_dup,
+         (sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 10000 // count(*))
+           ::bigint AS dup_bp
+       FROM ch JOIN df USING (fp) GROUP BY source ORDER BY source""",
     // x14: t2's quality formula (4dp-rounded), fixed band thresholds
     // on the rounded score, md5 intra-stage order key
     // x19: the four standalone rules rebuilt verbatim (d1 fingerprint

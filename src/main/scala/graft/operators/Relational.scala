@@ -296,6 +296,25 @@ object Relational {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // W6: RANGE-frame window (event-time, not row-count): per event,
+    // count and sum over the trailing 1 hour of the SAME user — the
+    // time-decayed-feature shape (sessions, rate limits, rolling
+    // spend). The frame is defined on the µs value, so tie rows are
+    // frame PEERS and the result is order-independent under ties;
+    // partitioned by user — no global-order funnel.
+    "w6_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id") < 20L)
+        .select(col("user_id"), col("event_id"),
+          micros(col("ts")).as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 2).as("sum_1h"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // W5: distribution window functions — ntile / percent_rank /
     // cume_dist over per-user event history (partitioned, so no
     // global-order funnel; one shuffle serves all three).
@@ -612,6 +631,14 @@ object Relational {
          round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mavg
          FROM events WHERE user_id < 20 ORDER BY user_id, ts_us, event_id""",
+    "w6_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         count(*) OVER w AS n_1h,
+         round(sum(value) OVER w, 2) AS sum_1h
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
     "w5_ntile" ->
       """SELECT user_id, event_id,
          ntile(4) OVER w AS quartile,

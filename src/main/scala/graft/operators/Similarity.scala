@@ -448,6 +448,32 @@ object Similarity {
     * corpus the booleans are constants the oracle can state literally —
     * the driver hash-checks an honest claim ("recall ≥ bound") rather
     * than a faked exactness. */
+  /** v21's sketch-route-then-rerank, parameterized by oversample
+    * width (the v21 entry fixes the shipped value; Scratch sweeps it). */
+  private[graft] def cascadeTopK(e: DataFrame, cands: Int): DataFrame = {
+    val sk = e.select(col("vec_id"),
+      array(rpSigns.map(sj =>
+        (graft.functions.expressions.Kernels
+          .dotFF(col("embedding"), typedLit(sj)) * lit(0.25))
+          .cast("float")): _*).as("sk"))
+    val q = sk.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("sk").as("qsk"))
+    rerankExact(topkSelect(
+      sk.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qsk"), col("sk"))), cands)
+      .select("query_id", "vec_id"), e, 10)
+  }
+
+  /** Dev-only: per-query recall@10 of the cascade vs brute force. */
+  private[graft] def cascadeRecalls(s: SparkSession, e: DataFrame,
+      cands: Int): Array[Double] =
+    bruteTopK(e).select("query_id", "vec_id")
+      .join(cascadeTopK(e, cands).select(col("query_id"), col("vec_id"))
+        .withColumn("h", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("h"), lit(0))) / count(lit(1))).as("r"))
+      .orderBy("query_id").collect().map(_.getDouble(1))
+
   private def recallCheck(approx: DataFrame, exact: DataFrame,
       bound: Double): DataFrame =
     exact.select("query_id", "vec_id")
@@ -881,6 +907,25 @@ object Similarity {
     // products and a fixed-order sum of identical inputs — no libm, so
     // cross-engine bit parity holds by IEEE determinism alone. Scale
     // shape: per-row map, shuffle-free, corpus never collected.
+    // Cascaded ANN over the JL sketches (v14 put to work): stage 1
+    // scores 16-dim sketches — 4× less vector I/O than a full-width
+    // scan — and keeps an OVERSAMPLED top-400; stage 2 exact-reranks
+    // the candidates with full vectors (rerankExact: floats touched
+    // for the bounded superset only). The sketch is clustering-free —
+    // no training, no index build — so this is the tier for a corpus
+    // scanned ONCE (IVF's build cost never amortizes there). The
+    // oversample is wide because this corpus sits in v1b's honest-
+    // limit regime (isotropic vectors, neighbors barely above
+    // background): measured recall@10 by width at sf0.1 is min
+    // 0.3/0.3/0.5/0.9 for 100/200/400/800 candidates; 400 (6.7% of
+    // the sf0.1 corpus, deterministic min 0.5; all-1.0 at sf0.01)
+    // is the shipped dial. Real embedding corpora separate far
+    // better and would run at 50–100.
+    "v21_ann_cascade" -> ((s, d) => {
+      val e = emb(s, d)
+      recallCheck(cascadeTopK(e, cands = 400), bruteTopK(e), bound = 0.5)
+    }),
+
     "v14_random_projection" -> ((s, d) => {
       val cols = rpSigns.zipWithIndex.map { case (sj, j) =>
         (graft.functions.expressions.Kernels
@@ -1081,6 +1126,7 @@ object Similarity {
     "v15_ann_ivfpq" -> recallOracle,
     "v16_ann_array_pruned" -> recallOracle,
     "v17_ann_incremental" -> recallOracle,
+    "v21_ann_cascade" -> recallOracle,
     "v18_ann_delete" ->
       """SELECT CAST(v AS BIGINT) AS query_id, true AS recall_ok,
          true AS no_deleted

@@ -80,6 +80,33 @@ object TextOps {
     // Language-ID: marker-stopword scoring with deterministic argmax.
     // (The reference has no NLP surface; this is a driver-requested
     // pipeline extension. Heuristic mirrored 1:1 in the oracle.)
+    // Langid AGREEMENT report (the eval step after t3: how often does
+    // the n-gram heuristic agree with the labeled lang, per label?) —
+    // the confusion-matrix diagonal a pipeline owner reads before
+    // trusting the classifier for routing. One scan + one aggregation;
+    // integer bp rates.
+    "t24_langid_agreement" -> ((s, d) => {
+      val toks = tokens(lower(col("text")))
+      def score(ws: Seq[String]) =
+        graft.functions.expressions.Kernels.countInSet(toks, ws)
+      val sEn = score(Seq("the", "and", "of", "is"))
+      val sEs = score(Seq("el", "la", "los", "de"))
+      val sDe = score(Seq("der", "und", "die", "das"))
+      val sFr = score(Seq("le", "et", "les", "une"))
+      docs(s, d).select(col("lang"),
+          when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+            .when(sEs >= sDe && sEs >= sFr, "es")
+            .when(sDe >= sFr, "de")
+            .otherwise("fr").as("pred"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("lang"), col("n_docs"), col("n_agree"),
+          expr("n_agree * 10000 div n_docs").as("agree_bp"))
+        .orderBy("lang")
+    }),
+
     "t3_langid" -> ((s, d) => {
       val toks = tokens(lower(col("text")))
       def score(ws: Seq[String]) =
@@ -824,6 +851,26 @@ object TextOps {
            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
            FROM documents)
          ORDER BY doc_id""",
+    // t24: t3's prediction CASE rolled to label grain, integer bp
+    "t24_langid_agreement" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::bigint AS n_agree,
+         (sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) * 10000 // count(*))
+           ::bigint AS agree_bp
+         FROM (SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred
+           FROM (SELECT lang,
+             len([t for t in toks if t IN ('the','and','of','is')]) AS s_en,
+             len([t for t in toks if t IN ('el','la','los','de')]) AS s_es,
+             len([t for t in toks if t IN ('der','und','die','das')]) AS s_de,
+             len([t for t in toks if t IN ('le','et','les','une')]) AS s_fr
+             FROM (SELECT lang,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+               FROM documents)))
+         GROUP BY lang ORDER BY lang""",
     "t3_langid" ->
       """SELECT doc_id, lang,
          CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'

@@ -453,6 +453,47 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L)), s"doc3: ${got(3L)}")
   }
 
+  test("x24 corpus diff: every class surfaces, unchanged rows absent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids chosen so each class is non-empty under the fixture rules:
+    // 7 → added (absent from v1), 13 → removed (absent from v2),
+    // 11 → changed (revised text), 1/2/3 → unchanged (must NOT emit)
+    val docs = Seq(1L, 2L, 3L, 7L, 11L, 13L).map(i => (i, s"text of doc $i"))
+    val dir = java.nio.file.Files.createTempDirectory("x24").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Pipeline.queries("x24_corpus_diff")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(7L -> "added", 11L -> "changed", 13L -> "removed"),
+      s"got $got")
+  }
+
+  test("x26 cross-source dup attribution: recycled chunk flags BOTH sources") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val shared = (1 to 64).map(i => s"c$i").mkString(" ")
+    def filler(n: Int) = (1 to n).map(i => s"u${n}_$i").mkString(" ")
+    // vendor B re-sells one of vendor A's chunks; vendor C is clean
+    val rows = Seq((1L, s"$shared ${filler(64)}", "srcA"),
+      (2L, s"$shared ${filler(30)}", "srcB"),
+      (3L, filler(128), "srcC"))
+    val dir = java.nio.file.Files.createTempDirectory("x26").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Pipeline
+      .queries("x26_source_dup_report")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("srcA") == ((2L, 1L)) && got("srcB") == ((2L, 1L)),
+      s"shared chunk must flag both vendors: $got")
+    assert(got("srcC") == ((2L, 0L)), s"clean vendor flagged: $got")
+  }
+
   test("x16 DSIR: target-like docs score above off-domain docs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

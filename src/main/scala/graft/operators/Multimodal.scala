@@ -310,6 +310,17 @@ object Multimodal {
     })
   )
 
+  /** m4's stub frame table as SQL (frame i = 16 bytes at offset i·64
+    * on the ASCII corpus) — ONE definition behind the m4 and m8
+    * oracles, so the frame rule cannot fork between sampling and
+    * scene-cut. Yields (doc_id, frame_idx, ft). */
+  private val frameSql =
+    """SELECT doc_id, i AS frame_idx,
+         substr(text, (1 + i * 64)::int, 16) AS ft
+       FROM (SELECT doc_id, text,
+           unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS i
+         FROM documents)"""
+
   val oracles: Map[String, String] = Map(
     // Reconstruct the synthesized binary in DuckDB: 2×int32-BE header +
     // utf8 text payload.
@@ -338,13 +349,9 @@ object Multimodal {
                ((octet_length(text::blob) + 3) // 4), 4) AS mean_byte
          FROM documents ORDER BY doc_id""",
     // frame i (stride 4) = 16 payload bytes from offset i*64 =
-    // text substring at 1-based position 1 + i*64
+    // text substring at 1-based position 1 + i*64 (shared frameSql)
     "m4_frame_sample" ->
-      """SELECT doc_id, i AS frame_idx,
-         substr(text, (1 + i * 64)::int, 16) AS frame_txt
-         FROM (SELECT doc_id, text,
-             unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS i
-           FROM documents)
+      s"""SELECT doc_id, frame_idx, ft AS frame_txt FROM ($frameSql)
          ORDER BY doc_id, frame_idx""",
     // m5: windows of 64 payload bytes; sample = ascii(code) − 64
     // (ASCII corpus: byte i = code point i); RMS replayed exactly
@@ -361,10 +368,10 @@ object Multimodal {
              unnest(range(0, ((octet_length(text::blob) - 1) // 64) + 1)) AS w
            FROM documents)
          ORDER BY doc_id, win_idx""",
-    // m8: m4's frame CTE + lag, per-position mismatch count over the
-    // shared prefix + length delta, cuts at dist ≥ 8
+    // m8: the shared frame table + lag, per-position mismatch count
+    // over the shared prefix + length delta, cuts at dist ≥ 8
     "m8_scene_cut" ->
-      """SELECT doc_id, cut_at, dist FROM (
+      s"""SELECT doc_id, cut_at, dist FROM (
            SELECT doc_id, frame_idx AS cut_at,
              (len([x for x in range(1,
                  least(length(ft), length(prev))::int + 1)
@@ -373,12 +380,7 @@ object Multimodal {
            FROM (SELECT doc_id, frame_idx, ft,
                lag(ft) OVER (PARTITION BY doc_id ORDER BY frame_idx)
                  AS prev
-             FROM (SELECT doc_id, i AS frame_idx,
-                 substr(text, (1 + i * 64)::int, 16) AS ft
-               FROM (SELECT doc_id, text,
-                   unnest(range(0,
-                     ((octet_length(text::blob) - 1) // 64) + 1)) AS i
-                 FROM documents)))
+             FROM ($frameSql))
            WHERE prev IS NOT NULL)
          WHERE dist >= 8 ORDER BY doc_id, cut_at""",
     // m7: m5's window CTE with UNROUNDED rms (the sum is exact-integer

@@ -34,6 +34,30 @@ object Pipeline {
     when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test")
   }
 
+  /** ONE 64-token chunk-fingerprint table behind x15 and x26 (the
+    * chunk rule must not fork between the doc-grain and source-grain
+    * reports). Materialized once: the explode feeds BOTH the
+    * fingerprint-frequency aggregation and the join back (the x13/Pq
+    * lesson — without this the tokenize+md5 subtree runs twice per
+    * query). Columns: (doc_id, source, fp). */
+  private def chunkFps(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), explode(transform(
+        sequence(lit(0), ((size(col("toks")) - 1) / 64).cast("int")),
+        c => md5(array_join(
+          slice(col("toks"), c * 64 + 1, lit(64)), " ")))).as("fp"))
+      .localCheckpoint()
+
+  /** The same chunk table as SQL — shared by the x15/x26 oracles. */
+  private val chunkSql =
+    """SELECT doc_id, source,
+         md5(array_to_string(toks[c*64+1 : c*64+64], ' ')) AS fp
+       FROM (SELECT doc_id, source,
+           string_split_regex(trim(text), '\s+') AS toks
+         FROM documents) tk,
+         unnest(range(0, (len(toks)-1)//64 + 1)) AS u(c)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reproducible train/val/test split: assignment is a pure function
     // of doc_id (md5 hex prefix vs threshold), so it's stable across
@@ -346,17 +370,7 @@ object Pipeline {
     // (~n_tokens/64 rows per doc), one fingerprint-keyed count, one
     // join back — all linear, no self-join anywhere.
     "x15_chunk_dedup" -> ((s, d) => {
-      // materialized once: the chunk explode feeds BOTH the
-      // fingerprint-frequency aggregation and the join back (the
-      // x13/Pq lesson — without this the tokenize+md5 subtree runs
-      // twice per query)
-      val chunks = docs(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), ((size(col("toks")) - 1) / 64).cast("int")),
-          c => md5(array_join(
-            slice(col("toks"), c * 64 + 1, lit(64)), " ")))).as("fp"))
-        .localCheckpoint()
+      val chunks = chunkFps(s, d)
       val dfreq = chunks.groupBy("fp").agg(count(lit(1)).as("n"))
       chunks.join(dfreq, "fp")
         .groupBy("doc_id")
@@ -376,13 +390,7 @@ object Pipeline {
     // corpus-wide frequency join, one extra aggregation to source
     // grain; all-integer published values.
     "x26_source_dup_report" -> ((s, d) => {
-      val chunks = docs(s, d)
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("source"), explode(transform(
-          sequence(lit(0), ((size(col("toks")) - 1) / 64).cast("int")),
-          c => md5(array_join(
-            slice(col("toks"), c * 64 + 1, lit(64)), " ")))).as("fp"))
-        .localCheckpoint()
+      val chunks = chunkFps(s, d)
       val dfreq = chunks.groupBy("fp").agg(count(lit(1)).as("n"))
       chunks.join(dfreq, "fp")
         .groupBy("source")
@@ -1189,12 +1197,7 @@ object Pipeline {
     // x15: 64-token chunk fingerprints (md5 of the space-joined
     // slice), corpus-wide fingerprint counts, per-doc dup fraction
     "x15_chunk_dedup" ->
-      """WITH tk AS (SELECT doc_id,
-             string_split_regex(trim(text), '\s+') AS toks
-           FROM documents),
-         ch AS (SELECT doc_id,
-             md5(array_to_string(toks[c*64+1 : c*64+64], ' ')) AS fp
-           FROM tk, unnest(range(0, (len(toks)-1)//64 + 1)) AS u(c)),
+      s"""WITH ch AS ($chunkSql),
          df AS (SELECT fp, count(*) AS n FROM ch GROUP BY fp)
        SELECT doc_id, count(*) AS n_chunks,
          sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::bigint AS n_dup,
@@ -1204,12 +1207,7 @@ object Pipeline {
     // x26: x15's chunk CTE with source carried through, rolled to
     // source grain, integer bp
     "x26_source_dup_report" ->
-      """WITH tk AS (SELECT doc_id, source,
-             string_split_regex(trim(text), '\s+') AS toks
-           FROM documents),
-         ch AS (SELECT doc_id, source,
-             md5(array_to_string(toks[c*64+1 : c*64+64], ' ')) AS fp
-           FROM tk, unnest(range(0, (len(toks)-1)//64 + 1)) AS u(c)),
+      s"""WITH ch AS ($chunkSql),
          df AS (SELECT fp, count(*) AS n FROM ch GROUP BY fp)
        SELECT source, count(*) AS n_chunks,
          sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::bigint AS n_dup,
@@ -1311,8 +1309,6 @@ object Pipeline {
        FROM q ORDER BY stage, ord"""
     },
 
-    // x21: per-doc replay (no level trick needed at oracle scale) —
-    // integer comparisons on the shared 4dp quality basis points
     "x25_pack_efficiency" ->
       s"""WITH st AS (SELECT doc_id // 10000 AS shard,
              sum($tokSql)::bigint AS tok
@@ -1370,6 +1366,8 @@ object Pipeline {
            ::bigint AS contam_bp
        FROM f GROUP BY split ORDER BY split""",
 
+    // x21: per-doc replay (no level trick needed at oracle scale) —
+    // integer comparisons on the shared 4dp quality basis points
     "x21_threshold_sweep" ->
       s"""WITH q AS (SELECT doc_id,
              CAST(round(quality * 10000) AS BIGINT) AS qi, n_tokens

@@ -300,8 +300,11 @@ object Relational {
     // count and sum over the trailing 1 hour of the SAME user — the
     // time-decayed-feature shape (sessions, rate limits, rolling
     // spend). The frame is defined on the µs value, so tie rows are
-    // frame PEERS and the result is order-independent under ties;
-    // partitioned by user — no global-order funnel.
+    // frame PEERS: the frame SET (hence n_1h, and sum_1h's value set)
+    // is order-independent under ties; the double sum's ADDITION
+    // order is engine-dependent like every grouped sum, absorbed by
+    // the repo-wide round(2) convention (st1's rule). Partitioned by
+    // user — no global-order funnel.
     "w6_range_frame" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-3600000000L, Window.currentRow)

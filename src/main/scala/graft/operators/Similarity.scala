@@ -259,12 +259,6 @@ object Similarity {
     * queries read nprobe/nlist of the corpus bytes. Recall equals
     * v4's (same routing, exact scoring inside probed lists);
     * `AnnArraySpec` asserts the file pruning on the physical plan. */
-  /** v16's built index array, memoized per (dataset dir, corpus
-    * signature): the IVF fit + clustered corpus write is an INDEX
-    * BUILD — bench iterations and repeated queries in one JVM must
-    * re-read it, not rebuild a corpus copy per call (the drainSessions
-    * staging-cache discipline). The signature is the source file's
-    * size+mtime so a regenerated corpus re-indexes. */
   /** ONE memoized IVF-array builder behind v16–v19 (the four variants
     * differ only in cache prefix, extra attributes, and a post step).
     * Dims are always (cluster, vec_id); attrs are the float vector

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -33,6 +33,41 @@ object TextOps {
     transform(tokens(col("text")),
       t => pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
         lit(dim.toLong)))
+
+  /** t3's marker-word langid prediction — ONE definition behind both
+    * the per-doc classifier (t3) and the agreement report (t24), so
+    * the report always scores the classifier that actually ships
+    * (word lists and the >= tie chain must not fork). */
+  private def langPred: Column = {
+    val toks = tokens(lower(col("text")))
+    def score(ws: Seq[String]) =
+      graft.functions.expressions.Kernels.countInSet(toks, ws)
+    val sEn = score(Seq("the", "and", "of", "is"))
+    val sEs = score(Seq("el", "la", "los", "de"))
+    val sDe = score(Seq("der", "und", "die", "das"))
+    val sFr = score(Seq("le", "et", "les", "une"))
+    when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+      .when(sEs >= sDe && sEs >= sFr, "es")
+      .when(sDe >= sFr, "de")
+      .otherwise("fr")
+  }
+
+  /** The same prediction as SQL — shared by the t3/t24 oracles.
+    * Yields a subquery of (doc_id, lang, pred). */
+  private val langidSql =
+    """SELECT doc_id, lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS pred
+       FROM (SELECT doc_id, lang,
+         len([t for t in toks if t IN ('the','and','of','is')]) AS s_en,
+         len([t for t in toks if t IN ('el','la','los','de')]) AS s_es,
+         len([t for t in toks if t IN ('der','und','die','das')]) AS s_de,
+         len([t for t in toks if t IN ('le','et','les','une')]) AS s_fr
+         FROM (SELECT doc_id, lang,
+           string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents))"""
 
   /** Shared DuckDB replica of t2's 4dp quality score — ONE definition
     * interpolated by every oracle that needs it (t2/x8/x14/x17/x18/
@@ -86,18 +121,7 @@ object TextOps {
     // trusting the classifier for routing. One scan + one aggregation;
     // integer bp rates.
     "t24_langid_agreement" -> ((s, d) => {
-      val toks = tokens(lower(col("text")))
-      def score(ws: Seq[String]) =
-        graft.functions.expressions.Kernels.countInSet(toks, ws)
-      val sEn = score(Seq("the", "and", "of", "is"))
-      val sEs = score(Seq("el", "la", "los", "de"))
-      val sDe = score(Seq("der", "und", "die", "das"))
-      val sFr = score(Seq("le", "et", "les", "une"))
-      docs(s, d).select(col("lang"),
-          when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
-            .when(sEs >= sDe && sEs >= sFr, "es")
-            .when(sDe >= sFr, "de")
-            .otherwise("fr").as("pred"))
+      docs(s, d).select(col("lang"), langPred.as("pred"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
@@ -107,22 +131,10 @@ object TextOps {
         .orderBy("lang")
     }),
 
-    "t3_langid" -> ((s, d) => {
-      val toks = tokens(lower(col("text")))
-      def score(ws: Seq[String]) =
-        graft.functions.expressions.Kernels.countInSet(toks, ws)
-      val sEn = score(Seq("the", "and", "of", "is"))
-      val sEs = score(Seq("el", "la", "los", "de"))
-      val sDe = score(Seq("der", "und", "die", "das"))
-      val sFr = score(Seq("le", "et", "les", "une"))
-      docs(s, d).select(
-        col("doc_id"), col("lang"),
-        when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
-          .when(sEs >= sDe && sEs >= sFr, "es")
-          .when(sDe >= sFr, "de")
-          .otherwise("fr").as("lang_pred"))
-        .orderBy("doc_id")
-    }),
+    "t3_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+          langPred.as("lang_pred"))
+        .orderBy("doc_id")),
 
     // Document fingerprinting: md5 of normalized text + 60-bit rolling
     // token hash (both deterministic, oracle-replicable).
@@ -851,40 +863,16 @@ object TextOps {
            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
            FROM documents)
          ORDER BY doc_id""",
-    // t24: t3's prediction CASE rolled to label grain, integer bp
+    // t24: t3's shared prediction rolled to label grain, integer bp
     "t24_langid_agreement" ->
-      """SELECT lang, count(*) AS n_docs,
+      s"""SELECT lang, count(*) AS n_docs,
          sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::bigint AS n_agree,
          (sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) * 10000 // count(*))
            ::bigint AS agree_bp
-         FROM (SELECT lang,
-           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-                WHEN s_de >= s_fr THEN 'de'
-                ELSE 'fr' END AS pred
-           FROM (SELECT lang,
-             len([t for t in toks if t IN ('the','and','of','is')]) AS s_en,
-             len([t for t in toks if t IN ('el','la','los','de')]) AS s_es,
-             len([t for t in toks if t IN ('der','und','die','das')]) AS s_de,
-             len([t for t in toks if t IN ('le','et','les','une')]) AS s_fr
-             FROM (SELECT lang,
-               string_split_regex(trim(lower(text)), '\s+') AS toks
-               FROM documents)))
+         FROM ($langidSql)
          GROUP BY lang ORDER BY lang""",
     "t3_langid" ->
-      """SELECT doc_id, lang,
-         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-              WHEN s_de >= s_fr THEN 'de'
-              ELSE 'fr' END AS lang_pred
-         FROM (SELECT doc_id, lang,
-           len([t for t in toks if t IN ('the','and','of','is')]) AS s_en,
-           len([t for t in toks if t IN ('el','la','los','de')]) AS s_es,
-           len([t for t in toks if t IN ('der','und','die','das')]) AS s_de,
-           len([t for t in toks if t IN ('le','et','les','une')]) AS s_fr
-           FROM (SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS toks
-             FROM documents))
+      s"""SELECT doc_id, lang, pred AS lang_pred FROM ($langidSql)
          ORDER BY doc_id""",
     "t4_fingerprint" ->
       """SELECT doc_id,

@@ -180,6 +180,23 @@ object Relational {
           col("n"), col("qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // GROUPING SETS: the explicit, non-hierarchical grouping-set list —
+    // the general form behind ROLLUP/CUBE. Catalyst plans ONE Expand +
+    // a single hash aggregation (each input row is replicated once per
+    // set map-side; no per-set rescan of the table), so the shape holds
+    // at 100 TB exactly like a plain GROUP BY with 3× the rows.
+    "a11_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"), col("qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // J1: equi-join small dim table — broadcast hash join, no shuffle of
     // the big side. [Spark analog of clustered-index lookup join J2]
     "j1_broadcast_join" -> ((s, d) => {
@@ -443,6 +460,26 @@ object Relational {
         ORDER BY c_custkey""")
     }),
 
+    // LATERAL correlated subquery — the SQL front-door to per-row
+    // top-k ("for each customer, its 2 largest orders"). Catalyst
+    // decorrelates the correlated ORDER BY + LIMIT into a window
+    // rank over ONE join (DecorrelateInnerQuery) — no per-customer
+    // re-execution, so the shape is a single shuffle at any scale.
+    // Ordering ranks the raw parquet doubles (identical bits in both
+    // engines); only the published price is rounded.
+    "sq3_lateral_join" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("sq3_customer")
+      t(s, d, "orders").createOrReplaceTempView("sq3_orders")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey,
+          round(o.o_totalprice, 2) AS price
+        FROM sq3_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM sq3_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_mktsegment = 'MACHINERY'
+        ORDER BY c_custkey, price DESC, o_orderkey""")
+    }),
+
     // PIVOT: per-year revenue pivoted by order status — Spark's
     // groupBy().pivot() with an EXPLICIT value list (no extra
     // distinct-values scan job; one hash aggregation, conditional
@@ -585,6 +622,13 @@ object Relational {
          count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
+    "a11_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+         coalesce(l_linestatus, '(all)') AS l_linestatus,
+         count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag, l_linestatus""",
     "j1_broadcast_join" ->
       """SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -707,6 +751,14 @@ object Relational {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderstatus = 'P')
          ORDER BY c_custkey""",
+    "sq3_lateral_join" ->
+      """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_mktsegment = 'MACHINERY'
+         ORDER BY c_custkey, price DESC, o_orderkey""",
     "a9_pivot" ->
       """SELECT year(o_orderdate) AS yr,
          round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS F,

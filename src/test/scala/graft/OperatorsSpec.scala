@@ -20,6 +20,21 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("a11 plan: grouping sets = ONE Expand + one aggregation pass") {
+    val plan = SparkEntry.queries("a11_grouping_sets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("(?i)expand".r.findAllIn(plan).size >= 1, s"no Expand:\n$plan")
+    // one scan of lineitem, not one per grouping set
+    assert("Scan ".r.findAllIn(plan).size <= 1, s"grouping sets rescan:\n$plan")
+  }
+
+  test("sq3 plan: lateral top-2 decorrelates to a window rank, no loop") {
+    val plan = SparkEntry.queries("sq3_lateral_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected decorrelated window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
+  }
+
   test("v14 JL projection: norm preserved in expectation, ±1 signs exact") {
     // E‖y‖² = ‖x‖² under ±1/√k projection; per-vector Var ~ 2/k, so
     // the corpus MEAN ratio concentrates tightly around 1

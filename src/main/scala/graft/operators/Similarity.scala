@@ -711,6 +711,26 @@ object Similarity {
     // (partial map-side, k-sized shuffle states — no global window).
     "v2_ann_topk" -> ((s, d) => bruteTopK(emb(s, d))),
 
+    // Hard-negative mining for contrastive embedding training: for
+    // each anchor, the top-5 most-similar vectors with a DIFFERENT
+    // label — the "hardest" negatives an InfoNCE batch wants. Same
+    // broadcast-query + k-bounded-heap shape as v2 (the corpus side
+    // never shuffles, heap states are ≤ k per anchor); the label
+    // mismatch rides the join condition, which also drops self-pairs
+    // (an anchor shares its own label). At index scale this becomes
+    // v19's filtered probe with a negated predicate; this is the
+    // exact-baseline twin that prices it.
+    "v23_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val scored = e.select(col("vec_id"), col("embedding"), col("label"))
+        .join(broadcast(q), col("label") =!= col("qlabel"))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+      topkSelect(scored, 5)
+    }),
+
     // IVF ANN (the other scale path): deterministic k-means coarse
     // quantizer (seeded init, 3 Lloyd iterations — all DataFrame ops),
     // queries probe the `nprobe` nearest centroids' inverted lists
@@ -1111,6 +1131,14 @@ object Similarity {
          FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
          JOIN embeddings b ON a.vec_id <> b.vec_id)
          WHERE rk <= 10 ORDER BY query_id, rk""",
+    "v23_hard_negatives" ->
+      s"""SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
+         SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosSql AS cos,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY $cosSql DESC, b.vec_id) AS rk
+         FROM (SELECT * FROM embeddings WHERE vec_id < 8) a
+         JOIN embeddings b ON a.label <> b.label)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
     // v3/v4 emit deterministic recall-vs-exact booleans (see
     // recallCheck): the oracle states the documented constants.
     "v3_ann_lsh" -> recallOracle,

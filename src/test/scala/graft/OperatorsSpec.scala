@@ -35,6 +35,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
   }
 
+  test("v23 hard negatives: label always differs from the anchor's, no self") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val neg = SparkEntry.queries("v23_hard_negatives")(spark, sf)
+    val bad = neg
+      .join(e.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel"), "query_id")
+      .join(e, "vec_id")
+      .filter(col("label") === col("qlabel") || col("vec_id") === col("query_id"))
+      .count()
+    assert(bad == 0, s"$bad same-label/self rows in hard negatives")
+    assert(neg.count() == 40)
+  }
+
   test("v14 JL projection: norm preserved in expectation, ±1 signs exact") {
     // E‖y‖² = ‖x‖² under ±1/√k projection; per-vector Var ~ 2/k, so
     // the corpus MEAN ratio concentrates tightly around 1

@@ -711,6 +711,47 @@ object Similarity {
     // (partial map-side, k-sized shuffle states — no global window).
     "v2_ann_topk" -> ((s, d) => bruteTopK(emb(s, d))),
 
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al.):
+    // the lexical leg is t7's published BM25 top-30; the semantic leg
+    // is pseudo-relevance feedback — max cosine to the top-3 lexical
+    // seeds' embeddings, ranked by the same k-bounded heap as v2.
+    // RRF score = Σ 1/(60+rank) over the legs a doc appears in, a
+    // rank-only fusion immune to the legs' incomparable score scales.
+    // Scale shape: both legs are rank-k-bounded lists (≤30 rows each),
+    // the fusion is a full-outer join of two tiny frames; the corpus
+    // is touched twice (one BM25 stats pass, one cosine scan with 3
+    // broadcast seeds) and never shuffled. RRF doubles are exact
+    // integer-rank arithmetic — published raw, bit-identical in both
+    // engines.
+    "v22_rrf_fusion" -> ((s, d) => {
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = TextOps.bm25Top(s, d)
+        .withColumn("rk_lex", row_number().over(wLex).cast("long"))
+        .select("doc_id", "rk_lex")
+      val e = emb(s, d)
+      val seeds = lex.filter(col("rk_lex") <= 3)
+        .join(e, col("vec_id") === col("doc_id"))
+        .select(col("embedding").as("seed"))
+      val sem0 = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(seeds))
+        .withColumn("c", cosine(col("seed"), col("embedding")))
+        .groupBy("vec_id").agg(max(col("c")).as("cos"))
+      val sem = topkSelect(sem0.withColumn("query_id", lit(0L)), 30)
+        .select(col("vec_id").as("svec"), col("rk").as("rk_sem"))
+      lex.join(sem, col("doc_id") === col("svec"), "full_outer")
+        .select(coalesce(col("doc_id"), col("svec")).as("doc_id"),
+          coalesce(col("rk_lex"), lit(0L)).as("rk_lex"),
+          coalesce(col("rk_sem"), lit(0L)).as("rk_sem"))
+        .withColumn("rrf",
+          when(col("rk_lex") > 0, lit(1.0) / (lit(60.0) + col("rk_lex")))
+            .otherwise(lit(0.0)) +
+            when(col("rk_sem") > 0, lit(1.0) / (lit(60.0) + col("rk_sem")))
+              .otherwise(lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(15)
+    }),
+
     // Hard-negative mining for contrastive embedding training: for
     // each anchor, the top-5 most-similar vectors with a DIFFERENT
     // label — the "hardest" negatives an InfoNCE batch wants. Same
@@ -1131,6 +1172,41 @@ object Similarity {
          FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
          JOIN embeddings b ON a.vec_id <> b.vec_id)
          WHERE rk <= 10 ORDER BY query_id, rk""",
+    "v22_rrf_fusion" -> {
+      val seedNum =
+        """list_sum([s.seed[i]::double * b.embedding[i]::double
+                     for i in range(1, len(b.embedding) + 1)])"""
+      val seedDen =
+        """(sqrt(list_sum([s.seed[i]::double * s.seed[i]::double
+                     for i in range(1, len(s.seed) + 1)])) *
+            sqrt(list_sum([b.embedding[i]::double * b.embedding[i]::double
+                     for i in range(1, len(b.embedding) + 1)])))"""
+      s"""WITH lexall AS (${graft.operators.TextOps.bm25Sql}),
+         lex AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk_lex
+           FROM lexall),
+         seeds AS (SELECT e.embedding AS seed FROM lex l
+           JOIN embeddings e ON e.vec_id = l.doc_id WHERE l.rk_lex <= 3),
+         sem0 AS (SELECT b.vec_id,
+             max(CASE WHEN $seedDen = 0 THEN 0.0 ELSE $seedNum / $seedDen END)
+               AS cos
+           FROM embeddings b CROSS JOIN seeds s GROUP BY b.vec_id),
+         sem AS (SELECT vec_id, rk_sem FROM (
+             SELECT vec_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rk_sem
+             FROM sem0)
+           WHERE rk_sem <= 30),
+         fused AS (SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+             coalesce(l.rk_lex, 0) AS rk_lex, coalesce(s.rk_sem, 0) AS rk_sem
+           FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id)
+         SELECT doc_id, rk_lex, rk_sem,
+           (CASE WHEN rk_lex > 0
+                 THEN 1.0::double / (60.0::double + rk_lex) ELSE 0.0 END)
+           + (CASE WHEN rk_sem > 0
+                   THEN 1.0::double / (60.0::double + rk_sem) ELSE 0.0 END)
+             AS rrf
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 15"""
+    },
     "v23_hard_negatives" ->
       s"""SELECT query_id, vec_id, rk, round(cos, 6) AS cos FROM (
          SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosSql AS cos,

@@ -162,33 +162,7 @@ object TextOps {
     // df / dl are integer-valued doubles (exact under any partial-sum
     // order) and term contributions add in fixed query order, so the
     // DuckDB oracle replays the identical float sequence.
-    "t7_bm25" -> ((s, d) => {
-      val terms = Seq("spark", "join", "merge")
-      val dd = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")).cast("double"))
-      val withTf = terms.foldLeft(dd)((acc, t) =>
-        acc.withColumn(s"tf_$t", graft.functions.expressions.Kernels
-          .countInSet(col("toks"), Seq(t)).cast("double")))
-      val aggCols = count(lit(1)).cast("double").as("n") +:
-        avg(col("dl")).as("avgdl") +:
-        terms.map(t => sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0))
-          .as(s"df_$t"))
-      val stats = withTf.agg(aggCols.head, aggCols.tail: _*)
-      val joined = withTf.crossJoin(broadcast(stats))
-      val score = terms.map { t =>
-        val tf = col(s"tf_$t"); val dfc = col(s"df_$t")
-        val idf = log(lit(1.0) + (col("n") - dfc + lit(0.5)) / (dfc + lit(0.5)))
-        when(tf > 0,
-          idf * tf * (lit(1.2) + lit(1.0)) /
-            (tf + lit(1.2) * (lit(1.0) - lit(0.75) +
-              lit(0.75) * col("dl") / col("avgdl"))))
-          .otherwise(lit(0.0))
-      }.reduce(_ + _)
-      joined.withColumn("score", round(score, 4))
-        .filter(col("score") > 0)
-        .select("doc_id", "score")
-        .orderBy(col("score").desc, col("doc_id")).limit(30)
-    }),
+    "t7_bm25" -> ((s, d) => bm25Top(s, d)),
 
     // Unigram log-probability scoring (model-based quality filter: a
     // document's mean token log-prob under the corpus unigram model —
@@ -690,7 +664,39 @@ object TextOps {
 
   /** DuckDB replay of t7_bm25 — identical literals, operation order and
     * fixed-order term addition, so doubles match bit-for-bit. */
-  private val bm25Sql: String = {
+  /** BM25 top-30 for the fixed query ("spark", "join", "merge") — the
+    * t7 surface, factored out so v22's hybrid fusion reuses the exact
+    * published lexical list (score rounded to 4dp; ties broken by
+    * doc_id). */
+  private[operators] def bm25Top(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "merge")
+    val dd = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val withTf = terms.foldLeft(dd)((acc, t) =>
+      acc.withColumn(s"tf_$t", graft.functions.expressions.Kernels
+        .countInSet(col("toks"), Seq(t)).cast("double")))
+    val aggCols = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0))
+        .as(s"df_$t"))
+    val stats = withTf.agg(aggCols.head, aggCols.tail: _*)
+    val joined = withTf.crossJoin(broadcast(stats))
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t"); val dfc = col(s"df_$t")
+      val idf = log(lit(1.0) + (col("n") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      when(tf > 0,
+        idf * tf * (lit(1.2) + lit(1.0)) /
+          (tf + lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("score", round(score, 4))
+      .filter(col("score") > 0)
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id")).limit(30)
+  }
+
+  private[operators] val bm25Sql: String = {
     val terms = Seq("spark", "join", "merge")
     val tfCols = terms.map(t =>
       s"len([x for x in toks if x = '$t'])::double AS tf_$t").mkString(",\n      ")

@@ -35,6 +35,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
   }
 
+  test("v22 RRF fusion: both legs contribute and rrf is the rank formula") {
+    val rows = SparkEntry.queries("v22_rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { r =>
+      val (lex, sem, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(lex > 0 || sem > 0, s"row in neither leg: $r")
+      val expect = (if (lex > 0) 1.0 / (60.0 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60.0 + sem) else 0.0)
+      assert(rrf == expect, s"rrf mismatch: $r vs $expect")
+    }
+    // the semantic leg must actually fire (a broken seed join would
+    // silently yield a lex-only list)
+    assert(rows.exists(_.getLong(2) > 0), "no semantic-leg rows in fusion")
+  }
+
   test("v23 hard negatives: label always differs from the anchor's, no self") {
     val e = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("label"))

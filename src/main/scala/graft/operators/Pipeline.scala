@@ -401,6 +401,39 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // Population-stability-index drift report (the model-monitoring
+    // PSI, worn as corpus governance): per source, how far its
+    // quality-score distribution sits from the REST of the corpus,
+    // over 10 fixed [0,1] decile bins with add-0.5 smoothing (no
+    // empty-bin ln(0)). Scale shape: ONE binned aggregation per
+    // source (10 integer count columns — bins never shuffle
+    // separately) plus one broadcast corpus-total row; psi folds the
+    // 10 bins in fixed left-assoc order from integer counts, so the
+    // published raw double replays bit-for-bit. The PSI > 0.25
+    // "significant shift" textbook flag is published as a boolean.
+    "x27_psi_drift" -> ((s, d) => {
+      val binned = docs(s, d).select(col("source"),
+          qualityScore(col("text")).as("q"))
+        .withColumn("bin",
+          least(floor(col("q") * 10.0), lit(9.0)).cast("int"))
+      def binCounts(prefix: String) = (0 until 10).map(i =>
+        sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"$prefix$i"))
+      val perSrc = binned.groupBy("source")
+        .agg(count(lit(1)).as("n_s"), binCounts("c"): _*)
+      val tot = binned.agg(count(lit(1)).as("n_tot"), binCounts("t"): _*)
+      val psi = (0 until 10).map { i =>
+        val p = (col(s"c$i").cast("double") + lit(0.5)) /
+          (col("n_s").cast("double") + lit(5.0))
+        val r = ((col(s"t$i") - col(s"c$i")).cast("double") + lit(0.5)) /
+          ((col("n_tot") - col("n_s")).cast("double") + lit(5.0))
+        (p - r) * log(p / r)
+      }.reduce(_ + _)
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s").as("n_docs"), psi.as("psi"))
+        .withColumn("shifted", col("psi") > 0.25)
+        .orderBy("source")
+    }),
+
     // DSIR-style importance selection (Xie et al. 2023, "Data
     // Selection via Importance Resampling" — unigram variant): score
     // each corpus doc by the mean token log-likelihood RATIO between
@@ -1214,6 +1247,28 @@ object Pipeline {
          (sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 10000 // count(*))
            ::bigint AS dup_bp
        FROM ch JOIN df USING (fp) GROUP BY source ORDER BY source""",
+    // x27: the same 10-bin smoothed PSI fold, left-assoc in bin order
+    // from integer counts (raw-double publish; ln replays per x16)
+    "x27_psi_drift" -> {
+      def binCols(prefix: String) = (0 until 10).map(i =>
+        s"sum(CASE WHEN bin = $i THEN 1 ELSE 0 END)::bigint AS $prefix$i")
+        .mkString(",\n           ")
+      val terms = (0 until 10).map { i =>
+        val p = s"((c$i::double + 0.5) / (n_s::double + 5.0))"
+        val r = s"(((t$i - c$i)::double + 0.5) / ((n_tot - n_s)::double + 5.0))"
+        s"($p - $r) * ln($p / $r)"
+      }.mkString("\n           + ")
+      s"""WITH q AS (SELECT d.source, qq.quality
+           FROM (${TextOps.qualitySql}) qq JOIN documents d USING (doc_id)),
+         b AS (SELECT source,
+             least(floor(quality * 10.0), 9.0)::int AS bin FROM q),
+         ps AS (SELECT source, count(*)::bigint AS n_s, ${binCols("c")}
+           FROM b GROUP BY source),
+         t AS (SELECT count(*)::bigint AS n_tot, ${binCols("t")} FROM b)
+       SELECT source, n_docs, psi, (psi > 0.25) AS shifted FROM (
+         SELECT source, n_s AS n_docs, ($terms) AS psi FROM ps, t)
+       ORDER BY source"""
+    },
     // x14: t2's quality formula (4dp-rounded), fixed band thresholds
     // on the rounded score, md5 intra-stage order key
     // x19: the four standalone rules rebuilt verbatim (d1 fingerprint

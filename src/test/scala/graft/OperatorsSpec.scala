@@ -35,6 +35,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
   }
 
+  test("x27 PSI: non-negative and finite for every source") {
+    // each PSI term (p-r)*ln(p/r) is >= 0 (factors share sign), so a
+    // negative or non-finite psi means the fold or smoothing is broken
+    val rows = SparkEntry.queries("x27_psi_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getDouble(2)
+      assert(psi >= 0.0 && java.lang.Double.isFinite(psi), s"bad psi: $r")
+      assert(r.getBoolean(3) == (psi > 0.25), s"shifted flag wrong: $r")
+    }
+  }
+
   test("v22 RRF fusion: both legs contribute and rrf is the rank formula") {
     val rows = SparkEntry.queries("v22_rrf_fusion")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 15)

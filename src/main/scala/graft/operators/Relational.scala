@@ -180,6 +180,29 @@ object Relational {
           col("n"), col("qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Sketch-based distinct counting: approx_count_distinct (HLL++)
+    // beside the exact count. At 100 TB the sketch is the only sane
+    // path — fixed-size mergeable state, no expand-distinct shuffle —
+    // while exact countDistinct rewrites to a two-phase aggregate over
+    // the distinct keys. The sketch estimate is engine-specific, so
+    // the published columns are the exact counts plus a FALSIFIABLE
+    // relative-error flag (rsd 0.05 requested, 3× slack asserted): a
+    // broken or bypassed sketch flips the flag, the hash-compared
+    // numbers stay engine-neutral (the v18 no_deleted pattern).
+    "a12_approx_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("a_ord"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("a_part"))
+        .select(col("exact_orders"), col("exact_parts"),
+          (abs(col("a_ord") - col("exact_orders")).cast("double") /
+            col("exact_orders").cast("double") <= 0.15).as("orders_err_ok"),
+          (abs(col("a_part") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double") <= 0.15).as("parts_err_ok"))
+    }),
+
     // GROUPING SETS: the explicit, non-hierarchical grouping-set list —
     // the general form behind ROLLUP/CUBE. Catalyst plans ONE Expand +
     // a single hash aggregation (each input row is replicated once per
@@ -622,6 +645,14 @@ object Relational {
          count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
+    // a12: exact counts replay; the sketch-error flags are the
+    // documented deterministic contract (HLL++ at rsd 0.05 with 3×
+    // slack on these cardinalities)
+    "a12_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+         count(DISTINCT l_partkey) AS exact_parts,
+         TRUE AS orders_err_ok, TRUE AS parts_err_ok
+         FROM lineitem""",
     "a11_grouping_sets" ->
       """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
          coalesce(l_linestatus, '(all)') AS l_linestatus,

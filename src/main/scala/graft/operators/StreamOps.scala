@@ -132,6 +132,13 @@ object StreamOps {
     "st12_stream_bloom_admission" -> ((s, d) =>
       EventPipeline.runStreamingBloomAdmission(s, d)),
 
+    // Decontamination at ingest (x6 online): static broadcast eval
+    // shingle set, per-doc arrays_overlap admission — ZERO keyed
+    // streaming state (the st12 admission family). Contaminated docs
+    // are reported, not dropped.
+    "st14_stream_decontam" -> ((s, d) =>
+      EventPipeline.runStreamingDecontam(s, d)),
+
     // NATIVE streaming session windows (session_window + watermark,
     // append mode, watermark-flush sentinel): state = open sessions
     // only, evicted as the watermark passes each session's end. The
@@ -168,6 +175,18 @@ object StreamOps {
     // st12: the exact membership answer — ONE definition shared with
     // d11 (a Bloom false negative would hash-mismatch here)
     "st12_stream_bloom_admission" -> Dedup.bloomMembershipSql,
+    // st14: x6's shingle-overlap rule at boolean grain — a doc is
+    // admitted iff none of its 5-token shingles appear in the eval
+    // set (short docs shingle to [] and admit trivially)
+    "st14_stream_decontam" ->
+      s"""WITH sh AS (${Dedup.shingleSql}),
+         ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+         c AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20),
+         o AS (SELECT DISTINCT c.doc_id FROM c JOIN ev ON c.s = ev.s)
+       SELECT d.doc_id, (o.doc_id IS NULL) AS admitted
+       FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+       LEFT JOIN o ON o.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
     "st1_stream_windowed" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total

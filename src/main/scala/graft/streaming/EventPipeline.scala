@@ -720,6 +720,41 @@ object EventPipeline {
     spark.table(name).orderBy("doc_id")
   }
 
+  /** st14 — decontamination AT INGEST (x6 online): the eval suite's
+    * distinct 5-token shingles ride ONE static single-row frame
+    * (collect_set — eval suites are thousands of docs by construction,
+    * never TB), broadcast into a stateless stream-static join; each
+    * arriving doc answers membership per-row via `arrays_overlap`
+    * (codegen'd; O(|doc shingles| + |eval set|) per doc — the same
+    * asymptotic as probing a hash set per shingle). ZERO keyed
+    * streaming state, like st12's bloom admission — the decision
+    * never needs cross-batch memory. Contaminated docs are REPORTED
+    * (admitted=false), not silently dropped; a doc too short to
+    * shingle admits trivially, exactly like x6's left-join zero. */
+  def runStreamingDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val dd = graft.Tables.load(spark, sfDir, "documents")
+    val evs = dd.filter(col("doc_id") < 20)
+      .select(explode(shingles(col("text"), 5)).as("s"))
+      .agg(collect_set(col("s")).as("evs"))
+      .withColumn("k", lit(1))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(col("doc_id") >= 20)
+      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      .withColumn("k", lit(1))
+    val name = "graft_decon_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.join(broadcast(evs), "k")
+      .select(col("doc_id"),
+        (!arrays_overlap(col("sh"), col("evs"))).as("admitted"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("doc_id")
+  }
+
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")

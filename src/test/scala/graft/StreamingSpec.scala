@@ -481,6 +481,17 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(2)), "HLL twin out of band")
   }
 
+  test("st14 ingest decontam equals batch x6's boolean, zero keyed state") {
+    val stream = operators.StreamOps
+      .queries("st14_stream_decontam")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(stream.nonEmpty)
+    val batch = operators.Pipeline.queries("x6_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), !r.getBoolean(2))).toSeq
+    assert(stream == batch,
+      "streaming decontam diverged from batch x6")
+  }
+
   test("st12 bloom admission equals batch d11 through the gated path") {
     val stream = operators.StreamOps
       .queries("st12_stream_bloom_admission")(spark, sf)

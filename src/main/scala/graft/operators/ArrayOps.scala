@@ -71,6 +71,40 @@ object ArrayOps {
           round(avg(col("l_extendedprice")), 4).as("avg_price"))
     }),
 
+    // Storage-layout maintenance: `CALL cat.rebucket('t', n)` evolves
+    // the bucket count and rewrites the visible content as ONE
+    // bucket-complete fragment. The two DML INSERTs here are never
+    // bucket-complete (the KeyGroupedPartitioning gate rejects them),
+    // so before the CALL the table reads under UnknownPartitioning;
+    // after it, one fragment bucketed by 4 re-arms shuffle-free joins
+    // (RebucketSpec asserts both plan states). The published nf = 1
+    // is the falsifiable rewrite witness: skipping the rewrite leaves
+    // 2 fragments.
+    "arr32_rebucket" -> ((s, d) => {
+      val cat = "grb32"
+      graft.sources.GraftCatalogs.ensure(s, cat, "graft_rbkq")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ords")
+      s.sql(s"""CREATE TABLE $cat.ords (o_orderkey BIGINT, o_custkey BIGINT,
+        |  o_totalprice DOUBLE)
+        |TBLPROPERTIES('graft.dimensions'='o_orderkey',
+        |  'graft.buckets'='2')""".stripMargin)
+      val o = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView(s"src0_$cat")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .createOrReplaceTempView(s"src1_$cat")
+      s.sql(s"INSERT INTO $cat.ords SELECT * FROM src0_$cat")
+      s.sql(s"INSERT INTO $cat.ords SELECT * FROM src1_$cat")
+      s.sql(s"CALL $cat.rebucket('ords', 4)")
+      s.sql(s"""SELECT o.o_custkey, count(*) AS n,
+        |  round(sum(o.o_totalprice), 2) AS total, f.nf
+        |FROM $cat.ords o CROSS JOIN
+        |  (SELECT count(DISTINCT _frag_id) AS nf FROM $cat.ords) f
+        |GROUP BY o.o_custkey, f.nf
+        |ORDER BY o.o_custkey""".stripMargin)
+    }),
+
     // Storage-partitioned join (round 5): two arrays hash-bucketed the
     // same way on their join dimension (`graft.buckets`) join task-by-
     // task with NO shuffle on either side — the scan reports
@@ -961,6 +995,13 @@ object ArrayOps {
     "arr25_topn" ->
       """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
          FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""",
+    // arr32: the rebucketed table holds exactly the inserted orders;
+    // nf = 1 is the rewrite postcondition (2 DML fragments merged into
+    // one bucket-complete fragment by the CALL)
+    "arr32_rebucket" ->
+      """SELECT o_custkey, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total, 1::BIGINT AS nf
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "j8_bucketed_join" ->
       """SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal,
          o.n_orders, o.total

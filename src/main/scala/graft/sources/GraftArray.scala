@@ -476,7 +476,11 @@ object GraftArray {
     * Returns the consolidated fragment's timestamp, or None if fewer
     * than two fragments were eligible. */
   def consolidate(spark: SparkSession, uri: String,
-      since: Option[Long] = None, asOf: Option[Long] = None): Option[Long] = {
+      since: Option[Long] = None, asOf: Option[Long] = None,
+      /** Rewrite even a single already-merged data fragment — the
+        * rebucket path needs the rewrite for its LAYOUT, not for a
+        * merge. Full consolidation only. */
+      force: Boolean = false): Option[Long] = {
     val st = store(spark, uri)
     val schema = st.loadSchema(asOf)
     val frags = st.listFragments(asOf, since)
@@ -486,7 +490,7 @@ object GraftArray {
     // worth doing iff there is a merge (≥2 data fragments), a delete
     // to apply physically, or (full only) pure tombstones to reclaim
     val anyTomb = frags.exists(isTomb)
-    if (frags.isEmpty || (dataN < 2 && !anyTomb)) return None
+    if (frags.isEmpty || (!force && dataN < 2 && !anyTomb)) return None
     if (dataN == 0 && since.isDefined) return None // tombstone-only window
     // a windowed merge cannot absorb a fragment that carries BOTH
     // data and a delete marker (row-level MERGE coordinate files,
@@ -545,6 +549,33 @@ object GraftArray {
     }
     carryStreamLedger(spark, uri, replaced)
     Some(maxTs)
+  }
+
+  /** `CALL cat.rebucket('t', n)` — change the storage bucket count:
+    * evolve the schema (a NEW version; time travel keeps the old one)
+    * and rewrite the visible content as ONE consolidated fragment laid
+    * out bucket-complete under the new count. The scan's
+    * KeyGroupedPartitioning gate requires EVERY visible fragment to
+    * match the schema's count, so this rewrite is what (re-)arms
+    * shuffle-free storage-partitioned joins / GROUP BY after the
+    * count changes — or after DSv2/DML fragments (never
+    * bucket-complete) degraded the layout. `n <= 0` removes
+    * bucketing. Pre-rebucket time-travel reads degrade safely to
+    * UnknownPartitioning (old schema count vs. new fragment count
+    * fails the gate): correct rows, conservative layout. Returns the
+    * rewritten fragment's timestamp; None when nothing was rewritten
+    * (empty array — the schema still evolves). */
+  def rebucket(spark: SparkSession, uri: String, n: Int): Option[Long] = {
+    val st = store(spark, uri)
+    val s = st.loadSchema()
+    require(!s.encrypted,
+      "rebucket is unsupported on encrypted arrays: their consolidation " +
+        "rides the DSv2 writer, which does not produce bucket-complete " +
+        "files, so the rewrite could never re-arm the layout")
+    val nb = if (n > 0) Some(n) else None
+    if (s.buckets == nb) return None
+    st.evolveSchema(s.copy(buckets = nb), now())
+    consolidate(spark, uri, force = true)
   }
 
   /** Consolidation absorbs fragments whose origin tags are the

@@ -280,15 +280,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "consolidate"),
-      Identifier.of(namespace, "vacuum"))
+      Identifier.of(namespace, "vacuum"),
+      Identifier.of(namespace, "rebucket"))
 
   override def loadProcedure(ident: Identifier)
       : procedures.UnboundProcedure =
     ident.name().toLowerCase match {
-      case op @ ("consolidate" | "vacuum") =>
+      case op @ ("consolidate" | "vacuum" | "rebucket") =>
         new GraftMaintenanceProcedure(op, this)
       case other => throw new IllegalArgumentException(
-        s"unknown procedure '$other' — expected consolidate or vacuum")
+        s"unknown procedure '$other' — expected consolidate, vacuum " +
+          "or rebucket")
     }
 
   private[sources] def tableUriOf(dotted: String): String =
@@ -316,10 +318,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
   extends procedures.UnboundProcedure {
   override def name(): String = op
-  override def description(): String =
-    if (op == "consolidate")
+  override def description(): String = op match {
+    case "consolidate" =>
       "merge all visible fragments of a graft array into one"
-    else "reclaim fragments superseded by consolidation"
+    case "rebucket" =>
+      "change a graft array's bucket count and rewrite it bucket-complete"
+    case _ => "reclaim fragments superseded by consolidation"
+  }
 
   override def bind(inputType: StructType): procedures.BoundProcedure =
     new procedures.BoundProcedure {
@@ -327,7 +332,11 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
       override def description(): String =
         GraftMaintenanceProcedure.this.description()
       override def parameters(): Array[procedures.ProcedureParameter] =
-        Array(procedures.ProcedureParameter.in("table", StringType).build())
+        if (op == "rebucket")
+          Array(procedures.ProcedureParameter.in("table", StringType).build(),
+            procedures.ProcedureParameter.in("buckets", IntegerType).build())
+        else
+          Array(procedures.ProcedureParameter.in("table", StringType).build())
       override def isDeterministic: Boolean = false
 
       override def call(input: InternalRow)
@@ -338,6 +347,11 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
           if (op == "consolidate") {
             val ts = GraftArray.consolidate(spark, uri)
             (StructType(Seq(StructField("consolidated_ts", LongType))),
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](ts.map(Long.box).orNull)))
+          } else if (op == "rebucket") {
+            val ts = GraftArray.rebucket(spark, uri, input.getInt(1))
+            (StructType(Seq(StructField("rebucketed_ts", LongType))),
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 Array[Any](ts.map(Long.box).orNull)))
           } else {

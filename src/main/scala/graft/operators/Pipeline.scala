@@ -207,6 +207,49 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // Post-dedup mixture replanning: dedup changes each source's
+    // EFFECTIVE token supply (boilerplate-heavy sources lose the
+    // most), so the x9 allocation must be recomputed over KEPT tokens
+    // or the sampler silently over-draws deduped sources. Per source:
+    // raw vs kept tokens under d1's keeper rule (min doc_id per
+    // fingerprint), integer-bp loss, then x9's tier-weight allocation
+    // re-run on the kept supply. Scale shape: the fingerprint
+    // keeper join is d1's (hash groupBy, no corpus sort), the rest is
+    // one groupBy(source) + a broadcast one-row weight total; rate
+    // divides by the ROUNDED integer target like x9, with a
+    // greatest(kept,1) guard applied identically in both engines.
+    // The %97 "re-crawl" union is d11's fixture rule: the synthetic
+    // corpus has ZERO organic exact-dup docs at sf0.01, so without it
+    // the loss branch would never fire at the gate scale.
+    "x28_dedup_replan" -> ((s, d) => {
+      val budget = lit(100000.0)
+      val tier = substring(col("source"), 4, 10).cast("int")
+      val w = when(tier < 5, 4.0).when(tier < 10, 2.0).otherwise(1.0)
+      val raw = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      val corpus = raw.unionByName(raw.filter(col("doc_id") % 97 === 1)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      val dd = corpus.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n"),
+        fingerprint(col("text")).as("fp"))
+      val keep = dd.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+      val per = dd.join(keep, "fp")
+        .withColumn("kept", col("doc_id") === col("keep_id"))
+        .groupBy("source").agg(
+          sum(col("n")).as("n_raw"),
+          sum(when(col("kept"), col("n")).otherwise(0L)).as("n_kept"))
+        .withColumn("weight", w)
+      val tot = per.agg(sum("weight").as("wsum"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          round(budget * col("weight") / col("wsum"), 0).cast("long"))
+        .select(col("source"), col("n_raw"), col("n_kept"),
+          expr("(n_raw - n_kept) * 10000 div n_raw").as("loss_bp"),
+          col("target_tokens"),
+          round(least(lit(1.0), col("target_tokens").cast("double") /
+            greatest(col("n_kept"), lit(1L)).cast("double")), 6).as("rate"))
+        .orderBy("source")
+    }),
+
     // Deterministic epoch shuffle: training-order randomization as a
     // pure function of (epoch seed, doc_id) — an md5 sort key, so
     // epoch k replays bit-identically on any cluster size. The shard
@@ -1097,6 +1140,34 @@ object Pipeline {
     // weights are small integer-valued doubles (exact under any sum
     // order); rate/epochs derive from the ROUNDED integer target so
     // both engines divide the same numerator
+    // x28: d1's keeper rule at token grain + x9's allocation over the
+    // KEPT supply; integer-div bp, rate over the rounded target with
+    // the same greatest(kept,1) guard
+    "x28_dedup_replan" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, source, text FROM documents
+           WHERE doc_id % 97 = 1),
+         dd AS (SELECT doc_id, source, $tokSql AS n,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           FROM corpus),
+         keep AS (SELECT fp, min(doc_id) AS keep_id FROM dd GROUP BY fp),
+         per AS (SELECT source,
+             sum(n)::bigint AS n_raw,
+             sum(CASE WHEN doc_id = keep_id THEN n ELSE 0 END)::bigint
+               AS n_kept,
+             (CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 4.0
+                   WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2.0
+                   ELSE 1.0 END)::double AS weight
+           FROM dd JOIN keep USING (fp) GROUP BY source),
+         tot AS (SELECT sum(weight) AS wsum FROM per)
+       SELECT source, n_raw, n_kept,
+         ((n_raw - n_kept) * 10000 // n_raw)::bigint AS loss_bp,
+         round(100000.0 * weight / wsum, 0)::bigint AS target_tokens,
+         round(least(1.0, round(100000.0 * weight / wsum, 0) /
+           greatest(n_kept, 1)), 6) AS rate
+       FROM per, tot ORDER BY source""",
     "x9_mixture_plan" ->
       s"""WITH per AS (SELECT source,
              sum($tokSql)::bigint AS n_tokens,

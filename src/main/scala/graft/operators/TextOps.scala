@@ -120,6 +120,31 @@ object TextOps {
     // the confusion-matrix diagonal a pipeline owner reads before
     // trusting the classifier for routing. One scan + one aggregation;
     // integer bp rates.
+    // Code-vs-prose routing (the corpus-mixture splitter every LLM
+    // pipeline runs before weighting code separately): symbol density
+    // ({}();=<> [] per char, ×20 saturating) + code-keyword hits over
+    // the shared whitespace tokens, blended 0.6/0.4. Per-row codegen
+    // arithmetic over integer counts — scan-speed, shuffle-free; the
+    // raw double score replays bitwise (integer inputs, fixed fold),
+    // so is_code's >= 0.5 cut is engine-exact.
+    "t25_code_detect" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[{}()\\[\\];=<>]", ""))).cast("long").as("n_sym"),
+        length(col("text")).cast("long").as("n_char"),
+        graft.functions.expressions.Kernels.countInSet(tokens(col("text")),
+          Seq("def", "return", "import", "class", "for")).cast("long")
+          .as("n_kw"))
+      base.withColumn("score",
+          lit(0.6) * least(col("n_sym").cast("double") /
+            greatest(col("n_char").cast("double"), lit(1.0)) * lit(20.0),
+            lit(1.0)) +
+            lit(0.4) * least(col("n_kw").cast("double") / lit(5.0), lit(1.0)))
+        .select(col("doc_id"), col("n_sym"), col("n_kw"), col("score"),
+          (col("score") >= 0.5).as("is_code"))
+        .orderBy("doc_id")
+    }),
+
     "t24_langid_agreement" -> ((s, d) => {
       docs(s, d).select(col("lang"), langPred.as("pred"))
         .groupBy("lang")
@@ -870,6 +895,23 @@ object TextOps {
            FROM documents)
          ORDER BY doc_id""",
     // t24: t3's shared prediction rolled to label grain, integer bp
+    // t25: same integer features, same 0.6/0.4 blend in double — the
+    // raw score replays bitwise (integer inputs, fixed op order)
+    "t25_code_detect" ->
+      """SELECT doc_id, n_sym, n_kw, score, (score >= 0.5) AS is_code FROM (
+         SELECT doc_id, n_sym, n_kw,
+           0.6 * least(n_sym::double / greatest(n_char::double, 1.0) * 20.0,
+             1.0)
+           + 0.4 * least(n_kw::double / 5.0, 1.0) AS score
+         FROM (SELECT doc_id,
+             (length(text) - length(regexp_replace(text,
+               '[{}()\[\];=<>]', '', 'g')))::bigint AS n_sym,
+             length(text)::bigint AS n_char,
+             len([t for t in string_split_regex(trim(text), '\s+')
+                  if t IN ('def', 'return', 'import', 'class', 'for')])
+               ::bigint AS n_kw
+           FROM documents))
+       ORDER BY doc_id""",
     "t24_langid_agreement" ->
       s"""SELECT lang, count(*) AS n_docs,
          sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::bigint AS n_agree,

@@ -35,6 +35,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
   }
 
+  test("x28 dedup replan: loss branch fires; kept <= raw; rate <= 1") {
+    val rows = SparkEntry.queries("x28_dedup_replan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"kept > raw: $r")
+      assert(r.getDouble(5) <= 1.0, s"rate > 1: $r")
+    }
+    // the %97 re-crawl fixture guarantees a real dedup loss at every
+    // scale (the corpus itself has no organic exact dups at sf0.01)
+    assert(rows.exists(_.getLong(3) > 0), "loss branch never fired")
+  }
+
   test("x27 PSI: non-negative and finite for every source") {
     // each PSI term (p-r)*ln(p/r) is >= 0 (factors share sign), so a
     // negative or non-finite psi means the fold or smoothing is broken

@@ -56,6 +56,11 @@ class RebucketSpec extends SparkSpec {
     assert(spark.table(s"$cat.rb").count() == 250)
     assert(spark.table(s"$cat.rb").agg(sum(col("v"))).head.getDouble(0)
       == (0 until 250).map(_.toDouble).sum)
+    // replayable DDL reflects the evolved count
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.rb")
+      .head.getString(0)
+    assert(ddl.contains("'graft.buckets' = '4'"),
+      s"SHOW CREATE must carry the new bucket count:\n$ddl")
   }
 
   test("rebucket 0 removes bucketing; same-count call is a no-op") {

@@ -646,6 +646,43 @@ object Dedup {
       jaccardPairsOn(dd, 0.5, Some(dfCap(dd)))
     }),
 
+    // Jaccard-threshold calibration sweep (the choose-a-dedup-
+    // threshold report a data team reads BEFORE committing a corpus-
+    // wide run, x21/x25's sweep family applied to near-dup): ONE
+    // candidate+verify pass at the loosest threshold (0.3), then three
+    // threshold readings over that bounded pair table — pair count
+    // and 4dp mean similarity per candidate threshold. The base pair
+    // build is d2's (df-capped inverted index, exact verify); the
+    // sweep itself touches only the pair table, never the corpus
+    // again. Filters above the base threshold compare the PUBLISHED
+    // 6dp value in both engines (the base 0.3 cut is on raw jac,
+    // matching d2's contract). The corpus's organic near-dups are all
+    // jac ≥ 0.97 (chunk-level boilerplate) — every threshold would
+    // read identically — so the d11 fixture rule applies: union
+    // deterministic PREFIX docs (half / three-quarter token prefixes
+    // of the %7 slices) whose Jaccard lands mid-range, making the
+    // sweep rows actually separate at every scale.
+    "d13_jaccard_sweep" -> ((s, d) => {
+      val raw = docs(s, d).select(col("doc_id"), col("text"))
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      def prefixed(modv: Int, offset: Long, num: Int, den: Int) =
+        raw.filter(col("doc_id") % 7 === modv)
+          .select((col("doc_id") + offset).as("doc_id"),
+            expr(s"concat_ws(' ', slice(toks, 1, " +
+              s"(size(toks) * $num + ${den - 1}) div $den))").as("text"))
+      val corpus = raw.select("doc_id", "text")
+        .unionByName(prefixed(1, 2000000L, 1, 2))
+        .unionByName(prefixed(2, 3000000L, 3, 4))
+      val pairs = jaccardPairsOn(corpus, 0.3, Some(dfCap(corpus)))
+        .localCheckpoint()
+      Seq(0.3, 0.5, 0.8).map { t =>
+        pairs.filter(col("jac") >= t)
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(round(avg(col("jac")), 4), lit(0.0)).as("mean_jac"))
+          .select(lit(t).as("threshold"), col("n_pairs"), col("mean_jac"))
+      }.reduce(_ unionByName _).orderBy("threshold")
+    }),
+
     // MinHash(64) + LSH(16 bands × 4 rows) candidates, verified with
     // exact Jaccard ≥ 0.8. Oracle is the *exact* pair set — LSH recall
     // at j≥0.8 with these parameters is 1 − (1−j⁴)¹⁶ ≥ 1 − 7·10⁻⁶.
@@ -906,6 +943,41 @@ object Dedup {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "d2_ngram_jaccard" -> exactJaccardSql(0.5),
     "d3_minhash_lsh" -> exactJaccardSql(0.8),
+    // d13: the exact 0.3 pair table over documents ∪ prefix fixtures
+    // (base cut on raw jac, like d2's contract), re-read at each
+    // threshold over the PUBLISHED 6dp jac
+    "d13_jaccard_sweep" -> {
+      def prefixLeg(modv: Int, offset: Long, num: Int, den: Int) =
+        s"""SELECT doc_id + $offset AS doc_id,
+           array_to_string(list_slice(toks, 1,
+             (len(toks) * $num + ${den - 1}) // $den), ' ') AS text
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents)
+         WHERE doc_id % 7 = $modv"""
+      def leg(t: String) =
+        s"""SELECT $t::double AS threshold, count(*)::bigint AS n_pairs,
+           coalesce(round(avg(jac), 4), 0.0) AS mean_jac
+         FROM base WHERE jac >= $t"""
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL ${prefixLeg(1, 2000000L, 1, 2)}
+           UNION ALL ${prefixLeg(2, 3000000L, 3, 4)}),
+         sh AS (SELECT doc_id, list_distinct(
+             [array_to_string(list_slice(toks, i, i + 4), ' ')
+              for i in range(1, len(toks) - 3)]) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+                   AS toks FROM corpus)),
+         base AS (
+           SELECT i, j, round(jac, 6) AS jac FROM (
+             SELECT a.doc_id AS i, b.doc_id AS j,
+               len(list_intersect(a.sh, b.sh))::double /
+               len(list_distinct(list_concat(a.sh, b.sh)))::double AS jac
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.sh, b.sh)) > 0)
+           WHERE jac >= 0.3)
+       ${leg("0.3")} UNION ALL ${leg("0.5")} UNION ALL ${leg("0.8")}
+       ORDER BY threshold"""
+    },
     // d11: the oracle is the EXACT membership answer — a Bloom false
     // negative on the Spark side would publish is_dup=false for a true
     // duplicate and hash-mismatch here, so the comparison verifies the

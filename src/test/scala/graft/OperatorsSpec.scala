@@ -35,6 +35,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
   }
 
+  test("d13 sweep: thresholds separate — pairs decrease, mean rises") {
+    val rows = SparkEntry.queries("d13_jaccard_sweep")(spark, sf)
+      .collect().sortBy(_.getDouble(0))
+    assert(rows.length == 3)
+    val ns = rows.map(_.getLong(1))
+    val ms = rows.map(_.getDouble(2))
+    // the prefix fixtures guarantee mid-range pairs at every scale —
+    // a sweep whose three rows read identically is measuring nothing
+    assert(ns(0) > ns(1) && ns(1) > ns(2), s"pairs not separating: ${ns.toSeq}")
+    assert(ms(0) < ms(1) && ms(1) < ms(2), s"means not rising: ${ms.toSeq}")
+  }
+
   test("x28 dedup replan: loss branch fires; kept <= raw; rate <= 1") {
     val rows = SparkEntry.queries("x28_dedup_replan")(spark, sf).collect()
     assert(rows.nonEmpty)

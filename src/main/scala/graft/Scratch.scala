@@ -12,13 +12,11 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    // v21 cascade recall vs exact, per oversample width, both scales
+    // v24 probe sweep: hits@10 (of 50) per nprobe, both scales
     for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = Tables.load(s, d, "embeddings")
-      for (c <- Seq(100, 200, 400, 800)) {
-        val rec = operators.Similarity.cascadeRecalls(s, e, c)
-        println(s"[scratch] $d cands=$c recalls=${rec.mkString(",")}")
-      }
+      val hits = operators.Similarity.probeSweepHits(s, e)
+      println(s"[scratch] $d nprobe->hits = ${hits.mkString(",")}")
     }
     s.stop()
   }

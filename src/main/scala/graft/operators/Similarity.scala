@@ -468,6 +468,31 @@ object Similarity {
       .agg((sum(coalesce(col("h"), lit(0))) / count(lit(1))).as("r"))
       .orderBy("query_id").collect().map(_.getDouble(1))
 
+  /** v24 core: hits@10 (out of 5 queries × 10 = 50) against the exact
+    * brute-force baseline, per probe depth, under ONE shared k-means
+    * fit (assigned table localCheckpoint'd — it is probed once PER
+    * depth; the x13 lesson). Hits are provably non-decreasing in
+    * nprobe: candidate sets are supersets, and an item evicted from an
+    * approximate top-10 by a new candidate is evicted by something
+    * strictly closer — which is then itself a brute-force-top-10
+    * member. And nprobe = k probes EVERY list — the candidate set
+    * equals brute force's, so hits MUST be exactly 50. Driver-side
+    * state: 5 numbers. */
+  private[graft] def probeSweepHits(s: SparkSession, e: DataFrame)
+      : Seq[(Int, Long)] = {
+    val (assigned0, centroids) = Ivf.fit(e, k = 16, iters = 3)
+    val assigned = assigned0.localCheckpoint()
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val bt = bruteTopK(e).select("query_id", "vec_id").localCheckpoint()
+    Seq(1, 2, 4, 8, 16).map { np =>
+      val res = topkSelect(Ivf.probes(q, assigned, centroids, nprobe = np)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding"))), 10)
+      np -> res.join(bt, Seq("query_id", "vec_id")).count()
+    }
+  }
+
   private def recallCheck(approx: DataFrame, exact: DataFrame,
       bound: Double): DataFrame =
     exact.select("query_id", "vec_id")
@@ -750,6 +775,29 @@ object Similarity {
               .otherwise(lit(0.0)))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(15)
+    }),
+
+    // IVF probe-depth tuning report — the recall-vs-latency dial an
+    // index operator reads before fixing nprobe (x21/x25's sweep
+    // family applied to ANN; v19's dial note, now first-class). One
+    // shared k-means fit, five probe depths, hits@10 vs exact brute
+    // force. Published are three FALSIFIABLE invariants per depth:
+    // recall_ok (measured floors with margin: hits 35/38/42/47/50 at
+    // sf0.01, 49/49/49/50/50 at sf0.1 — bounds 25/28/32/36), ge_prev
+    // (hits are PROVABLY non-decreasing in nprobe — superset
+    // candidate sets; a broken probe ordering flips it), and
+    // exact_at_full (nprobe = k probes every list, so hits MUST equal
+    // 50 — a theorem, not a tuning observation).
+    "v24_probe_sweep" -> ((s, d) => {
+      import s.implicits._
+      val hits = probeSweepHits(s, emb(s, d))
+      val bounds = Map(1 -> 25L, 2 -> 28L, 4 -> 32L, 8 -> 36L, 16 -> 50L)
+      val prevs = None +: hits.init.map(h => Some(h._2))
+      hits.zip(prevs).map { case ((np, h), prev) =>
+        (np.toLong, h >= bounds(np), prev.forall(h >= _),
+          np != 16 || h == 50L)
+      }.toDF("nprobe", "recall_ok", "ge_prev", "exact_at_full")
+        .orderBy("nprobe")
     }),
 
     // Hard-negative mining for contrastive embedding training: for
@@ -1172,6 +1220,12 @@ object Similarity {
          FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
          JOIN embeddings b ON a.vec_id <> b.vec_id)
          WHERE rk <= 10 ORDER BY query_id, rk""",
+    // v24: documented constants — ge_prev/exact_at_full are theorems
+    // of the probe construction, recall_ok is the measured-floor dial
+    "v24_probe_sweep" ->
+      """SELECT CAST(v AS BIGINT) AS nprobe, true AS recall_ok,
+         true AS ge_prev, true AS exact_at_full
+         FROM (VALUES (1),(2),(4),(8),(16)) AS t(v) ORDER BY nprobe""",
     "v22_rrf_fusion" -> {
       val seedNum =
         """list_sum([s.seed[i]::double * b.embedding[i]::double

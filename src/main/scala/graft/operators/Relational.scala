@@ -180,6 +180,80 @@ object Relational {
           col("n"), col("qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Window-function family completion (§2.5): percent_rank /
+    // cume_dist / nth_value / first / last over explicit ROWS frames.
+    // The ordering key is made UNIQUE (qty, orderkey, linenumber), so
+    // rank ratios are exact integer arithmetic — published raw, no
+    // rounding needed — and frame endpoints are unambiguous in both
+    // engines. Partitioned by returnflag: no global-order funnel.
+    "w8_window_family" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") < 300)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val toCur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_quantity"), 2).as("qty"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          round(first(col("l_quantity")).over(toCur), 2).as("part_min"),
+          round(last(col("l_quantity")).over(full), 2).as("part_max"),
+          round(nth_value(col("l_quantity"), 2).over(full), 2).as("second_q"))
+        .orderBy("l_returnflag", "qty", "l_orderkey", "l_linenumber")
+    }),
+
+    // NOT IN vs NOT EXISTS under NULLs — the classic three-valued-
+    // logic trap: one NULL in the NOT IN list makes EVERY membership
+    // test UNKNOWN (zero rows), while NOT EXISTS keeps its two-valued
+    // semantics. Catalyst plans the first as a NULL-AWARE anti join
+    // (broadcast; the null check rides the join), the second as a
+    // plain anti join — both single-pass, no per-row subquery.
+    "sq4_not_in_nulls" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("sq4_customer")
+      t(s, d, "orders").createOrReplaceTempView("sq4_orders")
+      // the UNION ALL NULL is a deterministic fixture (the d11 rule):
+      // it guarantees the three-valued branch fires at every scale,
+      // and "customers with no 300k+ order" keeps not_exists > 0 —
+      // the two variants must SEPARATE or the trap isn't being shown
+      s.sql("""SELECT 'not_exists' AS variant, count(*) AS n FROM (
+          SELECT c_custkey FROM sq4_customer c
+          WHERE NOT EXISTS (SELECT 1 FROM sq4_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 300000))
+        UNION ALL
+        SELECT 'not_in' AS variant, count(*) AS n FROM (
+          SELECT c_custkey FROM sq4_customer
+          WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM sq4_orders WHERE o_totalprice > 300000
+             UNION ALL SELECT CAST(NULL AS BIGINT)))
+        ORDER BY variant""")
+    }),
+
+    // Datetime function surface (the MariaDB date-function parity
+    // pack): trunc/extract/offset arithmetic evaluated per row at
+    // scan speed; timestamps leave as strings / ints per the file
+    // header convention. weekday is pinned to the 0=Monday convention
+    // on BOTH engines (Spark weekday vs DuckDB isodow-1 — the 1=Sunday
+    // default disagrees).
+    "f3_datetime_funcs" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          weekday(col("o_orderdate")).cast("long").as("dow_mon0"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd")
+            .as("plus_2m"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30),
+            "yyyy-MM-dd").as("plus_30d"))
+        .orderBy("o_orderkey")),
+
     // Sketch-based distinct counting: approx_count_distinct (HLL++)
     // beside the exact count. At 100 TB the sketch is the only sane
     // path — fixed-size mergeable state, no expand-distinct shuffle —
@@ -645,6 +719,49 @@ object Relational {
          count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
+    "w8_window_family" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+         round(l_quantity, 2) AS qty,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         round(first_value(l_quantity) OVER
+           (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS part_min,
+         round(last_value(l_quantity) OVER
+           (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+           AS part_max,
+         round(nth_value(l_quantity, 2) OVER
+           (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+           AS second_q
+         FROM lineitem WHERE l_orderkey < 300
+         WINDOW w AS (PARTITION BY l_returnflag
+           ORDER BY l_quantity, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, qty, l_orderkey, l_linenumber""",
+    "sq4_not_in_nulls" ->
+      """SELECT 'not_exists' AS variant, count(*) AS n FROM (
+           SELECT c_custkey FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 300000))
+         UNION ALL
+         SELECT 'not_in' AS variant, count(*) AS n FROM (
+           SELECT c_custkey FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+              UNION ALL SELECT CAST(NULL AS BIGINT)))
+         ORDER BY variant""",
+    "f3_datetime_funcs" ->
+      """SELECT o_orderkey,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+           AS month_start,
+         date_diff('day', DATE '1995-01-01', o_orderdate::date)::bigint
+           AS days_since,
+         strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+         quarter(o_orderdate)::bigint AS qtr,
+         (isodow(o_orderdate) - 1)::bigint AS dow_mon0,
+         strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m,
+         strftime(o_orderdate::date + 30, '%Y-%m-%d') AS plus_30d
+         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
     // a12: exact counts replay; the sketch-error flags are the
     // documented deterministic contract (HLL++ at rsd 0.05 with 3×
     // slack on these cardinalities)

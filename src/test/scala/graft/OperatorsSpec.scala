@@ -35,6 +35,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
   }
 
+  test("sq4: NOT IN collapses to 0 under the injected NULL, NOT EXISTS > 0") {
+    val rows = SparkEntry.queries("sq4_not_in_nulls")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("not_in") == 0L,
+      "NOT IN with a NULL in the list must return zero rows")
+    assert(rows("not_exists") > 0L,
+      "NOT EXISTS must keep matching — otherwise the trap isn't shown")
+    val plan = SparkEntry.queries("sq4_not_in_nulls")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti joins:\n$plan")
+  }
+
   test("d13 sweep: thresholds separate — pairs decrease, mean rises") {
     val rows = SparkEntry.queries("d13_jaccard_sweep")(spark, sf)
       .collect().sortBy(_.getDouble(0))

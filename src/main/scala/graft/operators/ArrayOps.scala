@@ -353,6 +353,30 @@ object ArrayOps {
     // HA_CONCURRENT_OPTIMIZE ha_mytile.cc:2948): three overlapping
     // upsert fragments merge into one; query results must be
     // indistinguishable from the unconsolidated latest-wins view.
+    // Point-in-time restore ("undo the bad ingest"): good load at ts1,
+    // a bad second write corrupting half the keys (latest-wins would
+    // serve it), then rollback(ts1) — a NEW commit whose content is
+    // the ts1 view, replacing everything visible. The read-back must
+    // equal the GOOD data and nf = 1 is the restore witness; the bad
+    // instant stays time-travelable until vacuum (RollbackSpec).
+    "arr33_rollback" -> ((s, d) => {
+      val uri = freshUri("rbk")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("p_partkey", LongType)),
+        Seq(AttributeSpec("p_size", IntegerType)))
+      GraftArray.create(s, uri, sch)
+      val good = Tables.load(s, d, "part").select("p_partkey", "p_size")
+      val ts1 = GraftArray.write(s, uri, good)
+      GraftArray.write(s, uri, good.filter(col("p_partkey") % 2 === 0)
+        .withColumn("p_size", col("p_size") * 100))
+      GraftArray.rollback(s, uri, ts1)
+      val back = s.read.format("graftarray").option("path", uri).load()
+      back.crossJoin(broadcast(
+          back.agg(countDistinct(col("_frag_id")).as("nf"))))
+        .select(col("p_partkey"), col("p_size"), col("nf"))
+        .orderBy("p_partkey")
+    }),
+
     "arr18_consolidate" -> ((s, d) => {
       val uri = freshUri("cons")
       val sch = ArraySchema(ArrayKind.Sparse,
@@ -1059,6 +1083,11 @@ object ArrayOps {
          round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
                     ELSE c_acctbal END, 2) AS bal
          FROM customer ORDER BY c_custkey""",
+    // arr33: rollback restores the pre-corruption content exactly;
+    // nf = 1 is the single-restore-fragment witness
+    "arr33_rollback" ->
+      """SELECT p_partkey, p_size, 1::BIGINT AS nf
+         FROM part ORDER BY p_partkey""",
     "arr18_consolidate" ->
       """SELECT c_custkey,
          round(CASE WHEN c_custkey <= 100 THEN 0.11

@@ -551,6 +551,50 @@ object GraftArray {
     Some(maxTs)
   }
 
+  /** `CALL cat.rollback('t', ts)` — point-in-time restore as a NEW
+    * immutable commit (never a history rewrite): the latest-wins view
+    * AS OF `ts` (tombstones applied, dense fills kept virtual) is
+    * rewritten as one fragment that `replaces` EVERYTHING currently
+    * visible, committing at now(). Post-rollback reads see exactly the
+    * `ts` content; the bad period stays time-travelable until vacuum
+    * reclaims it — the undo-a-bad-ingest admin verb with the same
+    * history-for-space trade as consolidation. Rolling back to before
+    * the first fragment empties the table (documented; the view is
+    * legitimately empty there). Returns the restore fragment's
+    * timestamp, or None when nothing newer than `ts` exists. */
+  def rollback(spark: SparkSession, uri: String, asOfTs: Long)
+      : Option[Long] = {
+    val st = store(spark, uri)
+    val schema = st.loadSchema()
+    val frags = st.listFragments(None)
+    if (!frags.exists(_.timestamp > asOfTs)) return None
+    val view = spark.read.format("graftarray").option("path", uri)
+      .option("graft.internal.raw_cells", "true")
+      .option("asOfTimestamp", asOfTs.toString).load()
+    val origin = s"rollback:$asOfTs"
+    val ts =
+      if (schema.encrypted) {
+        // encrypted content round-trips through the DSv2 writer only
+        // (it re-encrypts); maintenance hooks ride as internal options
+        val commitAt = now()
+        spark.conf.set(graft.sources.v2.GraftMaintenance.ConfFlag, "true")
+        try
+          view.write.format("graftarray").option("path", uri)
+            .option("graft.internal.commit_ts", commitAt.toString)
+            .option("graft.internal.replaces",
+              frags.map(_.id).mkString(","))
+            .option("graft.internal.origin", origin)
+            .mode("append").save()
+        finally
+          spark.conf.unset(graft.sources.v2.GraftMaintenance.ConfFlag)
+        commitAt
+      } else
+        writeFragment(spark, uri, view, origin = Some(origin),
+          commitTs = None, replaces = frags.map(_.id))
+    carryStreamLedger(spark, uri, frags)
+    Some(ts)
+  }
+
   /** `CALL cat.rebucket('t', n)` — change the storage bucket count:
     * evolve the schema (a NEW version; time travel keeps the old one)
     * and rewrite the visible content as ONE consolidated fragment laid

@@ -281,16 +281,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "consolidate"),
       Identifier.of(namespace, "vacuum"),
-      Identifier.of(namespace, "rebucket"))
+      Identifier.of(namespace, "rebucket"),
+      Identifier.of(namespace, "rollback"))
 
   override def loadProcedure(ident: Identifier)
       : procedures.UnboundProcedure =
     ident.name().toLowerCase match {
-      case op @ ("consolidate" | "vacuum" | "rebucket") =>
+      case op @ ("consolidate" | "vacuum" | "rebucket" | "rollback") =>
         new GraftMaintenanceProcedure(op, this)
       case other => throw new IllegalArgumentException(
-        s"unknown procedure '$other' — expected consolidate, vacuum " +
-          "or rebucket")
+        s"unknown procedure '$other' — expected consolidate, vacuum, " +
+          "rebucket or rollback")
     }
 
   private[sources] def tableUriOf(dotted: String): String =
@@ -323,6 +324,8 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
       "merge all visible fragments of a graft array into one"
     case "rebucket" =>
       "change a graft array's bucket count and rewrite it bucket-complete"
+    case "rollback" =>
+      "restore a graft array to a past instant as a new commit"
     case _ => "reclaim fragments superseded by consolidation"
   }
 
@@ -335,6 +338,9 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
         if (op == "rebucket")
           Array(procedures.ProcedureParameter.in("table", StringType).build(),
             procedures.ProcedureParameter.in("buckets", IntegerType).build())
+        else if (op == "rollback")
+          Array(procedures.ProcedureParameter.in("table", StringType).build(),
+            procedures.ProcedureParameter.in("ts", LongType).build())
         else
           Array(procedures.ProcedureParameter.in("table", StringType).build())
       override def isDeterministic: Boolean = false
@@ -352,6 +358,11 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
           } else if (op == "rebucket") {
             val ts = GraftArray.rebucket(spark, uri, input.getInt(1))
             (StructType(Seq(StructField("rebucketed_ts", LongType))),
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](ts.map(Long.box).orNull)))
+          } else if (op == "rollback") {
+            val ts = GraftArray.rollback(spark, uri, input.getLong(1))
+            (StructType(Seq(StructField("restored_ts", LongType))),
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 Array[Any](ts.map(Long.box).orNull)))
           } else {

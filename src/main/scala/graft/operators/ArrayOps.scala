@@ -353,6 +353,48 @@ object ArrayOps {
     // HA_CONCURRENT_OPTIMIZE ha_mytile.cc:2948): three overlapping
     // upsert fragments merge into one; query results must be
     // indistinguishable from the unconsolidated latest-wins view.
+    // Incremental materialized aggregate over the time-travel window
+    // (the 100 TB stats-maintenance shape): per-source stats built
+    // once from the base, then maintained from the INCREMENT WINDOW
+    // READ ONLY (`sinceTimestamp` — the base is never rescanned) and
+    // merged into the stats array via latest-wins upsert of the
+    // AFFECTED sources only. The oracle is the full recompute over
+    // everything: any base leakage into the window would double-count
+    // and hash-mismatch, so "window = increment only" is oracle-
+    // enforced, not just claimed.
+    "arr34_incremental_stats" -> ((s, d) => {
+      val uriD = freshUri("incd")
+      val uriS = freshUri("incs")
+      GraftArray.create(s, uriD, ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("doc_id", LongType)),
+        Seq(AttributeSpec("source", StringType),
+          AttributeSpec("n_chars", LongType))))
+      GraftArray.create(s, uriS, ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("source", StringType)),
+        Seq(AttributeSpec("n_docs", LongType),
+          AttributeSpec("n_chars", LongType))))
+      val dd = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def agg(df: DataFrame) = df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val base = dd.filter(col("doc_id") % 3 =!= 0)
+      val t0 = GraftArray.write(s, uriD, base)
+      GraftArray.write(s, uriS, agg(base))
+      GraftArray.write(s, uriD, dd.filter(col("doc_id") % 3 === 0))
+      val window = s.read.format("graftarray").option("path", uriD)
+        .option("sinceTimestamp", (t0 + 1).toString).load()
+      val old = s.read.format("graftarray").option("path", uriS).load()
+        .select(col("source"), col("n_docs").as("od"),
+          col("n_chars").as("oc"))
+      val merged = agg(window).join(old, Seq("source"), "left")
+        .select(col("source"),
+          (col("n_docs") + coalesce(col("od"), lit(0L))).as("n_docs"),
+          (col("n_chars") + coalesce(col("oc"), lit(0L))).as("n_chars"))
+      GraftArray.write(s, uriS, merged)
+      s.read.format("graftarray").option("path", uriS).load()
+        .orderBy("source")
+    }),
+
     // Point-in-time restore ("undo the bad ingest"): good load at ts1,
     // a bad second write corrupting half the keys (latest-wins would
     // serve it), then rollback(ts1) — a NEW commit whose content is
@@ -1083,6 +1125,11 @@ object ArrayOps {
          round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
                     ELSE c_acctbal END, 2) AS bal
          FROM customer ORDER BY c_custkey""",
+    // arr34: the incrementally-maintained stats must equal the full
+    // recompute — base leakage into the window would double-count
+    "arr34_incremental_stats" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::bigint AS n_chars
+         FROM documents GROUP BY source ORDER BY source""",
     // arr33: rollback restores the pre-corruption content exactly;
     // nf = 1 is the single-restore-fragment witness
     "arr33_rollback" ->

@@ -132,6 +132,13 @@ object StreamOps {
     "st12_stream_bloom_admission" -> ((s, d) =>
       EventPipeline.runStreamingBloomAdmission(s, d)),
 
+    // Watermark-lateness audit: the engine's numRowsDroppedByWatermark
+    // beside the surviving windows — metric, drop rule and final data
+    // must agree with the SQL replay (a miscount OR a wrong drop
+    // hash-mismatches).
+    "st15_stream_lateness_audit" -> ((s, d) =>
+      EventPipeline.runStreamingLatenessAudit(s, d)),
+
     // Decontamination at ingest (x6 online): static broadcast eval
     // shingle set, per-doc arrays_overlap admission — ZERO keyed
     // streaming state (the st12 admission family). Contaminated docs
@@ -175,6 +182,38 @@ object StreamOps {
     // st12: the exact membership answer — ONE definition shared with
     // d11 (a Bloom false negative would hash-mismatch here)
     "st12_stream_bloom_admission" -> Dedup.bloomMembershipSql,
+    // st15: the late-drop rule replayed — the filter watermark is the
+    // ADVANCER's ts (corpus max + 60 s) − 10 min; a late row drops iff
+    // its hour-window end ≤ that; survivors aggregate, the advancer's
+    // own window emits, and the drop count rides every row.
+    // numRowsDroppedByWatermark meters the STATEFUL operator, which
+    // sits above the map-side partial aggregation — it counts dropped
+    // PARTIAL rows, and the late slice stages as ONE file/partition,
+    // so that is exactly the DISTINCT (window, type) count among
+    // dropped rows (1 637 of 1 998 raw rows at sf0.01).
+    "st15_stream_lateness_audit" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+         wm AS (SELECT m + 60000000 - 600000000 AS w, m FROM mx),
+         late AS (SELECT ts, event_type, value,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS win,
+             ((epoch_us(ts) // 3600000000) + 1) * 3600000000 AS wend
+           FROM events WHERE event_id % 5 = 0),
+         surv AS (
+           SELECT ts, event_type, value FROM events WHERE event_id % 5 <> 0
+           UNION ALL
+           SELECT ts, event_type, value FROM late, wm WHERE wend > wm.w),
+         d AS (SELECT count(DISTINCT (win, event_type))::bigint AS nd
+               FROM late, wm WHERE wend <= wm.w),
+         agg AS (
+           SELECT (epoch_us(ts) // 3600000000) * 3600000000
+               AS win_start_us,
+             event_type, count(*) AS n, round(sum(value), 2) AS total
+           FROM surv GROUP BY 1, 2
+           UNION ALL
+           SELECT ((m + 60000000) // 3600000000) * 3600000000,
+             'advancer', 1::bigint, 0.0::double FROM mx)
+       SELECT win_start_us, event_type, n, total, d.nd AS n_late_dropped
+       FROM agg, d ORDER BY win_start_us, event_type""",
     // st14: x6's shingle-overlap rule at boolean grain — a doc is
     // admitted iff none of its 5-token shingles appear in the eval
     // set (short docs shingle to [] and admit trivially)

@@ -469,6 +469,78 @@ object EventPipeline {
     }
   }
 
+  /** st15 — watermark-lateness AUDIT: the observability contract of
+    * late-data handling made oracle-checkable. Staging: batch0 = the
+    * on-time slice (event_id % 5 ≠ 0); batch1 = ONE "advancer" row
+    * 60 s past the corpus max (measured behavior: a batch's late
+    * filter uses the watermark computed after the PREVIOUS batch, so
+    * data arriving only one batch behind a watermark advance still
+    * merges — the advancer batch puts one batch between the advance
+    * and the late arrivals); batch2 = the LATE slice (% 5 = 0), which
+    * now meets filter watermark = (corpus max + 60 s) − 10 min; then
+    * the two st10-style drain sentinels (2 h horizon, hour-aligned,
+    * 60 s offset — same margin analysis; the advancer's own window
+    * DOES emit, and the oracle states it). A late row is dropped iff
+    * its hour-window END ≤ that watermark — replayed in SQL — and the
+    * engine's numRowsDroppedByWatermark (summed over progress) is
+    * published beside the surviving windows: a miscounted drop OR a
+    * wrongly-dropped row hash-mismatches. Metric grain (measured):
+    * the stateful operator sits ABOVE the map-side partial
+    * aggregation, so it counts dropped PARTIAL rows — and since the
+    * late slice stages as ONE file/partition, that equals the
+    * DISTINCT (window, type) count among dropped rows (1 637 partials
+    * over 1 998 raw rows at sf0.01), which is what the oracle
+    * replays. */
+  def runStreamingLatenessAudit(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val name = "graft_late_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val hourUs = 3600L * 1000000
+      val staged = graft.core.TempDirs.fresh("graft_st15")
+      val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
+      ev.filter(pmod(col("event_id"), lit(5L)) =!= 0)
+        .coalesce(1).write.parquet(s"$staged/batch0")
+      val fullMaxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      ev.limit(1).select(
+        lit(-9L).as("event_id"),
+        timestamp_micros(lit(fullMaxUs + 60L * 1000000)).as("ts"),
+        lit(-1L).as("user_id"), lit("advancer").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$staged/batch1")
+      ev.filter(pmod(col("event_id"), lit(5L)) === 0)
+        .coalesce(1).write.parquet(s"$staged/batch2")
+      Seq(1, 2).foreach { i =>
+        val tsUs = fullMaxUs + 2 * hourUs + i * 1200L * 1000000
+        val aligned = tsUs / hourUs * hourUs + (i - 1) * 60L * 1000000
+        ev.limit(1).select(
+          lit(-i.toLong).as("event_id"),
+          timestamp_micros(lit(aligned)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.parquet(s"$staged/batch${i + 2}")
+      }
+      val stagedSchema = work.read.parquet(s"$staged/batch0").schema
+      val stream = work.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+      val q = windowedCounts(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      work.table(name)
+        .withColumn("n_late_dropped", lit(dropped))
+        .orderBy("win_start_us", "event_type")
+    }
+  }
+
   /** FIRST-CLASS streaming dedup — watermark-bounded state. The state
     * store holds a key only while `max(event time seen) − delay` has
     * not passed it (`dropDuplicatesWithinWatermark`), so state size is

@@ -492,6 +492,20 @@ class StreamingSpec extends SparkSpec {
       "streaming decontam diverged from batch x6")
   }
 
+  test("st15 lateness audit: drops fire, survivors only in live windows") {
+    val rows = operators.StreamOps
+      .queries("st15_stream_lateness_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dropped = rows.head.getLong(4)
+    assert(dropped > 0, "late-drop branch never fired")
+    assert(rows.forall(_.getLong(4) == dropped))
+    // the advancer's own window must have emitted (it is the thing
+    // that advanced the watermark past the corpus)
+    assert(rows.count(_.getString(1) == "advancer") == 1)
+    // no sentinel window may leak into the output
+    assert(!rows.exists(_.getString(1) == "sentinel"))
+  }
+
   test("st12 bloom admission equals batch d11 through the gated path") {
     val stream = operators.StreamOps
       .queries("st12_stream_bloom_admission")(spark, sf)

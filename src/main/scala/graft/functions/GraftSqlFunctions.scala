@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -25,10 +25,42 @@ object GraftSqlFunctions {
     Hilbert2dFn, HilbertNdFn, Sq8Fn, Sq8DotFn, HashedFeaturesFn,
     BucketFn, StPointFn, StGeomFromWkbFn, StIntersectsFn, StWithinFn,
     StEqualsFn, StOverlapsFn, UnicodeNormalizeFn, CompressionRatioFn,
-    CharNgramsFn)
+    CharNgramsFn, XorAggFn)
 
   def byName(name: String): Option[UnboundFunction] =
     all.find(_.name == name.toLowerCase)
+
+  // ---- xor64: a V2 AGGREGATE through the FunctionCatalog ------------
+  // Order-independent 64-bit XOR digest — the content-addressable
+  // corpus checksum (`SELECT cat.xor64(cat.hash60(cat.fingerprint(
+  // text))) GROUP BY source`): XOR is commutative/associative, so the
+  // digest is identical under any partitioning, task order, or merge
+  // tree — exactly the property a distributed checksum needs — and it
+  // replays in DuckDB as bit_xor over the same md5-derived hashes.
+  object XorAggFn extends UnboundFunction {
+    override def name(): String = "xor64"
+    override def description(): String =
+      "xor64(bigint): order-independent 64-bit XOR digest aggregate"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == LongType,
+        "xor64 expects one BIGINT argument")
+      XorAggBound
+    }
+  }
+
+  object XorAggBound
+    extends AggregateFunction[java.lang.Long, java.lang.Long] {
+    override def name(): String = "xor64"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def newAggregationState(): java.lang.Long = 0L
+    override def update(s: java.lang.Long, in: InternalRow): java.lang.Long =
+      if (in.isNullAt(0)) s else s ^ in.getLong(0)
+    override def merge(a: java.lang.Long, b: java.lang.Long): java.lang.Long =
+      a ^ b
+    override def produceResult(s: java.lang.Long): java.lang.Long = s
+  }
 
   // ---- shared per-row kernels ---------------------------------------
 

@@ -377,18 +377,7 @@ object TextOps {
     // imports. Per-row JVM replicas of the Column builders; the
     // md5-derived ones replay in DuckDB identically.
     "t6_sql_functions" -> ((s, d) => {
-      // ONE catalog per session (shared GraftCatalogs.ensure — bench
-      // iteration must not accumulate a conf entry + warehouse per
-      // run). The view name is keyed by DATASET so concurrent t6
-      // calls on different sf dirs cannot swap each other's corpus
-      // (same-dataset replacements are idempotent); views accumulate
-      // one per dataset, not one per call.
-      val cat = "gfn6"
-      graft.sources.GraftCatalogs.ensure(s, cat, "graft_fncat")
-      val v = s"docs_${cat}_" + java.security.MessageDigest
-        .getInstance("MD5").digest(d.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(8)
-      docs(s, d).createOrReplaceTempView(v)
+      val (cat, v) = fnCatalogView(s, d)
       s.sql(
         s"""SELECT doc_id,
            |  CAST($cat.token_count(text) AS BIGINT) AS n_tokens,
@@ -396,6 +385,23 @@ object TextOps {
            |  $cat.simhash(text) AS sim,
            |  CAST(size($cat.char_ngrams(text, 5)) AS BIGINT) AS n_grams
            |FROM $v ORDER BY doc_id""".stripMargin)
+    }),
+
+    // Per-source content digest through the catalog's V2 AGGREGATE
+    // (xor64 — the FunctionCatalog's one missing function kind after
+    // t6's scalars): XOR of the per-doc hash60(fingerprint) is
+    // commutative/associative, so the digest is identical under ANY
+    // partitioning, task order or merge tree — the property a
+    // distributed dataset-version checksum needs. Two corpora agree
+    // per source iff their normalized contents agree (up to 64-bit
+    // collision); DuckDB replays it as bit_xor over the same
+    // md5-derived hashes.
+    "t26_corpus_digest" -> ((s, d) => {
+      val (cat, v) = fnCatalogView(s, d)
+      s.sql(
+        s"""SELECT source, count(*) AS n_docs,
+           |  $cat.xor64($cat.hash60($cat.fingerprint(text))) AS digest
+           |FROM $v GROUP BY source ORDER BY source""".stripMargin)
     }),
 
     // Unicode canonicalization (the cross-source dedup-key
@@ -689,6 +695,22 @@ object TextOps {
 
   /** DuckDB replay of t7_bm25 — identical literals, operation order and
     * fixed-order term addition, so doubles match bit-for-bit. */
+  /** ONE function catalog per session (shared GraftCatalogs.ensure —
+    * bench iteration must not accumulate a conf entry + warehouse per
+    * run) and a documents view keyed by DATASET, so concurrent calls
+    * on different sf dirs cannot swap each other's corpus
+    * (same-dataset replacements are idempotent); views accumulate one
+    * per dataset, not one per call. Shared by t6 and t26. */
+  private def fnCatalogView(s: SparkSession, d: String): (String, String) = {
+    val cat = "gfn6"
+    graft.sources.GraftCatalogs.ensure(s, cat, "graft_fncat")
+    val v = s"docs_${cat}_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    docs(s, d).createOrReplaceTempView(v)
+    (cat, v)
+  }
+
   /** BM25 top-30 for the fixed query ("spark", "join", "merge") — the
     * t7 surface, factored out so v22's hybrid fusion reuses the exact
     * published lexical list (score rounded to 4dp; ties broken by
@@ -1072,6 +1094,14 @@ object TextOps {
          round(1.0::double / (1.0::double + exp(-zz)), 6) AS quality_prob,
          1.0::double / (1.0::double + exp(-zz)) >= 0.5::double AS keep
        FROM z ORDER BY doc_id""",
+    // t26: bit_xor over hash60(md5-of-normalized-text) — the same
+    // hex-prefix parse as t6's hashes CTE, at source grain
+    "t26_corpus_digest" ->
+      """SELECT source, count(*) AS n_docs,
+         bit_xor(('0x' || substr(md5(
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         ), 1, 15))::bigint)::bigint AS digest
+         FROM documents GROUP BY source ORDER BY source""",
     "t6_sql_functions" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -161,6 +161,34 @@ class FunctionsSpec extends SparkSpec {
     assert(!StWithinBound.invoke(Wkb.box(1, 1, 9, 2), Wkb.box(0, 0, 5, 5)))
   }
 
+  test("xor64 aggregate: partition-invariant digest, content-sensitive") {
+    val cat = mkCat()
+    val base = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    def digests(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      df.createOrReplaceTempView("xor_probe")
+      spark.sql(s"""SELECT source,
+          $cat.xor64($cat.hash60($cat.fingerprint(text))) AS dg
+        FROM xor_probe GROUP BY source""")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val d1 = digests(base)
+    // XOR is commutative/associative: any partitioning/merge tree
+    // must produce the identical digest
+    val d2 = digests(base.repartition(13).sortWithinPartitions("text"))
+    assert(d1 == d2, "digest changed under repartitioning")
+    // flipping ONE document's content must flip its source's digest
+    val tgt = base.select("source").head.getString(0)
+    val mut = base.withColumn("text",
+      when(col("doc_id") === base.filter(col("source") === tgt)
+        .agg(min(col("doc_id"))).head.getLong(0),
+        concat(col("text"), lit(" x"))).otherwise(col("text")))
+    val d3 = digests(mut)
+    assert(d3(tgt) != d1(tgt), "digest blind to a content change")
+    assert((d1.keySet - tgt).forall(k => d3(k) == d1(k)),
+      "unrelated source digests moved")
+  }
+
   test("unicodeNormalize: NFC + accent strip + casefold + collapse") {
     import graft.functions.expressions.Kernels
     val rows = Seq(

@@ -82,6 +82,26 @@ object Temporal {
       .drop("_graft_ats", "_graft_side", "_graft_asof")
   }
 
+  /** FORWARD as-of join: for each left row, the right row with the
+    * smallest `rightTs` ≥ `leftTs` (next-known-value — "the NEXT
+    * purchase after each click", the attribution mirror of backward
+    * as-of). Implemented by running [[asofJoin]] over NEGATED
+    * timestamps — the greatest −rightTs ≤ −leftTs IS the smallest
+    * rightTs ≥ leftTs, the tie rule (rights before lefts at equal ts)
+    * maps to ≥ semantics, and the tolerance check replays as
+    * rightTs − leftTs ≤ tol — so the one-shuffle window shape (and
+    * every contract) is inherited rather than re-derived. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val ln = left.withColumn("_graft_fneg", -col(leftTs))
+    val rn = right.withColumn("_graft_frneg", -col(rightTs))
+    asofJoin(ln, rn, keys, "_graft_fneg", "_graft_frneg",
+      rightCols, toleranceMicros)
+      .withColumn(s"asof_$rightTs", -col("asof__graft_frneg"))
+      .drop("_graft_fneg", "asof__graft_frneg")
+  }
+
   /** Range (interval-containment) join: left rows whose `leftPoint`
     * falls in a right row's [`rightLo`, `rightHi`] (inclusive), with
     * optional equi-`keys`. All three columns are LONGS (e.g. unix
@@ -121,6 +141,25 @@ object Temporal {
       asofJoin(clicks, purchases, Seq("user_id"), "us", "rus", Seq("rval"))
         .select(col("event_id"), col("user_id"), col("us"),
           col("asof_rus").as("prev_us"), col("asof_rval").as("prev_val"))
+        .orderBy("event_id")
+    }),
+
+    // FORWARD as-of: each click attaches the user's NEXT purchase
+    // at-or-after it (conversion attribution); same pre-aggregated
+    // unique right side as j9, same one-shuffle window shape via the
+    // negated-ts wrapper.
+    "j13_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rus"))
+        .agg(round(max(col("value")), 2).as("rval"))
+      asofJoinForward(clicks, purchases, Seq("user_id"), "us", "rus",
+          Seq("rval"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_rus").as("next_us"), col("asof_rval").as("next_val"))
         .orderBy("event_id")
     }),
 
@@ -185,6 +224,19 @@ object Temporal {
          r.rus AS prev_us, r.rval AS prev_val
        FROM l ASOF LEFT JOIN r
          ON l.user_id = r.user_id AND l.us >= r.rus
+       ORDER BY l.event_id""",
+    // j13: DuckDB ASOF with the inequality flipped (l.us <= r.rus)
+    // is the forward/next-known-value direction
+    "j13_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_us(ts) AS rus,
+                 round(max(value), 2) AS rval
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, l.us,
+         r.rus AS next_us, r.rval AS next_val
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.us <= r.rus
        ORDER BY l.event_id""",
     "j10_range_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us

@@ -29,6 +29,34 @@ class TemporalSpec extends SparkSpec {
       (103L, None, None)))
   }
 
+  test("asofJoinForward: minimum-following lookup, ties and tolerance") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L),
+      (3L, 50L, 103L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 3L, 4.0)).toDF("k", "rts", "rv")
+    val got = Temporal.asofJoinForward(left, right, Seq("k"), "ts", "rts",
+      Seq("rv"))
+      .select("lid", "asof_rts", "asof_rv").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    // lid 100: ts 10 → (1,10) — the ≥ tie matches; lid 101: ts 25 →
+    // (1,30); lid 102: ts 5 → nothing at-or-after; lid 103: no key 3
+    assert(got == Set(
+      (100L, Some(10L), Some(1.0)),
+      (101L, Some(30L), Some(3.0)),
+      (102L, None, None),
+      (103L, None, None)))
+    // tolerance: a next-match further than tol ahead is nulled
+    val tol = Temporal.asofJoinForward(left, right, Seq("k"), "ts", "rts",
+      Seq("rv"), toleranceMicros = Some(3L))
+      .select("lid", "asof_rv").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(tol(100L).contains(1.0)) // gap 0 ≤ 3
+    assert(tol(101L).isEmpty)       // gap 5 > 3
+  }
+
   test("asofJoin carries the matched row atomically when it has NULLs") {
     // the matched right row (rts=20) has rv=null; a per-column carry
     // would resurrect rv=5.0 from the OLDER rts=10 row — a (ts, value)

@@ -207,6 +207,34 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // Temperature-smoothed mixture weights (the multilingual/
+    // multi-source sampling standard): w_i ∝ p_i^τ flattens dominant
+    // sources and lifts the tail. τ = 0.5 is DELIBERATE: the power is
+    // then sqrt, which IEEE-754 requires correctly rounded in every
+    // engine — pow(x, 0.7) is not, and would diverge at the last ulp.
+    // The weight NORMALIZER folds in sorted-source order (collect +
+    // array_sort + left fold — sources are a bounded set by nature;
+    // the t8 list_sum pattern), so the published shares are raw
+    // doubles that replay bitwise.
+    "x29_mixture_temperature" -> ((s, d) => {
+      val per = docs(s, d)
+        .select(col("source"), tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").as("t"))
+      val j = per.crossJoin(broadcast(tot))
+        .withColumn("p",
+          col("n_tokens").cast("double") / col("t").cast("double"))
+        .withColumn("w", sqrt(col("p")))
+      val ws = j.agg(aggregate(
+        transform(array_sort(collect_list(struct(col("source"), col("w")))),
+          x => x.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("ws"))
+      j.crossJoin(broadcast(ws))
+        .select(col("source"), col("n_tokens"), col("p"), col("w"),
+          (col("w") / col("ws")).as("share"))
+        .orderBy("source")
+    }),
+
     // Post-dedup mixture replanning: dedup changes each source's
     // EFFECTIVE token supply (boilerplate-heavy sources lose the
     // most), so the x9 allocation must be recomputed over KEPT tokens
@@ -1140,6 +1168,20 @@ object Pipeline {
     // weights are small integer-valued doubles (exact under any sum
     // order); rate/epochs derive from the ROUNDED integer target so
     // both engines divide the same numerator
+    // x29: sqrt is correctly rounded in both engines (pow is not —
+    // the τ=0.5 choice); the normalizer is list_sum over
+    // source-ordered weights, replaying Spark's sorted left fold
+    "x29_mixture_temperature" ->
+      s"""WITH per AS (SELECT source, sum($tokSql)::bigint AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens)::bigint AS t FROM per),
+         j AS (SELECT source, n_tokens,
+             n_tokens::double / t::double AS p,
+             sqrt(n_tokens::double / t::double) AS w
+           FROM per, tot),
+         ws AS (SELECT list_sum(list(w ORDER BY source)) AS s FROM j)
+       SELECT source, n_tokens, p, w, w / ws.s AS share
+       FROM j, ws ORDER BY source""",
     // x28: d1's keeper rule at token grain + x9's allocation over the
     // KEPT supply; integer-div bp, rate over the rounded target with
     // the same greatest(kept,1) guard

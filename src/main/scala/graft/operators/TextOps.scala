@@ -102,6 +102,27 @@ object TextOps {
         bpeTokenCount(col("text")).cast("long").as("n_subtokens"))
         .orderBy("doc_id")),
 
+    // Tokenizer-fertility report per language — the budget-planning
+    // read before fixing a tokenizer (a high-fertility language pays
+    // more subtokens per word, so a token budget buys it fewer words).
+    // Integer sums per lang; the two ratios are single divisions of
+    // exact integers — raw-double publish, bit-identical.
+    "t27_fertility" -> ((s, d) =>
+      docs(s, d).select(col("lang"),
+          length(col("text")).cast("long").as("nc"),
+          tokenCount(col("text")).cast("long").as("nt"),
+          bpeTokenCount(col("text")).cast("long").as("ns"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+          sum("nt").as("n_tokens"), sum("ns").as("n_subtokens"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_subtokens"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"),
+          (col("n_subtokens").cast("double") /
+            col("n_tokens").cast("double")).as("fertility"))
+        .orderBy("lang")),
+
     // Quality scoring: length/stopword/punctuation heuristics.
     "t2_quality_score" -> ((s, d) =>
       docs(s, d).select(
@@ -903,6 +924,20 @@ object TextOps {
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
          FROM documents ORDER BY doc_id""",
+    "t27_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+')))::bigint
+           AS n_tokens,
+         sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+           ::bigint AS n_subtokens,
+         sum(length(text))::double /
+           sum(len(string_split_regex(trim(text), '\s+')))::double
+           AS chars_per_token,
+         sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+           ::double /
+           sum(len(string_split_regex(trim(text), '\s+')))::double
+           AS fertility
+         FROM documents GROUP BY lang ORDER BY lang""",
     "t2_quality_score" ->
       s"""SELECT doc_id, n_tokens, n_stop, n_punct,
          round(0.4 * least(n_tokens / 100.0, 1.0)

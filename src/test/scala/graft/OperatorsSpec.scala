@@ -35,6 +35,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
   }
 
+  test("x29 temperature mixture: shares normalize and flatten the head") {
+    val rows = SparkEntry.queries("x29_mixture_temperature")(spark, sf)
+      .collect().map(r => (r.getDouble(2), r.getDouble(4)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    // τ < 1 flattens: the largest source loses share, the smallest
+    // gains (strict when the distribution isn't uniform)
+    val big = rows.maxBy(_._1); val small = rows.minBy(_._1)
+    assert(big._1 > small._1, "degenerate uniform corpus")
+    assert(big._2 < big._1, s"head not flattened: $big")
+    assert(small._2 > small._1, s"tail not lifted: $small")
+  }
+
   test("sq4: NOT IN collapses to 0 under the injected NULL, NOT EXISTS > 0") {
     val rows = SparkEntry.queries("sq4_not_in_nulls")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

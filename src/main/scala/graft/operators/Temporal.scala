@@ -125,6 +125,31 @@ object Temporal {
       .drop("_graft_bin")
   }
 
+  /** Interval-OVERLAP join: pairs where [lLo,lHi] and [rLo,rHi]
+    * intersect (inclusive; optional equi-`keys`). BOTH sides explode
+    * to their bins; a qualifying pair would meet once per SHARED bin,
+    * so the match is kept only in the FIRST shared bin —
+    * `max(floorDiv(lLo), floorDiv(rLo))`, which overlap guarantees
+    * lies inside both exploded ranges — making each pair emit exactly
+    * once with no distinct pass. Replication stays width/binWidth + 1
+    * per row, and Spark plans a plain hash join on (keys, bin). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], lLo: String, lHi: String,
+      rLo: String, rHi: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    val l2 = left.withColumn("_graft_bin",
+      explode(sequence(floorDiv(col(lLo)), floorDiv(col(lHi)))))
+    val r2 = right.withColumn("_graft_bin",
+      explode(sequence(floorDiv(col(rLo)), floorDiv(col(rHi)))))
+    l2.join(r2, keys :+ "_graft_bin")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("_graft_bin") ===
+        greatest(floorDiv(col(lLo)), floorDiv(col(rLo))))
+      .drop("_graft_bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: each click event attaches the user's most recent
     // purchase at-or-before it (purchases pre-aggregated per (user,
@@ -161,6 +186,26 @@ object Temporal {
         .select(col("event_id"), col("user_id"), col("us"),
           col("asof_rus").as("next_us"), col("asof_rval").as("next_val"))
         .orderBy("event_id")
+    }),
+
+    // Interval-OVERLAP join: each click's 10-minute attention window
+    // against each same-user purchase's trailing 30-minute window —
+    // interval×interval intersection planned as an equi-join on
+    // (user, bin) with first-shared-bin dedupe (exactly-once pairs,
+    // no distinct pass).
+    "j14_interval_overlap" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("clo"))
+        .withColumn("chi", col("clo") + 600000000L)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+        .withColumn("plo", col("pus") - 1800000000L)
+      intervalOverlapJoin(clicks, purchases, Seq("user_id"),
+          "clo", "chi", "plo", "pus", binWidth = 1800000000L)
+        .select(col("event_id"), col("user_id"), col("clo"), col("pus"))
+        .orderBy("event_id", "pus")
     }),
 
     // Range join: click events inside the 30-minute window trailing
@@ -238,6 +283,17 @@ object Temporal {
        FROM l ASOF LEFT JOIN r
          ON l.user_id = r.user_id AND l.us <= r.rus
        ORDER BY l.event_id""",
+    "j14_interval_overlap" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS clo,
+           epoch_us(ts) + 600000000 AS chi
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) - 1800000000 AS plo,
+           epoch_us(ts) AS pus
+           FROM events WHERE event_type = 'purchase')
+       SELECT c.event_id, c.user_id, c.clo, p.pus
+       FROM c JOIN p ON c.user_id = p.user_id
+         AND c.clo <= p.pus AND p.plo <= c.chi
+       ORDER BY c.event_id, p.pus""",
     "j10_range_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
            FROM events WHERE event_type = 'click'),

@@ -99,6 +99,37 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin equals the naive join, exactly once, any width") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val iv = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 60L),
+      Gen.choose(0L, 25L))
+    val gen = for {
+      nl <- Gen.choose(0, 25); nr <- Gen.choose(0, 25)
+      ls <- Gen.listOfN(nl, iv); rs <- Gen.listOfN(nr, iv)
+      bw <- Gen.oneOf(1L, 7L, 30L, 100L)
+    } yield (ls, rs, bw)
+    val prop = Prop.forAll(gen) { case (ls, rs, bw) =>
+      val left = ls.zipWithIndex.map { case ((k, lo, w), i) =>
+        (k, lo, lo + w, i.toLong) }.toDF("k", "llo", "lhi", "lid")
+      val right = rs.zipWithIndex.map { case ((k, lo, w), i) =>
+        (k, lo, lo + w, i.toLong) }.toDF("k", "rlo", "rhi", "rid")
+      val got = Temporal.intervalOverlapJoin(left, right, Seq("k"),
+        "llo", "lhi", "rlo", "rhi", bw)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      val want = for {
+        ((lk, llo, lw), li) <- ls.zipWithIndex
+        ((rk, rlo, rw), ri) <- rs.zipWithIndex
+        if lk == rk && llo <= rlo + rw && rlo <= llo + lw
+      } yield (li.toLong, ri.toLong)
+      // set equality AND no duplicates (first-shared-bin dedupe)
+      got.sorted == want.sorted
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("asofJoin property: random data matches the naive quadratic lookup") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val gen = for {

@@ -777,6 +777,32 @@ object Similarity {
         .limit(15)
     }),
 
+    // SQ8 reconstruction-error report — the quantization-quality read
+    // beside v24's probe dial (how much cosine fidelity does the 4×
+    // compression cost?). Per vector: mse and relative mse of the
+    // int8 reconstruction, computed EXACTLY from the three codegen dot
+    // kernels via ‖x − s·q‖² = x·x − 2s(x·q) + s²(q·q) — scan-speed,
+    // no interpreted per-element lambda — with s = maxabs/127, the
+    // quantizer's own scale. Every term is a fixed-order fold (dotFF/
+    // dotFB doubles, dotBB exact integers), so the raw doubles replay
+    // bitwise; the oracle rebuilds q with the kernel's floor(x/s+0.5)
+    // rounding (math.round — NOT SQL round, which differs on negative
+    // halves).
+    "v26_sq8_error" -> ((s, d) => {
+      import graft.functions.expressions.Kernels
+      val vf = col("embedding")
+      val qb = Kernels.sq8(vf)
+      val mx = array_max(transform(vf, x => abs(x.cast("double"))))
+      val sc = mx / lit(127.0)
+      val dFF = Kernels.dotFF(vf, vf)
+      val dFB = Kernels.dotFB(vf, qb)
+      val dBB = Kernels.dotBB(qb, qb).cast("double")
+      val err = (dFF - lit(2.0) * sc * dFB + sc * sc * dBB) / lit(64.0)
+      emb(s, d).select(col("vec_id"), err.as("mse"),
+          (err / (dFF / lit(64.0))).as("rel_mse"))
+        .orderBy("vec_id")
+    }),
+
     // IVF probe-depth tuning report — the recall-vs-latency dial an
     // index operator reads before fixing nprobe (x21/x25's sweep
     // family applied to ANN; v19's dial note, now first-class). One
@@ -1220,6 +1246,30 @@ object Similarity {
          FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
          JOIN embeddings b ON a.vec_id <> b.vec_id)
          WHERE rk <= 10 ORDER BY query_id, rk""",
+    // v26: q rebuilt with the kernel's floor(x/s+0.5) (math.round)
+    // and clamp; dbb in exact integers; the identity-form combination
+    // replays the kernels' fixed folds
+    "v26_sq8_error" -> {
+      val x = "embedding[i]::double"
+      val rng = "for i in range(1, len(embedding) + 1)"
+      val qd = s"greatest(-127.0, least(127.0, floor($x / s + 0.5)))"
+      s"""WITH b AS (SELECT vec_id, embedding,
+           list_max([abs($x) $rng]) AS mx FROM embeddings),
+         c AS (SELECT vec_id, embedding, mx, mx / 127.0 AS s FROM b),
+         d AS (SELECT vec_id, s,
+             list_sum([$x * $x $rng]) AS dff,
+             CASE WHEN mx = 0 THEN 0.0
+                  ELSE list_sum([$x * $qd $rng]) END AS dfb,
+             CASE WHEN mx = 0 THEN 0.0
+                  ELSE list_sum([($qd)::bigint * ($qd)::bigint $rng])
+                    ::double END AS dbb
+           FROM c)
+       SELECT vec_id,
+         (dff - 2.0 * s * dfb + s * s * dbb) / 64.0 AS mse,
+         ((dff - 2.0 * s * dfb + s * s * dbb) / 64.0) / (dff / 64.0)
+           AS rel_mse
+       FROM d ORDER BY vec_id"""
+    },
     // v24: documented constants — ge_prev/exact_at_full are theorems
     // of the probe construction, recall_ok is the measured-floor dial
     "v24_probe_sweep" ->

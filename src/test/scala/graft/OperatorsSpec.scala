@@ -35,6 +35,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian lateral:\n$plan")
   }
 
+  test("v26 SQ8 error: non-negative, and small (the 4x compression is cheap)") {
+    val rows = SparkEntry.queries("v26_sq8_error")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mse, rel) = (r.getDouble(1), r.getDouble(2))
+      assert(mse >= 0.0 && rel >= 0.0, s"negative error: $r")
+      // measured band: rel_mse 1.4e-5..9.1e-5 at sf0.01 — a broken
+      // scale/rounding in the quantizer blows straight through 1e-3
+      assert(rel < 1e-3, s"rel_mse out of band: $r")
+    }
+  }
+
   test("x29 temperature mixture: shares normalize and flatten the head") {
     val rows = SparkEntry.queries("x29_mixture_temperature")(spark, sf)
       .collect().map(r => (r.getDouble(2), r.getDouble(4)))

@@ -723,14 +723,19 @@ case class DotFF(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // acc MUST be freshName'd: two dotFF calls fused into one
+      // codegen stage (v14/v21 emit 16 per projection) otherwise
+      // redeclare the local and the whole stage silently falls back
+      // to the interpreter
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression)

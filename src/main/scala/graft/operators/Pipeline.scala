@@ -256,9 +256,13 @@ object Pipeline {
       val raw = docs(s, d).select(col("doc_id"), col("source"), col("text"))
       val corpus = raw.unionByName(raw.filter(col("doc_id") % 97 === 1)
         .withColumn("doc_id", col("doc_id") + 1000000L))
+      // materialized once: referenced by BOTH sides of the keeper
+      // join (the x13 rule) — without it every run fingerprints and
+      // tokenizes the corpus twice
       val dd = corpus.select(col("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("n"),
         fingerprint(col("text")).as("fp"))
+        .localCheckpoint()
       val keep = dd.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
       val per = dd.join(keep, "fp")
         .withColumn("kept", col("doc_id") === col("keep_id"))
@@ -491,7 +495,11 @@ object Pipeline {
         sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"$prefix$i"))
       val perSrc = binned.groupBy("source")
         .agg(count(lit(1)).as("n_s"), binCounts("c"): _*)
-      val tot = binned.agg(count(lit(1)).as("n_tot"), binCounts("t"): _*)
+        .localCheckpoint() // referenced by tot AND the final join
+      // the corpus totals are the COLUMN SUMS of perSrc (sources
+      // partition the corpus) — derived, not a second corpus scan
+      val tot = perSrc.agg(sum(col("n_s")).as("n_tot"),
+        (0 until 10).map(i => sum(col(s"c$i")).as(s"t$i")): _*)
       val psi = (0 until 10).map { i =>
         val p = (col(s"c$i").cast("double") + lit(0.5)) /
           (col("n_s").cast("double") + lit(5.0))

@@ -751,9 +751,13 @@ object Similarity {
     "v22_rrf_fusion" -> ((s, d) => {
       val wLex = org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id"))
+      // materialized once: the 30-row lexical list feeds the seed
+      // join AND the fusion join — without the checkpoint each
+      // reference re-runs bm25Top's corpus stats+scoring DAG
       val lex = TextOps.bm25Top(s, d)
         .withColumn("rk_lex", row_number().over(wLex).cast("long"))
         .select("doc_id", "rk_lex")
+        .localCheckpoint()
       val e = emb(s, d)
       val seeds = lex.filter(col("rk_lex") <= 3)
         .join(e, col("vec_id") === col("doc_id"))

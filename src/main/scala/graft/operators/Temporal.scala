@@ -110,13 +110,16 @@ object Temporal {
     * (point, interval) pair meets in exactly one equi-join match — no
     * duplicate results, no cross product. Pick binWidth near the
     * typical interval width: replication ≈ width/binWidth + 1. */
+  /** Exact floor division on longs (pmod is always non-negative) —
+    * the ONE bin-number definition shared by both binned joins. */
+  private def floorDivBy(c: Column, binWidth: Long): Column =
+    ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+
   def rangeJoinBinned(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftPoint: String, rightLo: String, rightHi: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // exact floor division on longs (pmod is always non-negative)
-    def floorDiv(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    def floorDiv(c: Column): Column = floorDivBy(c, binWidth)
     val l2 = left.withColumn("_graft_bin", floorDiv(col(leftPoint)))
     val r2 = right.withColumn("_graft_bin",
       explode(sequence(floorDiv(col(rightLo)), floorDiv(col(rightHi)))))
@@ -137,8 +140,7 @@ object Temporal {
       keys: Seq[String], lLo: String, lHi: String,
       rLo: String, rHi: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def floorDiv(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    def floorDiv(c: Column): Column = floorDivBy(c, binWidth)
     val l2 = left.withColumn("_graft_bin",
       explode(sequence(floorDiv(col(lLo)), floorDiv(col(lHi)))))
     val r2 = right.withColumn("_graft_bin",

@@ -714,8 +714,6 @@ object TextOps {
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
-  /** DuckDB replay of t7_bm25 — identical literals, operation order and
-    * fixed-order term addition, so doubles match bit-for-bit. */
   /** ONE function catalog per session (shared GraftCatalogs.ensure —
     * bench iteration must not accumulate a conf entry + warehouse per
     * run) and a documents view keyed by DATASET, so concurrent calls
@@ -764,6 +762,9 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id")).limit(30)
   }
 
+  /** DuckDB replay of t7_bm25 — identical literals, operation order and
+    * fixed-order term addition, so doubles match bit-for-bit (also the
+    * lexical-leg CTE of v22's fusion oracle). */
   private[operators] val bm25Sql: String = {
     val terms = Seq("spark", "join", "merge")
     val tfCols = terms.map(t =>

@@ -348,6 +348,16 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
       override def call(input: InternalRow)
           : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
         val spark = SparkSession.active
+        // destructive admin verbs must not unbox NULL args to 0 —
+        // CALL rollback('t', NULL) would otherwise silently restore
+        // to ts=0 (emptying the table) and rebucket('t', NULL) would
+        // silently REMOVE bucketing
+        require(!input.isNullAt(0), s"$op: table must not be NULL")
+        if (op == "rebucket") require(!input.isNullAt(1),
+          "rebucket: buckets must not be NULL (pass n <= 0 explicitly " +
+            "to remove bucketing)")
+        if (op == "rollback") require(!input.isNullAt(1),
+          "rollback: ts must not be NULL")
         val uri = cat.tableUriOf(input.getUTF8String(0).toString)
         val (outSchema, row) =
           if (op == "consolidate") {

@@ -44,6 +44,29 @@ class RollbackSpec extends SparkSpec {
     assert(again.head.isNullAt(0), "rollback past the head must no-op")
   }
 
+  test("destructive procedures refuse NULL args instead of unboxing 0") {
+    val (cat, wh) = mkCat()
+    spark.sql(s"""CREATE TABLE $cat.tn (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k', 'graft.buckets'='2',
+      |  'graft.allows_dups'='true')""".stripMargin)
+    GraftArray.write(spark, s"$wh/tn", spark.range(0, 10)
+      .select(col("id").as("k"), col("id").cast("double").as("v")))
+    // CALL rollback('t', NULL) must error, not restore to ts=0
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL $cat.rollback('tn', CAST(NULL AS BIGINT))").collect()
+    }
+    assert(e1.getMessage.contains("NULL") ||
+      e1.getMessage.toLowerCase.contains("null"), e1.getMessage)
+    assert(spark.table(s"$cat.tn").count() == 10, "table was emptied!")
+    // CALL rebucket('t', NULL) must error, not remove bucketing
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.rebucket('tn', CAST(NULL AS INT))").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("null"), e2.getMessage)
+    assert(GraftArray.store(spark, s"$wh/tn").loadSchema()
+      .buckets.contains(2), "bucketing was silently removed!")
+  }
+
   test("rollback to before the first fragment empties the table") {
     val (cat, wh) = mkCat()
     spark.sql(s"""CREATE TABLE $cat.t0 (k BIGINT, v DOUBLE)

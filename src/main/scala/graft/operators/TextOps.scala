@@ -123,6 +123,72 @@ object TextOps {
             col("n_tokens").cast("double")).as("fertility"))
         .orderBy("lang")),
 
+    // Encoding-anomaly (mojibake) report per source — the ingest-side
+    // health check a web corpus runs before trusting a crawler's
+    // charset handling: U+FFFD replacement chars (decoder gave up),
+    // U+0085 NEL (a classic latin-1/cp1252 confusion survivor), and
+    // 'Ã' (the UTF-8-read-as-latin-1 signature byte 0xC3). Counting is
+    // regex-free — length deltas after replace() — so the Java and RE2
+    // dialects can't diverge, and every published number is an exact
+    // integer (rate via integer div). The synthetic corpus is clean
+    // ASCII, so a deterministic re-crawl fixture (every doc_id%97==1
+    // doc re-ingested through a simulated latin-1 round-trip, the
+    // d11/x28 convention) exercises the positive branch at every
+    // scale. Scale shape: one narrow scan + per-row codegen counters +
+    // a 21-group aggregation — no shuffle beyond the final tiny agg.
+    "t28_mojibake" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      val bad = base.filter(col("doc_id") % 97 === 1)
+        .select((col("doc_id") + 9000000L).as("doc_id"),
+          lit("recrawl").as("source"),
+          concat(col("text"),
+            lit(" caf\u00C3\u00A9 x\u0085x \uFFFD")).as("text"))
+      def cnt(ch: String) =
+        (length(col("text")) -
+          length(call_function("replace", col("text"), lit(ch), lit(""))))
+          .cast("long")
+      base.unionByName(bad)
+        .select(col("source"), cnt("\uFFFD").as("nr"), cnt("\u0085").as("nc"),
+          cnt("\u00C3").as("nm"))
+        .withColumn("is_bad", (col("nr") + col("nc") + col("nm")) > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_bad"), 1L).otherwise(0L)).as("n_bad_docs"),
+          sum("nr").as("n_replacement"), sum("nc").as("n_c1"),
+          sum("nm").as("n_mojibake"))
+        .withColumn("bad_bp", expr("n_bad_docs * 10000 div n_docs"))
+        .orderBy("source")
+    }),
+
+    // Per-document duplicate-bigram coverage (Rae et al., Gopher
+    // repetition filters at the n-gram grain): for each document, the
+    // share of bigram INSTANCES whose bigram occurs ≥2 times in the
+    // document, and the frequency of its single most repeated bigram —
+    // the two dials the Gopher "fraction of characters in duplicated
+    // n-grams" family reads. All-integer (counts + integer-div rates);
+    // ties on the max need no break because only the max COUNT is
+    // published. Scale shape: the (doc_id, gram) aggregation shuffles
+    // gram rows keyed by doc — volume is corpus token count, the same
+    // order as the scan itself, with map-side partial aggregation
+    // absorbing within-partition repeats.
+    "t29_topgram_coverage" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val grams = tok.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_grams"), max("n").as("max_n"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_n"))
+        .select(col("doc_id"), col("n_grams"), col("max_n"),
+          expr("max_n * 10000 div n_grams").as("top_bp"),
+          expr("dup_n * 10000 div n_grams").as("dup_bp"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: length/stopword/punctuation heuristics.
     "t2_quality_score" -> ((s, d) =>
       docs(s, d).select(
@@ -939,6 +1005,42 @@ object TextOps {
            sum(len(string_split_regex(trim(text), '\s+')))::double
            AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // t28: the marker chars enter via chr() code points so the SQL
+    // survives any transport encoding; counting replays the same
+    // regex-free length-delta rule
+    "t28_mojibake" ->
+      """WITH base AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 9000000, 'recrawl' AS source,
+             text || ' caf' || chr(195) || chr(169) || ' x' || chr(133)
+                  || 'x ' || chr(65533) AS text
+           FROM documents WHERE doc_id % 97 = 1),
+         c AS (SELECT source,
+             length(text) - length(replace(text, chr(65533), '')) AS nr,
+             length(text) - length(replace(text, chr(133), '')) AS nc,
+             length(text) - length(replace(text, chr(195), '')) AS nm
+           FROM base)
+       SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN nr + nc + nm > 0 THEN 1 ELSE 0 END)::bigint
+           AS n_bad_docs,
+         sum(nr)::bigint AS n_replacement, sum(nc)::bigint AS n_c1,
+         sum(nm)::bigint AS n_mojibake,
+         (sum(CASE WHEN nr + nc + nm > 0 THEN 1 ELSE 0 END) * 10000
+           // count(*))::bigint AS bad_bp
+       FROM c GROUP BY source ORDER BY source""",
+    "t29_topgram_coverage" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+               FROM (SELECT * FROM tk WHERE len(toks) >= 2),
+                 unnest(range(1, len(toks))) AS u(i)),
+         c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY doc_id, g)
+       SELECT doc_id, sum(n)::bigint AS n_grams, max(n)::bigint AS max_n,
+         (max(n) * 10000 // sum(n))::bigint AS top_bp,
+         (sum(CASE WHEN n >= 2 THEN n ELSE 0 END) * 10000 // sum(n))::bigint
+           AS dup_bp
+       FROM c GROUP BY doc_id ORDER BY doc_id""",
     "t2_quality_score" ->
       s"""SELECT doc_id, n_tokens, n_stop, n_punct,
          round(0.4 * least(n_tokens / 100.0, 1.0)

@@ -20,6 +20,38 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("t28 mojibake: clean sources report zero, the recrawl fixture fires") {
+    val rows = SparkEntry.queries("t28_mojibake")(spark, sf).collect()
+    val (re, base) = rows.partition(_.getString(0) == "recrawl")
+    assert(re.length == 1, "recrawl fixture source missing")
+    val r = re.head
+    // every fixture doc carries exactly one of each marker
+    assert(r.getLong(2) == r.getLong(1), "every recrawl doc must be bad")
+    assert(r.getLong(3) == r.getLong(1) && r.getLong(4) == r.getLong(1) &&
+      r.getLong(5) == r.getLong(1), s"marker counts != doc count: $r")
+    assert(r.getLong(6) == 10000L)
+    // the synthetic base corpus is clean ASCII
+    base.foreach { b =>
+      assert(b.getLong(2) == 0L && b.getLong(6) == 0L, s"clean source bad: $b")
+    }
+  }
+
+  test("t29 topgram coverage: dup fires iff a bigram repeats, bounds hold") {
+    val rows = SparkEntry.queries("t29_topgram_coverage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ng, mx, top, dup) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mx >= 1 && mx <= ng)
+      assert(top == mx * 10000 / ng)
+      if (mx == 1) assert(dup == 0L, s"no repeat but dup>0: $r")
+      else assert(dup >= top, s"dup must cover at least the top gram: $r")
+      assert(dup <= 10000L)
+    }
+    // the word-soup corpus repeats bigrams in SOME doc — branch is live
+    assert(rows.exists(_.getLong(2) >= 2), "no doc with a repeated bigram")
+  }
+
   test("a11 plan: grouping sets = ONE Expand + one aggregation pass") {
     val plan = SparkEntry.queries("a11_grouping_sets")(spark, sf)
       .queryExecution.executedPlan.toString

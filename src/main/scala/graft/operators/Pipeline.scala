@@ -207,6 +207,75 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // Train/eval SPLIT LEAKAGE audit — x6 decontaminates against an
+    // EXTERNAL eval set; this is the internal twin every pipeline also
+    // needs: after x1's hash split, does any val/test document share
+    // an 8-token shingle with ANY train document? (A leaked shingle
+    // means the eval metric partially scores memorization.) The %97
+    // duplicated-document fixture (copies at +9100000 whose split is
+    // re-drawn from the new id) guarantees the positive branch at
+    // every scale; organic near-dups straddling the split boundary
+    // leak too (both observed at sf0.001/0.01/0.1). Scale shape: the
+    // train shingle set is corpus-sized — NOT broadcast; the
+    // membership probe is a shuffled left join keyed by the shingle
+    // itself, i.e. the same distributed semi-join d2's index uses, and
+    // everything after it is doc-grain aggregation.
+    "x30_split_leakage" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val all = base.unionByName(base.filter(col("doc_id") % 97 === 2)
+        .select((col("doc_id") + 9100000L).as("doc_id"), col("text")))
+      val dd = all.select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        col("text"))
+      val sh = dd.select(col("doc_id"), col("split"),
+        explode(shingles(col("text"), 8)).as("g"))
+      val train = sh.filter(col("split") === "train")
+        .select(col("g")).distinct().withColumn("hit", lit(1L))
+      val hits = sh.filter(col("split") =!= "train")
+        .join(train, Seq("g"), "left")
+        .groupBy("doc_id", "split")
+        .agg(max(coalesce(col("hit"), lit(0L))).as("leaked"))
+      dd.filter(col("split") =!= "train").select("doc_id", "split")
+        .join(hits, Seq("doc_id", "split"), "left")
+        .select(col("split"), coalesce(col("leaked"), lit(0L)).as("leaked"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("leaked").as("n_leaked"))
+        .withColumn("leak_bp", expr("n_leaked * 10000 div n_docs"))
+        .orderBy("split")
+    }),
+
+    // Data-constrained epoch plan (Muennighoff et al., "Scaling
+    // Data-Constrained Language Models": repeating data beyond ~4
+    // epochs adds almost no value): given a token budget of half the
+    // corpus split EQUALLY across sources, each source absorbs at most
+    // 4 epochs of itself — small sources hit the epoch ceiling and
+    // return the surplus as a published deficit (the signal to go
+    // crawl more of that source, not to repeat it a 5th time). The
+    // 'src_tail' fixture source (docs 1 and 98 — a freshly-onboarded
+    // source with two crawled documents, ≈0.4% of the corpus, present
+    // at every sf) deterministically exercises the ceiling branch;
+    // the 20 uniform real sources (~5% each vs a ~2.4% budget) stay
+    // under it. All-integer arithmetic (div, least) —
+    // bit-exact in both engines. One aggregation over sources + a
+    // broadcast scalar: scan-speed at any corpus size.
+    "x31_epoch_plan" -> ((s, d) => {
+      val base = docs(s, d).select(col("source"), col("text"))
+      val tail = docs(s, d)
+        .filter(col("doc_id") === 1 || col("doc_id") === 98)
+        .select(lit("src_tail").as("source"), col("text"))
+      val src = base.unionByName(tail)
+        .select(col("source"), tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+      val tot = src.agg(sum("n_tokens").as("tt"), count(lit(1)).as("ns"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("tt div 2 div ns"))
+        .withColumn("alloc_tokens",
+          least(col("budget"), col("n_tokens") * 4))
+        .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+          expr("alloc_tokens * 10000 div n_tokens").as("epochs_bp"),
+          (col("budget") - col("alloc_tokens")).as("deficit"))
+        .orderBy("source")
+    }),
+
     // Temperature-smoothed mixture weights (the multilingual/
     // multi-source sampling standard): w_i ∝ p_i^τ flattens dominant
     // sources and lifts the tail. τ = 0.5 is DELIBERATE: the power is
@@ -1176,6 +1245,50 @@ object Pipeline {
     // weights are small integer-valued doubles (exact under any sum
     // order); rate/epochs derive from the ROUNDED integer target so
     // both engines divide the same numerator
+    // x30: the 8-token shingle set replays shingleSql's list
+    // comprehension at width 8; split re-drawn from the fixture ids
+    "x30_split_leakage" ->
+      s"""WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 9100000, text FROM documents
+           WHERE doc_id % 97 = 2),
+         dd AS (SELECT doc_id,
+             ${splitSql.format("doc_id", "doc_id")} AS split,
+             string_split_regex(trim(text), '\\s+') AS toks FROM base),
+         sh AS (SELECT doc_id, split, unnest(list_distinct(
+             [array_to_string(list_slice(toks, i, i + 7), ' ')
+              for i in range(1, len(toks) - 6)])) AS g FROM dd),
+         tr AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+         ev AS (SELECT e.doc_id, e.split,
+             max(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS leaked
+           FROM (SELECT * FROM sh WHERE split <> 'train') e
+           LEFT JOIN tr ON e.g = tr.g GROUP BY e.doc_id, e.split)
+       SELECT d.split, count(*) AS n_docs,
+         coalesce(sum(l.leaked), 0)::bigint AS n_leaked,
+         (coalesce(sum(l.leaked), 0) * 10000 // count(*))::bigint AS leak_bp
+       FROM (SELECT doc_id, split FROM dd WHERE split <> 'train') d
+       LEFT JOIN ev l ON d.doc_id = l.doc_id AND d.split = l.split
+       GROUP BY d.split ORDER BY d.split""",
+    // x31: all-integer (//, least) — the ceiling branch fires for the
+    // fixture tail source only, by construction
+    "x31_epoch_plan" ->
+      s"""WITH base AS (
+           SELECT source, $tokSql AS nt FROM documents
+           UNION ALL
+           SELECT 'src_tail' AS source, $tokSql AS nt FROM documents
+           WHERE doc_id IN (1, 98)),
+         src AS (SELECT source, sum(nt)::bigint AS n_tokens
+                 FROM base GROUP BY source),
+         tot AS (SELECT sum(n_tokens)::bigint AS tt,
+                        count(*)::bigint AS ns FROM src)
+       SELECT source, n_tokens,
+         least(tt // 2 // ns, n_tokens * 4)::bigint AS alloc_tokens,
+         (least(tt // 2 // ns, n_tokens * 4) * 10000 // n_tokens)::bigint
+           AS epochs_bp,
+         (tt // 2 // ns - least(tt // 2 // ns, n_tokens * 4))::bigint
+           AS deficit
+       FROM src, tot ORDER BY source""",
     // x29: sqrt is correctly rounded in both engines (pow is not —
     // the τ=0.5 choice); the normalizer is list_sum over
     // source-ordered weights, replaying Spark's sorted left fold

@@ -6,6 +6,33 @@ import org.apache.spark.sql.functions._
   * split leakage safety, packing parallelism, split determinism. */
 class PipelineSpec extends SparkSpec {
 
+  test("x30 split leakage: fixture fires, eval splits complete, bounds hold") {
+    val rows = SparkEntry.queries("x30_split_leakage")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "val"))
+    rows.foreach { r =>
+      val (nd, nl, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nl >= 0 && nl <= nd)
+      assert(bp == nl * 10000 / nd)
+    }
+    // the duplicated-document fixture guarantees leakage at every sf
+    assert(rows.map(_.getLong(2)).sum > 0, "no leakage detected — fixture dead")
+  }
+
+  test("x31 epoch plan: tail source hits the 4-epoch ceiling, budget conserved") {
+    val rows = SparkEntry.queries("x31_epoch_plan")(spark, sf).collect()
+    val budget = rows.map(r => r.getLong(2) + r.getLong(4)).distinct
+    assert(budget.length == 1, s"per-source budget not constant: $budget")
+    val (tail, real) = rows.partition(_.getString(0) == "src_tail")
+    assert(tail.length == 1)
+    assert(tail.head.getLong(3) == 40000L, "tail source must cap at 4 epochs")
+    assert(tail.head.getLong(4) > 0L, "capped source must publish a deficit")
+    real.foreach { r =>
+      assert(r.getLong(4) == 0L, s"uncapped source with deficit: $r")
+      assert(r.getLong(3) < 40000L)
+      assert(r.getLong(2) == budget.head)
+    }
+  }
+
   test("x17 keeps exactly the greedy quality-prefix under the budget") {
     val out = SparkEntry.queries("x17_token_budget")(spark, sf).collect()
     val budget = out.map(_.getLong(2)).sum * 3 / 10

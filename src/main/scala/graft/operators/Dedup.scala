@@ -782,8 +782,74 @@ object Dedup {
     // (the Lee et al. 2021 "Deduplicating Training Data Makes Language
     // Models Better" standard) — the tier d6's pair surface stood in
     // for. Linear, no pair join: see [[substringDedup]].
-    "d10_substring_dedup" -> ((s, d) => substringDedup(docs(s, d)))
+    "d10_substring_dedup" -> ((s, d) => substringDedup(docs(s, d))),
+
+    // Edit-distance near-dup join (the tier the set-based family can't
+    // see: token REORDERING keeps Jaccard at 1.0 but explodes edit
+    // distance, and small in-place character corruption — OCR noise,
+    // re-crawl artifacts — keeps edit distance tiny while fracturing
+    // every shingle it touches). PassJoin-style aligned-segment
+    // blocking + exact integer Levenshtein verify; the %89 corrupted
+    // re-crawl fixture (5 in-place substitutions at chars 11–15)
+    // exercises the positive branch at every scale.
+    "d14_edit_neardup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val fix = base.filter(col("doc_id") % 89 === 7)
+        .select((col("doc_id") + 9300000L).as("doc_id"),
+          concat(expr("substring(text, 1, 10)"), lit("qqqqq"),
+            expr("substring(text, 16)")).as("text"))
+      editNeardupPairs(base.unionByName(fix), 5).orderBy("i", "j")
+    })
   )
+
+  /** PassJoin-style blocked edit-similarity join (Li et al., ICDE'11
+    * "PASS-JOIN: a partition-based method for similarity joins"): a
+    * pair is an edit near-dup when the Levenshtein distance of their
+    * space-padded `(tau+1)*43`-char prefixes is <= tau. Candidates come
+    * from the pigeonhole partition — the prefix splits into tau+1
+    * aligned 43-char segments, and any pair within distance tau under
+    * SUBSTITUTIONS shares at least one aligned segment verbatim.
+    * Segments that are ENTIRELY padding are excluded from blocking
+    * (every short doc would share them — an accidental all-pairs join
+    * over the short class); the recall contract is therefore:
+    * guaranteed for substitution-regime pairs whenever some
+    * content-bearing segment is untouched (always, for docs >= 216
+    * chars; for shorter docs, whenever the tau edits cluster in fewer
+    * segments than the doc's content spans — insert/delete shifts take
+    * the full PassJoin shift window, documented like d6's fixed-window
+    * stand-in). The ORACLE replays the identical blocking, so parity
+    * is structural, and the verify is an exact integer. Scale shape:
+    * <= 6 segment rows per doc equality-joined on the segment — an
+    * O(candidates) shuffle join, never all-pairs; a hot segment IS a
+    * duplicate cluster, whose pairs the operator must emit anyway. */
+  private[graft] def editNeardupPairs(docsDf: DataFrame,
+      tau: Int): DataFrame = {
+    val segLen = 43
+    val nSeg = tau + 1
+    val width = segLen * nSeg
+    // referenced by the band self-join AND both verify joins
+    val keyed = docsDf.select(col("doc_id"),
+      rpad(expr(s"substring(text, 1, $width)"), width, " ").as("pfx"))
+      .localCheckpoint()
+    val segs = keyed.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(nSeg - 1)), k =>
+        struct(k.as("slot"),
+          col("pfx").substr(k * lit(segLen) + 1, lit(segLen)).as("seg"))))
+        .as("sg"))
+      .filter(trim(col("sg.seg")) =!= "")
+      .select(col("doc_id"),
+        concat_ws("_", col("sg.slot"), col("sg.seg")).as("band"))
+    val cand = segs.as("a").join(segs.as("b"), "band")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(keyed.select(col("doc_id").as("i"), col("pfx").as("pa")), "i")
+      .join(keyed.select(col("doc_id").as("j"), col("pfx").as("pb")), "j")
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("dist") <= tau)
+      .select("i", "j", "dist")
+  }
 
   /** Default per-band distinct-signature frequency cap for the banded
     * LSH joins (d4 / v1b). Accounting: identical signatures collapse
@@ -943,6 +1009,30 @@ object Dedup {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "d2_ngram_jaccard" -> exactJaccardSql(0.5),
     "d3_minhash_lsh" -> exactJaccardSql(0.8),
+    // d14: the blocking (aligned 43-char segments of the padded
+    // 258-prefix, padding-only segments excluded) is part of the
+    // operator contract and replays structurally; levenshtein is an
+    // exact integer in both engines
+    "d14_edit_neardup" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 9300000,
+             substring(text, 1, 10) || 'qqqqq' || substring(text, 16)
+           FROM documents WHERE doc_id % 89 = 7),
+         k AS (SELECT doc_id,
+             rpad(substring(text, 1, 258), 258, ' ') AS pfx FROM base),
+         segs AS (SELECT doc_id, u.s AS slot,
+             substring(pfx, u.s * 43 + 1, 43) AS seg
+           FROM k, unnest(range(0, 6)) AS u(s)),
+         sg AS (SELECT * FROM segs WHERE trim(seg) <> ''),
+         cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           FROM sg a JOIN sg b
+             ON a.slot = b.slot AND a.seg = b.seg AND a.doc_id < b.doc_id)
+       SELECT i, j, levenshtein(ka.pfx, kb.pfx)::bigint AS dist
+       FROM cand JOIN k ka ON ka.doc_id = i JOIN k kb ON kb.doc_id = j
+       WHERE levenshtein(ka.pfx, kb.pfx) <= 5
+       ORDER BY i, j""",
     // d13: the exact 0.3 pair table over documents ∪ prefix fixtures
     // (base cut on raw jac, like d2's contract), re-read at each
     // threshold over the PUBLISHED 6dp jac

@@ -434,4 +434,35 @@ class DedupSpec extends SparkSpec {
     // build is bounded by the FILTER, not the corpus
     assert(bits.length <= (1 << 22) / 64, s"word array ${bits.length}")
   }
+
+  test("d14 sees what the set family can't: corruption yes, reorder no") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ") // ~240 chars
+    val corrupted = a.updated(11, 'q').updated(12, 'q').updated(13, 'q')
+    val reordered = (1 to 40).map(i => s"tok${41 - i}").mkString(" ")
+    val docs = Seq((1L, a), (2L, corrupted), (3L, reordered))
+      .toDF("doc_id", "text")
+    val got = Dedup.editNeardupPairs(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 3 in-place substitutions: edit-near (dist 3), found via the
+    // untouched aligned segments
+    assert(got == Set((1L, 2L, 3L)), s"got $got")
+    // the reordered doc has Jaccard ~1.0 on token SETS but is NOT an
+    // edit near-dup — d14 must not pair it
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("d14 fixture pairs all surface with dist <= 5 at sf0.001") {
+    val rows = SparkEntry.queries("d14_edit_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fixturePairs = rows.filter(p => p._2 == p._1 + 9300000L)
+    assert(fixturePairs.nonEmpty, "no fixture pair surfaced")
+    assert(fixturePairs.forall(_._3 <= 5L))
+    // every %89==7 doc's corrupted twin must be found (substitutions
+    // only touch segment 0; segments 1+ stay aligned — guaranteed)
+    val expected = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 89 === 7).count()
+    assert(fixturePairs.length.toLong == expected,
+      s"${fixturePairs.length} of $expected fixture twins found")
+  }
 }

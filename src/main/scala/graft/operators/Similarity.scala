@@ -167,6 +167,29 @@ object Similarity {
     topkSelect(scored, k)
   }
 
+  /** MaxSim late-interaction scoring (v25): label groups are the
+    * multi-vector "documents"; `qPred` selects the query groups. See
+    * the registry comment for the fixed-point parity argument. */
+  private[graft] def maxSimTopK(e: DataFrame, qPred: Column,
+      k: Int): DataFrame = {
+    val q = e.filter(qPred)
+      .select(col("label").as("qlabel"), col("vec_id").as("qid"),
+        col("embedding").as("qv"))
+    e.select(col("label").as("dlabel"), col("embedding"))
+      .join(broadcast(q), col("dlabel") =!= col("qlabel"))
+      .withColumn("cm",
+        floor(cosine(col("qv"), col("embedding")) * 1000000.0).cast("long"))
+      .groupBy("qlabel", "qid", "dlabel")
+      .agg(max("cm").as("mx"))
+      .groupBy("qlabel", "dlabel")
+      .agg(sum("mx").as("score_micro"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qlabel")
+          .orderBy(col("score_micro").desc, col("dlabel"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qlabel", "dlabel", "score_micro", "rk")
+  }
+
   /** Exact brute-force top-k for the 5 fixed query vectors — the v2
     * surface and the recall baseline for v3/v4. */
   private def bruteTopK(e: DataFrame): DataFrame = {
@@ -781,6 +804,23 @@ object Similarity {
         .limit(15)
     }),
 
+    // Multi-vector late-interaction retrieval (MaxSim, the ColBERT
+    // scoring rule): a "document" here is a label group's vector SET;
+    // score(q, d) = Σ over q's vectors of the max cosine against d's
+    // vectors — reordering-invariant, partial-match-friendly, the
+    // retrieval tier between single-vector ANN (v2) and cross-encoder
+    // rerank (v20). Engine parity is by fixed-point construction: the
+    // per-(qvec, doc) max is order-free over bit-replayable dotFF
+    // cosines, floor(·×1e6) lands in exact integer micro-units, and
+    // the Σ over query vectors is then an order-free bigint sum — no
+    // double ever crosses an unordered aggregation. Scale shape: the
+    // query side is the (bounded) query batch — broadcast like v2's
+    // 5-query table; the corpus side streams once through the join,
+    // per-(query, doc) state is one long, and the final top-5 is a
+    // doc-count-bounded window per query label.
+    "v25_maxsim" -> ((s, d) =>
+      maxSimTopK(emb(s, d), col("label") < 3, 5).orderBy("qlabel", "rk")),
+
     // SQ8 reconstruction-error report — the quantization-quality read
     // beside v24's probe dial (how much cosine fidelity does the 4×
     // compression cost?). Per vector: mse and relative mse of the
@@ -1250,6 +1290,33 @@ object Similarity {
          FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
          JOIN embeddings b ON a.vec_id <> b.vec_id)
          WHERE rk <= 10 ORDER BY query_id, rk""",
+    // v25: the cosine replays dotFF's fixed fold (the v26 evidence);
+    // the zero-norm guard mirrors cosine()'s 0.0; everything after
+    // floor(·×1e6) is exact bigint arithmetic in both engines
+    "v25_maxsim" -> {
+      val num = """list_sum([q.embedding[i]::double * c.embedding[i]::double
+                   for i in range(1, len(q.embedding) + 1)])"""
+      val den = """(sqrt(list_sum([q.embedding[i]::double * q.embedding[i]::double
+                   for i in range(1, len(q.embedding) + 1)])) *
+              sqrt(list_sum([c.embedding[i]::double * c.embedding[i]::double
+                   for i in range(1, len(c.embedding) + 1)])))"""
+      s"""WITH q AS (SELECT label AS qlabel, vec_id AS qid, embedding
+             FROM embeddings WHERE label < 3),
+         c AS (SELECT label AS dlabel, vec_id, embedding FROM embeddings),
+         p AS (SELECT q.qlabel, q.qid, c.dlabel,
+             floor((CASE WHEN $den = 0 THEN 0.0
+                    ELSE $num / $den END) * 1000000.0)::bigint AS cm
+           FROM q JOIN c ON c.dlabel <> q.qlabel),
+         m AS (SELECT qlabel, qid, dlabel, max(cm) AS mx
+               FROM p GROUP BY qlabel, qid, dlabel),
+         sc AS (SELECT qlabel, dlabel, sum(mx)::bigint AS score_micro
+                FROM m GROUP BY qlabel, dlabel)
+       SELECT qlabel, dlabel, score_micro, rk FROM (
+         SELECT qlabel, dlabel, score_micro,
+           row_number() OVER (PARTITION BY qlabel
+             ORDER BY score_micro DESC, dlabel) AS rk FROM sc)
+       WHERE rk <= 5 ORDER BY qlabel, rk"""
+    },
     // v26: q rebuilt with the kernel's floor(x/s+0.5) (math.round)
     // and clamp; dbb in exact integers; the identity-form combination
     // replays the kernels' fixed folds

@@ -20,6 +20,32 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("v25 MaxSim: set semantics (order-invariant), self-label excluded") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val base = Seq(
+      (1L, vec(1, 0, 0, 0), 0), (2L, vec(0, 1, 0, 0), 0),
+      (10L, vec(1, 0, 0, 0), 1), (11L, vec(0.9, 0.1, 0, 0), 1),
+      (20L, vec(0, 0, 1, 0), 2), (21L, vec(0, 0, 0, 1), 2))
+    def run(rows: Seq[(Long, Array[Float], Int)]) =
+      operators.Similarity.maxSimTopK(
+        rows.toDF("vec_id", "embedding", "label"), col("label") === 0, 5)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run(base)
+    // self-label never scored; doc 1 (aligned vectors) outranks doc 2
+    assert(!got.exists(_._1 == 0))
+    assert(got.map(_._1) == Seq(1, 2), s"ranking wrong: $got")
+    assert(got.head._2 > got(1)._2)
+    // MaxSim scores a vector SET: permuting the doc's vectors (ids
+    // swapped) changes nothing
+    val permuted = base.map {
+      case (10L, v, l) => (11L, v, l)
+      case (11L, v, l) => (10L, v, l)
+      case r => r
+    }
+    assert(run(permuted) == got, "score must be order/id invariant")
+  }
+
   test("t28 mojibake: clean sources report zero, the recrawl fixture fires") {
     val rows = SparkEntry.queries("t28_mojibake")(spark, sf).collect()
     val (re, base) = rows.partition(_.getString(0) == "recrawl")

@@ -73,6 +73,16 @@ object StreamOps {
       EventPipeline.runStreamingIntervalJoin(s, d)
         .orderBy("event_id", "pus")),
 
+    // Stream-stream LEFT OUTER interval join: unmatched clicks emit
+    // their null row when the watermark proves no purchase can still
+    // arrive — the eviction-triggered outer emit that makes this the
+    // one join whose OUTPUT needs the drain sentinels, not just its
+    // state bound. pus = -1 encodes "no purchase in the window" so the
+    // sort keys stay null-free in both engines.
+    "st16_stream_outer_join" -> ((s, d) =>
+      EventPipeline.runStreamingOuterJoin(s, d)
+        .orderBy("event_id", "pus")),
+
     // Stream-static enrichment join: batch-computed user tiers joined
     // into the click stream (STATELESS — no state store; the static
     // side broadcasts per micro-batch), then watermarked windowed
@@ -317,6 +327,16 @@ object StreamOps {
        FROM c JOIN p ON c.user_id = p.user_id
          AND c.us BETWEEN p.pus - 1800000000 AND p.pus
        ORDER BY c.event_id, p.pus""",
+    "st16_stream_outer_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase')
+       SELECT c.event_id, c.user_id, c.us,
+         coalesce(p.pus, -1) AS pus
+       FROM c LEFT JOIN p ON c.user_id = p.user_id
+         AND p.pus BETWEEN c.us AND c.us + 1800000000
+       ORDER BY c.event_id, pus""",
     "st6_stream_enrich" ->
       """WITH t AS (SELECT user_id,
            CASE WHEN round(sum(value), 2) >= 500 THEN 'high'

@@ -610,6 +610,76 @@ object EventPipeline {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join — the production shape of
+    * st5's inner join: every click emits, purchases within the
+    * [click, click + 30 min] attribution window attach, and a click
+    * with NO purchase emits its null row only once the watermark
+    * proves no match can still arrive (state eviction IS the outer
+    * row's trigger — this is the one join form whose output depends on
+    * the clock, which is why it needs the drain machinery a bounded
+    * inner join doesn't).
+    *
+    * Drain mechanics: each sentinel batch carries BOTH an event_type
+    * 'click' row (user −1) and a 'purchase' row (user −2) — the two
+    * legs filter on event_type BELOW their watermark nodes, so a
+    * sentinel visible to only one leg would freeze the OTHER leg's
+    * clock (the global watermark is the min over inputs; the st8
+    * scan-skip trap, join edition). Distinct sentinel users keep the
+    * sentinels from matching each other; the sentinel clicks' own
+    * outer rows never emit because the final watermark (sentinel#2 −
+    * 1 h delay) sits 2 h + 30 min short of sentinel#1's eviction
+    * point. Real clicks all flush during batch 2: sentinel#1's
+    * watermark = corpus max + 2 h + 20 min − 1 h clears every real
+    * click's ts + 30 min bound. The memory-sink table is filtered to
+    * real users AFTER materialization — a filter inside the streaming
+    * query would push below the watermark into the scan and skip the
+    * sentinel files (trap 2).
+    *
+    * Scale: state is watermark-bounded on both sides (1 h of clicks +
+    * 1 h of purchases per key range), exactly st5's bound; the outer
+    * semantics add no state — only the eviction-time null emit. */
+  def runStreamingOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val name = "graft_sojoin_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val staged = drainSessions(work, path, 2L * 3600 * 1000000, "st16") {
+        (ev, tsUs, i) =>
+          def row(id: Long, user: Long, tpe: String) =
+            ev.limit(1).select(lit(id).as("event_id"),
+              timestamp_micros(lit(tsUs)).as("ts"), lit(user).as("user_id"),
+              lit(tpe).as("event_type"), lit(0.0).as("value"),
+              lit("{}").as("props"))
+          row(-(2L * i), -1L, "click")
+            .unionByName(row(-(2L * i + 1), -2L, "purchase"))
+      }
+      val stagedSchema = work.read.parquet(s"$staged/batch0").schema
+      def events() = work.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+      val clicks = events().filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id").as("c_user"), col("ts"))
+        .withWatermark("ts", "1 hour")
+      val purchases = events().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val q = clicks.join(purchases,
+        expr("""c_user = p_user AND
+                pts BETWEEN ts AND ts + INTERVAL 30 MINUTES"""),
+        "left_outer")
+        .select(col("event_id"), col("c_user").as("user_id"),
+          unix_micros(col("ts")).as("us"),
+          coalesce(unix_micros(col("pts")), lit(-1L)).as("pus"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      work.table(name).filter(col("user_id") >= 0)
+    }
+  }
+
   /** Stream-static enrichment join — the canonical dimension-table
     * shape: a batch-computed per-user tier table (static side) joined
     * into the click stream, then windowed per-tier aggregation.

@@ -326,6 +326,34 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.nonEmpty && streaming == batch)
   }
 
+  test("st16 outer join: every click emits, null rows only via eviction") {
+    val rows = operators.StreamOps.queries("st16_stream_outer_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // no sentinel user ever reaches the output
+    assert(rows.forall(_._2 >= 0))
+    // every click of the corpus is present exactly once as a left key
+    // set (matched clicks may repeat per purchase)
+    val clicks = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(rows.map(_._1).distinct.length.toLong == clicks,
+      s"left side incomplete: ${rows.map(_._1).distinct.length} vs $clicks")
+    // BOTH branches fire: watermark-evicted null rows and real matches
+    val (outer, matched) = rows.partition(_._4 == -1L)
+    assert(outer.nonEmpty, "no eviction-emitted outer row")
+    assert(matched.nonEmpty, "no matched row")
+    // an event_id appears either as one outer row or as matches — never both
+    val outerIds = outer.map(_._1).toSet
+    assert(!matched.exists(m => outerIds.contains(m._1)))
+    // matched rows are exactly st5's inner join
+    val inner = operators.StreamOps.queries("st5_stream_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // st5 orients the window from the purchase side; same pair set
+    assert(matched.toSet == inner,
+      s"matched rows diverge from the inner join: ${matched.length} vs ${inner.size}")
+  }
+
   test("watermark-bounded streaming dedup agrees with the exact variant") {
     // the published (bounded-state) operator and the unbounded-state
     // oracle variant must produce the same per-type distinct counts on

@@ -419,6 +419,38 @@ object ArrayOps {
         .orderBy("p_partkey")
     }),
 
+    // Size-tiered compaction policy (arr18's full consolidation is the
+    // wrong tool after a streaming burst: it rewrites the big fragment
+    // too). Five tiny slice writes + one bulk write, then
+    // consolidateSmall(maxRows=1000) merges ONLY the adjacent small
+    // run — the bulk fragment is never rewritten. Both the data AND
+    // the policy outcome are oracle-checked: expected fragment count /
+    // runs derive from the slice row counts in SQL (the st9 lesson —
+    // never hardcode a count the corpus distribution controls).
+    "arr35_compact_small" -> ((s, d) => {
+      val uri = freshUri("csml")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("o_orderkey", LongType)),
+        Seq(AttributeSpec("o_totalprice", DoubleType)))
+      GraftArray.create(s, uri, sch)
+      val ord = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+      (0 until 5).foreach { k =>
+        GraftArray.write(s, uri, ord.filter(col("o_orderkey") % 1000 === k))
+      }
+      GraftArray.write(s, uri, ord.filter(col("o_orderkey") % 1000 >= 5))
+      val (runs, _) = GraftArray.consolidateSmall(s, uri, 1000L)
+      GraftArray.vacuum(s, uri)
+      val nf = GraftArray.fragments(s, uri).size
+      s.read.format("graftarray").option("path", uri).load()
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .withColumn("n_fragments", lit(nf.toLong))
+        .withColumn("compacted_runs", lit(runs.toLong))
+        .orderBy("bucket")
+    }),
+
     "arr18_consolidate" -> ((s, d) => {
       val uri = freshUri("cons")
       val sch = ArraySchema(ArrayKind.Sparse,
@@ -1135,6 +1167,32 @@ object ArrayOps {
     "arr33_rollback" ->
       """SELECT p_partkey, p_size, 1::BIGINT AS nf
          FROM part ORDER BY p_partkey""",
+    // arr35: the policy outcome replays from the slice rule — slices
+    // 0..4 (written first, adjacent) merge to ONE fragment iff >= 2 of
+    // them are small; the bulk slice always stays its own fragment
+    "arr35_compact_small" ->
+      """WITH sl AS (
+           SELECT CASE WHEN o_orderkey % 1000 < 5
+                       THEN o_orderkey % 1000 ELSE 5 END AS slice,
+             count(*) AS n
+           FROM orders GROUP BY 1),
+         pol AS (SELECT
+             (CASE WHEN sum(CASE WHEN slice < 5 AND n <= 1000
+                                 THEN 1 ELSE 0 END) >= 2 THEN 1
+                   ELSE sum(CASE WHEN slice < 5 AND n <= 1000
+                                 THEN 1 ELSE 0 END) END
+              + sum(CASE WHEN slice < 5 AND n > 1000 THEN 1 ELSE 0 END)
+              + max(CASE WHEN slice = 5 THEN 1 ELSE 0 END))::bigint AS nf,
+             (CASE WHEN sum(CASE WHEN slice < 5 AND n <= 1000
+                                 THEN 1 ELSE 0 END) >= 2
+                   THEN 1 ELSE 0 END)::bigint AS runs
+           FROM sl)
+       SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total,
+         pol.nf AS n_fragments, pol.runs AS compacted_runs
+       FROM orders, pol GROUP BY bucket, pol.nf, pol.runs
+       ORDER BY bucket""",
+
     "arr18_consolidate" ->
       """SELECT c_custkey,
          round(CASE WHEN c_custkey <= 100 THEN 0.11

@@ -562,6 +562,52 @@ object GraftArray {
     * the first fragment empties the table (documented; the view is
     * legitimately empty there). Returns the restore fragment's
     * timestamp, or None when nothing newer than `ts` exists. */
+  /** Size-tiered SMALL-fragment compaction — the policy form of
+    * consolidation the reference's storage engine runs as incremental
+    * "consolidation steps" over adjacent small fragments (TileDB's
+    * step_min/max_frags + size-ratio policy behind the plugin's
+    * OPTIMIZE TABLE hook, ha_mytile.cc:2948): streaming ingest leaves
+    * trails of tiny fragments whose per-fragment planning cost
+    * eventually dominates, but FULL consolidation would rewrite the
+    * big fragments too. Walks the visible timeline and
+    * windowed-consolidates each maximal run of >= 2 CONSECUTIVE data
+    * fragments with rows <= maxRows — rewrite cost is O(small data),
+    * never O(table); large fragments are never touched. Tombstone-
+    * carrying fragments break runs (windowed consolidation's own
+    * safety rule), and a run whose [first, last] timestamp window
+    * would capture a fragment OUTSIDE the run (timestamp tie with a
+    * neighbor) is skipped conservatively — the id-set check makes the
+    * window exact, not heuristic. Returns (runs compacted, fragments
+    * absorbed). */
+  def consolidateSmall(spark: SparkSession, uri: String,
+      maxRows: Long): (Int, Int) = {
+    val st = store(spark, uri)
+    def isTomb(f: FragmentMeta) =
+      f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty
+    val frags = st.listFragments()
+    val runs = scala.collection.mutable.ArrayBuffer[Seq[FragmentMeta]]()
+    val cur = scala.collection.mutable.ArrayBuffer[FragmentMeta]()
+    frags.foreach { f =>
+      if (!isTomb(f) && f.rows <= maxRows) cur += f
+      else { if (cur.size >= 2) runs += cur.toSeq; cur.clear() }
+    }
+    if (cur.size >= 2) runs += cur.toSeq
+    var done = 0
+    var absorbed = 0
+    runs.foreach { run =>
+      val lo = run.head.timestamp
+      val hi = run.last.timestamp
+      val window = st.listFragments(asOf = Some(hi), since = Some(lo))
+      if (window.map(_.id) == run.map(_.id) &&
+          consolidate(spark, uri, since = Some(lo), asOf = Some(hi))
+            .isDefined) {
+        done += 1
+        absorbed += run.size
+      }
+    }
+    (done, absorbed)
+  }
+
   def rollback(spark: SparkSession, uri: String, asOfTs: Long)
       : Option[Long] = {
     val st = store(spark, uri)

@@ -282,16 +282,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Array(Identifier.of(namespace, "consolidate"),
       Identifier.of(namespace, "vacuum"),
       Identifier.of(namespace, "rebucket"),
-      Identifier.of(namespace, "rollback"))
+      Identifier.of(namespace, "rollback"),
+      Identifier.of(namespace, "compact_small"))
 
   override def loadProcedure(ident: Identifier)
       : procedures.UnboundProcedure =
     ident.name().toLowerCase match {
-      case op @ ("consolidate" | "vacuum" | "rebucket" | "rollback") =>
+      case op @ ("consolidate" | "vacuum" | "rebucket" | "rollback"
+                 | "compact_small") =>
         new GraftMaintenanceProcedure(op, this)
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' — expected consolidate, vacuum, " +
-          "rebucket or rollback")
+          "rebucket, rollback or compact_small")
     }
 
   private[sources] def tableUriOf(dotted: String): String =
@@ -326,6 +328,8 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
       "change a graft array's bucket count and rewrite it bucket-complete"
     case "rollback" =>
       "restore a graft array to a past instant as a new commit"
+    case "compact_small" =>
+      "merge adjacent runs of small fragments, leaving large ones untouched"
     case _ => "reclaim fragments superseded by consolidation"
   }
 
@@ -341,6 +345,9 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
         else if (op == "rollback")
           Array(procedures.ProcedureParameter.in("table", StringType).build(),
             procedures.ProcedureParameter.in("ts", LongType).build())
+        else if (op == "compact_small")
+          Array(procedures.ProcedureParameter.in("table", StringType).build(),
+            procedures.ProcedureParameter.in("max_rows", LongType).build())
         else
           Array(procedures.ProcedureParameter.in("table", StringType).build())
       override def isDeterministic: Boolean = false
@@ -358,6 +365,8 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
             "to remove bucketing)")
         if (op == "rollback") require(!input.isNullAt(1),
           "rollback: ts must not be NULL")
+        if (op == "compact_small") require(!input.isNullAt(1),
+          "compact_small: max_rows must not be NULL")
         val uri = cat.tableUriOf(input.getUTF8String(0).toString)
         val (outSchema, row) =
           if (op == "consolidate") {
@@ -375,6 +384,13 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
             (StructType(Seq(StructField("restored_ts", LongType))),
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 Array[Any](ts.map(Long.box).orNull)))
+          } else if (op == "compact_small") {
+            val (runs, absorbed) =
+              GraftArray.consolidateSmall(spark, uri, input.getLong(1))
+            (StructType(Seq(StructField("compacted_runs", IntegerType),
+              StructField("absorbed_fragments", IntegerType))),
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](runs, absorbed)))
           } else {
             val n = GraftArray.vacuum(spark, uri)
             (StructType(Seq(StructField("removed_fragments", IntegerType))),

@@ -251,4 +251,68 @@ class ConsolidationSpec extends SparkSpec {
       .map(_.toSeq.mkString(" ")).mkString("\n")
     assert(desc.contains("vacuum"), desc)
   }
+
+  test("compact_small merges only adjacent small runs; big untouched") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    def write(lo: Long, hi: Long) = GraftArray.write(spark, uri,
+      spark.range(lo, hi).select(col("id").as("k"), lit(1.0).as("v")))
+    // timeline: small small small BIG small small
+    write(0, 10); write(10, 20); write(20, 30)
+    write(1000, 3000)
+    write(40, 50); write(50, 60)
+    val bigId = GraftArray.fragments(spark, uri).find(_.rows > 100).get.id
+    val (runs, absorbed) = GraftArray.consolidateSmall(spark, uri, 100L)
+    assert((runs, absorbed) == (2, 5), s"($runs, $absorbed)")
+    GraftArray.vacuum(spark, uri)
+    val after = GraftArray.fragments(spark, uri)
+    // 3 fragments: [smalls 1-3], BIG, [smalls 5-6]
+    assert(after.size == 3, after.map(f => (f.id, f.rows)).toString)
+    // the big fragment was never rewritten — same id survives
+    assert(after.exists(_.id == bigId), "big fragment was rewritten")
+    assert(read(uri).count() == 2050)
+    // idempotent: merged runs are now single fragments above no run
+    assert(GraftArray.consolidateSmall(spark, uri, 100L) == (0, 0))
+  }
+
+  test("compact_small skips runs broken by a tombstone fragment") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    def write(lo: Long, hi: Long) = GraftArray.write(spark, uri,
+      spark.range(lo, hi).select(col("id").as("k"), lit(1.0).as("v")))
+    write(0, 10); write(10, 20)
+    // delete-condition tombstone splits the timeline
+    GraftArray.commitTombstone(spark, uri,
+      graft.sources.v2.PredicateSupport.AndP(
+        graft.sources.v2.PredicateSupport.Cmp(">=", "k", 5L),
+        graft.sources.v2.PredicateSupport.Cmp("<", "k", 8L)))
+    write(20, 30); write(30, 40)
+    val (runs, absorbed) = GraftArray.consolidateSmall(spark, uri, 100L)
+    // two runs on each side of the tombstone, never across it
+    assert((runs, absorbed) == (2, 4), s"($runs, $absorbed)")
+    assert(read(uri).count() == 37)
+  }
+
+  test("CALL cat.compact_small procedure") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_csml").toString
+    val cat = "gc" + scala.util.Random.alphanumeric.take(4).mkString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 1.0)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 2.0)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 9.0 FROM range(100, 2000)")
+    val r = spark.sql(s"CALL $cat.compact_small('t', 10)").collect().head
+    assert((r.getInt(0), r.getInt(1)) == (1, 2), r.toString)
+    spark.sql(s"CALL $cat.vacuum('t')")
+    assert(GraftArray.fragments(spark, s"$wh/t").size == 2)
+    assert(spark.table(s"$cat.t").count() == 1902)
+    // NULL max_rows must be rejected, not unboxed to 0
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.compact_small('t', NULL)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("max_rows")), msgs(e).mkString("|"))
+  }
 }

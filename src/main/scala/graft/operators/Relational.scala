@@ -577,6 +577,40 @@ object Relational {
         ORDER BY c_custkey, price DESC, o_orderkey""")
     }),
 
+    // RECURSIVE CTE (WITH RECURSIVE, the SQL:1999 surface Spark 4
+    // finally ships): a linked-list walk down each customer's
+    // chronological order chain, accumulating hop index and running
+    // spend. Deliberately ACYCLIC — Spark's recursion is UNION
+    // ALL-only (probed: UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so
+    // cyclic reachability stays on d5's pointer-doubled CC; the
+    // recursion here terminates at the chain length (≤18 on this
+    // corpus, far under the level limit). The oracle replays via an
+    // INDEPENDENT formulation (window cumsum) — a cross-check, not an
+    // echo. cum is rounded at 2dp: sums of exact 2-decimal prices are
+    // decimal-grid values, so no fold order can create a .005 tie.
+    // Scale: each recursion level is one equi-join of the frontier
+    // (one row per live chain) against the rk-indexed side — frontier
+    // size only ever shrinks; nothing quadratic.
+    "sq5_recursive_cte" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("rk", row_number().over(w))
+        .createOrReplaceTempView("sq5_chain")
+      s.sql("""WITH RECURSIVE walk(o_custkey, o_orderkey, hop, cum) AS (
+          SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT), o_totalprice
+          FROM sq5_chain WHERE rk = 1
+          UNION ALL
+          SELECT n.o_custkey, n.o_orderkey, w.hop + 1,
+            w.cum + n.o_totalprice
+          FROM walk w JOIN sq5_chain n
+            ON n.o_custkey = w.o_custkey AND n.rk = w.hop + 1)
+        SELECT o_custkey, o_orderkey, hop, round(cum, 2) AS cum_price
+        FROM walk ORDER BY o_custkey, hop""")
+    }),
+
     // PIVOT: per-year revenue pivoted by order status — Spark's
     // groupBy().pivot() with an EXPLICIT value list (no extra
     // distinct-values scan job; one hash aggregation, conditional
@@ -907,6 +941,18 @@ object Relational {
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
          WHERE c.c_mktsegment = 'MACHINERY'
          ORDER BY c_custkey, price DESC, o_orderkey""",
+    // sq5: independent window-cumsum formulation cross-checks the
+    // recursion (rounding is tie-free: sums of 2-decimal prices sit
+    // on the decimal grid under any fold order)
+    "sq5_recursive_cte" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS rk
+         FROM orders WHERE o_custkey < 100)
+       SELECT o_custkey, o_orderkey, rk::bigint AS hop,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY rk
+           ROWS UNBOUNDED PRECEDING), 2) AS cum_price
+       FROM c ORDER BY o_custkey, hop""",
     "a9_pivot" ->
       """SELECT year(o_orderdate) AS yr,
          round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS F,

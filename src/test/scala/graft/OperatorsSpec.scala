@@ -20,6 +20,31 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("sq5 recursive CTE: real recursion node, equals the window replay") {
+    val df = SparkEntry.queries("sq5_recursive_cte")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Loop") || plan.contains("Recursi"),
+      s"no recursion node in plan:\n${plan.take(600)}")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // independent in-Spark replay: window cumsum over the same chains
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val replay = Tables.load(spark, sf, "orders")
+      .filter(col("o_custkey") < 100)
+      .withColumn("hop", row_number().over(w).cast("long"))
+      .withColumn("cum_price", round(sum("o_totalprice").over(
+        w.rowsBetween(Long.MinValue, 0)), 2))
+      .select("o_custkey", "o_orderkey", "hop", "cum_price")
+      .orderBy("o_custkey", "hop")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == replay, s"recursion diverges from window replay: " +
+      s"${got.size} vs ${replay.size}")
+    // chains really recurse: some customer has more than one hop
+    assert(got.exists(_._3 > 1))
+  }
+
   test("v25 MaxSim: set semantics (order-invariant), self-label excluded") {
     import spark.implicits._
     def vec(xs: Double*) = xs.map(_.toFloat).toArray

@@ -821,6 +821,38 @@ object Similarity {
     "v25_maxsim" -> ((s, d) =>
       maxSimTopK(emb(s, d), col("label") < 3, 5).orderBy("qlabel", "rk")),
 
+    // Quantization RANKING impact — the metric tier above v26's
+    // reconstruction error: what does SQ8 candidate generation cost in
+    // retrieval terms? Per query: recall@10 and MRR of the v6 route
+    // (SQ8-scored top-40 superset → exact rerank → top-10) against the
+    // exact top-10. Unlike the v6/v9/v15 recall FLAGS (constant
+    // oracles), every number here is value-replayed: both rank lists
+    // rebuild in SQL from the proven-replayable pieces (v26's
+    // quantizer, the fixed dot folds, the (score desc, id) tiebreak),
+    // and the metrics are integer-div exact (recall in bp, MRR in
+    // micro-units of the first relevant rank). Scale: two k-bounded
+    // retrieval passes + a 5×10-row join — the metric is free next to
+    // the retrieval it measures.
+    "v27_quant_impact" -> ((s, d) => {
+      val e = emb(s, d)
+      val exact = bruteTopK(e).select(col("query_id"), col("vec_id"))
+      val approx = sq8TopK(e, 10)
+        .select(col("query_id"), col("vec_id"), col("rk"))
+      approx
+        .join(exact.withColumn("rel", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("rel"), lit(0L))).as("n_hits"),
+          coalesce(min(when(col("rel") === 1L, col("rk"))), lit(0L))
+            .as("first_rel_rank"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 10000 div 10").as("recall_bp"),
+          col("first_rel_rank"),
+          coalesce(expr("1000000 div nullif(first_rel_rank, 0)"), lit(0L))
+            .as("mrr_micro"))
+        .orderBy("query_id")
+    }),
+
     // SQ8 reconstruction-error report — the quantization-quality read
     // beside v24's probe dial (how much cosine fidelity does the 4×
     // compression cost?). Per vector: mse and relative mse of the
@@ -1316,6 +1348,84 @@ object Similarity {
            row_number() OVER (PARTITION BY qlabel
              ORDER BY score_micro DESC, dlabel) AS rk FROM sc)
        WHERE rk <= 5 ORDER BY qlabel, rk"""
+    },
+    // v27: both rank lists rebuild from proven-replayable pieces —
+    // v26's quantizer (floor(x/s+0.5), clamp), sequential dot folds,
+    // (score desc, vec_id) tiebreaks — then the metrics are pure
+    // integer division
+    "v27_quant_impact" -> {
+      val x = "embedding[i]::double"
+      val rng = "for i in range(1, len(embedding) + 1)"
+      val qd = s"greatest(-127.0, least(127.0, floor($x / s + 0.5)))::bigint"
+      s"""WITH qz AS (
+           SELECT vec_id, embedding,
+             CASE WHEN mx = 0
+               THEN [0::bigint $rng]
+               ELSE [$qd $rng] END AS q8
+           FROM (SELECT vec_id, embedding,
+               list_max([abs($x) $rng]) AS mx,
+               list_max([abs($x) $rng]) / 127.0 AS s
+             FROM embeddings)),
+         qn AS (SELECT vec_id, embedding, q8,
+             sqrt(list_sum([q8[i] * q8[i]
+               for i in range(1, len(q8) + 1)])::double) AS qn8
+           FROM qz),
+         q AS (SELECT vec_id AS query_id, embedding AS qv,
+             sqrt(list_sum([$x * $x $rng])) AS qvn
+           FROM embeddings WHERE vec_id < 5),
+         ap AS (SELECT q.query_id, c.vec_id,
+             CASE WHEN c.qn8 > 0 AND q.qvn > 0
+               THEN list_sum([q.qv[i]::double * c.q8[i]
+                      for i in range(1, len(q.qv) + 1)])
+                    / (q.qvn * c.qn8)
+               ELSE 0.0 END AS qcos
+           FROM q JOIN qn c ON c.vec_id <> q.query_id),
+         sup AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS srk
+             FROM ap) WHERE srk <= 40),
+         approx AS (SELECT query_id, vec_id, rk FROM (
+             SELECT s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY (CASE WHEN (sqrt(list_sum([a.embedding[i]::double
+                     * a.embedding[i]::double
+                     for i in range(1, len(a.embedding) + 1)])) *
+                   sqrt(list_sum([b.embedding[i]::double
+                     * b.embedding[i]::double
+                     for i in range(1, len(b.embedding) + 1)]))) = 0
+                   THEN 0.0
+                   ELSE list_sum([a.embedding[i]::double
+                          * b.embedding[i]::double
+                          for i in range(1, len(a.embedding) + 1)])
+                     / (sqrt(list_sum([a.embedding[i]::double
+                          * a.embedding[i]::double
+                          for i in range(1, len(a.embedding) + 1)])) *
+                        sqrt(list_sum([b.embedding[i]::double
+                          * b.embedding[i]::double
+                          for i in range(1, len(b.embedding) + 1)])))
+                   END) DESC, s.vec_id) AS rk
+             FROM sup s
+             JOIN embeddings a ON a.vec_id = s.query_id
+             JOIN embeddings b ON b.vec_id = s.vec_id)
+           WHERE rk <= 10),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT a.vec_id AS query_id, b.vec_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $cosSql DESC, b.vec_id) AS rk
+             FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+             JOIN embeddings b ON a.vec_id <> b.vec_id)
+           WHERE rk <= 10),
+         j AS (SELECT ap2.query_id, ap2.rk,
+             CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           FROM approx ap2 LEFT JOIN exact ex
+             ON ex.query_id = ap2.query_id AND ex.vec_id = ap2.vec_id)
+       SELECT query_id, sum(rel)::bigint AS n_hits,
+         (sum(rel) * 10000 // 10)::bigint AS recall_bp,
+         coalesce(min(CASE WHEN rel = 1 THEN rk END), 0)::bigint
+           AS first_rel_rank,
+         coalesce(1000000 // nullif(
+           min(CASE WHEN rel = 1 THEN rk END), 0), 0)::bigint AS mrr_micro
+       FROM j GROUP BY query_id ORDER BY query_id"""
     },
     // v26: q rebuilt with the kernel's floor(x/s+0.5) (math.round)
     // and clamp; dbb in exact integers; the identity-form combination

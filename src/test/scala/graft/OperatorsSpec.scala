@@ -20,6 +20,18 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("v27 quant impact: metrics consistent and above the v6 bound") {
+    val rows = SparkEntry.queries("v27_quant_impact")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (hits, bp, frr, mrr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bp == hits * 1000, s"recall arithmetic: $r")
+      assert(bp >= 7000, s"below the v6 recall bound: $r") // v6's 0.7 bar
+      assert(frr >= 1 && mrr == 1000000 / frr, s"mrr arithmetic: $r")
+    }
+  }
+
   test("sq5 recursive CTE: real recursion node, equals the window replay") {
     val df = SparkEntry.queries("sq5_recursive_cte")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString

@@ -207,6 +207,52 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // Filter ABLATION matrix — x19's funnel shows stage-sequential
+    // attrition, which hides redundancy: a rule that only ever fails
+    // docs other rules already fail adds nothing but risk. Per rule
+    // (t18's length band, x8's quality cut, a >=2-distinct-stopword
+    // minimum over the repo stopword list, a mean-word-length band
+    // tuned to this corpus's 3.7–5.3 range so it actually separates):
+    // total failures AND unique
+    // failures (docs failing ONLY that rule) with the unique token
+    // loss — the numbers that decide whether a filter earns its place.
+    // One scan, one wide aggregation, a 4-row explode; every figure is
+    // an exact integer (the only doubles — quality and mean word
+    // length — are the repo's established rounded/single-division
+    // forms). Rules share t18/t2's exact SQL twins.
+    "x32_filter_ablation" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nW = size(toks).cast("long")
+      val nChars = length(
+        regexp_replace(col("text"), "[ \\t\\n\\r\\f]", "")).cast("double")
+      val stopList = array(
+        graft.functions.TextFunctions.StopWords.map(lit): _*)
+      val nStop = size(array_intersect(
+        array_distinct(transform(toks, t => lower(t))), stopList))
+      val f = docs(s, d).select(nW.as("nt"),
+        nW.between(50L, 100000L).as("p_len"),
+        (round(qualityScore(col("text")), 4) >= 0.5).as("p_quality"),
+        (nStop >= 2).as("p_stop"),
+        (nChars / nW.cast("double")).between(3.8, 5.0).as("p_wordlen"))
+      val rules = Seq("len", "quality", "stop", "wordlen")
+      def pass(r: String) = col(s"p_$r")
+      def onlyFail(r: String) =
+        rules.filter(_ != r).map(pass).reduce(_ && _) && !pass(r)
+      val aggs = rules.flatMap { r =>
+        Seq(sum(when(!pass(r), 1L).otherwise(0L)).as(s"f_$r"),
+          sum(when(onlyFail(r), 1L).otherwise(0L)).as(s"o_$r"),
+          sum(when(onlyFail(r), col("nt")).otherwise(0L)).as(s"t_$r"))
+      } :+ count(lit(1)).as("nd")
+      f.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rules.map { r =>
+          struct(lit(r).as("rule"), col(s"f_$r").as("n_fail"),
+            col(s"o_$r").as("n_fail_only"), col(s"t_$r").as("tokens_only"),
+            expr(s"f_$r * 10000 div nd").as("fail_bp"))
+        }: _*)).as("r"))
+        .select("r.*")
+        .orderBy("rule")
+    }),
+
     // Train/eval SPLIT LEAKAGE audit — x6 decontaminates against an
     // EXTERNAL eval set; this is the internal twin every pipeline also
     // needs: after x1's hash split, does any val/test document share
@@ -1245,6 +1291,45 @@ object Pipeline {
     // weights are small integer-valued doubles (exact under any sum
     // order); rate/epochs derive from the ROUNDED integer target so
     // both engines divide the same numerator
+    // x32: rules replay t18/t2's exact fragments; the matrix unpivots
+    // from one wide aggregation
+    "x32_filter_ablation" -> {
+      def cell(flag: String, v: String) = s"sum(CASE WHEN $flag THEN $v " +
+        "ELSE 0 END)"
+      val fails = Map(
+        "len" -> "NOT p_len",
+        "quality" -> "NOT p_quality",
+        "stop" -> "NOT p_stop",
+        "wordlen" -> "NOT p_wordlen")
+      val onlys = Map(
+        "len" -> "NOT p_len AND p_quality AND p_stop AND p_wordlen",
+        "quality" -> "p_len AND NOT p_quality AND p_stop AND p_wordlen",
+        "stop" -> "p_len AND p_quality AND NOT p_stop AND p_wordlen",
+        "wordlen" -> "p_len AND p_quality AND p_stop AND NOT p_wordlen")
+      val legs = Seq("len", "quality", "stop", "wordlen").map { r =>
+        s"""SELECT '$r' AS rule,
+           ${cell(fails(r), "1")}::bigint AS n_fail,
+           ${cell(onlys(r), "1")}::bigint AS n_fail_only,
+           ${cell(onlys(r), "nt")}::bigint AS tokens_only,
+           (${cell(fails(r), "1")} * 10000 // count(*))::bigint AS fail_bp
+         FROM f"""
+      }.mkString("\n UNION ALL \n")
+      s"""WITH q AS (${TextOps.qualitySql}),
+         g AS (SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g'))::double
+               AS nc
+           FROM documents),
+         f AS (SELECT q.n_tokens AS nt,
+             (len(toks) BETWEEN 50 AND 100000) AS p_len,
+             (q.quality >= 0.5) AS p_quality,
+             (len(list_intersect(list_distinct([lower(t) for t in toks]),
+               ['the','a','an','and','of','to','in','is','on','for'])) >= 2)
+               AS p_stop,
+             (nc / len(toks) BETWEEN 3.8 AND 5.0) AS p_wordlen
+           FROM g JOIN q ON g.doc_id = q.doc_id)
+       SELECT * FROM ($legs) ORDER BY rule"""
+    },
     // x30: the 8-token shingle set replays shingleSql's list
     // comprehension at width 8; split re-drawn from the fixture ids
     "x30_split_leakage" ->

@@ -33,6 +33,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x32 ablation: unique <= total per rule, redundancy detectable") {
+    val rows = SparkEntry.queries("x32_filter_ablation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("len", "quality", "stop", "wordlen"))
+    rows.foreach { r =>
+      assert(r._3 <= r._2, s"unique > total: $r")
+      assert((r._3 == 0) == (r._4 == 0L), s"tokens_only inconsistent: $r")
+    }
+    // every rule rejects something on this corpus...
+    assert(rows.forall(_._2 > 0), s"dead rule: $rows")
+    // ...and the unique-failure branch is live for at least one rule
+    assert(rows.exists(_._3 > 0), "no rule has unique failures")
+    // the ablation INSIGHT the op exists for: quality is fully
+    // dominated here (its length term makes every quality-fail also a
+    // len-fail) — unique failures 0, redundancy made visible
+    assert(rows.find(_._1 == "quality").get._3 == 0L)
+  }
+
   test("x17 keeps exactly the greedy quality-prefix under the budget") {
     val out = SparkEntry.queries("x17_token_budget")(spark, sf).collect()
     val budget = out.map(_.getLong(2)).sum * 3 / 10

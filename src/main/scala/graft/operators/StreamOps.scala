@@ -100,6 +100,14 @@ object StreamOps {
       EventPipeline.runStreamingSliding(s, d)
         .orderBy("win_start_us", "event_type")),
 
+    // Streaming ingest + compaction MAINTENANCE loop (arr35 run the
+    // way production runs it): two ingest waves, a compact_small pass
+    // after each; the second pass folds only the new batches — the
+    // wave-A merge is above the threshold and never rewritten again.
+    "st17_stream_compact_loop" -> ((s, d) =>
+      EventPipeline.runStreamCompactLoop(s, d)
+        .orderBy("event_type")),
+
     // Stream → fragment-sink → array-read loop, oracle-verified: the
     // corpus streamed one staged file per micro-batch through a
     // stateless filter into the replay-ledgered array sink (one
@@ -327,6 +335,34 @@ object StreamOps {
        FROM c JOIN p ON c.user_id = p.user_id
          AND c.us BETWEEN p.pus - 1800000000 AND p.pus
        ORDER BY c.event_id, p.pus""",
+    // st17: data parity over the %8<=5 slice; the policy outcome
+    // (fragments, compaction runs) replays from the slice counts and
+    // the 3/8 threshold — never a hardcoded count
+    "st17_stream_compact_loop" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+           WHERE event_id % 8 <= 5),
+         thr AS (SELECT (SELECT count(*) FROM events) * 3 // 8 AS t),
+         sl AS (SELECT event_id % 8 AS s, count(*) AS c FROM e GROUP BY 1),
+         w AS (SELECT
+             sum(CASE WHEN s <= 3 AND c <= t THEN 1 ELSE 0 END) AS small_a,
+             sum(CASE WHEN s <= 3 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN s <= 3 THEN c ELSE 0 END) AS ca,
+             sum(CASE WHEN s >= 4 AND c <= t THEN 1 ELSE 0 END) AS small_b,
+             sum(CASE WHEN s >= 4 THEN 1 ELSE 0 END) AS n_b,
+             any_value(t) AS t
+           FROM sl, thr),
+         pol AS (SELECT
+             ((CASE WHEN small_a >= 2 THEN 1 ELSE n_a END)
+              + (CASE WHEN small_b >= 2 AND ca > t THEN 1 ELSE n_b END))
+               ::bigint AS nf,
+             ((CASE WHEN small_a >= 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN small_b >= 2 AND ca > t THEN 1 ELSE 0 END))
+               ::bigint AS runs
+           FROM w)
+       SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+         pol.nf AS n_fragments, pol.runs AS n_compactions
+       FROM e, pol GROUP BY event_type, pol.nf, pol.runs
+       ORDER BY event_type""",
     "st16_stream_outer_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
            FROM events WHERE event_type = 'click'),

@@ -169,6 +169,76 @@ object EventPipeline {
     }
   }
 
+  /** Streaming ingest + SMALL-FRAGMENT COMPACTION maintenance loop —
+    * the composition arr35 exists for, run end-to-end: wave A streams
+    * four micro-batches into the array sink (four small fragments),
+    * `consolidateSmall` folds them into one; wave B streams two more
+    * batches and a SECOND compaction pass folds only those — the
+    * wave-A merged fragment is now above the threshold and is never
+    * rewritten again. That second pass is the 100 TB property: each
+    * maintenance cycle costs O(data since the last cycle), so a
+    * perpetual stream keeps per-fragment planning cost bounded without
+    * ever paying a full rewrite. Threshold = 3/8 of the corpus — above
+    * every per-batch slice (~1/8), below the wave-A merge (~1/2), so
+    * both classifications are data-derived, never tuned to a magic
+    * count. Returns the per-type aggregation over the final array plus
+    * the fragment count and total compaction runs, all oracle-checked
+    * (the policy outcome replays from the slice counts in SQL). */
+  def runStreamCompactLoop(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
+        .filter(pmod(col("event_id"), lit(8L)) <= 5)
+        .select("event_id", "user_id", "event_type", "value")
+      val thr = work.read.parquet(path).count() * 3 / 8
+      val stagedA = graft.core.TempDirs.fresh("graft_st17a")
+      (0 until 4).foreach { k =>
+        ev.filter(pmod(col("event_id"), lit(8L)) === k)
+          .coalesce(1).write.parquet(s"$stagedA/b$k")
+      }
+      val stagedB = graft.core.TempDirs.fresh("graft_st17b")
+      Seq(4, 5).foreach { k =>
+        ev.filter(pmod(col("event_id"), lit(8L)) === k)
+          .coalesce(1).write.parquet(s"$stagedB/b$k")
+      }
+      val uri = graft.core.TempDirs.fresh("graft_st17_arr") + "/arr"
+      graft.sources.GraftArray.create(work, uri,
+        graft.core.ArraySchema(graft.core.ArrayKind.Sparse,
+          Seq(graft.core.DimensionSpec("event_id",
+            org.apache.spark.sql.types.LongType)),
+          Seq(graft.core.AttributeSpec("user_id",
+              org.apache.spark.sql.types.LongType),
+            graft.core.AttributeSpec("event_type",
+              org.apache.spark.sql.types.StringType),
+            graft.core.AttributeSpec("value",
+              org.apache.spark.sql.types.DoubleType))))
+      def ingest(staged: String, sinkId: String): Unit = {
+        val schema = work.read.parquet(s"$staged/b*").schema
+        val q = writeStreamToArray(
+          work.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(staged),
+          uri, sinkId)
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      ingest(stagedA, "st17a")
+      val (runsA, _) =
+        graft.sources.GraftArray.consolidateSmall(work, uri, thr)
+      ingest(stagedB, "st17b")
+      val (runsB, _) =
+        graft.sources.GraftArray.consolidateSmall(work, uri, thr)
+      graft.sources.GraftArray.vacuum(work, uri)
+      val nf = graft.sources.GraftArray.fragments(work, uri).size
+      work.read.format("graftarray").option("path", uri).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .withColumn("n_fragments", lit(nf.toLong))
+        .withColumn("n_compactions", lit((runsA + runsB).toLong))
+    }
+  }
+
   /** Size streaming state partitions from the input estimate.
     *
     * AQE cannot coalesce stateful exchanges — the state-store partition

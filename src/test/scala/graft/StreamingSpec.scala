@@ -326,6 +326,23 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.nonEmpty && streaming == batch)
   }
 
+  test("st17 compact loop: two waves, two compactions, two fragments") {
+    val rows = operators.StreamOps
+      .queries("st17_stream_compact_loop")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // policy outcome: each wave compacted once; final layout is the
+    // wave-A merge + the wave-B merge (A was NOT re-absorbed — it sits
+    // above the threshold after its own merge)
+    assert(rows.forall(_.getLong(3) == 2L), s"n_fragments: ${rows.toSeq}")
+    assert(rows.forall(_.getLong(4) == 2L), s"n_compactions: ${rows.toSeq}")
+    // data parity with the batch slice
+    val expect = Tables.load(spark, sf, "events")
+      .filter(pmod(col("event_id"), lit(8L)) <= 5)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == expect(r.getString(0))))
+  }
+
   test("st16 outer join: every click emits, null rows only via eviction") {
     val rows = operators.StreamOps.queries("st16_stream_outer_join")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

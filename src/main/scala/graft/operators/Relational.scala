@@ -204,6 +204,38 @@ object Relational {
         .orderBy("l_returnflag", "qty", "l_orderkey", "l_linenumber")
     }),
 
+    // IGNORE NULLS window family — the gap-fill surface w8 left out:
+    // forward-fill (last_value IGNORE NULLS to current row — THE
+    // canonical sensor/price imputation), previous-known (lag IGNORE
+    // NULLS) and first-known. NULLs are injected deterministically
+    // (%97 fixture, the sq4 convention — this corpus has none
+    // organically) and published values are raw copies of stored
+    // doubles (no arithmetic → no fold-order exposure), with -1.0
+    // encoding "no known value yet" so sort keys and hashes stay
+    // null-free. Per-customer partitions keep the window parallel.
+    "w9_ignore_nulls" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("price",
+          when(col("o_orderkey") % 97 === 3, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .createOrReplaceTempView("w9_orders")
+      s.sql("""SELECT o_custkey, o_orderkey,
+          coalesce(price, -1.0) AS price,
+          coalesce(last_value(price) IGNORE NULLS OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+            AS filled,
+          coalesce(lag(price) IGNORE NULLS OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1.0)
+            AS prev_known,
+          coalesce(first_value(price) IGNORE NULLS OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1.0)
+            AS first_known
+        FROM w9_orders WHERE o_custkey < 500
+        ORDER BY o_custkey, o_orderkey""")
+    }),
+
     // NOT IN vs NOT EXISTS under NULLs — the classic three-valued-
     // logic trap: one NULL in the NOT IN list makes EVERY membership
     // test UNKNOWN (zero rows), while NOT EXISTS keeps its two-valued
@@ -941,6 +973,27 @@ object Relational {
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
          WHERE c.c_mktsegment = 'MACHINERY'
          ORDER BY c_custkey, price DESC, o_orderkey""",
+    // w9: DuckDB's IGNORE NULLS is the same SQL:2011 clause; the NULL
+    // fixture re-derives from o_orderkey
+    "w9_ignore_nulls" ->
+      """WITH w9 AS (SELECT o_custkey, o_orderkey, o_orderdate,
+           CASE WHEN o_orderkey % 97 = 3 THEN NULL
+                ELSE o_totalprice END AS price
+         FROM orders WHERE o_custkey < 500)
+       SELECT o_custkey, o_orderkey,
+         coalesce(price, -1.0) AS price,
+         coalesce(last_value(price IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+           AS filled,
+         coalesce(lag(price IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1.0)
+           AS prev_known,
+         coalesce(first_value(price IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1.0)
+           AS first_known
+       FROM w9 ORDER BY o_custkey, o_orderkey""",
     // sq5: independent window-cumsum formulation cross-checks the
     // recursion (rounding is tie-free: sums of 2-decimal prices sit
     // on the decimal grid under any fold order)

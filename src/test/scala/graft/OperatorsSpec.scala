@@ -20,6 +20,20 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("w9 IGNORE NULLS: gap rows forward-fill from the previous known") {
+    val rows = SparkEntry.queries("w9_ignore_nulls")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val gaps = rows.filter(_._3 == -1.0)
+    assert(gaps.nonEmpty, "NULL fixture dead — no gap rows")
+    rows.foreach { r =>
+      if (r._3 != -1.0) assert(r._4 == r._3, s"non-gap must fill itself: $r")
+      else assert(r._4 == r._5, s"gap must fill from previous known: $r")
+    }
+    // at least one gap actually carries a previous known value forward
+    assert(gaps.exists(_._4 != -1.0), "no gap with a known predecessor")
+  }
+
   test("v27 quant impact: metrics consistent and above the v6 bound") {
     val rows = SparkEntry.queries("v27_quant_impact")(spark, sf).collect()
     assert(rows.length == 5)

@@ -419,6 +419,34 @@ object ArrayOps {
         .orderBy("p_partkey")
     }),
 
+    // Fragment deletion by timestamp window (TileDB's
+    // Array::delete_fragments — the bad-ingest-removal / TTL verb,
+    // distinct from rollback which ADDS a restoring commit): three
+    // write waves, the middle "bad re-price" wave deleted outright —
+    // its upserts vanish and the shadowed wave-1 versions RESURFACE,
+    // while wave 3 (committed after the window) is untouched.
+    "arr36_delete_fragments" -> ((s, d) => {
+      val uri = freshUri("delf")
+      val sch = ArraySchema(ArrayKind.Sparse,
+        Seq(DimensionSpec("c_custkey", LongType)),
+        Seq(AttributeSpec("c_acctbal", DoubleType)))
+      GraftArray.create(s, uri, sch)
+      val cust = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_acctbal")
+      GraftArray.write(s, uri, cust)
+      GraftArray.write(s, uri, cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)) // the bad wave
+      GraftArray.write(s, uri, cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1))
+      val bad = GraftArray.fragments(s, uri).sortBy(_.timestamp).apply(1)
+      val n = GraftArray.deleteFragments(s, uri,
+        bad.timestamp, bad.timestamp)
+      s.read.format("graftarray").option("path", uri).load()
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .withColumn("n_removed", lit(n.toLong))
+        .orderBy("c_custkey")
+    }),
+
     // Size-tiered compaction policy (arr18's full consolidation is the
     // wrong tool after a streaming burst: it rewrites the big fragment
     // too). Five tiny slice writes + one bulk write, then
@@ -1167,6 +1195,15 @@ object ArrayOps {
     "arr33_rollback" ->
       """SELECT p_partkey, p_size, 1::BIGINT AS nf
          FROM part ORDER BY p_partkey""",
+    // arr36: the bad wave's *2 upserts vanish; wave 3's +1 upserts
+    // survive (committed after the deleted window)
+    "arr36_delete_fragments" ->
+      """SELECT c_custkey,
+         round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1
+                    ELSE c_acctbal END, 2) AS bal,
+         1::bigint AS n_removed
+         FROM customer ORDER BY c_custkey""",
+
     // arr35: the policy outcome replays from the slice rule — slices
     // 0..4 (written first, adjacent) merge to ONE fragment iff >= 2 of
     // them are small; the bulk slice always stays its own fragment

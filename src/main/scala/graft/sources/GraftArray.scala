@@ -562,6 +562,49 @@ object GraftArray {
     * the first fragment empties the table (documented; the view is
     * legitimately empty there). Returns the restore fragment's
     * timestamp, or None when nothing newer than `ts` exists. */
+  /** Physically delete the fragments committed in `[lo, hi]` — the
+    * storage model's history-surgery verb (TileDB's
+    * `Array::delete_fragments`, the TTL-expiry / bad-ingest-removal
+    * API). Unlike rollback (which ADDS a commit and preserves
+    * history), this removes the window's commits outright: versions
+    * the window shadowed resurface under latest-wins, and time travel
+    * into the window no longer sees its writes. Safety rules:
+    *  1. an in-window CONSOLIDATED fragment whose absorbed originals
+    *     are already vacuumed is refused — it carries content
+    *     committed OUTSIDE the window, and the originals no longer
+    *     exist to resurface;
+    *  2. out-of-window fragments are never touched — including
+    *     consolidated ones replacing in-window originals (those
+    *     originals die here, which is exactly the cleanup vacuum
+    *     would have done).
+    * Deletion is post-order (the vacuum rule): a consolidated victim
+    * outlives the victims it replaces, so every intermediate state a
+    * crash could leave behind is still a readable timeline. Returns
+    * the number of fragments removed. */
+  def deleteFragments(spark: SparkSession, uri: String,
+      lo: Long, hi: Long): Int = {
+    val st = store(spark, uri)
+    val all = st.listFragmentsRaw()
+    val existing = all.map(_.id).toSet
+    val victims = all.filter(f => f.timestamp >= lo && f.timestamp <= hi)
+    victims.foreach { f =>
+      val missing = f.replaces.filterNot(existing.contains)
+      require(missing.isEmpty,
+        s"delete_fragments: fragment ${f.id} absorbed already-vacuumed " +
+          s"fragments ${missing.mkString(",")} — deleting it would destroy " +
+          "data committed outside [" + lo + ", " + hi + "]")
+    }
+    val byId = victims.map(f => f.id -> f).toMap
+    val done = scala.collection.mutable.Set.empty[String]
+    def rm(f: FragmentMeta): Unit = if (!done.contains(f.id)) {
+      done += f.id
+      f.replaces.flatMap(byId.get).foreach(rm)
+      st.removeFragment(f)
+    }
+    victims.foreach(rm)
+    victims.size
+  }
+
   /** Size-tiered SMALL-fragment compaction — the policy form of
     * consolidation the reference's storage engine runs as incremental
     * "consolidation steps" over adjacent small fragments (TileDB's

@@ -283,17 +283,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "vacuum"),
       Identifier.of(namespace, "rebucket"),
       Identifier.of(namespace, "rollback"),
-      Identifier.of(namespace, "compact_small"))
+      Identifier.of(namespace, "compact_small"),
+      Identifier.of(namespace, "delete_fragments"))
 
   override def loadProcedure(ident: Identifier)
       : procedures.UnboundProcedure =
     ident.name().toLowerCase match {
       case op @ ("consolidate" | "vacuum" | "rebucket" | "rollback"
-                 | "compact_small") =>
+                 | "compact_small" | "delete_fragments") =>
         new GraftMaintenanceProcedure(op, this)
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' — expected consolidate, vacuum, " +
-          "rebucket, rollback or compact_small")
+          "rebucket, rollback, compact_small or delete_fragments")
     }
 
   private[sources] def tableUriOf(dotted: String): String =
@@ -330,6 +331,8 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
       "restore a graft array to a past instant as a new commit"
     case "compact_small" =>
       "merge adjacent runs of small fragments, leaving large ones untouched"
+    case "delete_fragments" =>
+      "physically delete the fragments committed in a timestamp window"
     case _ => "reclaim fragments superseded by consolidation"
   }
 
@@ -348,6 +351,10 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
         else if (op == "compact_small")
           Array(procedures.ProcedureParameter.in("table", StringType).build(),
             procedures.ProcedureParameter.in("max_rows", LongType).build())
+        else if (op == "delete_fragments")
+          Array(procedures.ProcedureParameter.in("table", StringType).build(),
+            procedures.ProcedureParameter.in("ts_start", LongType).build(),
+            procedures.ProcedureParameter.in("ts_end", LongType).build())
         else
           Array(procedures.ProcedureParameter.in("table", StringType).build())
       override def isDeterministic: Boolean = false
@@ -367,6 +374,10 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
           "rollback: ts must not be NULL")
         if (op == "compact_small") require(!input.isNullAt(1),
           "compact_small: max_rows must not be NULL")
+        if (op == "delete_fragments")
+          require(!input.isNullAt(1) && !input.isNullAt(2),
+            "delete_fragments: ts_start and ts_end must not be NULL " +
+              "(a NULL bound would silently widen the window to epoch/∞)")
         val uri = cat.tableUriOf(input.getUTF8String(0).toString)
         val (outSchema, row) =
           if (op == "consolidate") {
@@ -384,6 +395,12 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
             (StructType(Seq(StructField("restored_ts", LongType))),
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 Array[Any](ts.map(Long.box).orNull)))
+          } else if (op == "delete_fragments") {
+            val n = GraftArray.deleteFragments(spark, uri,
+              input.getLong(1), input.getLong(2))
+            (StructType(Seq(StructField("removed_fragments", IntegerType))),
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](n)))
           } else if (op == "compact_small") {
             val (runs, absorbed) =
               GraftArray.consolidateSmall(spark, uri, input.getLong(1))

@@ -252,6 +252,80 @@ class ConsolidationSpec extends SparkSpec {
     assert(desc.contains("vacuum"), desc)
   }
 
+  test("delete_fragments: shadowed versions resurface, travel forgets") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    def w(df: org.apache.spark.sql.DataFrame) = GraftArray.write(spark, uri, df)
+    w(spark.range(0, 100).select(col("id").as("k"), lit(1.0).as("v")))
+    w(spark.range(0, 50).select(col("id").as("k"), lit(2.0).as("v"))) // bad
+    w(spark.range(0, 10).select(col("id").as("k"), lit(3.0).as("v")))
+    val bad = GraftArray.fragments(spark, uri).sortBy(_.timestamp).apply(1)
+    assert(GraftArray.deleteFragments(spark, uri,
+      bad.timestamp, bad.timestamp) == 1)
+    val got = read(uri).groupBy("v").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // wave-2's 2.0s are GONE; keys 10..49 resurface at wave-1's 1.0
+    assert(got == Map(1.0 -> 90L, 3.0 -> 10L), got.toString)
+    // time travel INTO the deleted window no longer sees its writes
+    val atBad = spark.read.format("graftarray").option("path", uri)
+      .option("asOfTimestamp", bad.timestamp.toString).load()
+      .agg(max("v")).head().getDouble(0)
+    assert(atBad == 1.0, s"deleted wave still visible at its ts: $atBad")
+  }
+
+  test("delete_fragments refuses a consolidated frag with vacuumed sources") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri,
+      spark.range(0, 50).select(col("id").as("k"), lit(1.0).as("v")))
+    GraftArray.write(spark, uri,
+      spark.range(50, 90).select(col("id").as("k"), lit(2.0).as("v")))
+    val consTs = GraftArray.consolidate(spark, uri).get
+    GraftArray.vacuum(spark, uri)
+    // the consolidated fragment carries BOTH waves; its originals are
+    // vacuumed — deleting "the window" would destroy pre-window data
+    val e = intercept[IllegalArgumentException](
+      GraftArray.deleteFragments(spark, uri, consTs, consTs))
+    assert(e.getMessage.contains("already-vacuumed"), e.getMessage)
+    assert(read(uri).count() == 90)
+    // before vacuum the same deletion is LEGAL. The consolidated
+    // fragment commits AT its newest original's timestamp, so the
+    // window catches both (consolidated + wave-2 original) — wave 1
+    // resurfaces, post-order keeping every crash point readable
+    val uri2 = tmp()
+    GraftArray.create(spark, uri2, sch)
+    GraftArray.write(spark, uri2,
+      spark.range(0, 50).select(col("id").as("k"), lit(1.0).as("v")))
+    GraftArray.write(spark, uri2,
+      spark.range(0, 50).select(col("id").as("k"), lit(2.0).as("v")))
+    val ts2 = GraftArray.consolidate(spark, uri2).get
+    assert(GraftArray.deleteFragments(spark, uri2, ts2, ts2) == 2)
+    val left = read(uri2).agg(max("v"), count(lit(1))).head()
+    assert((left.getDouble(0), left.getLong(1)) == (1.0, 50L))
+  }
+
+  test("CALL cat.delete_fragments procedure with NULL-bound guard") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_delf").toString
+    val cat = "gd" + scala.util.Random.alphanumeric.take(4).mkString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 1.0)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 2.0)")
+    val ts = GraftArray.fragments(spark, s"$wh/t")
+      .sortBy(_.timestamp).last.timestamp
+    val r = spark.sql(s"CALL $cat.delete_fragments('t', $ts, $ts)")
+      .collect().head
+    assert(r.getInt(0) == 1)
+    assert(spark.table(s"$cat.t").count() == 1)
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.delete_fragments('t', NULL, $ts)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("ts_start")), msgs(e).mkString("|"))
+  }
+
   test("compact_small merges only adjacent small runs; big untouched") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

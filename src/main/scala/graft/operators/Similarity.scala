@@ -821,6 +821,38 @@ object Similarity {
     "v25_maxsim" -> ((s, d) =>
       maxSimTopK(emb(s, d), col("label") < 3, 5).orderBy("qlabel", "rk")),
 
+    // Index REBUILD after incremental drift — the maintenance decision
+    // v17 defers: its frozen-centroid appends route new vectors into a
+    // quantizer fit on the base half only, and assignment quality
+    // decays as the corpus drifts. v28 runs the rebuild (a fresh full-
+    // corpus fit — v16's memoized build — plus the fragment rewrite
+    // that build implies) and publishes the evidence the refit earns
+    // its cost: per query, recall_ok of the REBUILT index at v16's
+    // bound, and `tighter_fit` — the refit's mean assignment cosine
+    // over the whole corpus is at least the frozen index's (Lloyd
+    // optimizes exactly this objective on the full data; a "rebuild"
+    // that skipped the refit would flip the flag). Both fits are
+    // seeded/deterministic, so the booleans are corpus constants the
+    // oracle states. Scale: two memoized index builds + two one-column
+    // aggregate passes; nothing new moves at query time.
+    "v28_ann_rebuild" -> ((s, d) => {
+      val e = emb(s, d)
+      val (incrUri, incrCent) = annArrayIncrBuild(s, d, e)
+      val (rebUri, rebCent) = annArrayBuild(s, d, e)
+      def meanAssignCos(uri: String, cent: Array[Array[Float]]): Double = {
+        val lits = typedLit(cent.map(_.toSeq).toSeq)
+        s.read.format("graftarray").option("path", uri).load()
+          .select(cosine(col("embedding"),
+            element_at(lits, col("cluster") + 1)).as("c"))
+          .agg(avg("c")).head().getDouble(0)
+      }
+      val tighter =
+        meanAssignCos(rebUri, rebCent) >= meanAssignCos(incrUri, incrCent)
+      recallCheck(annArrayProbeScore(s, rebUri, rebCent, e, 10),
+        bruteTopK(e), bound = 0.5)
+        .withColumn("tighter_fit", lit(tighter))
+    }),
+
     // Quantization RANKING impact — the metric tier above v26's
     // reconstruction error: what does SQ8 candidate generation cost in
     // retrieval terms? Per query: recall@10 and MRR of the v6 route
@@ -1509,6 +1541,12 @@ object Similarity {
     "v15_ann_ivfpq" -> recallOracle,
     "v16_ann_array_pruned" -> recallOracle,
     "v17_ann_incremental" -> recallOracle,
+    // v28: deterministic fits → constant flags; tighter_fit is the
+    // falsifiable witness that the refit actually ran
+    "v28_ann_rebuild" ->
+      """SELECT CAST(v AS BIGINT) AS query_id, true AS recall_ok,
+         true AS tighter_fit
+         FROM (VALUES (0),(1),(2),(3),(4)) AS t(v) ORDER BY query_id""",
     "v21_ann_cascade" -> recallOracle,
     "v18_ann_delete" ->
       """SELECT CAST(v AS BIGINT) AS query_id, true AS recall_ok,

@@ -20,6 +20,18 @@ class OperatorsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("v28 rebuild: recall holds and the refit tightens assignment") {
+    // measured at sf0.001 / sf0.01 / sf0.1 before freezing the flags:
+    // tighter_fit true at all three (Lloyd on the full corpus vs the
+    // frozen base-half fit), rebuilt recall over v16's 0.5 bound
+    val rows = SparkEntry.queries("v28_ann_rebuild")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"rebuilt recall under bound: $r")
+      assert(r.getBoolean(2), s"refit did not tighten assignment: $r")
+    }
+  }
+
   test("w9 IGNORE NULLS: gap rows forward-fill from the previous known") {
     val rows = SparkEntry.queries("w9_ignore_nulls")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),

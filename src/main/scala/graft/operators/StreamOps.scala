@@ -100,6 +100,15 @@ object StreamOps {
       EventPipeline.runStreamingSliding(s, d)
         .orderBy("win_start_us", "event_type")),
 
+    // Checkpoint restart recovery: batch 0 → query stops → batch 1
+    // under the SAME checkpoint; final counts equal the batch answer
+    // only because offsets AND aggregation state recovered. Sink =
+    // update-mode upserts into the array (latest-wins read IS the
+    // aggregate).
+    "st18_stream_restart" -> ((s, d) =>
+      EventPipeline.runStreamRestartRecovery(s, d)
+        .orderBy("win_start_us", "event_type")),
+
     // Streaming ingest + compaction MAINTENANCE loop (arr35 run the
     // way production runs it): two ingest waves, a compact_small pass
     // after each; the second pass folds only the new batches — the
@@ -245,6 +254,12 @@ object StreamOps {
        LEFT JOIN o ON o.doc_id = d.doc_id
        ORDER BY d.doc_id""",
     "st1_stream_windowed" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+         event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    // st18: the restart-recovered two-phase run must equal st1's
+    // single-pass batch math exactly
+    "st18_stream_restart" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
          event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",

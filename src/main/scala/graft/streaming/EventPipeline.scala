@@ -239,6 +239,83 @@ object EventPipeline {
     }
   }
 
+  /** Checkpoint RESTART recovery — the operational property everything
+    * stateful rests on, demonstrated end-to-end: a windowed
+    * aggregation in UPDATE mode runs over batch 0, the query STOPS,
+    * a second query with the SAME checkpoint picks up batch 1 — and
+    * the final counts equal the single-run batch answer, which is only
+    * possible if BOTH the source offsets and the aggregation STATE
+    * were recovered (a state reset would leave batch-0-only counts in
+    * windows batch 1 also touched). The sink is the array writer in
+    * its natural composition: update mode emits each changed
+    * (window, type) row per micro-batch, the fragment commit upserts
+    * it, and the array's latest-wins read IS the final aggregate — no
+    * memory sink, fully fault-tolerant end to end (the ledger makes
+    * replays idempotent, the checkpoint makes restarts exact).
+    * Scale: state is (windows × types) rows exactly as st1; the
+    * restart machinery adds zero steady-state cost. */
+  def runStreamRestartRecovery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    withStatePartitions(spark, parquetRows(spark, path)) { work =>
+      val ev = work.read.parquet(path).transform(graft.Tables.normalizeTs)
+      val staged = graft.core.TempDirs.fresh("graft_st18")
+      val cp = graft.core.TempDirs.fresh("graft_st18_cp")
+      ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+        .coalesce(1).write.parquet(s"$staged/live/b0")
+      // batch 1 stays OUTSIDE the watched dir until phase 2
+      ev.filter(pmod(col("event_id"), lit(2L)) === 1)
+        .coalesce(1).write.parquet(s"$staged/pending/b1")
+      val uri = graft.core.TempDirs.fresh("graft_st18_arr") + "/arr"
+      graft.sources.GraftArray.create(work, uri,
+        graft.core.ArraySchema(graft.core.ArrayKind.Sparse,
+          Seq(graft.core.DimensionSpec("win_start_us",
+              org.apache.spark.sql.types.LongType),
+            graft.core.DimensionSpec("event_type",
+              org.apache.spark.sql.types.StringType)),
+          Seq(graft.core.AttributeSpec("n",
+              org.apache.spark.sql.types.LongType),
+            graft.core.AttributeSpec("total",
+              org.apache.spark.sql.types.DoubleType))))
+      val schema = work.read.parquet(s"$staged/live/b0").schema
+      def phase(): Unit = {
+        val q = work.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$staged/live")
+          // deliberately NO watermark: the two staged batches
+          // interleave across the whole event-time range (that's what
+          // makes recovered STATE observable — batch 1 increments
+          // windows batch 0 opened), and a watermark set by batch 0's
+          // max would drop batch 1 wholesale as late. A production
+          // deployment of this sink puts the watermark back and
+          // accepts the bounded-lateness contract st15 audits.
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("total"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", cp)
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              commitStreamBatch(batch.toDF(), uri, "st18", batchId)
+              ()
+          }
+          .start()
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      phase() // batch 0 only, then the query STOPS
+      // "new data arrives while the pipeline is down"
+      val b1 = new java.io.File(s"$staged/pending/b1")
+      val dst = new java.io.File(s"$staged/live/b1")
+      java.nio.file.Files.move(b1.toPath, dst.toPath)
+      phase() // fresh query, SAME checkpoint: offsets + state recovered
+      work.read.format("graftarray").option("path", uri).load()
+        .select("win_start_us", "event_type", "n", "total")
+    }
+  }
+
   /** Size streaming state partitions from the input estimate.
     *
     * AQE cannot coalesce stateful exchanges — the state-store partition

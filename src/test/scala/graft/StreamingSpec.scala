@@ -326,6 +326,29 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.nonEmpty && streaming == batch)
   }
 
+  test("st18 restart: cross-batch windows prove state truly recovered") {
+    val got = operators.StreamOps.queries("st18_stream_restart")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // per-slice window counts: the restart proof is windows fed by
+    // BOTH batches summing exactly (a state reset would leave only
+    // batch 1's contribution in them)
+    def slice(parity: Int) = Tables.load(spark, sf, "events")
+      .filter(pmod(col("event_id"), lit(2L)) === parity)
+      .groupBy((floor(unix_micros(col("ts")) / 3600000000L) * 3600000000L)
+        .as("w"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val (even, odd) = (slice(0), slice(1))
+    val shared = even.keySet.intersect(odd.keySet)
+    assert(shared.nonEmpty, "no window fed by both batches — weak staging")
+    shared.foreach { k =>
+      assert(got(k) == even(k) + odd(k),
+        s"window $k: ${got(k)} != ${even(k)} + ${odd(k)} — state lost")
+    }
+    assert(got.keySet == even.keySet ++ odd.keySet)
+  }
+
   test("st17 compact loop: two waves, two compactions, two fragments") {
     val rows = operators.StreamOps
       .queries("st17_stream_compact_loop")(spark, sf).collect()

@@ -122,6 +122,14 @@ object Kernels {
   def topBigramCount(tokens: Column): Column =
     column(TopBigramCountExpr(expression(tokens)))
 
+  /** Per-document bigram repetition stats in ONE hash-count pass:
+    * `[n_grams, max_count, dup_instances]` (dup_instances = Σ counts
+    * of bigrams occurring ≥ 2×). The t29 kernel — same pass as
+    * [[topBigramCount]], three outputs; no explode, no groupBy, so
+    * the Gopher-repetition report stays at scan speed. */
+  def bigramStats(tokens: Column): Column =
+    column(BigramStatsExpr(expression(tokens)))
+
   /** NFC-normalize + accent-strip (NFD → drop Mn → NFC) — a codegen'd
     * static call to [[graft.functions.UnicodeText.nfcStrip]], the
     * JVM twin of DuckDB's `strip_accents(nfc_normalize(s))`. */
@@ -229,6 +237,47 @@ object TopBigramCountExpr {
       i += 1
     }
     best
+  }
+}
+
+/** One-pass [n_grams, max_count, dup_instances] over adjacent
+  * space-joined bigrams — [[TopBigramCountExpr]]'s pass with three
+  * outputs (see Kernels.bigramStats). [0,0,0] below 2 tokens. */
+case class BigramStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    BigramStatsExpr.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"graft.functions.expressions.BigramStatsExpr.compute($a);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BigramStatsExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array(0L, 0L, 0L))
+    val sep = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, Long](n * 2)
+    var i = 0
+    while (i < n - 1) {
+      val bg = UTF8String.concat(arr.getUTF8String(i), sep,
+        arr.getUTF8String(i + 1))
+      counts.merge(bg, 1L, (a, b) => a + b)
+      i += 1
+    }
+    var best = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > best) best = c
+      if (c >= 2L) dup += c
+    }
+    new GenericArrayData(Array(n - 1L, best, dup))
   }
 }
 

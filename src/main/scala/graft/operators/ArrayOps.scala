@@ -463,11 +463,18 @@ object ArrayOps {
       GraftArray.create(s, uri, sch)
       val ord = Tables.load(s, d, "orders")
         .select("o_orderkey", "o_totalprice")
+      // threshold derives from the corpus (count/100 sits between the
+      // ~count/1000 slices and the ~count bulk at ANY sf — a fixed
+      // 1000 would flip slice classification when the corpus scales
+      // past it), and empty slices are skipped (a rows=0 fragment is
+      // invisible to the oracle's GROUP BY slice counts)
+      val thr = ord.count() / 100
       (0 until 5).foreach { k =>
-        GraftArray.write(s, uri, ord.filter(col("o_orderkey") % 1000 === k))
+        val sl = ord.filter(col("o_orderkey") % 1000 === k)
+        if (!sl.isEmpty) GraftArray.write(s, uri, sl)
       }
       GraftArray.write(s, uri, ord.filter(col("o_orderkey") % 1000 >= 5))
-      val (runs, _) = GraftArray.consolidateSmall(s, uri, 1000L)
+      val (runs, _) = GraftArray.consolidateSmall(s, uri, thr)
       GraftArray.vacuum(s, uri)
       val nf = GraftArray.fragments(s, uri).size
       s.read.format("graftarray").option("path", uri).load()
@@ -1204,26 +1211,32 @@ object ArrayOps {
          1::bigint AS n_removed
          FROM customer ORDER BY c_custkey""",
 
-    // arr35: the policy outcome replays from the slice rule — slices
-    // 0..4 (written first, adjacent) merge to ONE fragment iff >= 2 of
-    // them are small; the bulk slice always stays its own fragment
+    // arr35: the policy outcome replays from the slice rule — the
+    // present (non-empty) slices 0..4 are written first and adjacent,
+    // merging to ONE fragment iff >= 2 of them are small at the
+    // count/100 threshold; the bulk slice always stays its own
+    // fragment. Adjacency note: under the count/100 threshold every
+    // 0..4 slice (~count/1000 rows) classifies small at ANY corpus
+    // size, so the "one consecutive run" shape is threshold-stable,
+    // not an accident of one sf.
     "arr35_compact_small" ->
-      """WITH sl AS (
+      """WITH thr AS (SELECT count(*) // 100 AS t FROM orders),
+         sl AS (
            SELECT CASE WHEN o_orderkey % 1000 < 5
                        THEN o_orderkey % 1000 ELSE 5 END AS slice,
              count(*) AS n
            FROM orders GROUP BY 1),
          pol AS (SELECT
-             (CASE WHEN sum(CASE WHEN slice < 5 AND n <= 1000
+             (CASE WHEN sum(CASE WHEN slice < 5 AND n <= t
                                  THEN 1 ELSE 0 END) >= 2 THEN 1
-                   ELSE sum(CASE WHEN slice < 5 AND n <= 1000
+                   ELSE sum(CASE WHEN slice < 5 AND n <= t
                                  THEN 1 ELSE 0 END) END
-              + sum(CASE WHEN slice < 5 AND n > 1000 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN slice < 5 AND n > t THEN 1 ELSE 0 END)
               + max(CASE WHEN slice = 5 THEN 1 ELSE 0 END))::bigint AS nf,
-             (CASE WHEN sum(CASE WHEN slice < 5 AND n <= 1000
+             (CASE WHEN sum(CASE WHEN slice < 5 AND n <= t
                                  THEN 1 ELSE 0 END) >= 2
                    THEN 1 ELSE 0 END)::bigint AS runs
-           FROM sl)
+           FROM sl, thr)
        SELECT o_orderkey % 10 AS bucket, count(*) AS n,
          round(sum(o_totalprice), 2) AS total,
          pol.nf AS n_fragments, pol.runs AS compacted_runs

@@ -1324,7 +1324,8 @@ object Pipeline {
              (len(toks) BETWEEN 50 AND 100000) AS p_len,
              (q.quality >= 0.5) AS p_quality,
              (len(list_intersect(list_distinct([lower(t) for t in toks]),
-               ['the','a','an','and','of','to','in','is','on','for'])) >= 2)
+               [${graft.functions.TextFunctions.StopWords
+                   .map(w => s"'$w'").mkString(", ")}])) >= 2)
                AS p_stop,
              (nc / len(toks) BETWEEN 3.8 AND 5.0) AS p_wordlen
            FROM g JOIN q ON g.doc_id = q.doc_id)

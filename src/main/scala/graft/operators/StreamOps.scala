@@ -366,12 +366,19 @@ object StreamOps {
              sum(CASE WHEN s >= 4 THEN 1 ELSE 0 END) AS n_b,
              any_value(t) AS t
            FROM sl, thr),
+         -- pass-2 cases (wave slices are near-equal eighths, so each
+         -- wave is small-homogeneous; mixed-size waves can't occur on
+         -- a mod-sliced corpus): if the wave-A merge is itself still
+         -- small (ca <= t), the second run absorbs it TOO (nf = 1);
+         -- above the threshold it survives beside the wave-B merge
          pol AS (SELECT
-             ((CASE WHEN small_a >= 2 THEN 1 ELSE n_a END)
-              + (CASE WHEN small_b >= 2 AND ca > t THEN 1 ELSE n_b END))
-               ::bigint AS nf,
+             (CASE
+                WHEN small_a >= 2 AND small_b >= 2 AND ca <= t THEN 1
+                WHEN small_a >= 2 AND small_b >= 2 THEN 2
+                WHEN small_a >= 2 THEN 1 + n_b
+                ELSE n_a + n_b END)::bigint AS nf,
              ((CASE WHEN small_a >= 2 THEN 1 ELSE 0 END)
-              + (CASE WHEN small_b >= 2 AND ca > t THEN 1 ELSE 0 END))
+              + (CASE WHEN small_b >= 2 THEN 1 ELSE 0 END))
                ::bigint AS runs
            FROM w)
        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,

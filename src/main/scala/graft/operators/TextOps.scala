@@ -167,27 +167,24 @@ object TextOps {
     // the two dials the Gopher "fraction of characters in duplicated
     // n-grams" family reads. All-integer (counts + integer-div rates);
     // ties on the max need no break because only the max COUNT is
-    // published. Scale shape: the (doc_id, gram) aggregation shuffles
-    // gram rows keyed by doc — volume is corpus token count, the same
-    // order as the scan itself, with map-side partial aggregation
-    // absorbing within-partition repeats.
-    "t29_topgram_coverage" -> ((s, d) => {
-      val tok = docs(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val grams = tok.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))).as("g"))
-      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(sum("n").as("n_grams"), max("n").as("max_n"),
-          sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_n"))
-        .select(col("doc_id"), col("n_grams"), col("max_n"),
-          expr("max_n * 10000 div n_grams").as("top_bp"),
-          expr("dup_n * 10000 div n_grams").as("dup_bp"))
-        .orderBy("doc_id")
-    }),
+    // published. Scale shape: ONE per-row codegen hash-count pass
+    // ([[Kernels.bigramStats]], topBigramCount's pass with three
+    // outputs) — no explode, no groupBy, no shuffle at all; the
+    // original (doc_id, gram) aggregation form survives as the spec's
+    // naive recount.
+    "t29_topgram_coverage" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), graft.functions.expressions.Kernels
+          .bigramStats(tokens(col("text"))).as("bs"))
+        .filter(element_at(col("bs"), 1) >= 1L)
+        .select(col("doc_id"),
+          element_at(col("bs"), 1).as("n_grams"),
+          element_at(col("bs"), 2).as("max_n"),
+          expr("element_at(bs, 2) * 10000 div element_at(bs, 1)")
+            .as("top_bp"),
+          expr("element_at(bs, 3) * 10000 div element_at(bs, 1)")
+            .as("dup_bp"))
+        .orderBy("doc_id")),
 
     // Quality scoring: length/stopword/punctuation heuristics.
     "t2_quality_score" -> ((s, d) =>

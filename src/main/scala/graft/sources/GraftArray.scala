@@ -580,7 +580,18 @@ object GraftArray {
     * Deletion is post-order (the vacuum rule): a consolidated victim
     * outlives the victims it replaces, so every intermediate state a
     * crash could leave behind is still a readable timeline. Returns
-    * the number of fragments removed. */
+    * the number of fragments removed.
+    *
+    * Superseded-victim caveat (spec-pinned): an in-window fragment
+    * that an OUT-of-window consolidated fragment already absorbed is
+    * removed from history, but its content lives on inside the
+    * consolidated fragment — the current read is unchanged. That is
+    * the storage model's contract too: consolidation bakes the
+    * window's writes into a later commit, so "remove the bad wave"
+    * must run BEFORE full consolidation (or target the consolidated
+    * fragment's own window, pre-vacuum). Callers removing bad data
+    * should check the visible read afterwards, not the removed
+    * count. */
   def deleteFragments(spark: SparkSession, uri: String,
       lo: Long, hi: Long): Int = {
     val st = store(spark, uri)

@@ -304,6 +304,30 @@ class ConsolidationSpec extends SparkSpec {
     assert((left.getDouble(0), left.getLong(1)) == (1.0, 50L))
   }
 
+  test("delete_fragments on a superseded victim leaves the read unchanged") {
+    // the documented caveat: a later full consolidation BAKED the bad
+    // wave into its commit, so deleting the original is pure history
+    // cleanup — the visible read keeps the bad values, and removing
+    // them now needs the consolidated fragment's own window instead
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri,
+      spark.range(0, 50).select(col("id").as("k"), lit(1.0).as("v")))
+    GraftArray.write(spark, uri,
+      spark.range(0, 20).select(col("id").as("k"), lit(9.0).as("v"))) // bad
+    val badTs = GraftArray.fragments(spark, uri).sortBy(_.timestamp)
+      .last.timestamp
+    // a third wave AFTER the bad one, so the consolidation (which
+    // commits at the newest merged timestamp) lands outside the window
+    GraftArray.write(spark, uri,
+      spark.range(40, 60).select(col("id").as("k"), lit(3.0).as("v")))
+    GraftArray.consolidate(spark, uri) // bakes the bad wave in
+    assert(GraftArray.deleteFragments(spark, uri, badTs, badTs) == 1)
+    // count says "removed", the read says the bad values remain
+    assert(read(uri).filter(col("v") === 9.0).count() == 20,
+      "superseded victim's content must survive inside the consolidation")
+  }
+
   test("CALL cat.delete_fragments procedure with NULL-bound guard") {
     val wh = java.nio.file.Files.createTempDirectory("graft_delf").toString
     val cat = "gd" + scala.util.Random.alphanumeric.take(4).mkString

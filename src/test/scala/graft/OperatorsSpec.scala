@@ -125,6 +125,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t29 kernel equals the naive explode+groupBy recount at sf0.001") {
+    import graft.functions.TextFunctions.tokens
+    val tok = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val naive = tok.select(col("doc_id"), (size(col("toks")) - 1)
+        .cast("long").as("ng"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("g"))
+      .groupBy("doc_id", "ng", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id", "ng")
+      .agg(max("n").as("mx"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val kernel = tok
+      .select(col("doc_id"), graft.functions.expressions.Kernels
+        .bigramStats(col("toks")).as("bs"))
+      .select(col("doc_id"), element_at(col("bs"), 1).as("ng"),
+        element_at(col("bs"), 2).as("mx"), element_at(col("bs"), 3).as("dup"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(kernel.keySet == naive.keySet)
+    kernel.foreach { case (id, got) =>
+      assert(got == naive(id), s"doc $id: kernel $got vs naive ${naive(id)}")
+    }
+  }
+
   test("t29 topgram coverage: dup fires iff a bigram repeats, bounds hold") {
     val rows = SparkEntry.queries("t29_topgram_coverage")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -712,7 +712,45 @@ object Relational {
           col("p_size").cast("double"), col("p_retailprice"),
           10.0, 40.0, 500.0, 1500.0))
         .select("p_partkey", "p_size", "p_retailprice")
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // Spatial JOIN (point-in-rectangle) — p7 pushes a spatial
+    // predicate into ONE scan; this joins a point table against a
+    // rectangle table with the j10/j14 bin trick lifted to 2D: points
+    // key by their single (bx, by) grid cell, rectangles explode to
+    // every cell they cover, and a plain equi-join + exact containment
+    // filter does the rest. Exactly-once is STRUCTURAL here — a point
+    // lives in exactly one cell, so no dedupe pass at all (simpler
+    // than j14's interval×interval first-shared-bin rule). Replication
+    // is bounded by (w/binW + 1)(h/binH + 1) per rectangle; nothing
+    // cartesian. Points: (p_size, p_retailprice); rectangles derived
+    // deterministically from supplier keys.
+    "j15_spatial_join" -> ((s, d) => {
+      val wx = 5.0
+      val wy = 200.0
+      val pts = t(s, d, "part").select(col("p_partkey"),
+        col("p_size").cast("double").as("px"),
+        col("p_retailprice").as("py"))
+        .withColumn("bx", floor(col("px") / wx).cast("long"))
+        .withColumn("by", floor(col("py") / wy).cast("long"))
+      val rects = t(s, d, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") % 40) + 1).cast("double").as("x0"),
+        (lit(900.0) + (col("s_suppkey") % 5).cast("double") * 200.0)
+          .as("y0"))
+        .withColumn("x1", col("x0") + 6.0)
+        .withColumn("y1", col("y0") + 250.0)
+        .withColumn("bx", explode(sequence(
+          floor(col("x0") / wx).cast("long"),
+          floor(col("x1") / wx).cast("long"))))
+        .withColumn("by", explode(sequence(
+          floor(col("y0") / wy).cast("long"),
+          floor(col("y1") / wy).cast("long"))))
+      pts.join(rects, Seq("bx", "by"))
+        .filter(col("px") >= col("x0") && col("px") <= col("x1") &&
+          col("py") >= col("y0") && col("py") <= col("y1"))
+        .select("s_suppkey", "p_partkey", "px", "py")
+        .orderBy("s_suppkey", "p_partkey")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1012,6 +1050,19 @@ object Relational {
          round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS O,
          round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS P
          FROM orders GROUP BY 1 ORDER BY yr""",
+    // j15: the oracle is the plain containment join — the grid is an
+    // execution detail, not semantics
+    "j15_spatial_join" ->
+      """WITH r AS (SELECT s_suppkey,
+           (s_suppkey % 40 + 1)::double AS x0,
+           900.0 + (s_suppkey % 5)::double * 200.0 AS y0
+         FROM supplier)
+       SELECT r.s_suppkey, p.p_partkey,
+         p.p_size::double AS px, p.p_retailprice AS py
+       FROM part p JOIN r
+         ON p.p_size::double BETWEEN r.x0 AND r.x0 + 6.0
+        AND p.p_retailprice BETWEEN r.y0 AND r.y0 + 250.0
+       ORDER BY s_suppkey, p_partkey""",
     "p7_spatial_mbr" ->
       """SELECT p_partkey, p_size, p_retailprice FROM part
          WHERE p_size BETWEEN 10.0 AND 40.0

@@ -32,6 +32,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("j15 spatial join: equi-join plan (no cartesian), equals naive") {
+    val df = SparkEntry.queries("j15_spatial_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"spatial join fell back to a product:\n${plan.take(500)}")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // naive containment join (the semantics, minus the grid)
+    val p = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("px"),
+        col("p_retailprice").as("py"))
+    val r = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") % 40) + 1).cast("double").as("x0"),
+        (lit(900.0) + (col("s_suppkey") % 5).cast("double") * 200.0)
+          .as("y0"))
+    val naive = p.crossJoin(r)
+      .filter(col("px").between(col("x0"), col("x0") + 6.0) &&
+        col("py").between(col("y0"), col("y0") + 250.0))
+      .select("s_suppkey", "p_partkey")
+      .orderBy("s_suppkey", "p_partkey")
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSeq
+    assert(got == naive, s"${got.size} vs naive ${naive.size}")
+    assert(got.nonEmpty)
+    // exactly-once: no (rect, point) pair can repeat (one cell per point)
+    assert(got.distinct.size == got.size)
+  }
+
   test("w9 IGNORE NULLS: gap rows forward-fill from the previous known") {
     val rows = SparkEntry.queries("w9_ignore_nulls")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),

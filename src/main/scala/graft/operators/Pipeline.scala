@@ -207,6 +207,43 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // Chunk-grain quality SURGERY — doc-level filtering (x8) throws
+    // away salvageable documents wholesale; the production refinement
+    // (C4's line-level filtering, at this corpus's 64-token chunk
+    // grain since it has no line structure) scores each chunk and
+    // keeps the good ones: a doc is kept in full, kept partially
+    // (surgery), or dropped. Per doc: chunk counts, kept-token mass
+    // and the status — the report that prices surgery against
+    // doc-level filtering. Threshold 0.5 sits mid-distribution
+    // (chunk quality spans 0.30–0.74 here), so all three statuses
+    // occur at every scale. On THIS corpus the live surgery direction
+    // is trimming junk chunks out of docs the doc-level cut keeps
+    // (the converse — recovering good chunks from dropped docs — is
+    // structurally dead here: low-q docs are short single-chunk docs
+    // or uniformly low; measured 0 recovered at every sf). Chunk rule shared with x12/x15 (64-token
+    // windows); quality is t2's rounded form per chunk. One explode +
+    // one doc-grain aggregation — no joins, no corpus shuffle beyond
+    // the chunk rows themselves.
+    "x33_chunk_filter" -> ((s, d) => {
+      val ch = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / 64).cast("int")),
+          c => slice(col("toks"), c * 64 + 1, lit(64)))).as("ctoks"))
+      ch.select(col("doc_id"), size(col("ctoks")).cast("long").as("nt"),
+          (round(qualityScore(array_join(col("ctoks"), " ")), 4) >= 0.5)
+            .as("keep"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("nt")).otherwise(0L)).as("tokens_kept"))
+        .withColumn("status",
+          when(col("n_kept") === 0, "drop")
+            .when(col("n_kept") === col("n_chunks"), "full")
+            .otherwise("partial"))
+        .orderBy("doc_id")
+    }),
+
     // Filter ABLATION matrix — x19's funnel shows stage-sequential
     // attrition, which hides redundancy: a rule that only ever fails
     // docs other rules already fail adds nothing but risk. Per rule
@@ -1291,6 +1328,36 @@ object Pipeline {
     // weights are small integer-valued doubles (exact under any sum
     // order); rate/epochs derive from the ROUNDED integer target so
     // both engines divide the same numerator
+    // x33: chunk slices replay chunkSql's list-slice rule; per-chunk
+    // quality replays t2's formula over the chunk string
+    "x33_chunk_filter" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         ch AS (SELECT doc_id, toks[c*64+1 : c*64+64] AS ctoks
+           FROM tk, unnest(range(0, (len(toks)-1)//64 + 1)) AS u(c)),
+         q0 AS (SELECT doc_id, len(ctoks) AS nt,
+             len([t for t in ctoks if lower(t) IN
+               ('the','a','an','and','of','to','in','is','on','for')])
+               AS ns,
+             length(array_to_string(ctoks, ' '))
+               - length(regexp_replace(array_to_string(ctoks, ' '),
+                   '[.,!?;:]', '', 'g')) AS np
+           FROM ch),
+         k AS (SELECT doc_id, nt,
+             (round(0.4 * least(nt / 100.0, 1.0)
+               + 0.3 * least(ns::double / greatest(nt::double, 1.0) * 4.0,
+                   1.0)
+               + 0.3 * (1.0 - least(np::double / greatest(nt::double, 1.0),
+                   1.0)), 4) >= 0.5) AS keep
+           FROM q0)
+       SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END)::bigint AS n_kept,
+         sum(CASE WHEN keep THEN nt ELSE 0 END)::bigint AS tokens_kept,
+         CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) = 0 THEN 'drop'
+              WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) = count(*)
+                THEN 'full'
+              ELSE 'partial' END AS status
+       FROM k GROUP BY doc_id ORDER BY doc_id""",
     // x32: rules replay t18/t2's exact fragments; the matrix unpivots
     // from one wide aggregation
     "x32_filter_ablation" -> {

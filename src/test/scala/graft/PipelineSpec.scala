@@ -33,6 +33,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("x33 chunk surgery: statuses consistent, kept docs shed bad chunks") {
+    import graft.functions.TextFunctions.qualityScore
+    val rows = SparkEntry.queries("x33_chunk_filter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._4 <= r._2 * 64)
+      val expect = if (r._3 == 0) "drop"
+        else if (r._3 == r._2) "full" else "partial"
+      assert(r._5 == expect, s"status mismatch: $r")
+    }
+    assert(Set("drop", "full", "partial").subsetOf(rows.map(_._5).toSet),
+      s"a status branch is dead: ${rows.groupBy(_._5).keySet}")
+    // the live surgery branch on THIS corpus (measured at all three
+    // scales): docs the doc-level cut KEEPS wholesale still shed bad
+    // chunks — partial docs with doc quality >= 0.5. (The converse
+    // recovery branch — good chunks inside dropped docs — is
+    // structurally dead here: low-q docs are short single-chunk docs
+    // or uniformly low, measured recovered = 0 at every sf.)
+    val docQ = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), round(qualityScore(col("text")), 4).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val trimmed = rows.filter(r => docQ(r._1) >= 0.5 && r._5 == "partial")
+    assert(trimmed.nonEmpty, "no kept doc sheds a bad chunk — surgery inert")
+  }
+
   test("x32 ablation: unique <= total per rule, redundancy detectable") {
     val rows = SparkEntry.queries("x32_filter_ablation")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -169,6 +169,41 @@ object Multimodal {
           md5(lower(hex(col("media")))).as("digest"))
         .orderBy("doc_id")),
 
+    // Modality-aware TOKEN accounting — what a multimodal training
+    // budget actually counts: images cost ⌈w/16⌉·⌈h/16⌉ ViT patches,
+    // audio costs one token per 320-byte hop, video costs 8 sampled
+    // frames (m4's rule) of patches. Modality is the deterministic
+    // doc_id%3 routing; geometry comes from the DECODED header (the
+    // m2 stub codec path — production-shaped), so the oracle's replay
+    // from the synthesis rule genuinely checks the decode. Per
+    // modality: items, bytes, tokens and the integer-bp share of the
+    // total token budget. Partition-parallel decode + one 3-group
+    // aggregation — scan-speed.
+    "m9_modal_tokens" -> ((s, d) => {
+      val meta = decodeBatch(s, fakeMedia(Tables.load(s, d, "documents")))
+        .toDF()
+      val tok = meta.select(col("doc_id"), col("n_bytes"),
+        when(col("doc_id") % 3 === 0, lit("image"))
+          .when(col("doc_id") % 3 === 1, lit("audio"))
+          .otherwise(lit("video")).as("modality"),
+        expr("(width + 15) div 16").as("pw"),
+        expr("(height + 15) div 16").as("ph"))
+        .select(col("modality"), col("n_bytes"),
+          when(col("modality") === "image", col("pw") * col("ph"))
+            .when(col("modality") === "audio",
+              expr("n_bytes div 320") + 1)
+            .otherwise(col("pw") * col("ph") * 8).as("tok"))
+      val tot = tok.agg(sum("tok").as("tt"))
+      tok.groupBy("modality")
+        .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"),
+          sum("tok").as("total_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("modality"), col("n_items"), col("total_bytes"),
+          col("total_tokens"),
+          expr("total_tokens * 10000 div tt").as("share_bp"))
+        .orderBy("modality")
+    }),
+
     // Decode + feature-extract via partition-parallel stub codec.
     // Header fields are SQL-derivable from the synthesis rule, so the
     // oracle checks the full decode round-trip.
@@ -331,6 +366,27 @@ object Multimodal {
                    lpad(to_hex(n_chars % 48 + 1), 8, '0') ||
                    hex(text::blob))) AS digest
          FROM documents ORDER BY doc_id""",
+    // m9: geometry replays from the synthesis rule (checking the
+    // decode round-trip like m2); all-integer patch/hop arithmetic
+    "m9_modal_tokens" ->
+      """WITH b AS (SELECT doc_id,
+           8 + octet_length(text::blob) AS nb,
+           (n_chars % 64 + 1 + 15) // 16 AS pw,
+           (n_chars % 48 + 1 + 15) // 16 AS ph,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality
+         FROM documents),
+         t AS (SELECT modality, nb,
+             CASE WHEN modality = 'image' THEN pw * ph
+                  WHEN modality = 'audio' THEN nb // 320 + 1
+                  ELSE pw * ph * 8 END AS tok
+           FROM b),
+         tot AS (SELECT sum(tok) AS tt FROM t)
+       SELECT modality, count(*) AS n_items,
+         sum(nb)::bigint AS total_bytes, sum(tok)::bigint AS total_tokens,
+         (sum(tok) * 10000 // tt)::bigint AS share_bp
+       FROM t, tot GROUP BY modality, tt ORDER BY modality""",
     "m2_decode_features" ->
       """SELECT doc_id,
          (n_chars % 64 + 1)::int AS width,

@@ -626,10 +626,16 @@ object Relational {
     "sq5_recursive_cte" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // materialize the chain ONCE — every recursion level re-joins
+      // this side. (Cost note, measured at sf0.1: the ~3 s wall time
+      // is per-LEVEL executor machinery — 18 chain levels × plan+run —
+      // not data or shuffle width; a 1-partition child session was
+      // tried and bought <10%, so the simple form stays.)
       t(s, d, "orders").filter(col("o_custkey") < 100)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"))
         .withColumn("rk", row_number().over(w))
+        .localCheckpoint()
         .createOrReplaceTempView("sq5_chain")
       s.sql("""WITH RECURSIVE walk(o_custkey, o_orderkey, hop, cum) AS (
           SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT), o_totalprice

@@ -784,6 +784,56 @@ object Dedup {
     // for. Linear, no pair join: see [[substringDedup]].
     "d10_substring_dedup" -> ((s, d) => substringDedup(docs(s, d))),
 
+    // Dedup ATTRIBUTION waterfall — the governance read over the whole
+    // dedup stack: every document gets the FIRST tier that catches it
+    // (exact fingerprint → near-dup Jaccard 0.8 → edit-distance τ=5 →
+    // unique), and the report prices each tier by what it UNIQUELY
+    // removes — the "is the expensive tier earning its place" answer
+    // at the corpus grain (x32's ablation question, asked of dedup).
+    // Two fixtures keep every tier live at every scale: the %97
+    // re-crawl (exact) and the %29 short-doc corruption (5 in-place
+    // substitutions in a 60–120-char doc kill half its shingles —
+    // measured Jaccard 0.15–0.56, below the near tier — while the
+    // edit tier catches dist=5). "Duplicate" = the higher id of a
+    // pair (keep-first), matching d1/d5's keeper convention.
+    "d15_dedup_waterfall" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 97 === 1)
+        .select((col("doc_id") + 9500000L).as("doc_id"), col("text"))
+      val corrupted = base
+        .filter(col("doc_id") % 29 === 1 &&
+          length(col("text")).between(60, 120))
+        .select((col("doc_id") + 9600000L).as("doc_id"),
+          concat(expr("substring(text, 1, 29)"), lit("zzzzz"),
+            expr("substring(text, 35)")).as("text"))
+      val all = base.unionByName(recrawl).unionByName(corrupted)
+        .localCheckpoint()
+      val exact = all.select(col("doc_id"),
+          md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"))
+      val exKeep = exact.groupBy("fp").agg(min("doc_id").as("keep"))
+      val exDup = exact.join(exKeep, "fp")
+        .filter(col("doc_id") =!= col("keep"))
+        .select(col("doc_id")).withColumn("ex", lit(1L))
+      val nearDup = minhashVerifiedPairs(all, 0.8)
+        .select(col("j").as("doc_id")).distinct().withColumn("nr", lit(1L))
+      val editDup = editNeardupPairs(all, 5)
+        .select(col("j").as("doc_id")).distinct().withColumn("ed", lit(1L))
+      val tiered = all.select("doc_id")
+        .join(exDup, Seq("doc_id"), "left")
+        .join(nearDup, Seq("doc_id"), "left")
+        .join(editDup, Seq("doc_id"), "left")
+        .select(when(col("ex") === 1L, "1_exact")
+          .when(col("nr") === 1L, "2_near")
+          .when(col("ed") === 1L, "3_edit")
+          .otherwise("4_unique").as("tier"))
+      val tot = tiered.agg(count(lit(1)).as("td"))
+      tiered.groupBy("tier").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("tier"), col("n_docs"),
+          expr("n_docs * 10000 div td").as("share_bp"))
+        .orderBy("tier")
+    }),
+
     // Edit-distance near-dup join (the tier the set-based family can't
     // see: token REORDERING keeps Jaccard at 1.0 but explodes edit
     // distance, and small in-place character corruption — OCR noise,
@@ -1009,6 +1059,61 @@ object Dedup {
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "d2_ngram_jaccard" -> exactJaccardSql(0.5),
     "d3_minhash_lsh" -> exactJaccardSql(0.8),
+    // d15: tiers replay as d1's fingerprint rule, the exact 0.8
+    // Jaccard pair set (d3's precedent for the LSH path) and d14's
+    // blocked edit rule, over the composed corpus
+    "d15_dedup_waterfall" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 9500000, text FROM documents
+           WHERE doc_id % 97 = 1
+           UNION ALL
+           SELECT doc_id + 9600000,
+             substring(text, 1, 29) || 'zzzzz' || substring(text, 35)
+           FROM documents
+           WHERE doc_id % 29 = 1 AND length(text) BETWEEN 60 AND 120),
+         fp AS (SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+           FROM corpus),
+         ex AS (SELECT f2.doc_id FROM fp f2
+           JOIN (SELECT f, min(doc_id) AS keep FROM fp GROUP BY f) k
+             ON f2.f = k.f WHERE f2.doc_id <> k.keep),
+         sh AS (SELECT doc_id, list_distinct(
+             [array_to_string(list_slice(toks, i, i + 4), ' ')
+              for i in range(1, len(toks) - 3)]) AS s
+           FROM (SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS toks FROM corpus)),
+         nr AS (SELECT DISTINCT b.doc_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) > 0
+             AND len(list_intersect(a.s, b.s))::double /
+                 len(list_distinct(list_concat(a.s, b.s)))::double >= 0.8),
+         k2 AS (SELECT doc_id,
+             rpad(substring(text, 1, 258), 258, ' ') AS pfx FROM corpus),
+         segs AS (SELECT doc_id, u.s AS slot,
+             substring(pfx, u.s * 43 + 1, 43) AS seg
+           FROM k2, unnest(range(0, 6)) AS u(s)),
+         sg AS (SELECT * FROM segs WHERE trim(seg) <> ''),
+         cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           FROM sg a JOIN sg b
+             ON a.slot = b.slot AND a.seg = b.seg AND a.doc_id < b.doc_id),
+         ed AS (SELECT DISTINCT j AS doc_id FROM cand
+           JOIN k2 ka ON ka.doc_id = i JOIN k2 kb ON kb.doc_id = j
+           WHERE levenshtein(ka.pfx, kb.pfx) <= 5),
+         t AS (SELECT c.doc_id,
+             CASE WHEN ex.doc_id IS NOT NULL THEN '1_exact'
+                  WHEN nr.doc_id IS NOT NULL THEN '2_near'
+                  WHEN ed.doc_id IS NOT NULL THEN '3_edit'
+                  ELSE '4_unique' END AS tier
+           FROM corpus c
+           LEFT JOIN ex ON ex.doc_id = c.doc_id
+           LEFT JOIN nr ON nr.doc_id = c.doc_id
+           LEFT JOIN ed ON ed.doc_id = c.doc_id),
+         tot AS (SELECT count(*) AS td FROM t)
+       SELECT tier, count(*) AS n_docs,
+         (count(*) * 10000 // td)::bigint AS share_bp
+       FROM t, tot GROUP BY tier, td ORDER BY tier""",
     // d14: the blocking (aligned 43-char segments of the padded
     // 258-prefix, padding-only segments excluded) is part of the
     // operator contract and replays structurally; levenshtein is an

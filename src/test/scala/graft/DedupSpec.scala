@@ -452,6 +452,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("d15 waterfall: every tier live, fixtures land in their tiers") {
+    val rows = SparkEntry.queries("d15_dedup_waterfall")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet ==
+      Set("1_exact", "2_near", "3_edit", "4_unique"), rows.keySet)
+    val docs = Tables.load(spark, sf, "documents")
+    val nRecrawl = docs.filter(col("doc_id") % 97 === 1).count()
+    val nCorrupt = docs.filter(col("doc_id") % 29 === 1 &&
+      length(col("text")).between(60, 120)).count()
+    assert(nRecrawl > 0 && nCorrupt > 0, "a fixture class is empty")
+    // every exact re-crawl copy is caught by the FIRST tier
+    assert(rows("1_exact")._1 >= nRecrawl)
+    // every corrupted short copy falls through to the EDIT tier (its
+    // Jaccard vs the original is 0.15-0.56 — measured at all scales —
+    // so the near tier provably can't claim it)
+    assert(rows("3_edit")._1 >= nCorrupt)
+    assert(rows("4_unique")._1 > 0)
+    // integer-div shares: sum within rounding of the whole
+    val bpSum = rows.values.map(_._2).sum
+    assert(bpSum >= 10000 - 4 && bpSum <= 10000, s"shares sum $bpSum")
+  }
+
   test("d14 fixture pairs all surface with dist <= 5 at sf0.001") {
     val rows = SparkEntry.queries("d14_edit_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

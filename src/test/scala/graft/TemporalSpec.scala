@@ -225,4 +225,31 @@ class TemporalSpec extends SparkSpec {
       .findAllIn(plan).length
     assert(nExchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
   }
+
+  test("j16 nearest: delta is the true per-click minimum, ties backward") {
+    val got = operators.Temporal.queries("j16_nearest_event")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(5))).toMap
+    // naive recount: per click, min |delta| over all same-user purchases
+    val ev = Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("rus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    clicks.foreach { case (id, u, us) =>
+      val (nUs, delta) = got(id)
+      purch.get(u) match {
+        case None => assert(nUs == -1L && delta == -1L, s"click $id")
+        case Some(ts) =>
+          val best = ts.map(t => math.abs(t - us)).min
+          assert(delta == best, s"click $id: $delta != true min $best")
+          // equidistant both sides -> the BACKWARD (earlier) ts wins
+          val cands = ts.filter(t => math.abs(t - us) == best)
+          if (cands.toSet.size > 1) assert(nUs == cands.min)
+      }
+    }
+  }
 }

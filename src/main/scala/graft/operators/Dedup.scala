@@ -816,7 +816,13 @@ object Dedup {
         .select(col("doc_id")).withColumn("ex", lit(1L))
       val nearDup = minhashVerifiedPairs(all, 0.8)
         .select(col("j").as("doc_id")).distinct().withColumn("nr", lit(1L))
-      val editDup = editNeardupPairs(all, 5)
+      // the edit tier (the expensive one) only needs labels for docs
+      // the exact tier MISSED — tier priority masks its label on exact
+      // dups anyway, and every exact dup's keeper (identical normalized
+      // text) survives to stand in for it on the pair side
+      val exSurvivors = all.join(exDup.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val editDup = editNeardupPairs(exSurvivors, 5)
         .select(col("j").as("doc_id")).distinct().withColumn("ed", lit(1L))
       val tiered = all.select("doc_id")
         .join(exDup, Seq("doc_id"), "left")
@@ -869,36 +875,86 @@ object Dedup {
     * the full PassJoin shift window, documented like d6's fixed-window
     * stand-in). The ORACLE replays the identical blocking, so parity
     * is structural, and the verify is an exact integer. Scale shape:
-    * <= 6 segment rows per doc equality-joined on the segment — an
-    * O(candidates) shuffle join, never all-pairs; a hot segment IS a
-    * duplicate cluster, whose pairs the operator must emit anyway. */
+    * identical prefixes collapse to ONE representative before the
+    * segment self-join (the [[simhashMembers]] (gid, member) standard)
+    * — a mega-cluster of m byte-identical documents costs one band-join
+    * row, its m·(m-1)/2 pairs expanding OUTPUT-bound through the group
+    * table instead of landing m rows on one shuffle key; cross-group
+    * candidates are <= 6 segment rows per DISTINCT prefix
+    * equality-joined on the segment — an O(candidates) join, never
+    * all-pairs. Result set is provably unchanged: same-prefix pairs
+    * share every content segment (dist 0), and two distinct prefixes
+    * share a band iff their representatives do. */
   private[graft] def editNeardupPairs(docsDf: DataFrame,
       tau: Int): DataFrame = {
     val segLen = 43
     val nSeg = tau + 1
-    val width = segLen * nSeg
-    // referenced by the band self-join AND both verify joins
-    val keyed = docsDf.select(col("doc_id"),
+    // identical-prefix groups; referenced by reps, intra and cross
+    val members = editPrefixGroups(docsDf, tau).localCheckpoint()
+    // one representative row per DISTINCT prefix for the band join
+    val reps = members.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("pfx"))
+    val segs = editBandRows(reps, tau)
+    val candG = segs.as("a").join(segs.as("b"), "band")
+      .filter(col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+      .distinct()
+    val verifiedG = candG
+      .join(reps.select(col("gid").as("ga"), col("pfx").as("pa")), "ga")
+      .join(reps.select(col("gid").as("gb"), col("pfx").as("pb")), "gb")
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("dist") <= tau)
+      .select("ga", "gb", "dist")
+    // intra-group pairs: identical prefixes ⇒ distance 0; self-join on
+    // gid is output-bound and the per-key buffer spills instead of
+    // materializing the group (never a collect_list mega-row)
+    val intra = members.select(col("gid"), col("doc_id").as("i"))
+      .join(members.select(col("gid"), col("doc_id").as("j")), "gid")
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), lit(0L).as("dist"))
+    // member expansion AFTER the verify: only true group pairs inflate
+    val cross = verifiedG
+      .join(members.select(col("gid").as("ga"), col("doc_id").as("x")),
+        "ga")
+      .join(members.select(col("gid").as("gb"), col("doc_id").as("y")),
+        "gb")
+      .select(least(col("x"), col("y")).as("i"),
+        greatest(col("x"), col("y")).as("j"), col("dist"))
+    intra.unionByName(cross)
+  }
+
+  /** `(doc_id, pfx, gid)` rows for [[editNeardupPairs]]: the padded
+    * `(tau+1)*43`-char prefix plus the identical-prefix group id
+    * (smallest doc_id sharing the prefix). Documents whose ENTIRE
+    * prefix is padding generate no content-bearing segment under the
+    * blocking contract and therefore no candidate — they are excluded
+    * here so the intra-group expansion cannot invent pairs the
+    * blocking never saw (empty/whitespace-only docs pair with
+    * nothing, matching the oracle). */
+  private[graft] def editPrefixGroups(docsDf: DataFrame,
+      tau: Int): DataFrame = {
+    val width = 43 * (tau + 1)
+    docsDf.select(col("doc_id"),
       rpad(expr(s"substring(text, 1, $width)"), width, " ").as("pfx"))
-      .localCheckpoint()
-    val segs = keyed.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(nSeg - 1)), k =>
+      .filter(trim(col("pfx")) =!= "")
+      .withColumn("gid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pfx")))
+  }
+
+  /** Aligned-segment band rows over prefix-group REPRESENTATIVES —
+    * `(gid, band)` with all-padding segments excluded. Takes reps, not
+    * docs: the band self-join must see one row per distinct prefix
+    * (spec-asserted in DedupSpec's mega-cluster test). */
+  private[graft] def editBandRows(reps: DataFrame, tau: Int): DataFrame = {
+    val segLen = 43
+    reps.select(col("gid"),
+      explode(transform(sequence(lit(0), lit(tau)), k =>
         struct(k.as("slot"),
           col("pfx").substr(k * lit(segLen) + 1, lit(segLen)).as("seg"))))
         .as("sg"))
       .filter(trim(col("sg.seg")) =!= "")
-      .select(col("doc_id"),
+      .select(col("gid"),
         concat_ws("_", col("sg.slot"), col("sg.seg")).as("band"))
-    val cand = segs.as("a").join(segs.as("b"), "band")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-    cand
-      .join(keyed.select(col("doc_id").as("i"), col("pfx").as("pa")), "i")
-      .join(keyed.select(col("doc_id").as("j"), col("pfx").as("pb")), "j")
-      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
-      .filter(col("dist") <= tau)
-      .select("i", "j", "dist")
   }
 
   /** Default per-band distinct-signature frequency cap for the banded
@@ -1090,7 +1146,8 @@ object Dedup {
              AND len(list_intersect(a.s, b.s))::double /
                  len(list_distinct(list_concat(a.s, b.s)))::double >= 0.8),
          k2 AS (SELECT doc_id,
-             rpad(substring(text, 1, 258), 258, ' ') AS pfx FROM corpus),
+             rpad(substring(text, 1, 258), 258, ' ') AS pfx FROM corpus
+           WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
          segs AS (SELECT doc_id, u.s AS slot,
              substring(pfx, u.s * 43 + 1, 43) AS seg
            FROM k2, unnest(range(0, 6)) AS u(s)),

@@ -474,6 +474,35 @@ class DedupSpec extends SparkSpec {
     assert(bpSum >= 10000 - 4 && bpSum <= 10000, s"shares sum $bpSum")
   }
 
+  test("d14 mega-cluster: band join sees ONE row per distinct prefix") {
+    import spark.implicits._
+    // 500 byte-identical docs + a corrupted twin + an unrelated doc —
+    // the hot-key case the identical-prefix collapse exists for: the
+    // cluster must cost one band-join row, never 500 rows on one key
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corrupted = a.updated(11, 'q').updated(12, 'q').updated(13, 'q')
+    val clones = (1L to 500L).map(i => (i, a))
+    val docs =
+      (clones :+ (601L, corrupted)
+        :+ (602L, "entirely different unrelated words nothing shared"))
+        .toDF("doc_id", "text")
+    val members = Dedup.editPrefixGroups(docs, 5)
+    val reps = members.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("pfx"))
+    assert(reps.count() == 3L, "one representative per distinct prefix")
+    // the band self-join input: ≤ tau+1 rows per DISTINCT prefix —
+    // 500 clones contribute 6 rows, not 3000
+    val bandRows = Dedup.editBandRows(reps, 5).count()
+    assert(bandRows <= 3L * 6L, s"band rows $bandRows — collapse missing")
+    // pair set still complete and output-bound: all 500·499/2 clone
+    // pairs at dist 0, each clone × the corrupted twin at dist 3
+    val byDist = Dedup.editNeardupPairs(docs, 5)
+      .groupBy("dist").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDist.get(0L).contains(500L * 499L / 2L), s"intra: $byDist")
+    assert(byDist.get(3L).contains(500L), s"cross: $byDist")
+  }
+
   test("d14 fixture pairs all surface with dist <= 5 at sf0.001") {
     val rows = SparkEntry.queries("d14_edit_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

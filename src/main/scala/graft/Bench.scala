@@ -21,6 +21,19 @@ import org.apache.spark.sql.SparkSession
   * so leaked temp views or session confs cannot cross queries either.
   * Per-query GC-time deltas land in BENCH_FULL.json (`gc_ms`) to make
   * interference visible instead of guessed at.
+  *
+  * Methodology (round 10): back-to-back min-of-N could not absorb
+  * MINUTES-scale host-load windows — three rounds running, the
+  * driver's single sweep manufactured phantom movers (r8 v5 6.31 s,
+  * r9 t12/p7b/v8) that committed snapshots on byte-identical code
+  * never reproduced. The suite therefore runs as TWO INTERLEAVED
+  * PASSES (full ordered sweep, then a second full sweep): a query's
+  * two measurements are separated by the whole suite, so a transient
+  * load window can inflate at most one of them, and the published
+  * per-query value is the min across passes (each pass itself
+  * min-of-ITERS). The raw per-pass values land in BENCH_FULL.json
+  * (`passes`) for auditability. `SPARK_GRAFT_BENCH_PASSES` overrides
+  * (1 = the old single-sweep behavior).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -62,8 +75,11 @@ object Bench {
 
     // min-of-N per query: single-run timings at the 0.2–1.5 s scale are
     // dominated by JIT/GC noise (round-2 "regressions" were all
-    // plan-identical noise); the minimum is the stable cost estimate
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // plan-identical noise); the minimum is the stable cost estimate.
+    // 2 iters × 2 interleaved passes ≈ the old 3-iter budget while
+    // adding the minutes-scale decorrelation the passes exist for.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     // streaming family last — alphabetical within each group
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (if (name.startsWith("st")) 1 else 0, name)
@@ -77,45 +93,68 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val results = ordered.map { case (name, fn) =>
-      val session = if (isolate) root.newSession() else root
-      quiesce(session)
-      val gc0 = gcMillis
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        val err = try { fn(session, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").take(200)) }
-        (err, (System.nanoTime() - t0) / 1e9)
-      }
-      val gcMs = gcMillis - gc0
-      // only successful runs count — a failed iteration must not
-      // masquerade as a fast one. A query whose EVERY iteration failed
-      // gets no time at all: err is recorded, the time (which is
-      // time-to-crash, not query cost) is null and excluded from the
-      // total, so a crash can never read as a round-over-round speedup.
-      val good = times.collect { case (None, t) => t }
-      val sec: Option[Double] = if (good.nonEmpty) Some(good.min) else None
-      // keep the LAST error even when some iterations succeeded — a
-      // flaky query (1 success + 2 crashes) must stay distinguishable
-      // from a clean one in the artifact
-      val err: Option[String] = times.reverse.collectFirst {
-        case (Some(e), _) => e }
-      (name, sec, gcMs, err, times.count(_._1.isDefined))
+    // one full interleaved sweep of the ordered suite
+    def sweep(): IndexedSeq[(String, Option[Double], Long, Option[String], Int)] =
+      ordered.map { case (name, fn) =>
+        val session = if (isolate) root.newSession() else root
+        quiesce(session)
+        val gc0 = gcMillis
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          val err = try { fn(session, sfDir).count(); None }
+            catch { case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").take(200)) }
+          (err, (System.nanoTime() - t0) / 1e9)
+        }
+        val gcMs = gcMillis - gc0
+        // only successful runs count — a failed iteration must not
+        // masquerade as a fast one. A query whose EVERY iteration failed
+        // gets no time at all: err is recorded, the time (which is
+        // time-to-crash, not query cost) is null and excluded from the
+        // total, so a crash can never read as a round-over-round speedup.
+        val good = times.collect { case (None, t) => t }
+        val sec: Option[Double] = if (good.nonEmpty) Some(good.min) else None
+        // keep the LAST error even when some iterations succeeded — a
+        // flaky query (1 success + 2 crashes) must stay distinguishable
+        // from a clean one in the artifact
+        val err: Option[String] = times.reverse.collectFirst {
+          case (Some(e), _) => e }
+        (name, sec, gcMs, err, times.count(_._1.isDefined))
+      }.toIndexedSeq
+    val perPass = (1 to passes).map(_ => sweep())
+    // combine: published sec = min across the interleaved passes (a
+    // transient load window inflates at most one); gc/failed-iter
+    // counts sum; the last error wins
+    val results = ordered.indices.map { i =>
+      val name = ordered(i)._1
+      val runs = perPass.map(_(i))
+      val secs = runs.flatMap(_._2)
+      (name,
+        if (secs.nonEmpty) Some(secs.min) else None,
+        runs.map(_._3).sum,
+        runs.reverse.flatMap(_._4).headOption,
+        runs.map(_._5).sum,
+        runs.map(_._2))
     }
     val failed = results.filter(_._2.isEmpty)
-    val qs = results.map { case (k, v, _, _, _) =>
+    val qs = results.map { case (k, v, _, _, _, _) =>
       jstr(k) + ":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _, _) => jstr(k) + ":" + g }
+    val gcs = results.map { case (k, _, g, _, _, _) => jstr(k) + ":" + g }
       .mkString("{", ",", "}")
-    val errs = results.map { case (k, _, _, e, _) =>
+    val errs = results.map { case (k, _, _, e, _, _) =>
       jstr(k) + ":" + e.map(jstr).getOrElse("null")
     }.mkString("{", ",", "}")
     // per-query failed-iteration counts (nonzero = flaky or dead)
-    val flaky = results.map { case (k, _, _, _, nf) => jstr(k) + ":" + nf }
+    val flaky = results.map { case (k, _, _, _, nf, _) => jstr(k) + ":" + nf }
       .mkString("{", ",", "}")
+    // raw per-pass values (each already min-of-iters) — the audit
+    // trail behind the published min
+    val passRaw = results.map { case (k, _, _, _, _, ps) =>
+      jstr(k) + ":[" +
+        ps.map(_.map(_.toString).getOrElse("null")).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // total covers successful queries only; n_failed makes a partial
     // total impossible to mistake for a complete one
     val total = results.flatMap(_._2).sum
@@ -123,7 +162,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
     println(line)
-    failed.foreach { case (k, _, _, e, _) =>
+    failed.foreach { case (k, _, _, e, _, _) =>
       System.err.println(s"[bench] FAILED $k: ${e.getOrElse("?")}") }
     // stdout captures have truncated the single line mid-record in past
     // rounds; persist the complete per-query artifact alongside it
@@ -132,7 +171,8 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""err":$errs,"failed_iters":$flaky,"n_failed":${failed.size},""" +
-        s""""gc_ms":$gcs,"isolate":$isolate,"order":"streaming-last",""" +
+        s""""gc_ms":$gcs,"passes":$passRaw,"n_passes":$passes,""" +
+        s""""isolate":$isolate,"order":"streaming-last",""" +
         s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))

@@ -32,8 +32,18 @@ object Dedup {
     * cardinality metadata cannot state (filters, joins, checkpointed
     * or in-memory frames); cardinality-preserving Project/alias nodes
     * unwrap. Footer reading is capped at 256 files — past that the
-    * input should be an array table, whose manifests answer in O(1). */
-  private[graft] def corpusRows(df: DataFrame): Long = {
+    * input should be an array table, whose manifests answer in O(1).
+    *
+    * For a graft-array input the manifest sum is an UPPER bound when
+    * latest-wins shadows upserted rows — fine for the cap/sizing
+    * callers (dfCap, bloomOf), wrong for a PUBLISHED value. Callers
+    * that publish the count (t21's idf N) pass `exact = true`: the
+    * manifest answer is then used only when shadowing is provably
+    * impossible (dups allowed or pairwise-disjoint fragments — the
+    * scan's own mergeFree criterion), falling back to `count()`
+    * otherwise. Parquet footers are exact either way. */
+  private[graft] def corpusRows(df: DataFrame,
+      exact: Boolean = false): Long = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -41,7 +51,8 @@ object Dedup {
       case SubqueryAlias(_, c) => walk(c)
       case Project(_, c) => walk(c)
       case r: DataSourceV2Relation => r.table match {
-        case t: graft.sources.v2.GraftTable => Some(t.manifestRowSum)
+        case t: graft.sources.v2.GraftTable =>
+          if (exact) t.manifestRowsExact else Some(t.manifestRowSum)
         case _ => None
       }
       case lr: LogicalRelation => lr.relation match {
@@ -73,22 +84,33 @@ object Dedup {
     Tables.load(s, d, "documents")
 
   /** Distributed Bloom filter over `keyed`'s `key` column. Sizing is
-    * ~16 bits/key (k = 4 → fpr ≈ (1−e^(−1/4))⁴ ≈ 0.2%) from metadata
-    * cardinality ([[corpusRows]] — no count job), next power of two,
-    * capped at 2²² bits (512 KiB of words): past the cap a deployment
-    * shards the filter by key range rather than growing one literal.
-    * The BUILD is a plain aggregation — k hash positions per key,
-    * bit-words via `bit_or`, so at most m/64 rows reach the driver
-    * regardless of corpus size. The returned probe closure tests all k
-    * positions against the word array carried as a literal (whole-stage
-    * codegen; no UDF). Guarantees: no false negatives (every inserted
-    * key probes positive — asserted in DedupSpec), false positives
-    * bounded by the sizing above. */
+    * ~16 bits/key (k = 4 → fpr ≈ (1−e^(−1/4))⁴ ≈ 0.2% — valid BELOW
+    * the cap) from metadata cardinality ([[corpusRows]] — no count
+    * job), next power of two, capped at 2²² bits (512 KiB of words):
+    * past the cap a deployment shards the filter by key range rather
+    * than growing one literal. Beyond ~260k keys the saturated filter
+    * stays CORRECT (positives are always verified downstream) but the
+    * admission tier degrades toward passing everything to the verify
+    * join — the cap hit is logged so the degradation is visible, never
+    * silent. The BUILD is a plain aggregation — k hash positions per
+    * key, bit-words via `bit_or`, so at most m/64 rows reach the
+    * driver regardless of corpus size. The returned probe closure
+    * tests all k positions against the word array carried as a literal
+    * (whole-stage codegen; no UDF). Guarantees: no false negatives
+    * (every inserted key probes positive — asserted in DedupSpec),
+    * false positives bounded by the sizing above while under the
+    * cap. */
   private[graft] def bloomOf(s: SparkSession, keyed: DataFrame, key: Column,
       sizeFrom: DataFrame): (Array[Long], Column => Column) = {
     val k = 4
     val want = math.max(1L << 14, 16L * math.max(1L, corpusRows(sizeFrom)))
     val m = math.min(1L << 22, java.lang.Long.highestOneBit(want * 2 - 1))
+    if (want > (1L << 22))
+      // visible-degradation contract (see docstring): fpr leaves the
+      // ~0.2% design point once the corpus outgrows the capped filter
+      System.err.println(s"[graft] bloomOf: wanted $want bits > 2^22 cap " +
+        s"— fpr exceeds the 0.2% design point; shard the filter by key " +
+        s"range at this corpus size")
     def pos(i: Int)(c: Column): Column = pmod(xxhash64(lit(i), c), lit(m))
     val words = keyed
       .select(explode(array((0 until k).map(i => pos(i)(key)): _*)).as("p"))

@@ -8,13 +8,19 @@ import graft.Tables
   * opaque `binary` columns + typed metadata structs, with
   * decode/feature steps as `mapPartitions` over the binary payloads.
   *
-  * The container has no media codecs, so the decode itself is a
-  * clearly-marked DETERMINISTIC STUB (parses a fake 8-byte header we
-  * synthesize); everything Spark-side — schema, batch shape,
-  * partition-parallel decode, metadata pruning — is real. At 100 TB the
-  * binary column stays columnar in parquet, metadata-only queries never
-  * touch the payload bytes (column pruning), and decode parallelism is
-  * per-partition with no shuffle.
+  * The IMAGE path (m2 decode, m3 resize, m6 near-dup) runs a REAL
+  * codec: payloads are genuine PNG bytes (encoded executor-side with
+  * `javax.imageio` — pure-JVM, public API, zero new dependencies) and
+  * every query decodes them back through `ImageIO.read`. The fixture
+  * GENERATOR is deterministic — the raster tiles the document's ASCII
+  * text, so geometry and pixel statistics are known by construction
+  * and the DuckDB oracles replay them in closed form without a codec;
+  * PNG's lossless 8-bit gray round-trip is what makes the structural
+  * parity exact. The audio/video analogs (m4/m5/m7/m8) and the
+  * modality accounting (m9) still use the documented fake-header STUB
+  * payloads. At 100 TB the binary column stays columnar in parquet,
+  * metadata-only queries never touch the payload bytes (column
+  * pruning), and codec parallelism is per-partition with no shuffle.
   */
 object Multimodal {
 
@@ -37,10 +43,11 @@ object Multimodal {
           col("payload")).as("media"))
   }
 
-  /** STUB decoder — stands in for a real image codec. Parses the fake
+  /** STUB decoder for the fake-header payloads (m9's modality
+    * accounting and the audio/video analogs): parses the 8-byte
     * header + byte stats; deterministic so tests/oracles are stable.
-    * A real deployment swaps `decodeOne` for an actual codec call; the
-    * partition-batched plumbing around it is production-shaped. */
+    * The real-codec image path is [[decodeImageBatch]]; this one
+    * remains for the formats the JDK has no codec for. */
   def decodeBatch(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select("doc_id", "media").as[(Long, Array[Byte])]
@@ -56,30 +63,6 @@ object Multimodal {
       if (body.isEmpty) 0.0
       else body.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / body.length
     MediaMeta(id, w, h, bytes.length.toLong, mean)
-  }
-
-  /** Typed metadata for a resized media payload. */
-  case class ResizedMeta(doc_id: Long, width: Int, height: Int,
-      n_bytes: Long, mean_byte: Double)
-
-  /** STUB resize — stands in for a real image rescale: nearest-
-    * neighbor-style byte subsampling (every `stride`-th payload byte)
-    * to a fixed target geometry, deterministic for the oracle. A real
-    * deployment swaps the body for a codec resample; the partition-
-    * parallel, shuffle-free plumbing is the deliverable. */
-  def resizeBatch(spark: SparkSession, media: DataFrame,
-      w: Int, h: Int, stride: Int): Dataset[ResizedMeta] = {
-    import spark.implicits._
-    media.select("doc_id", "media").as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val body = bytes.drop(8)
-        var i = 0; var sum = 0L; var n = 0L
-        while (i < body.length) {
-          sum += (body(i) & 0xff); n += 1; i += stride
-        }
-        ResizedMeta(id, w, h, 8L + n,
-          if (n == 0) 0.0 else sum.toDouble / n)
-      })
   }
 
   /** One RMS-energy window of a decoded audio payload. */
@@ -117,35 +100,146 @@ object Multimodal {
   /** (doc_id, 60-bit average-hash) of a media payload. */
   case class MediaHash(doc_id: Long, ahash: Long)
 
-  /** STUB perceptual hash — stands in for decode + downsample + pHash
-    * of a real image: 60 stride-sampled payload bytes act as the
-    * downsampled pixels, and the hash is the standard AVERAGE HASH
+  /** Decoded-raster metadata for the REAL image path. */
+  case class ImageMeta(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_px: Double)
+
+  /** Deterministic PNG fixture generator: a REAL grayscale PNG whose
+    * w×h raster is known by construction — w = n%64+1, h = n%48+1,
+    * and pixel k (row-major) is the byte of `text` at position
+    * k mod n (0 for an empty doc — also the m6 empty-payload guard).
+    * Encoded with `javax.imageio` (lossless 8-bit gray), so the
+    * decode queries exercise a genuine codec while the oracle
+    * replays the raster rule in closed form. */
+  private[graft] def encodePng(text: String): Array[Byte] = {
+    val n = text.length
+    val w = n % 64 + 1
+    val h = n % 48 + 1
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var k = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        r.setSample(x, y, 0,
+          if (n == 0) 0 else text.charAt(k % n).toInt & 0xff)
+        x += 1; k += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** `(doc_id, media)` with REAL PNG payloads, encoded ONCE per
+    * dataset and parked as parquet (the annIndexBuild staging-cache
+    * discipline): m2/m3/m6 and repeated bench iterations re-READ the
+    * encoded corpus, never re-run the codec per call. Keyed by the
+    * source file's size+mtime so a regenerated corpus re-encodes. */
+  private val pngMediaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def pngMedia(spark: SparkSession, d: String): DataFrame = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    val path = pngMediaCache.computeIfAbsent(
+      s"$d|${f.length}:${f.lastModified}", _ => {
+        import spark.implicits._
+        val out = graft.core.TempDirs.fresh("graft_pngmedia") + "/media"
+        Tables.load(spark, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) => (id, encodePng(t)) })
+          .toDF("doc_id", "media")
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    spark.read.parquet(path)
+  }
+
+  /** REAL image decode via `javax.imageio`: geometry + mean luma of
+    * the decoded raster. Partition-parallel, shuffle-free; the sum is
+    * integer-exact so the one division replays bit-identically. */
+  def decodeImageBatch(spark: SparkSession,
+      media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        val npx = w.toLong * h
+        ImageMeta(id, w, h, npx, sum.toDouble / npx)
+      })
+  }
+
+  /** REAL decode + nearest-neighbor resample to `tw`×`th`: target
+    * pixel (x,y) reads source pixel (x·w/tw, y·h/th) — exact integer
+    * index arithmetic, so the oracle replays the resample rule on the
+    * synthesized raster. A production bilinear/Lanczos kernel slots
+    * into the same partition-parallel loop. */
+  def resizeImage(spark: SparkSession, media: DataFrame,
+      tw: Int, th: Int): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            sum += r.getSample(x * w / tw, y * h / th, 0)
+            x += 1
+          }
+          y += 1
+        }
+        val npx = tw.toLong * th
+        ImageMeta(id, tw, th, npx, sum.toDouble / npx)
+      })
+  }
+
+  /** Perceptual hash over the DECODED raster: 60 evenly-sampled
+    * pixels (index i·npx/60, row-major), standard AVERAGE HASH
     * (bit i = pixel i above the sample mean). The mean compare is
     * kept integer (`px*60 > sum`) so both engines agree on every
-    * edge case without a division in sight. 60 bits (not 64) for the
-    * same reason as hash60: always positive in a signed long, and
-    * string/integer representations agree everywhere. Deterministic,
-    * partition-parallel, shuffle-free; a real deployment swaps the
-    * byte sampling for codec decode + 8×8 luma downsample, the hash
-    * rule and everything downstream stay. */
+    * edge case without a division in sight; 60 bits (not 64) so the
+    * value stays positive in a signed long. A production pHash swaps
+    * the sampling for an 8×8 luma downsample + DCT; the hash rule
+    * and everything downstream stay. */
   def imageHash(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
     import spark.implicits._
     media.select("doc_id", "media").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val body = bytes.drop(8)
-        val n = body.length
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        val npx = w.toLong * h
         val px = new Array[Long](60)
         var s = 0L
         var i = 0
         while (i < 60) {
-          px(i) = body((i.toLong * n / 60).toInt) & 0xffL
+          val idx = i * npx / 60
+          px(i) = r.getSample((idx % w).toInt, (idx / w).toInt, 0).toLong
           s += px(i)
           i += 1
         }
-        var h = 0L
+        var hsh = 0L
         i = 0
-        while (i < 60) { if (px(i) * 60L > s) h |= 1L << i; i += 1 }
-        MediaHash(id, h)
+        while (i < 60) { if (px(i) * 60L > s) hsh |= 1L << i; i += 1 }
+        MediaHash(id, hsh)
       })
   }
 
@@ -204,28 +298,24 @@ object Multimodal {
         .orderBy("modality")
     }),
 
-    // Decode + feature-extract via partition-parallel stub codec.
-    // Header fields are SQL-derivable from the synthesis rule, so the
-    // oracle checks the full decode round-trip.
-    "m2_decode_features" -> ((s, d) => {
-      val meta = decodeBatch(s, fakeMedia(Tables.load(s, d, "documents")))
-      meta.toDF()
+    // REAL codec decode + feature-extract: genuine PNG payloads
+    // through javax.imageio, partition-parallel. Raster geometry and
+    // pixel stats are SQL-derivable from the generator rule, so the
+    // oracle checks the full encode→decode round-trip.
+    "m2_decode_features" -> ((s, d) =>
+      decodeImageBatch(s, pngMedia(s, d)).toDF()
         .select(col("doc_id"), col("width"), col("height"),
-          col("n_bytes"), round(col("mean_byte"), 4).as("mean_byte"))
-        .orderBy("doc_id")
-    }),
+          col("n_pixels"), round(col("mean_px"), 4).as("mean_px"))
+        .orderBy("doc_id")),
 
-    // Resize via the partition-parallel stub (fixed 16×12 target,
-    // stride-4 byte subsample) — the subsample rule is SQL-derivable,
-    // so the oracle checks the full resize round-trip.
-    "m3_resize" -> ((s, d) => {
-      val rs = resizeBatch(s, fakeMedia(Tables.load(s, d, "documents")),
-        w = 16, h = 12, stride = 4)
-      rs.toDF()
+    // REAL decode + nearest-neighbor resize to a fixed 16×12 target —
+    // exact integer source indexing, so the oracle replays the
+    // resample over the synthesized raster.
+    "m3_resize" -> ((s, d) =>
+      resizeImage(s, pngMedia(s, d), tw = 16, th = 12).toDF()
         .select(col("doc_id"), col("width"), col("height"),
-          col("n_bytes"), round(col("mean_byte"), 4).as("mean_byte"))
-        .orderBy("doc_id")
-    }),
+          col("n_pixels"), round(col("mean_px"), 4).as("mean_px"))
+        .orderBy("doc_id")),
 
     // Frame sampling (video analog): every 4th 16-byte payload block;
     // the payload is UTF-8 text, so frames decode back to substrings
@@ -251,7 +341,7 @@ object Multimodal {
         .orderBy("doc_id", "win_idx")),
 
     // Image near-duplicate detection (the image-dedup step of a
-    // multimodal pipeline): stub-codec average hash per payload, then
+    // multimodal pipeline): REAL PNG decode + average hash, then
     //  - identical hashes collapse to (head, member, dist=0) rows —
     //    LINEAR in group size (the d-family (gid, member) lesson: a
     //    mega-cluster of byte-identical images must not emit O(n²)
@@ -262,7 +352,7 @@ object Multimodal {
     //    recall is GUARANTEED, and candidates are band collisions
     //    only — never all pairs.
     "m6_image_neardup" -> ((s, d) => {
-      val hs = imageHash(s, fakeMedia(Tables.load(s, d, "documents")))
+      val hs = imageHash(s, pngMedia(s, d))
         .toDF().localCheckpoint() // 1 row/doc; feeds groups AND bands
       val heads = hs.groupBy("ahash").agg(min("doc_id").as("head"))
       val dup0 = hs.join(heads, "ahash")
@@ -387,23 +477,33 @@ object Multimodal {
          sum(nb)::bigint AS total_bytes, sum(tok)::bigint AS total_tokens,
          (sum(tok) * 10000 // tt)::bigint AS share_bp
        FROM t, tot GROUP BY modality, tt ORDER BY modality""",
+    // m2: replay the PNG generator's raster rule in closed form —
+    // pixel k of the w×h raster is text byte (k mod n); the codec
+    // round-trip is lossless 8-bit gray, so decoded stats must equal
+    // the rule exactly
     "m2_decode_features" ->
       """SELECT doc_id,
          (n_chars % 64 + 1)::int AS width,
          (n_chars % 48 + 1)::int AS height,
-         8 + octet_length(text::blob) AS n_bytes,
-         round(list_sum([ascii(c)::double for c in split(text, '')]) /
-               octet_length(text::blob), 4) AS mean_byte
+         ((n_chars % 64 + 1) * (n_chars % 48 + 1))::bigint AS n_pixels,
+         round(CASE WHEN n_chars = 0 THEN 0.0 ELSE
+           list_sum([ascii(substr(text, (k % n_chars + 1)::int, 1))::double
+               for k in range(0, (n_chars % 64 + 1) * (n_chars % 48 + 1))])
+             / ((n_chars % 64 + 1) * (n_chars % 48 + 1)) END, 4) AS mean_px
          FROM documents ORDER BY doc_id""",
-    // stride-4 byte subsample = text positions 1, 5, 9, … (1-based)
+    // m3: nearest-neighbor target pixel (x,y) reads source
+    // (x·w//16, y·h//12); k enumerates the 16×12 target row-major
     "m3_resize" ->
-      """SELECT doc_id, 16::int AS width, 12::int AS height,
-         8 + ((octet_length(text::blob) + 3) // 4) AS n_bytes,
-         round(list_sum([ascii(substr(text, i::int, 1))::double
-                 for i in range(1, octet_length(text::blob) + 1)
-                 if (i % 4) = 1]) /
-               ((octet_length(text::blob) + 3) // 4), 4) AS mean_byte
-         FROM documents ORDER BY doc_id""",
+      """WITH b AS (SELECT doc_id, text, n_chars,
+           n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents)
+         SELECT doc_id, 16::int AS width, 12::int AS height,
+           192::bigint AS n_pixels,
+           round(CASE WHEN n_chars = 0 THEN 0.0 ELSE
+             list_sum([ascii(substr(text,
+                 ((((k // 16) * h // 12) * w + ((k % 16) * w // 16))
+                   % n_chars + 1)::int, 1))::double
+               for k in range(0, 192)]) / 192 END, 4) AS mean_px
+         FROM b ORDER BY doc_id""",
     // frame i (stride 4) = 16 payload bytes from offset i*64 =
     // text substring at 1-based position 1 + i*64 (shared frameSql)
     "m4_frame_sample" ->
@@ -468,16 +568,20 @@ object Multimodal {
                  ELSE least(total, (lv + 1) * 64) END
              - fv * 64)::bigint AS kept_samples
          FROM g ORDER BY doc_id""",
-    // m6: same 60 stride-sampled bytes (payload offset i·n/60 =
-    // 1-based text position i·n//60 + 1 on the ASCII corpus), same
-    // integer px·60 > sum bit rule, exact O(n²) hamming replay of the
-    // banded join (the banding only prunes candidates; dist ≤ 6 < 10
-    // bands guarantees recall, so the outputs are identical)
+    // m6: same 60 raster samples (pixel index i·npx//60 of the w×h
+    // raster = text byte at that index mod n), same integer
+    // px·60 > sum bit rule, exact O(n²) hamming replay of the banded
+    // join (the banding only prunes candidates; dist ≤ 6 < 10 bands
+    // guarantees recall, so the outputs are identical); empty docs
+    // hash to 0 — the rule both engines share
     "m6_image_neardup" ->
-      """WITH b AS (SELECT doc_id, text,
-             octet_length(text::blob) AS n FROM documents),
+      """WITH b AS (SELECT doc_id, text, n_chars AS n,
+             (n_chars % 64 + 1) * (n_chars % 48 + 1) AS npx
+           FROM documents),
          p AS (SELECT doc_id,
-             [ascii(substr(text, (i * n // 60 + 1)::int, 1))::bigint
+             [CASE WHEN n = 0 THEN 0::bigint ELSE
+                ascii(substr(text, ((i * npx // 60) % n + 1)::int,
+                  1))::bigint END
               for i in range(0, 60)] AS px
            FROM b),
          hh AS (SELECT doc_id,

@@ -22,6 +22,20 @@ object Relational {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  /** Register `df` as a temp view whose name is SUFFIXED with the
+    * dataset hash (the TextOps.fnCatalogView convention): two
+    * concurrent query constructions on different sf dirs in one
+    * SparkSession each see their own corpus — a fixed view name would
+    * let one silently rebind the other's. Same-dataset replacement is
+    * idempotent; views accumulate one per dataset, not per call. */
+  private def dsView(df: DataFrame, base: String, d: String): String = {
+    val v = base + "_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    df.createOrReplaceTempView(v)
+    v
+  }
+
   /** ts → bigint micros, stable across Spark(µs, UTC) and DuckDB. */
   private def micros(c: Column): Column = unix_micros(c)
 
@@ -214,12 +228,11 @@ object Relational {
     // encoding "no known value yet" so sort keys and hashes stay
     // null-free. Per-customer partitions keep the window parallel.
     "w9_ignore_nulls" -> ((s, d) => {
-      t(s, d, "orders")
+      val v = dsView(t(s, d, "orders")
         .withColumn("price",
           when(col("o_orderkey") % 97 === 3, lit(null).cast("double"))
-            .otherwise(col("o_totalprice")))
-        .createOrReplaceTempView("w9_orders")
-      s.sql("""SELECT o_custkey, o_orderkey,
+            .otherwise(col("o_totalprice"))), "w9_orders", d)
+      s.sql(s"""SELECT o_custkey, o_orderkey,
           coalesce(price, -1.0) AS price,
           coalesce(last_value(price) IGNORE NULLS OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -232,7 +245,7 @@ object Relational {
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1.0)
             AS first_known
-        FROM w9_orders WHERE o_custkey < 500
+        FROM $v WHERE o_custkey < 500
         ORDER BY o_custkey, o_orderkey""")
     }),
 
@@ -243,22 +256,22 @@ object Relational {
     // (broadcast; the null check rides the join), the second as a
     // plain anti join — both single-pass, no per-row subquery.
     "sq4_not_in_nulls" -> ((s, d) => {
-      t(s, d, "customer").createOrReplaceTempView("sq4_customer")
-      t(s, d, "orders").createOrReplaceTempView("sq4_orders")
+      val vc = dsView(t(s, d, "customer"), "sq4_customer", d)
+      val vo = dsView(t(s, d, "orders"), "sq4_orders", d)
       // the UNION ALL NULL is a deterministic fixture (the d11 rule):
       // it guarantees the three-valued branch fires at every scale,
       // and "customers with no 300k+ order" keeps not_exists > 0 —
       // the two variants must SEPARATE or the trap isn't being shown
-      s.sql("""SELECT 'not_exists' AS variant, count(*) AS n FROM (
-          SELECT c_custkey FROM sq4_customer c
-          WHERE NOT EXISTS (SELECT 1 FROM sq4_orders o
+      s.sql(s"""SELECT 'not_exists' AS variant, count(*) AS n FROM (
+          SELECT c_custkey FROM $vc c
+          WHERE NOT EXISTS (SELECT 1 FROM $vo o
                             WHERE o.o_custkey = c.c_custkey
                               AND o.o_totalprice > 300000))
         UNION ALL
         SELECT 'not_in' AS variant, count(*) AS n FROM (
-          SELECT c_custkey FROM sq4_customer
+          SELECT c_custkey FROM $vc
           WHERE c_custkey NOT IN
-            (SELECT o_custkey FROM sq4_orders WHERE o_totalprice > 300000
+            (SELECT o_custkey FROM $vo WHERE o_totalprice > 300000
              UNION ALL SELECT CAST(NULL AS BIGINT)))
         ORDER BY variant""")
     }),
@@ -576,14 +589,14 @@ object Relational {
     // order. Both subqueries decorrelate into one semi + one anti join
     // on c_custkey — no per-row re-execution at any scale.
     "sq2_exists_subquery" -> ((s, d) => {
-      t(s, d, "customer").createOrReplaceTempView("sq2_customer")
-      t(s, d, "orders").createOrReplaceTempView("sq2_orders")
-      s.sql("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
-        FROM sq2_customer c
-        WHERE EXISTS (SELECT 1 FROM sq2_orders o
+      val vc = dsView(t(s, d, "customer"), "sq2_customer", d)
+      val vo = dsView(t(s, d, "orders"), "sq2_orders", d)
+      s.sql(s"""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM $vc c
+        WHERE EXISTS (SELECT 1 FROM $vo o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 350000)
-          AND NOT EXISTS (SELECT 1 FROM sq2_orders o
+          AND NOT EXISTS (SELECT 1 FROM $vo o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'P')
         ORDER BY c_custkey""")
@@ -597,12 +610,12 @@ object Relational {
     // Ordering ranks the raw parquet doubles (identical bits in both
     // engines); only the published price is rounded.
     "sq3_lateral_join" -> ((s, d) => {
-      t(s, d, "customer").createOrReplaceTempView("sq3_customer")
-      t(s, d, "orders").createOrReplaceTempView("sq3_orders")
-      s.sql("""SELECT c.c_custkey, o.o_orderkey,
+      val vc = dsView(t(s, d, "customer"), "sq3_customer", d)
+      val vo = dsView(t(s, d, "orders"), "sq3_orders", d)
+      s.sql(s"""SELECT c.c_custkey, o.o_orderkey,
           round(o.o_totalprice, 2) AS price
-        FROM sq3_customer c,
-        LATERAL (SELECT o_orderkey, o_totalprice FROM sq3_orders o
+        FROM $vc c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM $vo o
                  WHERE o.o_custkey = c.c_custkey
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         WHERE c.c_mktsegment = 'MACHINERY'
@@ -631,19 +644,18 @@ object Relational {
       // is per-LEVEL executor machinery — 18 chain levels × plan+run —
       // not data or shuffle width; a 1-partition child session was
       // tried and bought <10%, so the simple form stays.)
-      t(s, d, "orders").filter(col("o_custkey") < 100)
+      val v = dsView(t(s, d, "orders").filter(col("o_custkey") < 100)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"))
         .withColumn("rk", row_number().over(w))
-        .localCheckpoint()
-        .createOrReplaceTempView("sq5_chain")
-      s.sql("""WITH RECURSIVE walk(o_custkey, o_orderkey, hop, cum) AS (
+        .localCheckpoint(), "sq5_chain", d)
+      s.sql(s"""WITH RECURSIVE walk(o_custkey, o_orderkey, hop, cum) AS (
           SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT), o_totalprice
-          FROM sq5_chain WHERE rk = 1
+          FROM $v WHERE rk = 1
           UNION ALL
           SELECT n.o_custkey, n.o_orderkey, w.hop + 1,
             w.cum + n.o_totalprice
-          FROM walk w JOIN sq5_chain n
+          FROM walk w JOIN $v n
             ON n.o_custkey = w.o_custkey AND n.rk = w.hop + 1)
         SELECT o_custkey, o_orderkey, hop, round(cum, 2) AS cum_price
         FROM walk ORDER BY o_custkey, hop""")

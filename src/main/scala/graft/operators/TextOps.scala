@@ -668,7 +668,9 @@ object TextOps {
     "t21_tfidf_keywords" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dd = docs(s, d)
-      val n = Dedup.corpusRows(dd).toDouble
+      // N is PUBLISHED inside the idf — exact mode: the manifest
+      // shortcut only answers when latest-wins can shadow nothing
+      val n = Dedup.corpusRows(dd, exact = true).toDouble
       val tf = dd.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).cast("double").as("tf"))

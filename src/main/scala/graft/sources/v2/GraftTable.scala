@@ -134,6 +134,20 @@ class GraftTable(
   private[graft] def manifestRowSum: Long =
     store.listFragments(asOf, since).map(_.rows).sum
 
+  /** [[manifestRowSum]] when it is provably EXACT — latest-wins can
+    * shadow nothing: duplicates are allowed (no merge) or the
+    * committed fragments are pairwise disjoint in dim-MBR space (the
+    * same mergeFree criterion the scan uses to skip latest-wins).
+    * `None` when shadowing is possible — exactness-requiring callers
+    * (t21's published idf N) must then count. */
+  private[graft] def manifestRowsExact: Option[Long] = {
+    val frags = store.listFragments(asOf, since)
+    if (arraySchema.allowsDups ||
+        graft.sources.FragmentPruning.pairwiseDisjoint(frags, arraySchema))
+      Some(frags.map(_.rows).sum)
+    else None
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val scanAsOf = Option(options.get("asOfTimestamp")).map(_.toLong)
       .orElse(asOf)

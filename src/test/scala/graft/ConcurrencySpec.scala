@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.sources.GraftArray
+
+/** Concurrency proof for the commit protocol (round-10 verdict ask #4).
+  * Each artifact commits atomically (write-tmp-then-rename,
+  * FragmentStore.write); these tests prove the COMPOSITION:
+  *  - two simultaneous writers appending fragments lose nothing
+  *    (unique ts+id manifest names, strictly-increasing now()),
+  *  - a reader racing a consolidate switch-over sees one of the two
+  *    snapshots, never a torn mix (the manifest rename IS the switch;
+  *    `replaces` hides originals in the same listing that reveals the
+  *    consolidated fragment),
+  *  - a vacuum racing current / pinned time-travel reads cannot
+  *    disturb them (current listings exclude victims the whole time),
+  *  - every intermediate state of vacuum's post-order deletion is a
+  *    readable timeline (the crash-point argument documented at
+  *    GraftArray.vacuum).
+  * Threads over one local JVM stand in for concurrent drivers: the
+  * protocol under test is the FILESYSTEM one (list/rename/delete), the
+  * same calls an object-store deployment issues. */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_conc").toString + "/arr"
+
+  private val sch = ArraySchema(ArrayKind.Sparse,
+    Seq(DimensionSpec("k", LongType)),
+    Seq(AttributeSpec("v", DoubleType)))
+
+  private def read(uri: String) =
+    spark.read.format("graftarray").option("path", uri).load()
+
+  test("two simultaneous writers: no lost fragment, union content") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    val writers = 4
+    val wavesPer = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until wavesPer) {
+            // disjoint 100-key ranges per (writer, wave): content loss
+            // or duplication is then visible in a plain count
+            val lo = (w * wavesPer + i) * 100L
+            GraftArray.write(spark, uri,
+              spark.range(lo, lo + 100)
+                .select(col("id").as("k"), lit(w.toDouble).as("v")))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    val frags = GraftArray.fragments(spark, uri)
+    assert(frags.size == writers * wavesPer,
+      s"lost fragments: ${frags.size} of ${writers * wavesPer}")
+    // strictly-increasing commit timestamps — no two commits collide
+    val ts = frags.map(_.timestamp)
+    assert(ts.distinct.size == ts.size, "colliding commit timestamps")
+    assert(read(uri).count() == writers * wavesPer * 100L)
+    // every writer's every wave is present in full
+    val byV = read(uri).groupBy("v").count()
+      .as[(Double, Long)].collect().toMap
+    assert((0 until writers).forall(w =>
+      byV(w.toDouble) == wavesPer * 100L), s"per-writer counts: $byV")
+  }
+
+  test("reader racing consolidate: every read is one snapshot") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    // overlapping upsert waves — latest-wins makes a torn listing
+    // (originals partially hidden) produce a WRONG sum, not just a
+    // wrong count, so the invariant is content-sensitive
+    for (wave <- 0 until 6)
+      GraftArray.write(spark, uri,
+        spark.range(wave * 50L, wave * 50L + 200L)
+          .select(col("id").as("k"), lit(wave.toDouble).as("v")))
+    val expected = read(uri).agg(count(lit(1)), sum("v"))
+      .as[(Long, Double)].head()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val got = read(uri).agg(count(lit(1)), sum("v"))
+          .as[(Long, Double)].head()
+        if (got != expected) bad.add(got.toString)
+      }
+    })
+    reader.start()
+    try {
+      Thread.sleep(150) // let reads overlap the pre-consolidation state
+      assert(GraftArray.consolidate(spark, uri).isDefined)
+      Thread.sleep(300) // and the post-switch state
+    } finally { stop.set(true); reader.join() }
+    assert(bad.isEmpty, s"torn snapshots: ${bad.toArray.mkString(", ")}")
+    assert(GraftArray.fragments(spark, uri).size == 1)
+  }
+
+  test("vacuum racing current + pinned time-travel reads") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    for (wave <- 0 until 5)
+      GraftArray.write(spark, uri,
+        spark.range(wave * 50L, wave * 50L + 200L)
+          .select(col("id").as("k"), lit(wave.toDouble).as("v")))
+    val firstTs = GraftArray.fragments(spark, uri).head.timestamp
+    val consTs = GraftArray.consolidate(spark, uri).get
+    // pre-vacuum: time travel before the consolidation commit still
+    // sees the originals (history preserved until reclaimed)
+    assert(GraftArray.load(spark, uri, asOf = Some(firstTs))
+      .select("v").as[Double].collect().forall(_ == 0.0))
+    val expected = read(uri).agg(count(lit(1)), sum("v"))
+      .as[(Long, Double)].head()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        // current read and a read pinned AT the consolidation commit:
+        // both resolve to the consolidated fragment only, so vacuum
+        // (which touches victims only) must never disturb them
+        val cur = read(uri).agg(count(lit(1)), sum("v"))
+          .as[(Long, Double)].head()
+        if (cur != expected) bad.add(s"current: $cur")
+        val pinned = GraftArray.load(spark, uri, asOf = Some(consTs))
+          .agg(count(lit(1)), sum("v")).as[(Long, Double)].head()
+        if (pinned != expected) bad.add(s"pinned: $pinned")
+      }
+    })
+    reader.start()
+    val removed =
+      try { Thread.sleep(100); GraftArray.vacuum(spark, uri) }
+      finally { stop.set(true); reader.join() }
+    assert(removed == 5, s"vacuumed $removed of 5")
+    assert(bad.isEmpty, s"disturbed reads: ${bad.toArray.mkString(", ")}")
+    // the documented history-for-space trade: pre-consolidation
+    // instants are no longer reachable (consolidated commit is later)
+    assert(GraftArray.load(spark, uri, asOf = Some(firstTs)).count() == 0L)
+  }
+
+  test("vacuum crash-points: every post-order prefix stays readable") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    // nested consolidation: 3 waves → gen1, another wave → gen2, so
+    // the victim set contains an INTERMEDIATE consolidated fragment
+    // that itself replaces victims
+    for (wave <- 0 until 3)
+      GraftArray.write(spark, uri,
+        spark.range(wave * 50L, wave * 50L + 150L)
+          .select(col("id").as("k"), lit(wave.toDouble).as("v")))
+    assert(GraftArray.consolidate(spark, uri).isDefined)
+    GraftArray.write(spark, uri,
+      spark.range(500, 600).select(col("id").as("k"), lit(9.0).as("v")))
+    assert(GraftArray.consolidate(spark, uri).isDefined)
+    val expected = read(uri).orderBy("k").as[(Long, Double)].collect().toSeq
+    val st = GraftArray.store(spark, uri)
+    val all = st.listFragmentsRaw()
+    val replaced = all.flatMap(_.replaces).toSet
+    val victims = all.filter(f => replaced.contains(f.id))
+    assert(victims.size == 5) // 3 waves + gen1 + the extra wave
+    // replicate vacuum's deletion order (post-order: a victim's own
+    // victims die first) and assert a full, correct read AFTER EVERY
+    // SINGLE deletion — each prefix is a state a crash could leave
+    val byId = victims.map(f => f.id -> f).toMap
+    val order = scala.collection.mutable.ArrayBuffer.empty[FragmentMeta]
+    val seen = scala.collection.mutable.Set.empty[String]
+    def walk(f: FragmentMeta): Unit = if (seen.add(f.id)) {
+      f.replaces.flatMap(byId.get).foreach(walk)
+      order += f
+    }
+    victims.foreach(walk)
+    // the intermediate consolidated victim must come after everything
+    // it replaces — the property the readability argument rests on
+    val pos = order.zipWithIndex.map { case (f, i) => f.id -> i }.toMap
+    order.foreach(f => f.replaces.flatMap(pos.get)
+      .foreach(p => assert(p < pos(f.id), "post-order violated")))
+    order.foreach { f =>
+      st.removeFragment(f)
+      val got = read(uri).orderBy("k").as[(Long, Double)].collect().toSeq
+      assert(got == expected, s"unreadable after removing ${f.id}")
+    }
+    assert(st.listFragmentsRaw().size == 1)
+  }
+}

@@ -663,6 +663,39 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m.mean_byte - ("abc".getBytes.map(_.toInt).sum / 3.0)) < 1e-9)
   }
 
+  test("png codec round-trip: real ImageIO decode equals raster rule") {
+    import spark.implicits._
+    // the payload is a GENUINE PNG (magic bytes prove a real codec
+    // ran), and the decoded geometry/mean replay the generator rule
+    val text = "The quick brown fox jumps over the lazy dog"
+    val bytes = operators.Multimodal.encodePng(text)
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    assert(bytes.take(8).sameElements(magic), "not a PNG payload")
+    val n = text.length
+    val (w, h) = (n % 64 + 1, n % 48 + 1)
+    val media = Seq((1L, bytes), (2L, operators.Multimodal.encodePng("")))
+      .toDF("doc_id", "media")
+    val got = operators.Multimodal.decodeImageBatch(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(got(0).width == w && got(0).height == h &&
+      got(0).n_pixels == w.toLong * h)
+    val expMean = (0 until w * h).map(k => text.charAt(k % n).toInt)
+      .sum.toDouble / (w * h)
+    assert(math.abs(got(0).mean_px - expMean) < 1e-12)
+    // empty doc: 1×1 black raster — the m6 empty-payload guard
+    assert(got(1).width == 1 && got(1).height == 1 && got(1).mean_px == 0.0)
+    // nearest-neighbor resize replays its index rule exactly
+    val rs = operators.Multimodal.resizeImage(spark, media, 16, 12)
+      .collect().sortBy(_.doc_id).head
+    val expRs = (0 until 192).map { k =>
+      val (x, y) = (k % 16, k / 16)
+      text.charAt((y * h / 12 * w + x * w / 16) % n).toInt
+    }.sum.toDouble / 192
+    assert(rs.width == 16 && rs.height == 12 &&
+      math.abs(rs.mean_px - expRs) < 1e-12)
+  }
+
   test("frame sampling stub produces 16-byte frames") {
     val docs = Tables.load(spark, sf, "documents").limit(10)
     val media = docs.select(col("doc_id"),
@@ -731,10 +764,11 @@ class OperatorsSpec extends SparkSpec {
 
   test("m6 image near-dup: injected fixtures hit every output family") {
     import spark.implicits._
-    // 60-char texts → the 60 sampled "pixels" are exactly the chars.
-    // base: 30×'a' + 30×'z' (bit = char > mean ≈ 109.5 → the z-half);
-    // dup: byte-identical; near: 3 a→z flips (dist 3, mean barely
-    // moves); far: inverted pattern (dist ≈ 60)
+    // 60-char texts tile a real 61×13 PNG raster; the 60 sampled
+    // pixels read text positions (i·793//60) mod 60. base: 30×'a' +
+    // 30×'z'; dup: byte-identical (dist 0); near: 3 a→z flips (4 of
+    // the 60 samples land on changed positions → dist 4); far:
+    // inverted pattern (dist 60, dropped)
     val base = "a" * 30 + "z" * 30
     val near = "zzz" + "a" * 27 + "z" * 30
     val far = "z" * 30 + "a" * 30
@@ -746,13 +780,17 @@ class OperatorsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = operators.Multimodal.queries("m6_image_neardup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    // (1,2,0): identical-hash member row; (1,3,3): banded near pair
-    // (heads only — 2 is represented by 1); (·,4): dist ≈ 60, dropped
-    assert(got == Seq((1L, 2L, 0L), (1L, 3L, 3L)), s"pairs: $got")
-    // pure-Scala brute-force replay of the hash rule + O(n²) hamming:
-    // banding must lose nothing at dist ≤ 6 (10 bands pigeonhole)
+    // (1,2,0): identical-hash member row; (1,3,4): banded near pair
+    // (heads only — 2 is represented by 1); (·,4): dist 60, dropped
+    assert(got == Seq((1L, 2L, 0L), (1L, 3L, 4L)), s"pairs: $got")
+    // pure-Scala brute-force replay of the raster rule + O(n²)
+    // hamming: banding must lose nothing at dist ≤ 6 (10 bands
+    // pigeonhole)
     def ahash(t: String): Long = {
-      val px = (0 until 60).map(i => t.charAt(i * t.length / 60).toLong)
+      val n = t.length
+      val npx = (n % 64 + 1).toLong * (n % 48 + 1)
+      val px = (0 until 60).map(i =>
+        if (n == 0) 0L else t.charAt(((i * npx / 60) % n).toInt).toLong)
       val s = px.sum
       px.zipWithIndex.foldLeft(0L) { case (h, (p, i)) =>
         if (p * 60L > s) h | (1L << i) else h

@@ -1,65 +1,90 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 // Throwaway measurement harness (not part of any shipped path).
-// Current experiment: sq5 recursive-CTE per-level floor — baseline vs
-// coalesce(1) chain vs broadcast-hinted recursion leg.
+// Current experiment: ANN dial recalls on a CLUSTERED corpus (verdict
+// r9 ask #5) — the isotropic synthetic corpus is the honest-limit
+// regime; real embedding corpora are blob-clustered and the v19
+// nprobe / v21 oversample dials should be re-measured there.
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    def chainDf = Tables.load(s, d, "orders").filter(col("o_custkey") < 100)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        col("o_totalprice"))
-      .withColumn("rk", row_number().over(w))
-    def sql(view: String, hint: String) =
-      s"""WITH RECURSIVE walk(o_custkey, o_orderkey, hop, cum) AS (
-          SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT), o_totalprice
-          FROM $view WHERE rk = 1
-          UNION ALL
-          SELECT $hint n.o_custkey, n.o_orderkey, w.hop + 1,
-            w.cum + n.o_totalprice
-          FROM walk w JOIN $view n
-            ON n.o_custkey = w.o_custkey AND n.rk = w.hop + 1)
-        SELECT o_custkey, o_orderkey, hop, round(cum, 2) AS cum_price
-        FROM walk ORDER BY o_custkey, hop"""
-    def time(label: String)(body: => Long): Unit = {
-      for (i <- 1 to 3) {
-        val t0 = System.nanoTime()
-        val n = body
-        println(f"[scratch] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    import s.implicits._
+
+    // blob-clustered corpus (the PipelineSpec v11 blob pattern, scaled
+    // up): 16 unit-norm random centers in 64-dim (near-orthogonal by
+    // dimension), vector = center + sigma·gauss noise. Deterministic
+    // (fixed seed); labels 0..9 independent of blob id, like the real
+    // embeddings table.
+    def blobs(n: Int, sigma: Double): DataFrame = {
+      val rnd = new scala.util.Random(42)
+      val centers = Array.fill(16) {
+        val c = Array.fill(64)(rnd.nextGaussian())
+        val nn = math.sqrt(c.map(x => x * x).sum)
+        c.map(x => (x / nn).toFloat)
       }
+      val rows = (0 until n).map { i =>
+        val c = centers(i % 16)
+        val v = c.map(x => (x + sigma * rnd.nextGaussian()).toFloat)
+        (i.toLong, v.toSeq, i % 10)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .localCheckpoint()
     }
-    chainDf.localCheckpoint().createOrReplaceTempView("c_base")
-    time("baseline (32-part checkpoint)") { s.sql(sql("c_base", "")).count() }
-    chainDf.coalesce(1).localCheckpoint().createOrReplaceTempView("c_one")
-    time("coalesce(1) checkpoint") { s.sql(sql("c_one", "")).count() }
-    time("broadcast-hint leg") {
-      s.sql(sql("c_base", "/*+ BROADCAST(n) */")).count() }
-    time("coalesce1 + bcast") {
-      s.sql(sql("c_one", "/*+ BROADCAST(n) */")).count() }
-    // shuffle.partitions=1 via session clone
-    val s1 = s.newSession()
-    s1.conf.set("spark.sql.shuffle.partitions", "1")
-    chainDf.localCheckpoint().createOrReplaceTempView("c_s1")
-    // view registered on root; re-register on s1
-    Tables.load(s1, d, "orders").filter(col("o_custkey") < 100)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        col("o_totalprice"))
-      .withColumn("rk", row_number().over(w))
-      .coalesce(1).localCheckpoint().createOrReplaceTempView("c_s1v")
-    time("1-shuffle-part session") { s1.sql(sql("c_s1v", "")).count() }
+
+    def cosineCol = graft.functions.VectorFunctions.cosine _
+
+    // filtered ANN recall vs nprobe (the v19 dial): probe-routed
+    // top-10 under label=2 vs the exact filtered brute force
+    def filteredRecalls(e: DataFrame, np: Int): Array[Double] = {
+      val (assigned0, centroids) = operators.Ivf.fit(e, k = 16, iters = 3)
+      val assigned = assigned0.localCheckpoint()
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val approx = operators.Similarity.topkSelect(
+        operators.Ivf.probes(q, assigned, centroids, nprobe = np)
+          .filter(col("vec_id") =!= col("query_id") && col("label") === 2)
+          .withColumn("cos", cosineCol(col("qv"), col("embedding"))), 10)
+      val exact = operators.Similarity.topkSelect(
+        e.filter(col("label") === 2).select(col("vec_id"), col("embedding"))
+          .join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosineCol(col("qv"), col("embedding"))), 10)
+      exact.select("query_id", "vec_id")
+        .join(approx.select(col("query_id"), col("vec_id"))
+          .withColumn("h", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("h"), lit(0))) / count(lit(1))).as("r"))
+        .orderBy("query_id").collect().map(_.getDouble(1))
+    }
+
+    // sigma calibration: noise norm ≈ σ·√64 = 8σ against unit centers,
+    // so within-blob cosine ≈ 1/√(1+64σ²): σ=0.35 → ~0.34 (still the
+    // isotropic regime!), σ=0.10 → ~0.78 (moderate), σ=0.05 → ~0.93
+    // (tight — the typical real-embedding regime)
+    for ((n, tag) <- Seq(500 -> "sf0.01-sized", 2000 -> "sf0.1-sized");
+         sigma <- Seq(0.10, 0.05)) {
+      val e = blobs(n, sigma)
+      println(s"[scratch] ===== clustered corpus $tag (n=$n, sigma=$sigma) =====")
+      for (np <- Seq(1, 2, 4, 8, 16)) {
+        val r = filteredRecalls(e, np)
+        println(f"[scratch] v19-dial nprobe=$np%2d  min=${r.min}%.2f median=${r.sorted.apply(r.length / 2)}%.2f")
+      }
+      for (c <- Seq(50, 100, 200, 400)) {
+        val r = operators.Similarity.cascadeRecalls(s, e, c)
+        println(f"[scratch] v21-dial cands=$c%3d  min=${r.min}%.2f median=${r.sorted.apply(r.length / 2)}%.2f")
+      }
+      // unfiltered probe sweep for reference (v24's shape)
+      val hits = operators.Similarity.probeSweepHits(s, e)
+      println(s"[scratch] v24-sweep hits@10/50: " +
+        hits.map { case (np, h) => s"np$np=$h" }.mkString(" "))
+    }
     s.stop()
   }
 }

@@ -11,16 +11,21 @@ import graft.Tables
   * The IMAGE path (m2 decode, m3 resize, m6 near-dup) runs a REAL
   * codec: payloads are genuine PNG bytes (encoded executor-side with
   * `javax.imageio` — pure-JVM, public API, zero new dependencies) and
-  * every query decodes them back through `ImageIO.read`. The fixture
-  * GENERATOR is deterministic — the raster tiles the document's ASCII
-  * text, so geometry and pixel statistics are known by construction
-  * and the DuckDB oracles replay them in closed form without a codec;
-  * PNG's lossless 8-bit gray round-trip is what makes the structural
-  * parity exact. The audio/video analogs (m4/m5/m7/m8) and the
-  * modality accounting (m9) still use the documented fake-header STUB
-  * payloads. At 100 TB the binary column stays columnar in parquet,
-  * metadata-only queries never touch the payload bytes (column
-  * pruning), and codec parallelism is per-partition with no shuffle.
+  * every query decodes them back through `ImageIO.read`. The AUDIO
+  * path (m5 energy, m7 trim) likewise runs a real codec: genuine
+  * RIFF/WAVE payloads (8-bit PCM mono) parsed by
+  * `javax.sound.sampled.AudioSystem`. Both fixture GENERATORS are
+  * deterministic — the PNG raster tiles the document's ASCII text and
+  * the WAV frames ARE its bytes — so geometry, pixel and sample
+  * statistics are known by construction and the DuckDB oracles replay
+  * them in closed form without a codec; the lossless round-trips make
+  * the structural parity exact. The VIDEO analogs (m4 frames, m8
+  * scene-cut) and the modality accounting (m9) keep the documented
+  * fake-header STUB payloads — the JDK ships no video codec, so that
+  * is the honest boundary. At 100 TB the binary column stays columnar
+  * in parquet, metadata-only queries never touch the payload bytes
+  * (column pruning), and codec parallelism is per-partition with no
+  * shuffle.
   */
 object Multimodal {
 
@@ -69,18 +74,57 @@ object Multimodal {
   case class AudioWin(doc_id: Long, win_idx: Int, n_samples: Int,
       rms: Double)
 
-  /** STUB audio decode + windowed RMS energy — stands in for a real
-    * PCM decode feeding voice-activity detection / silence trimming:
-    * payload bytes (after the 8-byte header) act as samples centered
-    * at 64, RMS per `win`-sample window. Deterministic, partition-
-    * parallel, shuffle-free; a real deployment swaps the sample
-    * extraction for a codec, the window loop stays. */
+  /** Deterministic WAV fixture generator: a REAL RIFF/WAVE container
+    * (8-bit unsigned PCM mono, 8 kHz) whose frames are the given
+    * sample bytes — encoded through `javax.sound.sampled`
+    * (pure-JVM, public API). The corpus generator feeds the doc's
+    * ASCII bytes as samples, so decoded sample i = code point i and
+    * the oracles replay the windows in closed form. */
+  private[graft] def encodeWav(samples: Array[Byte]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** `(doc_id, media)` with REAL WAV payloads (samples = the doc's
+    * UTF-8 bytes), encoded ONCE per dataset and parked as parquet —
+    * the [[pngMedia]] staging-cache discipline for the audio path. */
+  private val wavMediaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def wavMedia(spark: SparkSession, d: String): DataFrame = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    val path = wavMediaCache.computeIfAbsent(
+      s"$d|${f.length}:${f.lastModified}", _ => {
+        import spark.implicits._
+        val out = graft.core.TempDirs.fresh("graft_wavmedia") + "/media"
+        Tables.load(spark, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            (id, encodeWav(t.getBytes("UTF-8"))) })
+          .toDF("doc_id", "media")
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    spark.read.parquet(path)
+  }
+
+  /** REAL audio decode + windowed RMS energy: the WAV container is
+    * parsed by `javax.sound.sampled.AudioSystem` (the codec boundary —
+    * a compressed format would swap in here), then samples centered at
+    * 64 fold into one RMS per `win`-sample window. Partition-parallel,
+    * shuffle-free; the squared-sum is integer-exact in double so the
+    * division + sqrt replay bit-identically in the oracle. */
   def audioEnergy(spark: SparkSession, media: DataFrame,
       win: Int): Dataset[AudioWin] = {
     import spark.implicits._
     media.select("doc_id", "media").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val body = bytes.drop(8)
+        val body = decodeWavSamples(bytes)
         val nWin = (body.length + win - 1) / win
         (0 until nWin).map { wi =>
           val from = wi * win
@@ -88,13 +132,22 @@ object Multimodal {
           var acc = 0.0
           var i = from
           while (i < until) {
-            val s = (body(i) & 0xff) - 64.0
+            val s = body(i) - 64.0
             acc += s * s
             i += 1
           }
           AudioWin(id, wi, until - from, math.sqrt(acc / (until - from)))
         }
       }
+  }
+
+  /** Unsigned 8-bit PCM frames of a WAV payload, via the real JDK
+    * audio codec. */
+  private[graft] def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try ais.readAllBytes().map(b => b & 0xff)
+    finally ais.close()
   }
 
   /** (doc_id, 60-bit average-hash) of a media payload. */
@@ -326,14 +379,14 @@ object Multimodal {
           decode(col("frame"), "UTF-8").as("frame_txt"))
         .orderBy("doc_id", "frame_idx")),
 
-    // Audio analog: windowed RMS energy over the payload "samples"
-    // (each payload byte centered at 64 stands in for a PCM sample) —
-    // the VAD/silence-trim primitive shape: partition-parallel stub
-    // decode, one row per 64-sample window, no shuffle. The synthetic
-    // corpus is ASCII so byte i = code point i and the oracle replays
-    // the exact windows and energies.
+    // REAL audio decode: genuine WAV payloads (8-bit PCM mono) parsed
+    // by javax.sound.sampled, windowed RMS energy per 64 samples — the
+    // VAD/silence-trim primitive shape: partition-parallel codec, one
+    // row per window, no shuffle. The generator feeds the doc's ASCII
+    // bytes as samples, so the oracle replays the exact windows and
+    // energies in closed form.
     "m5_audio_energy" -> ((s, d) =>
-      audioEnergy(s, fakeMedia(Tables.load(s, d, "documents")), win = 64)
+      audioEnergy(s, wavMedia(s, d), win = 64)
         .toDF()
         .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
           col("n_samples").cast("long").as("n_samples"),
@@ -416,7 +469,7 @@ object Multimodal {
     // all-silent doc publishes NULL bounds.
     "m7_audio_trim" -> ((s, d) => {
       val thr = 42.0
-      audioEnergy(s, fakeMedia(Tables.load(s, d, "documents")), win = 64)
+      audioEnergy(s, wavMedia(s, d), win = 64)
         .toDF()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_windows"),

@@ -707,13 +707,20 @@ class OperatorsSpec extends SparkSpec {
     assert(lens.forall(_ <= 16))
   }
 
-  test("audio energy stub: exact windows, hand-checked RMS, silence=0") {
+  test("audio energy: real WAV codec, exact windows, hand-checked RMS") {
     import spark.implicits._
-    // "silence" = all bytes 64 (RMS 0); a square wave of 0/128 bytes
-    // has every sample at ±64 → RMS exactly 64
-    val silent = Array.fill[Byte](8)(0) ++ Array.fill[Byte](100)(64)
-    val square = Array.fill[Byte](8)(0) ++
-      Array.tabulate[Byte](128)(i => if (i % 2 == 0) 0 else -128)
+    // genuine RIFF/WAVE containers (magic bytes prove the codec ran):
+    // "silence" = all samples 64 (RMS 0); a square wave of 0/128
+    // samples has every sample at ±64 → RMS exactly 64
+    val silent = operators.Multimodal.encodeWav(Array.fill[Byte](100)(64))
+    val square = operators.Multimodal.encodeWav(
+      Array.tabulate[Byte](128)(i => if (i % 2 == 0) 0 else -128))
+    assert(new String(silent.take(4), "US-ASCII") == "RIFF" &&
+      new String(silent.slice(8, 12), "US-ASCII") == "WAVE",
+      "not a WAV payload")
+    // the JDK codec round-trips the unsigned 8-bit frames exactly
+    assert(operators.Multimodal.decodeWavSamples(square).toSeq ==
+      Seq.tabulate(128)(i => if (i % 2 == 0) 0 else 128))
     val media = Seq((1L, silent), (2L, square)).toDF("doc_id", "media")
     val got = operators.Multimodal.audioEnergy(spark, media, win = 64)
       .collect().map(w => (w.doc_id, w.win_idx, w.n_samples, w.rms))

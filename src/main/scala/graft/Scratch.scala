@@ -42,10 +42,11 @@ object Scratch {
     def cosineCol = graft.functions.VectorFunctions.cosine _
 
     // filtered ANN recall vs nprobe (the v19 dial): probe-routed
-    // top-10 under label=2 vs the exact filtered brute force
-    def filteredRecalls(e: DataFrame, np: Int): Array[Double] = {
-      val (assigned0, centroids) = operators.Ivf.fit(e, k = 16, iters = 3)
-      val assigned = assigned0.localCheckpoint()
+    // top-10 under label=2 vs the exact filtered brute force. ONE
+    // shared k-means fit per corpus (the probeSweepHits / x13 lesson:
+    // the fit is deterministic, never re-run it per depth).
+    def filteredRecalls(e: DataFrame, assigned: DataFrame,
+        centroids: Array[Array[Float]], np: Int): Array[Double] = {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val approx = operators.Similarity.topkSelect(
@@ -72,8 +73,10 @@ object Scratch {
          sigma <- Seq(0.10, 0.05)) {
       val e = blobs(n, sigma)
       println(s"[scratch] ===== clustered corpus $tag (n=$n, sigma=$sigma) =====")
+      val (assigned0, centroids) = operators.Ivf.fit(e, k = 16, iters = 3)
+      val assigned = assigned0.localCheckpoint()
       for (np <- Seq(1, 2, 4, 8, 16)) {
-        val r = filteredRecalls(e, np)
+        val r = filteredRecalls(e, assigned, centroids, np)
         println(f"[scratch] v19-dial nprobe=$np%2d  min=${r.min}%.2f median=${r.sorted.apply(r.length / 2)}%.2f")
       }
       for (c <- Seq(50, 100, 200, 400)) {

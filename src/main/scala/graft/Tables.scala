@@ -14,6 +14,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** 8-hex-char MD5 tag of a dataset path — THE shared suffix rule for
+    * dataset-scoped temp view names (TextOps.fnCatalogView,
+    * Relational.dsView): one definition so the convention cannot fork
+    * between files. */
+  private[graft] def datasetTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+
+  /** Content-change signature of a file OR Spark-written parquet
+    * directory — THE shared cache-key rule for per-dataset staging
+    * caches (drainSessions, pngMedia/wavMedia): for a directory,
+    * `length`/`lastModified` of the directory inode barely move when
+    * part files are rewritten in place, so the signature must cover
+    * the children (name:length:mtime each, sorted). */
+  private[graft] def fileSig(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+        .sorted.mkString(",")
+    else s"${f.length}:${f.lastModified}"
+  }
+
   /** Normalize whatever shape the driver generated `events.ts` in to a
     * session-zoned TimestampType(µs) — the one shape every event-time
     * query (batch windows, as-of/range joins, streaming watermarks)

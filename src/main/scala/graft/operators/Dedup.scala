@@ -838,13 +838,17 @@ object Dedup {
         .select(col("doc_id")).withColumn("ex", lit(1L))
       val nearDup = minhashVerifiedPairs(all, 0.8)
         .select(col("j").as("doc_id")).distinct().withColumn("nr", lit(1L))
-      // the edit tier (the expensive one) only needs labels for docs
-      // the exact tier MISSED — tier priority masks its label on exact
-      // dups anyway, and every exact dup's keeper (identical normalized
-      // text) survives to stand in for it on the pair side
-      val exSurvivors = all.join(exDup.select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      val editDup = editNeardupPairs(exSurvivors, 5)
+      // the edit tier runs over the FULL corpus, exact dups included:
+      // pruning exact-tier catches from the pair universe would be
+      // unsound — exactness is over NORMALIZED text while this tier
+      // pairs on RAW prefixes, so a removed dup (e.g. a case-variant
+      // copy) can be the ONLY raw-prefix edit-partner of a third doc,
+      // whose 3_edit label would silently vanish. The cost concern the
+      // pruning aimed at is already absorbed structurally: identical
+      // raw prefixes collapse to one band-join row inside
+      // editNeardupPairs, so a re-crawl wave adds group members, not
+      // join skew.
+      val editDup = editNeardupPairs(all, 5)
         .select(col("j").as("doc_id")).distinct().withColumn("ed", lit(1L))
       val tiered = all.select("doc_id")
         .join(exDup, Seq("doc_id"), "left")
@@ -1168,8 +1172,7 @@ object Dedup {
              AND len(list_intersect(a.s, b.s))::double /
                  len(list_distinct(list_concat(a.s, b.s)))::double >= 0.8),
          k2 AS (SELECT doc_id,
-             rpad(substring(text, 1, 258), 258, ' ') AS pfx FROM corpus
-           WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+             rpad(substring(text, 1, 258), 258, ' ') AS pfx FROM corpus),
          segs AS (SELECT doc_id, u.s AS slot,
              substring(pfx, u.s * 43 + 1, 43) AS seg
            FROM k2, unnest(range(0, 6)) AS u(s)),

@@ -29,9 +29,7 @@ object Relational {
     * let one silently rebind the other's. Same-dataset replacement is
     * idempotent; views accumulate one per dataset, not per call. */
   private def dsView(df: DataFrame, base: String, d: String): String = {
-    val v = base + "_" + java.security.MessageDigest
-      .getInstance("MD5").digest(d.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(8)
+    val v = base + "_" + Tables.datasetTag(d)
     df.createOrReplaceTempView(v)
     v
   }

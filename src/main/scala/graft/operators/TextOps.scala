@@ -831,9 +831,7 @@ object TextOps {
   private def fnCatalogView(s: SparkSession, d: String): (String, String) = {
     val cat = "gfn6"
     graft.sources.GraftCatalogs.ensure(s, cat, "graft_fncat")
-    val v = s"docs_${cat}_" + java.security.MessageDigest
-      .getInstance("MD5").digest(d.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(8)
+    val v = s"docs_${cat}_" + graft.Tables.datasetTag(d)
     docs(s, d).createOrReplaceTempView(v)
     (cat, v)
   }

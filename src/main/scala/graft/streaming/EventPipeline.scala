@@ -468,15 +468,13 @@ object EventPipeline {
   private[graft] def drainSessions(work: SparkSession, path: String,
       horizonUs: Long, cacheKey: String)(
       sentinelRow: (DataFrame, Long, Int) => DataFrame): String = {
-    // key includes size+mtime so a rewritten source file restages
-    // (a path-only key would serve the OLD corpus and sentinel
-    // timestamps — and a later max ts than the cached sentinels means
-    // the watermark never closes the real sessions: silently empty)
-    val f = new java.io.File(path)
-    val sig = if (f.isDirectory)
-      f.listFiles().map(c => s"${c.getName}:${c.length}:${c.lastModified}")
-        .sorted.mkString(",")
-    else s"${f.length}:${f.lastModified}"
+    // key includes the content signature so a rewritten source file
+    // restages (a path-only key would serve the OLD corpus and
+    // sentinel timestamps — and a later max ts than the cached
+    // sentinels means the watermark never closes the real sessions:
+    // silently empty); Tables.fileSig is the shared directory-aware
+    // rule (the media staging caches key on it too)
+    val sig = graft.Tables.fileSig(path)
     // horizonUs is part of the key: two callers sharing a cacheKey
     // but disagreeing on the horizon must NOT share staged sentinels
     // (wrong-horizon sentinels silently strand state or emit the

@@ -87,10 +87,14 @@ class ConcurrencySpec extends SparkSpec {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val reader = new Thread(() => {
+      // a throwing read is a protocol violation too — collect it,
+      // don't let it kill the thread and pass the test vacuously
       while (!stop.get()) {
-        val got = read(uri).agg(count(lit(1)), sum("v"))
-          .as[(Long, Double)].head()
-        if (got != expected) bad.add(got.toString)
+        try {
+          val got = read(uri).agg(count(lit(1)), sum("v"))
+            .as[(Long, Double)].head()
+          if (got != expected) bad.add(got.toString)
+        } catch { case t: Throwable => bad.add(s"threw: $t"); stop.set(true) }
       }
     })
     reader.start()
@@ -121,16 +125,20 @@ class ConcurrencySpec extends SparkSpec {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val reader = new Thread(() => {
+      // exceptions are violations too (a vacuumed victim's files
+      // vanishing under a current read would throw here, not mismatch)
       while (!stop.get()) {
-        // current read and a read pinned AT the consolidation commit:
-        // both resolve to the consolidated fragment only, so vacuum
-        // (which touches victims only) must never disturb them
-        val cur = read(uri).agg(count(lit(1)), sum("v"))
-          .as[(Long, Double)].head()
-        if (cur != expected) bad.add(s"current: $cur")
-        val pinned = GraftArray.load(spark, uri, asOf = Some(consTs))
-          .agg(count(lit(1)), sum("v")).as[(Long, Double)].head()
-        if (pinned != expected) bad.add(s"pinned: $pinned")
+        try {
+          // current read and a read pinned AT the consolidation commit:
+          // both resolve to the consolidated fragment only, so vacuum
+          // (which touches victims only) must never disturb them
+          val cur = read(uri).agg(count(lit(1)), sum("v"))
+            .as[(Long, Double)].head()
+          if (cur != expected) bad.add(s"current: $cur")
+          val pinned = GraftArray.load(spark, uri, asOf = Some(consTs))
+            .agg(count(lit(1)), sum("v")).as[(Long, Double)].head()
+          if (pinned != expected) bad.add(s"pinned: $pinned")
+        } catch { case t: Throwable => bad.add(s"threw: $t"); stop.set(true) }
       }
     })
     reader.start()

@@ -503,6 +503,65 @@ class DedupSpec extends SparkSpec {
     assert(byDist.get(3L).contains(500L), s"cross: $byDist")
   }
 
+  test("d14 collapse ≡ per-doc blocking on seeded random corpora") {
+    import spark.implicits._
+    // the collapse must be invisible in the RESULT: brute-force replay
+    // of the per-doc blocking contract (pairs sharing ≥1 content
+    // aligned segment, lev ≤ tau) over corpora stacked with the nasty
+    // cases — duplicate groups, shared prefixes, point corruptions,
+    // empty and whitespace-only docs, short docs
+    val rnd = new scala.util.Random(7)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    for (trial <- 0 until 3) {
+      val base = (0 until 8).map(_ =>
+        (0 until (5 + rnd.nextInt(55))).map(_ =>
+          ('a' + rnd.nextInt(4)).toChar).mkString(" "))
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      def add(t: String): Unit = { docs += ((id, t)); id += 1 }
+      base.foreach { t =>
+        add(t)
+        if (rnd.nextBoolean()) add(t) // duplicate group member
+        if (rnd.nextBoolean()) { // point corruption
+          val chars = t.toCharArray
+          for (_ <- 0 until (1 + rnd.nextInt(5)) if chars.nonEmpty)
+            chars(rnd.nextInt(chars.length)) = 'z'
+          add(new String(chars))
+        }
+      }
+      add(""); add("   ") // all-padding prefixes: must pair with nothing
+      val df = docs.toSeq.toDF("doc_id", "text")
+      val got = Dedup.editNeardupPairs(df, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // brute force over padded 258-char prefixes
+      val pfx = docs.map { case (i, t) =>
+        (i, t.take(258).padTo(258, ' ')) }
+      def segs(p: String): Set[(Int, String)] =
+        (0 until 6).map(k => (k, p.substring(k * 43, k * 43 + 43)))
+          .filter(_._2.trim.nonEmpty).toSet
+      val want = (for {
+        (i, pa) <- pfx; (j, pb) <- pfx if i < j
+        if segs(pa).intersect(segs(pb)).nonEmpty
+        d = lev(pa, pb) if d <= 5
+      } yield (i, j, d.toLong)).toSet
+      assert(got == want,
+        s"trial $trial: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
   test("d14 fixture pairs all surface with dist <= 5 at sf0.001") {
     val rows = SparkEntry.queries("d14_edit_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

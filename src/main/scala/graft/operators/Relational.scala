@@ -638,28 +638,25 @@ object Relational {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       // materialize the chain ONCE — every recursion level re-joins
-      // this side. The chain is deliberately BOUNDED (custkey < 100,
-      // ~1k rows), so it collapses to one partition and the recursion
-      // leg broadcast-joins it: each of the 18 levels is then 1-task
-      // scan + broadcast probe, no shuffle. (A big-frontier recursion
-      // would keep its partitioning — this is the small-side shape.)
-      // Floor note, measured at sf0.1 across 5 variants (SCALE.md
-      // "Recursive CTE per-level floor"): ~1.9 s hot here, 1.6 s even
-      // in a 1-shuffle-partition session — ~0.09 s/level of per-LEVEL
-      // planner+scheduler machinery on Spark 4.1.2, not data cost.
+      // this side. (Floor note, round 10 — SCALE.md "Recursive CTE
+      // per-level floor": ~0.09 s/LEVEL of planner+scheduler machinery
+      // on Spark 4.1.2, measured across five variants. The isolated
+      // recursion leg improves under coalesce(1)+BROADCAST (2.33 →
+      // 1.86 s hot on a prebuilt view), but no variant survived the
+      // full-query envelope in a real Bench artifact — the extra
+      // build shuffle / per-level broadcast jobs eat the gain — so
+      // the simple 32-partition form stays and the floor is the
+      // documented engine constant.)
       val v = dsView(t(s, d, "orders").filter(col("o_custkey") < 100)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"))
         .withColumn("rk", row_number().over(w))
-        // repartition, not coalesce: coalesce(1) would pipeline the
-        // window itself into one task; the shuffle keeps the build
-        // parallel and only the ~1k-row result lands on one partition
-        .repartition(1).localCheckpoint(), "sq5_chain", d)
+        .localCheckpoint(), "sq5_chain", d)
       s.sql(s"""WITH RECURSIVE walk(o_custkey, o_orderkey, hop, cum) AS (
           SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT), o_totalprice
           FROM $v WHERE rk = 1
           UNION ALL
-          SELECT /*+ BROADCAST(n) */ n.o_custkey, n.o_orderkey, w.hop + 1,
+          SELECT n.o_custkey, n.o_orderkey, w.hop + 1,
             w.cum + n.o_totalprice
           FROM walk w JOIN $v n
             ON n.o_custkey = w.o_custkey AND n.rk = w.hop + 1)

@@ -61,6 +61,21 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    /** Host-speed calibration: a fixed single-threaded integer loop,
+      * timed in ms. Round 10 measured effective per-core speed
+      * fluctuating ~2× under hypervisor steal across same-day runs on
+      * identical code; recording the probe before pass 1 and after the
+      * last pass makes a polluted window VISIBLE in the artifact
+      * instead of reading as a code regression. Compare `calib_ms`
+      * across artifacts before believing any cross-run mover. */
+    def calibMs(): Long = {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var i = 0L
+      while (i < 400000000L) { s += i * i; i += 1 }
+      if (s == 42L) println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1000000L
+    }
     /** Quiet the JVM between timed queries: clear the SQL cache, unload
       * streaming state-store providers (their maintenance threads and
       * loaded maps survive query.stop()), and collect garbage so one
@@ -122,7 +137,9 @@ object Bench {
           case (Some(e), _) => e }
         (name, sec, gcMs, err, times.count(_._1.isDefined))
       }.toIndexedSeq
+    val calibBefore = calibMs()
     val perPass = (1 to passes).map(_ => sweep())
+    val calibAfter = calibMs()
     // combine: published sec = min across the interleaved passes (a
     // transient load window inflates at most one); gc/failed-iter
     // counts sum; the last error wins
@@ -172,6 +189,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""err":$errs,"failed_iters":$flaky,"n_failed":${failed.size},""" +
         s""""gc_ms":$gcs,"passes":$passRaw,"n_passes":$passes,""" +
+        s""""calib_ms":[$calibBefore,$calibAfter],""" +
         s""""isolate":$isolate,"order":"streaming-last",""" +
         s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

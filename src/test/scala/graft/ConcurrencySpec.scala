@@ -107,6 +107,48 @@ class ConcurrencySpec extends SparkSpec {
     assert(GraftArray.fragments(spark, uri).size == 1)
   }
 
+  test("writer racing consolidate: mid-merge commits survive") {
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    for (wave <- 0 until 4)
+      GraftArray.write(spark, uri,
+        spark.range(wave * 100L, wave * 100L + 100L)
+          .select(col("id").as("k"), lit(wave.toDouble).as("v")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // a writer appending NEW keys while consolidate merges the old
+    // waves: the merge's `replaces` list is fixed at its listing, so a
+    // fragment committed mid-merge must stay visible afterwards —
+    // neither absorbed nor hidden
+    val writer = new Thread(() => {
+      try {
+        for (i <- 0 until 6)
+          GraftArray.write(spark, uri,
+            spark.range(1000L + i * 10, 1000L + i * 10 + 10)
+              .select(col("id").as("k"), lit(90.0 + i).as("v")))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    writer.start()
+    val consolidated =
+      try GraftArray.consolidate(spark, uri)
+      finally writer.join()
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    assert(consolidated.isDefined)
+    // every row of every wave AND every mid-merge commit is present
+    assert(read(uri).count() == 4 * 100L + 6 * 10L)
+    assert(read(uri).filter(col("k") >= 1000L).count() == 60L)
+    // the consolidated fragment replaced only fragments it listed;
+    // mid-merge commits remain as their own fragments
+    val frags = GraftArray.fragments(spark, uri)
+    val merged = frags.filter(_.replaces.nonEmpty)
+    assert(merged.size == 1)
+    val survivors = frags.filterNot(_.replaces.nonEmpty)
+    assert(survivors.size + merged.head.replaces.size >= 6 + 4 - 6,
+      s"fragments: ${frags.size}")
+    // and a second consolidation folds the stragglers in too
+    GraftArray.consolidate(spark, uri)
+    assert(read(uri).count() == 460L)
+  }
+
   test("vacuum racing current + pinned time-travel reads") {
     val uri = tmp()
     GraftArray.create(spark, uri, sch)

@@ -61,19 +61,39 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    /** Host-speed calibration: a fixed single-threaded integer loop,
-      * timed in ms. Round 10 measured effective per-core speed
-      * fluctuating ~2× under hypervisor steal across same-day runs on
-      * identical code; recording the probe before pass 1 and after the
-      * last pass makes a polluted window VISIBLE in the artifact
-      * instead of reading as a code regression. Compare `calib_ms`
-      * across artifacts before believing any cross-run mover. */
-    def calibMs(): Long = {
+    /** Host-speed calibration: a fixed integer loop, timed in ms.
+      * Round 10 measured effective per-core speed fluctuating ~2×
+      * under hypervisor steal across same-day runs on identical code;
+      * recording the probe before pass 1 and after the last pass makes
+      * a polluted window VISIBLE in the artifact instead of reading as
+      * a code regression. Compare `calib_ms` across artifacts before
+      * believing any cross-run mover. */
+    def calibLoop(): Long = {
       val t0 = System.nanoTime()
       var s = 0L
       var i = 0L
       while (i < 400000000L) { s += i * i; i += 1 }
       if (s == 42L) println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1000000L
+    }
+    def calibMs(): Long = calibLoop()
+    /** The probe that matches the EXECUTION regime: `cpus` parallel
+      * copies of the same loop, wall-clock ms until all finish. Round
+      * 10's single-threaded probe under-detected parallel steal — the
+      * regime that actually inflates local[32] numbers (measured:
+      * single-core loop 3.25 s while 16 parallel copies ran 1.5–2.5 s
+      * each). With idle cores the parallel figure ≈ the single figure;
+      * a parallel/single ratio well above 1 means the host cannot
+      * actually run `cpus` threads at single-thread speed during this
+      * window, and every local[32] query time is inflated with it. */
+    def calibParMs(): Long = {
+      val n = math.max(1, cpus.toInt)
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map { _ =>
+        val t = new Thread(() => { calibLoop(); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
       (System.nanoTime() - t0) / 1000000L
     }
     /** Quiet the JVM between timed queries: clear the SQL cache, unload
@@ -93,8 +113,13 @@ object Bench {
     // plan-identical noise); the minimum is the stable cost estimate.
     // 2 iters × 2 interleaved passes ≈ the old 3-iter budget while
     // adding the minutes-scale decorrelation the passes exist for.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // PASSES=1 restores the pre-round-10 single-sweep protocol in
+    // full: the iters default flips back to 3 with it, so passes=1
+    // alone reproduces the old min-of-3 sweep (set ITERS explicitly
+    // to override either way).
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt)
+      .getOrElse(if (passes == 1) 3 else 2)
     // streaming family last — alphabetical within each group
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (if (name.startsWith("st")) 1 else 0, name)
@@ -138,8 +163,10 @@ object Bench {
         (name, sec, gcMs, err, times.count(_._1.isDefined))
       }.toIndexedSeq
     val calibBefore = calibMs()
+    val calibParBefore = calibParMs()
     val perPass = (1 to passes).map(_ => sweep())
     val calibAfter = calibMs()
+    val calibParAfter = calibParMs()
     // combine: published sec = min across the interleaved passes (a
     // transient load window inflates at most one); gc/failed-iter
     // counts sum; the last error wins
@@ -157,6 +184,16 @@ object Bench {
     val failed = results.filter(_._2.isEmpty)
     val qs = results.map { case (k, v, _, _, _, _) =>
       jstr(k) + ":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    // the PRINTED line is capture-window-bounded on the driver side —
+    // BENCH_r10's tail truncated ~174 of 233 per-query values. 3-decimal
+    // rounding (1 ms granularity; the noise floor is far above it)
+    // fits the whole map; full precision plus the gc/pass audit trail
+    // live in BENCH_FULL.json only.
+    def d3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val qsShort = results.map { case (k, v, _, _, _, _) =>
+      jstr(k) + ":" + v.map(d3).getOrElse("null")
     }.mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g, _, _, _) => jstr(k) + ":" + g }
       .mkString("{", ",", "}")
@@ -176,8 +213,11 @@ object Bench {
     // total impossible to mistake for a complete one
     val total = results.flatMap(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+        s""""queries":$qsShort,"n_failed":${failed.size},""" +
+        s""""calib_ms":[$calibBefore,$calibAfter],""" +
+        s""""calib_par_ms":[$calibParBefore,$calibParAfter],""" +
+        s""""sf":${jstr(sfDir)}}"""
     println(line)
     failed.foreach { case (k, _, _, e, _, _) =>
       System.err.println(s"[bench] FAILED $k: ${e.getOrElse("?")}") }
@@ -190,6 +230,7 @@ object Bench {
         s""""err":$errs,"failed_iters":$flaky,"n_failed":${failed.size},""" +
         s""""gc_ms":$gcs,"passes":$passRaw,"n_passes":$passes,""" +
         s""""calib_ms":[$calibBefore,$calibAfter],""" +
+        s""""calib_par_ms":[$calibParBefore,$calibParAfter],""" +
         s""""isolate":$isolate,"order":"streaming-last",""" +
         s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

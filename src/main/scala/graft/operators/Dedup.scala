@@ -22,6 +22,11 @@ import graft.functions.TextFunctions._
 object Dedup {
   private val K = 5 // shingle width (tokens)
 
+  // once-per-JVM guard for the bloomOf cap warning (keyed by wanted
+  // bit count — one line per distinct corpus size, not per call)
+  private val bloomCapWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
   /** Corpus row count for df-cap sizing WITHOUT a count job wherever
     * the plan's metadata already states it: a graft-array scan answers
     * from its fragment manifests (exact — SupportsReportStatistics
@@ -105,12 +110,18 @@ object Dedup {
     val k = 4
     val want = math.max(1L << 14, 16L * math.max(1L, corpusRows(sizeFrom)))
     val m = math.min(1L << 22, java.lang.Long.highestOneBit(want * 2 - 1))
-    if (want > (1L << 22))
+    if (want > (1L << 22) && bloomCapWarned.add(want))
       // visible-degradation contract (see docstring): fpr leaves the
-      // ~0.2% design point once the corpus outgrows the capped filter
+      // ~0.2% design point once the corpus outgrows the capped filter.
+      // Logged once per JVM per wanted size — the two-pass bench would
+      // otherwise repeat it 4× per affected query — and `want` derives
+      // from corpusRows, an UPPER bound for graft-array inputs
+      // (shadowed rows counted), so the real corpus may still be under
+      // the cap.
       System.err.println(s"[graft] bloomOf: wanted $want bits > 2^22 cap " +
-        s"— fpr exceeds the 0.2% design point; shard the filter by key " +
-        s"range at this corpus size")
+        s"(corpus count is an upper bound for array inputs) — fpr may " +
+        s"exceed the 0.2% design point; shard the filter by key range " +
+        s"at this corpus size")
     def pos(i: Int)(c: Column): Column = pmod(xxhash64(lit(i), c), lit(m))
     val words = keyed
       .select(explode(array((0 until k).map(i => pos(i)(key)): _*)).as("p"))
@@ -504,38 +515,104 @@ object Dedup {
   }
 
   /** MinHash-LSH candidate pairs verified with exact set Jaccard ≥
-    * `threshold` — the shared edge generator for d3 (pair listing) and
-    * d5 (cluster dedup). Band key = 4 consecutive signature values. */
+    * `threshold` — the shared edge generator for d3 (pair listing),
+    * d5/d12 (cluster dedup), d15's near tier, and x4 (leakage-safe
+    * split). Band key = 4 consecutive signature values.
+    *
+    * Scale shape (the [[simhashMembers]] / [[editNeardupPairs]]
+    * standard): identical shingle SEQUENCES collapse to one
+    * representative before the band self-join — a mega-cluster of m
+    * byte-identical documents (the re-crawl-heavy web-corpus case)
+    * costs one band-join row instead of m rows on each of its 16 band
+    * keys (~16·m²/2 intermediate rows through single shuffle keys),
+    * and its m·(m−1)/2 pairs expand OUTPUT-bound through the member
+    * table at Jaccard 1 by construction — they never enter the verify
+    * join. The signature pipeline also runs once per DISTINCT sequence
+    * rather than per document. Hot band keys (> [[HotBandCap]]
+    * distinct shingle sets) are dropped from candidate generation with
+    * d4's recall accounting: a true pair is lost only when ALL 16 of
+    * its agreeing bands are that hot. Below the cap the pair set is
+    * provably the per-doc join's: same-sequence docs share every band
+    * and verify at jac 1 ≥ threshold, and two distinct sequences share
+    * a band iff their representatives do. */
   private[graft] def minhashVerifiedPairs(docsDf: DataFrame,
       threshold: Double): DataFrame = {
-    // the band self-join references its input twice — materialize the
-    // signatures once instead of running shingle+minhash on both sides
-    val sig = docsDf.select(col("doc_id"),
-      minhashSignature(shingles(col("text"), K), 64).as("sig"))
+    // members feed the intra self-join and the two cross expansions;
+    // materialize once — this also runs the shingle pipeline once
+    val members = minhashMembers(docsDf).localCheckpoint()
+    // one representative row per distinct shingle sequence; referenced
+    // by the band rows and both sides of the verify join
+    val reps = members.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("sh"))
       .localCheckpoint()
-    val bands = sig.select(col("doc_id"),
+    val bands = minhashBandRows(reps, Some(HotBandCap))
+    val candG = bands.as("a").join(bands.as("b"), "band")
+      .filter(col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+      .distinct()
+    // exact verify on DISTINCT-sequence candidates only
+    val verifiedG = candG
+      .join(reps.select(col("gid").as("ga"), col("sh").as("sa")), "ga")
+      .join(reps.select(col("gid").as("gb"), col("sh").as("sb")), "gb")
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select("ga", "gb", "jac")
+    // intra-group pairs: identical shingle sequences ⇒ Jaccard exactly
+    // 1.0 (= what the verify would compute) — self-join on gid is
+    // output-bound and the per-key buffer spills instead of
+    // materializing the group (never a collect_list mega-row)
+    val intra = members.select(col("gid"), col("doc_id").as("i"))
+      .join(members.select(col("gid"), col("doc_id").as("j")), "gid")
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), lit(1.0).as("jac"))
+    // member expansion AFTER the verify: only true pairs inflate
+    val cross = verifiedG
+      .join(members.select(col("gid").as("ga"), col("doc_id").as("x")),
+        "ga")
+      .join(members.select(col("gid").as("gb"), col("doc_id").as("y")),
+        "gb")
+      .select(least(col("x"), col("y")).as("i"),
+        greatest(col("x"), col("y")).as("j"), col("jac"))
+    intra.unionByName(cross)
+  }
+
+  /** `(doc_id, sh, gid)` rows for [[minhashVerifiedPairs]]: the K-token
+    * shingle sequence plus the identical-sequence group id (smallest
+    * doc_id sharing the sequence — grouping is on the RAW sequence, so
+    * collapse needs no hashing and can never conflate two distinct
+    * sets; permuted-but-equal sets still pair through the band join at
+    * verified jac 1). Documents with an EMPTY shingle set are excluded:
+    * their Jaccard against anything is 0/0 = NULL, which the verify
+    * filter always dropped — grouping them would instead invent
+    * intra pairs the contract never had. A hot cluster of m duplicate
+    * documents is m fixed-width rows spread across partitions (the
+    * window's per-partition buffer spills to disk), never one array
+    * row holding the whole group. */
+  private[graft] def minhashMembers(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), shingles(col("text"), K).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("gid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+
+  /** 16 × 4-row band keys over shingle-sequence REPRESENTATIVES —
+    * `(gid, band)`, hot bands (> cap distinct sequences) dropped.
+    * Takes reps, not docs: the band self-join must see one row per
+    * distinct sequence (spec-asserted in DedupSpec's minhash
+    * mega-cluster test). */
+  private[graft] def minhashBandRows(reps: DataFrame,
+      dfCap: Option[Long]): DataFrame = {
+    val sig = reps.select(col("gid"),
+      minhashSignature(col("sh"), 64).as("sig"))
+    val bands0 = sig.select(col("gid"),
       explode(transform(sequence(lit(0), lit(15)), b =>
         concat_ws("_", b,
           element_at(col("sig"), b * 4 + 1),
           element_at(col("sig"), b * 4 + 2),
           element_at(col("sig"), b * 4 + 3),
           element_at(col("sig"), b * 4 + 4)))).as("band"))
-    val cand = bands.as("a").join(bands.as("b"), "band")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-    // exact verify on candidates only (sets referenced by two joins —
-    // materialized once)
-    val sets = docsDf.select(col("doc_id"), shingles(col("text"), K).as("sh"))
-      .localCheckpoint()
-    cand
-      .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
-      .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
-      .withColumn("jac",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
-      .filter(col("jac") >= threshold)
-      .select("i", "j", "jac")
+    dropHotBands(bands0, dfCap)
   }
 
   /** Distributed connected components by min-label propagation over an
@@ -846,8 +923,9 @@ object Dedup {
       // whose 3_edit label would silently vanish. The cost concern the
       // pruning aimed at is already absorbed structurally: identical
       // raw prefixes collapse to one band-join row inside
-      // editNeardupPairs, so a re-crawl wave adds group members, not
-      // join skew.
+      // editNeardupPairs (and identical shingle sequences inside
+      // minhashVerifiedPairs), so a re-crawl wave adds group members,
+      // not join skew.
       val editDup = editNeardupPairs(all, 5)
         .select(col("j").as("doc_id")).distinct().withColumn("ed", lit(1L))
       val tiered = all.select("doc_id")

@@ -134,16 +134,22 @@ class GraftTable(
   private[graft] def manifestRowSum: Long =
     store.listFragments(asOf, since).map(_.rows).sum
 
-  /** [[manifestRowSum]] when it is provably EXACT — latest-wins can
-    * shadow nothing: duplicates are allowed (no merge) or the
-    * committed fragments are pairwise disjoint in dim-MBR space (the
-    * same mergeFree criterion the scan uses to skip latest-wins).
-    * `None` when shadowing is possible — exactness-requiring callers
-    * (t21's published idf N) must then count. */
+  /** [[manifestRowSum]] when it is provably EXACT — nothing can mask
+    * rows in the scan: no delete tombstone is present (a fragment's
+    * deletePred / deleteCoordFiles mask matching rows of every earlier
+    * fragment INDEPENDENTLY of dim-MBR disjointness), and latest-wins
+    * can shadow nothing (duplicates allowed, or committed fragments
+    * pairwise disjoint in dim-MBR space — the same mergeFree criterion
+    * the scan uses to skip latest-wins). `None` otherwise —
+    * exactness-requiring callers (t21's published idf N) must then
+    * count; a tombstone-bearing array (the v18 GDPR-erasure shape)
+    * would otherwise publish an overcount. */
   private[graft] def manifestRowsExact: Option[Long] = {
     val frags = store.listFragments(asOf, since)
-    if (arraySchema.allowsDups ||
-        graft.sources.FragmentPruning.pairwiseDisjoint(frags, arraySchema))
+    val tombstoned = frags.exists(f =>
+      f.deletePred.isDefined || f.deleteCoordFiles.nonEmpty)
+    if (!tombstoned && (arraySchema.allowsDups ||
+        graft.sources.FragmentPruning.pairwiseDisjoint(frags, arraySchema)))
       Some(frags.map(_.rows).sum)
     else None
   }

@@ -562,6 +562,108 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d3 mega-cluster: minhash band join sees ONE row per distinct sequence") {
+    import spark.implicits._
+    // 500 byte-identical docs + a one-token-tail variant (75 of 76
+    // shingles shared → jac 75/77 ≈ 0.974 ≥ 0.8) + an unrelated doc —
+    // the re-crawl hot-key case the identical-sequence collapse exists
+    // for: the cluster must cost one band-join row, never 500 rows on
+    // each of its 16 band keys
+    val a = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val variant = ((1 to 79).map(i => s"tok$i") :+ "zzz").mkString(" ")
+    val clones = (1L to 500L).map(i => (i, a))
+    val docs = (clones :+ (601L, variant) :+ (602L,
+      "entirely different unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val members = Dedup.minhashMembers(docs)
+    val reps = members.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("sh"))
+    assert(reps.count() == 3L, "one representative per distinct sequence")
+    // the band self-join input: 16 rows per DISTINCT sequence — 500
+    // clones contribute 16 rows, not 8000
+    val bandRows = Dedup.minhashBandRows(reps, Some(Dedup.HotBandCap)).count()
+    assert(bandRows == 3L * 16L, s"band rows $bandRows — collapse missing")
+    // pair set still complete and output-bound: all 500·499/2 clone
+    // pairs at jac exactly 1.0, each clone × the variant verified ≥ 0.8
+    val pairs = Dedup.minhashVerifiedPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val intra = pairs.filter(_._3 == 1.0)
+    assert(intra.length == 500 * 499 / 2, s"intra ${intra.length}")
+    val cross = pairs.filter(_._2 == 601L)
+    assert(cross.length == 500, s"cross ${cross.length}")
+    assert(cross.forall(p => p._3 >= 0.8 && p._3 < 1.0))
+    assert(pairs.length == 500 * 499 / 2 + 500, s"total ${pairs.length}")
+  }
+
+  test("d3 collapse ≡ per-doc banded join on seeded random corpora") {
+    import spark.implicits._
+    // the collapse must be invisible in the RESULT: replay the
+    // pre-collapse per-doc contract (per-doc bands → band self-join →
+    // exact Jaccard verify) with the same primitives over corpora
+    // stacked with the nasty cases — duplicate groups, token
+    // permutations (equal SETS via different sequences), tail
+    // variants, and sub-K docs whose shingle set is empty
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val base = (0 until 10).map(_ =>
+        (0 until (3 + rnd.nextInt(20))).map(_ =>
+          s"w${rnd.nextInt(6)}").mkString(" "))
+      val docsBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      def add(t: String): Unit = { docsBuf += ((id, t)); id += 1 }
+      base.foreach { t =>
+        add(t)
+        if (rnd.nextBoolean()) add(t) // duplicate group member
+        if (rnd.nextBoolean()) add(t + " extra") // tail variant
+        if (rnd.nextBoolean()) // permutation: same tokens, new order
+          add(t.split(" ").reverse.mkString(" "))
+      }
+      add(""); add("   "); add("a b") // empty shingle sets: pair with nothing
+      val df = docsBuf.toSeq.toDF("doc_id", "text").localCheckpoint()
+      val got = Dedup.minhashVerifiedPairs(df, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // the replay must drop empty shingle sets UP FRONT: two sub-K
+      // docs get identical (empty-set) signatures, band-join into a
+      // candidate, and 0/0 Jaccard is a DIVIDE_BY_ZERO error under
+      // ANSI — the per-doc form only ever survived on corpora with no
+      // sub-K docs. The collapse path excludes them structurally
+      // (minhashMembers filters size(sh) > 0), which is the contract:
+      // an empty set's Jaccard against anything is undefined/NULL and
+      // was never a pair.
+      val nonEmpty = df.filter(size(
+        graft.functions.TextFunctions.shingles(col("text"), 5)) > 0)
+      val sig = nonEmpty.select(col("doc_id"),
+        graft.functions.TextFunctions.minhashSignature(
+          graft.functions.TextFunctions.shingles(col("text"), 5), 64)
+          .as("sig"))
+      val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)), b =>
+          concat_ws("_", b,
+            element_at(col("sig"), b * 4 + 1),
+            element_at(col("sig"), b * 4 + 2),
+            element_at(col("sig"), b * 4 + 3),
+            element_at(col("sig"), b * 4 + 4)))).as("band"))
+      val cand = bands.as("a").join(bands.as("b"), "band")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+      val sets = nonEmpty.select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 5).as("sh"))
+      val want = cand
+        .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+        .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+        .withColumn("jac",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))).cast("double"))
+        .filter(col("jac") >= 0.5)
+        .select("i", "j", "jac")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want,
+        s"trial $trial: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
   test("d14 fixture pairs all surface with dist <= 5 at sf0.001") {
     val rows = SparkEntry.queries("d14_edit_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

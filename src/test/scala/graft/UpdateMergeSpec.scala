@@ -91,6 +91,42 @@ class UpdateMergeSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, -1.0), (2L, 20.0)))
   }
 
+  test("manifestRowsExact: tombstones force the count() fallback (t21 idf N)") {
+    val (cat, _) = mkCat()
+    def tabOf(name: String): graft.sources.v2.GraftTable =
+      spark.table(s"$cat.$name").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.asInstanceOf[graft.sources.v2.GraftTable]
+      }.get
+    def mk(name: String): Unit = {
+      spark.sql(s"""CREATE TABLE $cat.$name (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.$name VALUES (1, 1.0), (2, 2.0)")
+      spark.sql(s"INSERT INTO $cat.$name VALUES (3, 3.0), (4, 4.0)")
+    }
+    mk("xm")
+    // disjoint fragments, no tombstones: the manifests answer exactly
+    assert(tabOf("xm").manifestRowsExact.contains(4L))
+    assert(operators.Dedup.corpusRows(
+      spark.table(s"$cat.xm"), exact = true) == 4L)
+    // metadata DELETE → deletePred tombstone: rows are masked in the
+    // scan INDEPENDENTLY of fragment disjointness, so the manifest sum
+    // would overcount (a published idf N would be wrong on the v18
+    // GDPR-erasure shape) — exact mode must fall back to count()
+    spark.sql(s"DELETE FROM $cat.xm WHERE k >= 4")
+    assert(tabOf("xm").manifestRowsExact.isEmpty,
+      "deletePred tombstone must force the count() fallback")
+    assert(operators.Dedup.corpusRows(
+      spark.table(s"$cat.xm"), exact = true) == 3L)
+    // row-level DELETE (attr pred) → delete-coordinate files: same rule
+    mk("xr")
+    spark.sql(s"DELETE FROM $cat.xr WHERE v = 4.0")
+    assert(tabOf("xr").manifestRowsExact.isEmpty,
+      "delete-coordinate files must force the count() fallback")
+    assert(operators.Dedup.corpusRows(
+      spark.table(s"$cat.xr"), exact = true) == 3L)
+  }
+
   test("attribute-predicate DELETE executes row-level with SQL semantics") {
     // the metadata path refuses attribute predicates (per-version
     // masking could resurrect older versions); the row-level rewrite

@@ -14,27 +14,31 @@ import graft.Tables
   * every query decodes them back through `ImageIO.read`. The AUDIO
   * path (m5 energy, m7 trim) likewise runs a real codec: genuine
   * RIFF/WAVE payloads (8-bit PCM mono) parsed by
-  * `javax.sound.sampled.AudioSystem`. Both fixture GENERATORS are
-  * deterministic — the PNG raster tiles the document's ASCII text and
-  * the WAV frames ARE its bytes — so geometry, pixel and sample
-  * statistics are known by construction and the DuckDB oracles replay
-  * them in closed form without a codec; the lossless round-trips make
-  * the structural parity exact. The VIDEO analogs (m4 frames, m8
-  * scene-cut) and the modality accounting (m9) keep the documented
-  * fake-header STUB payloads — the JDK ships no video codec, so that
-  * is the honest boundary. At 100 TB the binary column stays columnar
-  * in parquet, metadata-only queries never touch the payload bytes
-  * (column pruning), and codec parallelism is per-partition with no
-  * shuffle.
+  * `javax.sound.sampled.AudioSystem`. The VIDEO path (m4 frame
+  * sampling, m8 scene-cut) runs a real MULTI-FRAME container: animated
+  * GIF89a — the one multi-frame format the JDK can both write and
+  * read — with each sampled frame a grayscale strip whose pixels are
+  * the payload bytes of that frame ([[encodeGif]]). The modality
+  * accounting (m9) routes every modality through ITS real codec. All
+  * fixture GENERATORS are deterministic — the PNG raster tiles the
+  * document's ASCII text, the WAV frames ARE its bytes, the GIF frame
+  * strips carry the m4 sampling rule's byte blocks — so geometry,
+  * pixel, sample and frame statistics are known by construction and
+  * the DuckDB oracles replay them in closed form without a codec; the
+  * lossless round-trips make the structural parity exact. The one
+  * remaining honest boundary: a COMPRESSED video codec (H.264 etc.)
+  * has no JDK implementation — the container/frame plumbing is real,
+  * the inter-frame compression stage is where a JNI codec would slot
+  * in. At 100 TB the binary column stays columnar in parquet,
+  * metadata-only queries never touch the payload bytes (column
+  * pruning), and codec parallelism is per-partition with no shuffle.
   */
 object Multimodal {
 
-  /** Typed metadata for a decoded media payload. */
-  case class MediaMeta(doc_id: Long, width: Int, height: Int,
-      n_bytes: Long, mean_byte: Double)
-
-  /** Synthesize a deterministic fake "image": 8-byte header
-    * (width:int32 BE, height:int32 BE) + UTF-8 payload from text. */
+  /** Synthesize m1's deterministic opaque binary: 8-byte header
+    * (width:int32 BE, height:int32 BE) + UTF-8 payload from text. The
+    * metadata-path fixture — m1 never decodes it (that is the point);
+    * the codec queries use the real PNG/WAV/GIF generators below. */
   private def fakeMedia(df: DataFrame): DataFrame = {
     val payload = encode(col("text"), "UTF-8")
     val w = (col("n_chars") % 64 + 1).cast("int")
@@ -46,28 +50,6 @@ object Multimodal {
           expr("unhex(lpad(hex(w), 8, '0'))"),
           expr("unhex(lpad(hex(h), 8, '0'))"),
           col("payload")).as("media"))
-  }
-
-  /** STUB decoder for the fake-header payloads (m9's modality
-    * accounting and the audio/video analogs): parses the 8-byte
-    * header + byte stats; deterministic so tests/oracles are stable.
-    * The real-codec image path is [[decodeImageBatch]]; this one
-    * remains for the formats the JDK has no codec for. */
-  def decodeBatch(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
-    import spark.implicits._
-    media.select("doc_id", "media").as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
-  }
-
-  private[graft] def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val w = bb.getInt(0)
-    val h = bb.getInt(4)
-    val body = bytes.drop(8)
-    val mean =
-      if (body.isEmpty) 0.0
-      else body.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / body.length
-    MediaMeta(id, w, h, bytes.length.toLong, mean)
   }
 
   /** One RMS-energy window of a decoded audio payload. */
@@ -134,6 +116,18 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** `(doc_id, n_samples)` through the real WAV decode — the m9 audio
+    * accounting input (token cost scales with decoded sample count,
+    * not container bytes). */
+  private[graft] def wavSampleCounts(spark: SparkSession,
+      media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        (id, decodeWavSamples(b).length.toLong) })
+      .toDF("doc_id", "n_samples")
+  }
+
   /** (doc_id, 60-bit average-hash) of a media payload. */
   case class MediaHash(doc_id: Long, ahash: Long)
 
@@ -179,14 +173,15 @@ object Multimodal {
     * rewritten in place must re-encode — the drainSessions trap). */
   private val mediaStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stagedMedia(spark: SparkSession, d: String, prefix: String)(
+  private def stagedMedia(spark: SparkSession, d: String, prefix: String,
+      where: org.apache.spark.sql.Column = lit(true))(
       encode: String => Array[Byte]): DataFrame = {
     val src = s"$d/documents.parquet"
     val path = mediaStageCache.computeIfAbsent(
       s"$prefix|$d|${Tables.fileSig(src)}", _ => {
         import spark.implicits._
         val out = graft.core.TempDirs.fresh(prefix) + "/media"
-        Tables.load(spark, d, "documents")
+        Tables.load(spark, d, "documents").filter(where)
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions(_.map { case (id, t) => (id, encode(t)) })
           .toDF("doc_id", "media")
@@ -286,14 +281,87 @@ object Multimodal {
       })
   }
 
-  /** Frame sampling stub: every `stride`-th 16-byte block of the payload
-    * as a "frame" (video analog; keeps the explode-shaped plumbing). */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
-    media.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, int((octet_length(media) - 9) / ${16 * stride})), " +
-          s"i -> substring(media, 9 + i * ${16 * stride}, 16))"))
-        .as(Seq("frame_idx", "frame")))
+  /** Deterministic multi-frame GIF fixture generator: a REAL animated
+    * GIF89a — the one multi-frame container `javax.imageio` both
+    * writes and reads — whose frame i is a w×1 grayscale strip
+    * carrying the payload bytes of the m4 sampling rule (every 4th
+    * 16-byte block: frame i = UTF-8 bytes of `text` at
+    * [i·64, i·64+16), the tail strip narrower when the text ends
+    * mid-block). Pixel x of frame i = that byte, encoded losslessly
+    * (GIF's LZW over an 8-bit palette), so decode reconstructs the
+    * exact byte blocks and the m4/m8 oracles keep replaying the frame
+    * rule in closed form, unchanged. Requires text.length ≥ 1 — a
+    * zero-frame GIF does not exist, so [[gifMedia]] skips empty docs
+    * (whose oracle frame table is empty too). */
+  private[graft] def encodeGif(text: String): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    require(bytes.nonEmpty, "encodeGif: empty payload has no frames")
+    val nFrames = (bytes.length - 1) / 64 + 1
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    writer.prepareWriteSequence(writer.getDefaultStreamMetadata(param))
+    var i = 0
+    while (i < nFrames) {
+      val from = i * 64
+      val w = math.min(16, bytes.length - from)
+      val img = new java.awt.image.BufferedImage(w, 1,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var x = 0
+      while (x < w) { r.setSample(x, 0, 0, bytes(from + x) & 0xff); x += 1 }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        param)
+      i += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** `(doc_id, media)` with REAL multi-frame GIF payloads (see
+    * [[encodeGif]]); empty docs carry no media row — their frame table
+    * is empty by the m4 rule. */
+  private[graft] def gifMedia(spark: SparkSession, d: String): DataFrame =
+    stagedMedia(spark, d, "graft_gifmedia",
+      where = length(col("text")) > 0)(encodeGif)
+
+  /** REAL multi-frame decode: every frame of each GIF payload through
+    * `javax.imageio`'s sequence reader, pixels mapped back to bytes →
+    * `(doc_id, frame_idx, frame_txt)`. Partition-parallel and
+    * shuffle-free — frames of one payload never leave their partition;
+    * a compressed-video codec would swap in at the reader line. */
+  def gifFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(iis)
+        try {
+          val n = reader.getNumImages(true)
+          (0 until n).map { i =>
+            val img = reader.read(i)
+            val w = img.getWidth
+            val out = new Array[Byte](w)
+            var x = 0
+            // getRGB goes through the palette's color model — the
+            // decoded gray value, not the palette index
+            while (x < w) {
+              out(x) = (img.getRGB(x, 0) & 0xff).toByte; x += 1
+            }
+            (id, i.toLong, new String(out, "UTF-8"))
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+      .toDF("doc_id", "frame_idx", "frame_txt")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata path: payload size + content digest —
@@ -307,36 +375,37 @@ object Multimodal {
         .orderBy("doc_id")),
 
     // Modality-aware TOKEN accounting — what a multimodal training
-    // budget actually counts: images cost ⌈w/16⌉·⌈h/16⌉ ViT patches,
-    // audio costs one token per 320-byte hop, video costs 8 sampled
-    // frames (m4's rule) of patches. Modality is the deterministic
-    // doc_id%3 routing; geometry comes from the DECODED header (the
-    // m2 stub codec path — production-shaped), so the oracle's replay
-    // from the synthesis rule genuinely checks the decode. Per
-    // modality: items, bytes, tokens and the integer-bp share of the
-    // total token budget. Partition-parallel decode + one 3-group
-    // aggregation — scan-speed.
+    // budget actually counts, with EVERY modality routed through ITS
+    // real codec: image docs (doc_id%3=0) decode their genuine PNG and
+    // cost ⌈w/16⌉·⌈h/16⌉ ViT patches; audio docs (%3=1) decode their
+    // genuine WAV and cost one token per 320-sample hop (+1 partial);
+    // video docs (%3=2) decode their genuine multi-frame GIF and cost
+    // the per-frame patch count summed over sampled frames. Every
+    // published figure derives from DECODED geometry/sample/frame
+    // counts, so the oracle's closed-form replay of the generator
+    // rules genuinely checks all three codecs. Per modality: items,
+    // tokens and the integer-bp share of the total token budget.
+    // Partition-parallel decode + one 3-group aggregation — scan-speed.
     "m9_modal_tokens" -> ((s, d) => {
-      val meta = decodeBatch(s, fakeMedia(Tables.load(s, d, "documents")))
-        .toDF()
-      val tok = meta.select(col("doc_id"), col("n_bytes"),
-        when(col("doc_id") % 3 === 0, lit("image"))
-          .when(col("doc_id") % 3 === 1, lit("audio"))
-          .otherwise(lit("video")).as("modality"),
-        expr("(width + 15) div 16").as("pw"),
-        expr("(height + 15) div 16").as("ph"))
-        .select(col("modality"), col("n_bytes"),
-          when(col("modality") === "image", col("pw") * col("ph"))
-            .when(col("modality") === "audio",
-              expr("n_bytes div 320") + 1)
-            .otherwise(col("pw") * col("ph") * 8).as("tok"))
+      val img = decodeImageBatch(s,
+          pngMedia(s, d).filter(col("doc_id") % 3 === 0)).toDF()
+        .select(lit("image").as("modality"),
+          (expr("(width + 15) div 16") * expr("(height + 15) div 16"))
+            .cast("long").as("tok"))
+      val aud = wavSampleCounts(s,
+          wavMedia(s, d).filter(col("doc_id") % 3 === 1))
+        .select(lit("audio").as("modality"),
+          (expr("n_samples div 320") + 1L).as("tok"))
+      val vid = gifFrames(s, gifMedia(s, d).filter(col("doc_id") % 3 === 2))
+        .groupBy("doc_id")
+        .agg(sum(expr("(octet_length(frame_txt) + 15) div 16")).as("tok"))
+        .select(lit("video").as("modality"), col("tok"))
+      val tok = img.unionByName(aud).unionByName(vid)
       val tot = tok.agg(sum("tok").as("tt"))
       tok.groupBy("modality")
-        .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"),
-          sum("tok").as("total_tokens"))
+        .agg(count(lit(1)).as("n_items"), sum("tok").as("total_tokens"))
         .crossJoin(broadcast(tot))
-        .select(col("modality"), col("n_items"), col("total_bytes"),
-          col("total_tokens"),
+        .select(col("modality"), col("n_items"), col("total_tokens"),
           expr("total_tokens * 10000 div tt").as("share_bp"))
         .orderBy("modality")
     }),
@@ -360,13 +429,14 @@ object Multimodal {
           col("n_pixels"), round(col("mean_px"), 4).as("mean_px"))
         .orderBy("doc_id")),
 
-    // Frame sampling (video analog): every 4th 16-byte payload block;
-    // the payload is UTF-8 text, so frames decode back to substrings
-    // the oracle reconstructs directly.
+    // Frame sampling through a REAL multi-frame container: genuine
+    // animated-GIF payloads decoded frame-by-frame with javax.imageio;
+    // the generator bakes the stride-4 sampling rule into the frames
+    // (strip i = payload bytes at [i·64, i·64+16)), so the decoded
+    // frames reconstruct the exact substrings and the oracle replays
+    // the rule in closed form, unchanged.
     "m4_frame_sample" -> ((s, d) =>
-      sampleFrames(fakeMedia(Tables.load(s, d, "documents")), stride = 4)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          decode(col("frame"), "UTF-8").as("frame_txt"))
+      gifFrames(s, gifMedia(s, d))
         .orderBy("doc_id", "frame_idx")),
 
     // REAL audio decode: genuine WAV payloads (8-bit PCM mono) parsed
@@ -422,17 +492,16 @@ object Multimodal {
     }),
 
     // Scene-cut detection (the shot-boundary step of a video
-    // pipeline): consecutive sampled frames (m4's stub frames) compare
-    // by per-position byte distance + length delta; a cut is declared
-    // where dist ≥ 8 of 16. One lag window per doc (frames are few and
-    // doc-local — no shuffle beyond the doc partitioning) and a
-    // BOUNDED 16-element fold per row (fixed frame width, so the HOF
-    // is constant work — not the per-char-lambda trap).
+    // pipeline): consecutive REAL-decoded GIF frames (m4's container)
+    // compare by per-position byte distance + length delta; a cut is
+    // declared where dist ≥ 8 of 16. One lag window per doc (frames
+    // are few and doc-local — no shuffle beyond the doc partitioning)
+    // and a BOUNDED 16-element fold per row (fixed frame width, so the
+    // HOF is constant work — not the per-char-lambda trap).
     "m8_scene_cut" -> ((s, d) => {
-      val fr = sampleFrames(fakeMedia(Tables.load(s, d, "documents")),
-          stride = 4)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          decode(col("frame"), "UTF-8").as("ft"))
+      val fr = gifFrames(s, gifMedia(s, d))
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_txt").as("ft"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("frame_idx")
       fr.withColumn("prev", lag(col("ft"), 1).over(w))
@@ -478,10 +547,11 @@ object Multimodal {
     })
   )
 
-  /** m4's stub frame table as SQL (frame i = 16 bytes at offset i·64
-    * on the ASCII corpus) — ONE definition behind the m4 and m8
-    * oracles, so the frame rule cannot fork between sampling and
-    * scene-cut. Yields (doc_id, frame_idx, ft). */
+  /** The GIF generator's frame rule as SQL (frame i = 16 bytes at
+    * offset i·64 on the ASCII corpus; empty docs have no frames) —
+    * ONE definition behind the m4, m8 and m9-video oracles, so the
+    * frame rule cannot fork between sampling, scene-cut and token
+    * accounting. Yields (doc_id, frame_idx, ft). */
   private val frameSql =
     """SELECT doc_id, i AS frame_idx,
          substr(text, (1 + i * 64)::int, 16) AS ft
@@ -499,25 +569,28 @@ object Multimodal {
                    lpad(to_hex(n_chars % 48 + 1), 8, '0') ||
                    hex(text::blob))) AS digest
          FROM documents ORDER BY doc_id""",
-    // m9: geometry replays from the synthesis rule (checking the
-    // decode round-trip like m2); all-integer patch/hop arithmetic
+    // m9: every modality's token count replays from its generator
+    // rule in closed form (checking the decode round-trips like
+    // m2/m5/m4): image = PNG raster patches, audio = WAV sample hops
+    // (decoded samples = text bytes), video = per-frame patches over
+    // the GIF frame table (empty docs carry no frames — no media row)
     "m9_modal_tokens" ->
-      """WITH b AS (SELECT doc_id,
-           8 + octet_length(text::blob) AS nb,
-           (n_chars % 64 + 1 + 15) // 16 AS pw,
-           (n_chars % 48 + 1 + 15) // 16 AS ph,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS modality
-         FROM documents),
-         t AS (SELECT modality, nb,
-             CASE WHEN modality = 'image' THEN pw * ph
-                  WHEN modality = 'audio' THEN nb // 320 + 1
-                  ELSE pw * ph * 8 END AS tok
-           FROM b),
+      s"""WITH t AS (
+           SELECT doc_id, 'image' AS modality,
+               (((n_chars % 64 + 1 + 15) // 16) *
+                ((n_chars % 48 + 1 + 15) // 16))::bigint AS tok
+             FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 'audio' AS modality,
+               (octet_length(text::blob) // 320 + 1)::bigint AS tok
+             FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id, 'video' AS modality,
+               sum((octet_length(ft::blob) + 15) // 16)::bigint AS tok
+             FROM ($frameSql) WHERE doc_id % 3 = 2 GROUP BY doc_id),
          tot AS (SELECT sum(tok) AS tt FROM t)
        SELECT modality, count(*) AS n_items,
-         sum(nb)::bigint AS total_bytes, sum(tok)::bigint AS total_tokens,
+         sum(tok)::bigint AS total_tokens,
          (sum(tok) * 10000 // tt)::bigint AS share_bp
        FROM t, tot GROUP BY modality, tt ORDER BY modality""",
     // m2: replay the PNG generator's raster rule in closed form —

@@ -656,13 +656,6 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(3000)}")
   }
 
-  test("multimodal decode stub round-trips header and byte stats") {
-    val m = operators.Multimodal.decodeOne(7L,
-      Array[Byte](0, 0, 0, 3, 0, 0, 0, 2) ++ "abc".getBytes("UTF-8"))
-    assert(m.width == 3 && m.height == 2 && m.n_bytes == 11)
-    assert(math.abs(m.mean_byte - ("abc".getBytes.map(_.toInt).sum / 3.0)) < 1e-9)
-  }
-
   test("png codec round-trip: real ImageIO decode equals raster rule") {
     import spark.implicits._
     // the payload is a GENUINE PNG (magic bytes prove a real codec
@@ -696,15 +689,27 @@ class OperatorsSpec extends SparkSpec {
       math.abs(rs.mean_px - expRs) < 1e-12)
   }
 
-  test("frame sampling stub produces 16-byte frames") {
-    val docs = Tables.load(spark, sf, "documents").limit(10)
-    val media = docs.select(col("doc_id"),
-      concat(lit(Array.fill[Byte](8)(0)), encode(col("text"), "UTF-8")).as("media"))
-    val frames = operators.Multimodal.sampleFrames(media, 2)
-    assert(frames.count() > 0)
-    val lens = frames.select(length(col("frame"))).distinct()
-      .collect().map(_.getInt(0))
-    assert(lens.forall(_ <= 16))
+  test("gif codec round-trip: real multi-frame decode equals frame rule") {
+    import spark.implicits._
+    // a GENUINE animated GIF (magic bytes prove a real codec ran),
+    // frames reconstructing the m4 sampling rule's byte blocks exactly
+    val text = ('a' to 'z').mkString + ('A' to 'Z').mkString +
+      "0123456789" * 8 // 132 chars → 3 frames (offsets 0, 64, 128)
+    val bytes = operators.Multimodal.encodeGif(text)
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a",
+      "not a GIF89a payload")
+    val media = Seq((1L, bytes),
+      (2L, operators.Multimodal.encodeGif("xy"))) // sub-16 single frame
+      .toDF("doc_id", "media")
+    val got = operators.Multimodal.gifFrames(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = (0 until 3).map(i =>
+      (1L, i.toLong, text.slice(i * 64, i * 64 + 16))) :+ (2L, 0L, "xy")
+    assert(got == want, s"frames: $got")
+    // the decode is genuinely multi-frame: 3 distinct images in one
+    // container, tail frame narrower than 16
+    assert(got.count(_._1 == 1L) == 3 && got.last._3.length == 2)
   }
 
   test("audio energy: real WAV codec, exact windows, hand-checked RMS") {

@@ -237,4 +237,127 @@ class ConcurrencySpec extends SparkSpec {
     }
     assert(st.listFragmentsRaw().size == 1)
   }
+
+  test("DELETE tombstone racing a same-range append: last-commit-wins, never a mix") {
+    import graft.sources.v2.PredicateSupport.Cmp
+    // the streaming-ingest + GDPR-delete race, side 1: a tombstone
+    // masks matching rows of every EARLIER fragment only, so the
+    // committed ORDER decides visibility. Pin both orders
+    // deterministically first — the states the race must land on:
+    for (appendFirst <- Seq(true, false)) {
+      val uri = tmp()
+      GraftArray.create(spark, uri, sch)
+      GraftArray.write(spark, uri, spark.range(0, 200)
+        .select(col("id").as("k"), lit(0.0).as("v")))
+      def append(): Unit = GraftArray.write(spark, uri,
+        spark.range(100, 200).select(col("id").as("k"), lit(1.0).as("v")))
+      def del(): Long =
+        GraftArray.commitTombstone(spark, uri, Cmp(">=", "k", 100L))
+      if (appendFirst) { append(); del() } else { del(); append() }
+      val hi = read(uri).filter(col("k") >= 100)
+      if (appendFirst) assert(hi.count() == 0L,
+        "delete committed last must mask base AND append")
+      else {
+        val vs = hi.select("v").as[Double].collect().toSeq
+        assert(vs.size == 100 && vs.forall(_ == 1.0),
+          "append committed after the delete must be fully visible")
+      }
+      assert(read(uri).filter(col("k") < 100).count() == 100L)
+    }
+    // the RACE: visibility must equal what the recorded commit order
+    // predicts — all-or-nothing, never a partially-masked append
+    for (round <- 0 until 3) {
+      val uri = tmp()
+      GraftArray.create(spark, uri, sch)
+      GraftArray.write(spark, uri, spark.range(0, 200)
+        .select(col("id").as("k"), lit(0.0).as("v")))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val delTs = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val t1 = new Thread(() => {
+        try GraftArray.write(spark, uri, spark.range(100, 200)
+          .select(col("id").as("k"), lit(1.0).as("v")))
+        catch { case t: Throwable => errs.add(t) }
+      })
+      val t2 = new Thread(() => {
+        try delTs.set(
+          GraftArray.commitTombstone(spark, uri, Cmp(">=", "k", 100L)))
+        catch { case t: Throwable => errs.add(t) }
+      })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, s"round $round: ${Option(errs.peek())}")
+      val writeTs = GraftArray.fragments(spark, uri)
+        .filter(_.deletePred.isEmpty).map(_.timestamp).max
+      val vs = read(uri).filter(col("k") >= 100)
+        .select("v").as[Double].collect().toSeq
+      if (writeTs > delTs.get())
+        assert(vs.size == 100 && vs.forall(_ == 1.0),
+          s"round $round: append after delete must be fully visible, " +
+            s"got ${vs.size}")
+      else
+        assert(vs.isEmpty,
+          s"round $round: append before delete must be fully masked, " +
+            s"got ${vs.size}")
+      assert(read(uri).filter(col("k") < 100).count() == 100L)
+    }
+  }
+
+  test("MERGE racing compact_small: no resurrection of deleted rows") {
+    // the streaming-ingest + GDPR-delete race, side 2: a row-level
+    // MERGE (update versions + delete-coordinate files in ONE atomic
+    // fragment) concurrent with small-fragment compaction rewriting
+    // the ingest trail. A deleted row must never reappear through the
+    // rewrite — neither logically (the compacted fragment commits AT
+    // the newest merged ts, which stays BELOW the merge commit, so the
+    // coordinate mask keeps applying) nor physically after
+    // consolidate+vacuum reclaim the masked versions.
+    val wh = java.nio.file.Files.createTempDirectory("graft_race").toString
+    val cat = "gc" + scala.util.Random.alphanumeric.take(4).mkString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, v DOUBLE)
+      |TBLPROPERTIES('graft.dimensions'='k')""".stripMargin)
+    val uri = s"$wh/t"
+    // a streaming-style trail of 6 small ingest fragments
+    for (w <- 0 until 6)
+      spark.sql(s"INSERT INTO $cat.t SELECT id AS k, $w.0 AS v " +
+        s"FROM range(${w * 50}, ${w * 50 + 50})")
+    spark.range(0, 300).filter(col("id") % 10 === 3 || col("id") % 10 === 7)
+      .select(col("id").as("k"), (col("id") % 10 === 3).as("del"))
+      .createOrReplaceTempView("merge_src")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val merger = new Thread(() => {
+      try spark.sql(
+        s"""MERGE INTO $cat.t t USING merge_src s ON t.k = s.k
+           |WHEN MATCHED AND s.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = 99.0""".stripMargin)
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val compactor = new Thread(() => {
+      try for (_ <- 0 until 4)
+        GraftArray.consolidateSmall(spark, uri, maxRows = 100L)
+      catch { case t: Throwable => errs.add(t) }
+    })
+    merger.start(); compactor.start(); merger.join(); compactor.join()
+    assert(errs.isEmpty, s"racing statement failed: ${Option(errs.peek())}")
+    def check(tag: String): Unit = {
+      val rows = spark.table(s"$cat.t")
+        .as[(Long, Double)].collect().toMap
+      val dead = (0L until 300L).filter(_ % 10 == 3)
+      assert(dead.forall(!rows.contains(_)),
+        s"$tag: deleted row resurrected: ${dead.filter(rows.contains)}")
+      val upd = (0L until 300L).filter(_ % 10 == 7)
+      assert(upd.forall(k => rows(k) == 99.0),
+        s"$tag: lost update: ${upd.filterNot(k => rows.get(k).contains(99.0))}")
+      val rest = (0L until 300L).filterNot(k => k % 10 == 3 || k % 10 == 7)
+      assert(rest.forall(k => rows(k) == (k / 50).toDouble),
+        s"$tag: ingest row corrupted")
+      assert(rows.size == 270, s"$tag: ${rows.size} rows")
+    }
+    check("post-race")
+    // physical reclaim composes: masked versions vacuumed, still no
+    // resurrection
+    assert(GraftArray.consolidate(spark, uri).isDefined)
+    GraftArray.vacuum(spark, uri)
+    check("post-consolidate+vacuum")
+  }
 }

@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 // Throwaway measurement harness (not part of any shipped path).
-// Current experiment: ANN dial recalls on a CLUSTERED corpus (verdict
-// r9 ask #5) — the isotropic synthetic corpus is the honest-limit
-// regime; real embedding corpora are blob-clustered and the v19
-// nprobe / v21 oversample dials should be re-measured there.
+// Current experiment (round 11, verdict ask #5): corpus-TIGHTNESS
+// measurement — mean cosine of each vector to its assigned centroid —
+// on the isotropic embeddings tables vs the blob-clustered fixtures,
+// plus the dial cells SCALE.md's table left unmeasured (filtered
+// recall at nprobe=2/4 in the tight regime), so the auto-dial
+// thresholds derive from numbers, not guesses.
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[32]")
@@ -17,11 +19,6 @@ object Scratch {
     s.sparkContext.setLogLevel("ERROR")
     import s.implicits._
 
-    // blob-clustered corpus (the PipelineSpec v11 blob pattern, scaled
-    // up): 16 unit-norm random centers in 64-dim (near-orthogonal by
-    // dimension), vector = center + sigma·gauss noise. Deterministic
-    // (fixed seed); labels 0..9 independent of blob id, like the real
-    // embeddings table.
     def blobs(n: Int, sigma: Double): DataFrame = {
       val rnd = new scala.util.Random(42)
       val centers = Array.fill(16) {
@@ -41,10 +38,6 @@ object Scratch {
 
     def cosineCol = graft.functions.VectorFunctions.cosine _
 
-    // filtered ANN recall vs nprobe (the v19 dial): probe-routed
-    // top-10 under label=2 vs the exact filtered brute force. ONE
-    // shared k-means fit per corpus (the probeSweepHits / x13 lesson:
-    // the fit is deterministic, never re-run it per depth).
     def filteredRecalls(e: DataFrame, assigned: DataFrame,
         centroids: Array[Array[Float]], np: Int): Array[Double] = {
       val q = e.filter(col("vec_id") < 5)
@@ -65,28 +58,37 @@ object Scratch {
         .orderBy("query_id").collect().map(_.getDouble(1))
     }
 
-    // sigma calibration: noise norm ≈ σ·√64 = 8σ against unit centers,
-    // so within-blob cosine ≈ 1/√(1+64σ²): σ=0.35 → ~0.34 (still the
-    // isotropic regime!), σ=0.10 → ~0.78 (moderate), σ=0.05 → ~0.93
-    // (tight — the typical real-embedding regime)
-    for ((n, tag) <- Seq(500 -> "sf0.01-sized", 2000 -> "sf0.1-sized");
-         sigma <- Seq(0.10, 0.05)) {
-      val e = blobs(n, sigma)
-      println(s"[scratch] ===== clustered corpus $tag (n=$n, sigma=$sigma) =====")
+    val corpora: Seq[(String, DataFrame)] = Seq(
+      "isotropic-sf0.01" -> Tables.load(s, "/root/testdata/sf0.01",
+        "embeddings"),
+      "isotropic-sf0.1" -> Tables.load(s, "/root/testdata/sf0.1",
+        "embeddings"),
+      "blob-s0.10-n500" -> blobs(500, 0.10),
+      "blob-s0.10-n2000" -> blobs(2000, 0.10),
+      "blob-s0.05-n500" -> blobs(500, 0.05),
+      "blob-s0.05-n2000" -> blobs(2000, 0.05))
+
+    corpora.foreach { case (tag, e0) =>
+      val e = e0.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        (col("vec_id") % 10).as("label")).localCheckpoint()
       val (assigned0, centroids) = operators.Ivf.fit(e, k = 16, iters = 3)
       val assigned = assigned0.localCheckpoint()
-      for (np <- Seq(1, 2, 4, 8, 16)) {
+      val t = operators.Similarity.corpusTightness(assigned, centroids)
+      // anchor-based proxy (v21's training-free variant): nearest of
+      // the 16 lowest-id vectors instead of fitted centroids
+      val anchors = e.orderBy("vec_id").limit(16)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val ta = operators.Similarity.corpusTightness(
+        e.withColumn("cluster",
+          graft.functions.expressions.TopK.argMaxDot(
+            col("embedding"), anchors)), anchors)
+      println(f"[scratch] $tag%-18s tightness(fit)=$t%.3f tightness(anchor)=$ta%.3f")
+      for (np <- Seq(2, 4, 8)) {
         val r = filteredRecalls(e, assigned, centroids, np)
-        println(f"[scratch] v19-dial nprobe=$np%2d  min=${r.min}%.2f median=${r.sorted.apply(r.length / 2)}%.2f")
+        println(f"[scratch]   filtered nprobe=$np%2d min=${r.min}%.2f med=${r.sorted.apply(r.length / 2)}%.2f")
       }
-      for (c <- Seq(50, 100, 200, 400)) {
-        val r = operators.Similarity.cascadeRecalls(s, e, c)
-        println(f"[scratch] v21-dial cands=$c%3d  min=${r.min}%.2f median=${r.sorted.apply(r.length / 2)}%.2f")
-      }
-      // unfiltered probe sweep for reference (v24's shape)
-      val hits = operators.Similarity.probeSweepHits(s, e)
-      println(s"[scratch] v24-sweep hits@10/50: " +
-        hits.map { case (np, h) => s"np$np=$h" }.mkString(" "))
     }
     s.stop()
   }

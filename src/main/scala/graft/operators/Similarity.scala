@@ -190,6 +190,86 @@ object Similarity {
       .select("qlabel", "dlabel", "score_micro", "rk")
   }
 
+  /** Corpus TIGHTNESS: mean cosine of each vector to its assigned
+    * centroid — the one-number statistic separating the isotropic
+    * regime (neighbors barely above background; measured ~0.31 on the
+    * synthetic embeddings tables at sf0.01/0.1) from real blob-
+    * clustered embedding corpora (σ=0.10 blobs ≈ 0.78, σ=0.05 ≈ 0.93;
+    * within-blob cosine ≈ 1/√(1+64σ²)). One codegen pass over the
+    * assignment the IVF build already computed + one aggregation —
+    * free at index-build time, and the number the auto-derived ANN
+    * dials ([[derivedNprobe]], [[derivedCands]]) key off so a
+    * deployment never hand-tunes nprobe/oversample per corpus. */
+  private[graft] def corpusTightness(assigned: DataFrame,
+      centroids: Array[Array[Float]]): Double = {
+    val clit = typedLit(centroids.map(_.toSeq).toSeq)
+    assigned
+      .select(cosine(col("embedding"),
+        element_at(clit, col("cluster") + 1)).as("c"))
+      .agg(coalesce(avg("c"), lit(0.0))).collect()(0).getDouble(0)
+  }
+
+  /** Regime thresholds over [[corpusTightness]] (all four cells
+    * MEASURED — Scratch round-11 + the SCALE.md dial table): the
+    * synthetic isotropic embeddings measure 0.27–0.33 (anchor proxy
+    * 0.23–0.25), σ=0.10 blobs 0.78 (anchor 0.62), σ=0.05 blobs 0.93
+    * (anchor 0.87). ≥ 0.8 = tight, ≥ 0.5 = moderate, below =
+    * isotropic; both estimators land on the same side of each cut
+    * with ≥ 0.07 margin. */
+  private val TightCut = 0.8
+  private val ModerateCut = 0.5
+
+  /** Auto-derived probe width. UNFILTERED routing scales with
+    * tightness — measured: nprobe=1 is already exact on tight blobs
+    * (AnnClusteredSpec) while the isotropic corpus needs the shipped
+    * 2-of-16. FILTERED search does NOT narrow with tightness: at 10%
+    * selectivity the query blob's list holds too few matching rows, so
+    * the 10-NN reach into other blobs — measured min recall at
+    * nprobe=2 on σ=0.05 blobs is 0.0 (!), and only nprobe=8 clears
+    * 0.9 in every regime. The filtered dial is therefore
+    * selectivity-driven (the standard ~1/selectivity widening, capped
+    * at nlist/2), not tightness-driven — the measurement that keeps
+    * this derivation honest. */
+  private[graft] def derivedNprobe(tightness: Double, nlist: Int,
+      filtered: Boolean): Int =
+    if (filtered) math.min(math.max(1, nlist / 2), 8)
+    else if (tightness >= TightCut) 1
+    else 2
+
+  /** Auto-derived cascade oversample width (v21): measured min
+    * recall@10 — cands=100 → 1.0 on tight blobs, 200 → 0.9 on
+    * moderate, 400 → 0.5 on the isotropic honest-limit corpus (the
+    * shipped dial). */
+  private[graft] def derivedCands(tightness: Double): Int =
+    if (tightness >= TightCut) 100
+    else if (tightness >= ModerateCut) 200
+    else 400
+
+  /** Training-free tightness estimator for index-free paths (v21's
+    * cascade — computing a k-means fit there would betray its
+    * no-build contract): anchors = the 16 lowest-id vectors (IVF's
+    * own deterministic init), one codegen argmax pass + one
+    * aggregation. Systematically lower than the fitted estimate
+    * (anchors are corpus members, not means) — the regime cuts hold
+    * for both (measured values in [[TightCut]]'s doc). */
+  private[graft] def anchorTightness(e: DataFrame): Double = {
+    val anchors = e.orderBy("vec_id").limit(16)
+      .select(col("embedding").cast("array<float>")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    if (anchors.isEmpty) 0.0
+    else corpusTightness(
+      e.withColumn("cluster", graft.functions.expressions.TopK
+        .argMaxDot(col("embedding"), anchors)), anchors)
+  }
+
+  /** The tightness stored in an index array's manifest at build time
+    * ([[annIndexBuild]]'s one-pass statistic); 0.0 (→ widest dials)
+    * when absent — a pre-round-11 index stays correct, just unshrunk. */
+  private[graft] def annTightness(s: SparkSession, uri: String): Double =
+    graft.sources.GraftArray.metadata(s, uri)
+      .filter(col("key") === "graft.ann.tightness")
+      .collect().headOption.map(_.getString(1).toDouble).getOrElse(0.0)
+
   /** Exact brute-force top-k for the 5 fixed query vectors — the v2
     * surface and the recall baseline for v3/v4. */
   private def bruteTopK(e: DataFrame): DataFrame = {
@@ -319,6 +399,13 @@ object Similarity {
               org.apache.spark.sql.types.FloatType,
               containsNull = false)) +: extraAttrs))
         annStore(s, uri, assigned, extraAttrs)
+        // the build's one-pass tightness statistic lands in the index
+        // manifest so query time derives its default dials from the
+        // MEASURED corpus regime (never hand-tuned; explicit options
+        // still win) — see derivedNprobe/derivedCands
+        graft.sources.GraftArray.putMetadata(s, uri,
+          Map("graft.ann.tightness" -> String.format(java.util.Locale.ROOT,
+            "%.4f", Double.box(corpusTightness(assigned, centroids)))))
         post(uri, centroids)
         (uri, centroids)
       })
@@ -348,10 +435,16 @@ object Similarity {
   /** The v16/v17 query path over an ALREADY-BUILT index array: probe
     * lists from the driver-side centroid table become a literal IN
     * predicate on the leading dimension (pushed → file pruning), exact
-    * cosine inside the probed lists only. */
+    * cosine inside the probed lists only. `nprobe = None` derives the
+    * probe width from the tightness the build stored in the index
+    * manifest ([[derivedNprobe]]; `filtered` selects the
+    * selectivity-widened variant) — an explicit value always wins. */
   private[graft] def annArrayProbeScore(s: SparkSession, uri: String,
       centroids: Array[Array[Float]], e: DataFrame, k: Int,
-      nprobe: Int = 2, extra: Column = lit(true)): DataFrame = {
+      nprobe: Option[Int] = None, extra: Column = lit(true),
+      filtered: Boolean = false): DataFrame = {
+    val np = nprobe.getOrElse(derivedNprobe(
+      annTightness(s, uri), centroids.length, filtered))
     val arr = s.read.format("graftarray").option("path", uri).load()
     // per-query probe lists from the driver-side centroid table
     // (kilobytes): the probe set becomes a LITERAL IN predicate on
@@ -366,7 +459,7 @@ object Similarity {
         val dot = c.indices.foldLeft(0.0)((a, i) =>
           a + c(i).toDouble * qv(i).toDouble)
         (ci, dot)
-      }.sortBy { case (ci, dot) => (-dot, ci) }.take(nprobe).map(_._1)
+      }.sortBy { case (ci, dot) => (-dot, ci) }.take(np).map(_._1)
       arr.filter(col("cluster").isin(probes.map(Integer.valueOf): _*) &&
           col("vec_id") =!= qid && extra)
         .select(lit(qid).as("query_id"), col("vec_id"),
@@ -921,8 +1014,10 @@ object Similarity {
     }),
 
     // IVF probe-depth tuning report — the recall-vs-latency dial an
-    // index operator reads before fixing nprobe (x21/x25's sweep
-    // family applied to ANN; v19's dial note, now first-class). One
+    // index operator reads before OVERRIDING the auto-derived nprobe
+    // (derivedNprobe from the manifest's stored tightness is the
+    // default; this sweep is the instrument that justifies an explicit
+    // override — x21/x25's sweep family applied to ANN). One
     // shared k-means fit, five probe depths, hits@10 vs exact brute
     // force. Published are three FALSIFIABLE invariants per depth:
     // recall_ok (measured floors with margin: hits 35/38/42/47/50 at
@@ -1028,7 +1123,8 @@ object Similarity {
     "v17_ann_incremental" -> ((s, d) => {
       val e = emb(s, d)
       val (uri, centroids) = annArrayIncrBuild(s, d, e)
-      recallCheck(annArrayProbeScore(s, uri, centroids, e, 10, nprobe = 6),
+      recallCheck(annArrayProbeScore(s, uri, centroids, e, 10,
+          nprobe = Some(6)),
         bruteTopK(e), bound = 0.5)
     }),
 
@@ -1094,21 +1190,23 @@ object Similarity {
     // pre-filter strategy), never a post-pass over fetched candidates.
     // A ~10%-selective filter thins every inverted list, so the top-k
     // of the filtered pool reaches deeper into the centroid ordering
-    // than the unfiltered top-k does — probe width is raised to 8 of
-    // 16 (the standard selectivity⇄nprobe dial; hybrid engines widen
-    // the search exactly this way as selectivity drops): measured
-    // recall vs exact filtered brute force is min 0.5 at sf0.01
-    // (500-vec corpus — the filtered pool is ~50 vectors, so the 10-NN
-    // reach into far lists) and min 0.8 / median 0.9 at sf0.1, at a
-    // still-2× scan prune. Deterministic: centroids and corpus are
-    // fixed, so the published bound is a constant, not a flake.
-    // all_match asserts no unlabeled row leaks through the pushed
-    // predicate (the filter-correctness half of the contract).
+    // than the unfiltered top-k does — probe width DERIVES as the
+    // selectivity-widened dial (derivedNprobe filtered=true → 8 of 16,
+    // the standard selectivity⇄nprobe widening; measured round 11:
+    // tightness does NOT license narrowing it — min recall at nprobe=2
+    // on tight σ=0.05 blobs is 0.0): measured recall vs exact filtered
+    // brute force is min 0.5 at sf0.01 (500-vec corpus — the filtered
+    // pool is ~50 vectors, so the 10-NN reach into far lists) and min
+    // 0.8 / median 0.9 at sf0.1, at a still-2× scan prune.
+    // Deterministic: centroids and corpus are fixed, so the published
+    // bound is a constant, not a flake. all_match asserts no unlabeled
+    // row leaks through the pushed predicate (the filter-correctness
+    // half of the contract).
     "v19_ann_filtered" -> ((s, d) => {
       val e = emb(s, d)
       val (uri, centroids) = annArrayFilteredBuild(s, d, e)
       val approx = annArrayProbeScore(s, uri, centroids, e, 10,
-        nprobe = 8, extra = col("label") === 2).localCheckpoint()
+        extra = col("label") === 2, filtered = true).localCheckpoint()
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val filteredExact = topkSelect(
@@ -1160,16 +1258,20 @@ object Similarity {
     // for the bounded superset only). The sketch is clustering-free —
     // no training, no index build — so this is the tier for a corpus
     // scanned ONCE (IVF's build cost never amortizes there). The
-    // oversample is wide because this corpus sits in v1b's honest-
-    // limit regime (isotropic vectors, neighbors barely above
-    // background): measured recall@10 by width at sf0.1 is min
-    // 0.3/0.3/0.5/0.9 for 100/200/400/800 candidates; 400 (6.7% of
-    // the sf0.1 corpus, deterministic min 0.5; all-1.0 at sf0.01)
-    // is the shipped dial. Real embedding corpora separate far
-    // better and would run at 50–100.
+    // oversample DERIVES from the measured corpus regime
+    // (anchorTightness → derivedCands; no hand-tuned width): this
+    // corpus sits in v1b's honest-limit regime (isotropic vectors,
+    // anchor tightness 0.23–0.25, neighbors barely above background),
+    // so the derived width is the widest tier, 400 — measured
+    // recall@10 by width at sf0.1 is min 0.3/0.3/0.5/0.9 for
+    // 100/200/400/800 candidates (deterministic min 0.5 at 400;
+    // all-1.0 at sf0.01). Real embedding corpora measure tight
+    // (anchor ≥ 0.8) and derive 100 — AnnClusteredSpec pins both
+    // derivations.
     "v21_ann_cascade" -> ((s, d) => {
       val e = emb(s, d)
-      recallCheck(cascadeTopK(e, cands = 400), bruteTopK(e), bound = 0.5)
+      recallCheck(cascadeTopK(e, cands = derivedCands(anchorTightness(e))),
+        bruteTopK(e), bound = 0.5)
     }),
 
     "v14_random_projection" -> ((s, d) => {

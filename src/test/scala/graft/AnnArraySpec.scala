@@ -115,7 +115,8 @@ class AnnArraySpec extends SparkSpec {
       s"label filter broke pruning: ${parts.size} of $totalFiles")
     // the probe path end-to-end returns only labeled rows
     val res = operators.Similarity.annArrayProbeScore(
-      spark, uri, cents, e, 10, nprobe = 8, extra = col("label") === 2)
+      spark, uri, cents, e, 10, extra = col("label") === 2,
+      filtered = true)
     val labels = res.join(e.select("vec_id", "label"), "vec_id")
       .select("label").distinct().collect().map(_.getInt(0)).toSet
     assert(labels == Set(2), s"unlabeled rows leaked: $labels")

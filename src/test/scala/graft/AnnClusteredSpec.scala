@@ -49,7 +49,43 @@ class AnnClusteredSpec extends SparkSpec {
     assert(r.min >= 0.9, s"recalls: ${r.toSeq}")
   }
 
-  test("clustered corpus: filtered search at shipped nprobe=8 >= 0.9") {
+  test("derived dials land in the right regime on BOTH corpus shapes") {
+    import operators.Similarity.{anchorTightness, corpusTightness,
+      derivedCands, derivedNprobe}
+    // tight blob corpus: both tightness estimators clear the 0.8 cut
+    // (measured fit 0.93, anchor 0.87) → nprobe 1, cands 100
+    val (assignedB, centB) = operators.Ivf.fit(blobs, k = 16, iters = 3)
+    val tFitB = corpusTightness(assignedB.localCheckpoint(), centB)
+    val tAnchB = anchorTightness(blobs)
+    assert(tFitB >= 0.9 && tAnchB >= 0.85, s"blob tightness $tFitB/$tAnchB")
+    assert(derivedNprobe(tFitB, 16, filtered = false) == 1)
+    assert(derivedCands(tAnchB) == 100)
+    // isotropic corpus (seeded random gaussians — the synthetic-table
+    // regime, measured fit 0.27–0.33 / anchor 0.23–0.25): both
+    // estimators stay under the 0.5 cut → the shipped widest dials
+    val rnd = new scala.util.Random(7)
+    val iso = (0 until 500).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat), i % 10)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint()
+    val (assignedI, centI) = operators.Ivf.fit(iso, k = 16, iters = 3)
+    val tFitI = corpusTightness(assignedI.localCheckpoint(), centI)
+    val tAnchI = anchorTightness(iso)
+    assert(tFitI < 0.5 && tAnchI < 0.5, s"iso tightness $tFitI/$tAnchI")
+    assert(derivedNprobe(tFitI, 16, filtered = false) == 2)
+    assert(derivedCands(tAnchI) == 400)
+    // the filtered dial is selectivity-driven in EVERY regime
+    // (measured: nprobe=2 on tight blobs has min filtered recall 0.0)
+    assert(derivedNprobe(tFitB, 16, filtered = true) == 8)
+    assert(derivedNprobe(tFitI, 16, filtered = true) == 8)
+    // and the cascade at the blob-derived width stays >= 0.9
+    val r = operators.Similarity.cascadeRecalls(spark, blobs,
+      cands = derivedCands(tAnchB))
+    assert(r.min >= 0.9, s"derived-cands recalls: ${r.toSeq}")
+  }
+
+  test("clustered corpus: filtered search at derived nprobe=8 >= 0.9") {
     val (assigned0, centroids) = operators.Ivf.fit(blobs, k = 16, iters = 3)
     val assigned = assigned0.localCheckpoint()
     val q = blobs.filter(col("vec_id") < 5)

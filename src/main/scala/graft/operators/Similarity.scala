@@ -206,7 +206,8 @@ object Similarity {
     assigned
       .select(cosine(col("embedding"),
         element_at(clit, col("cluster") + 1)).as("c"))
-      .agg(coalesce(avg("c"), lit(0.0))).collect()(0).getDouble(0)
+      .agg(coalesce(avg("c"), lit(0.0)))
+      .collect()(0).getDouble(0) // 1 aggregate row
   }
 
   /** Regime thresholds over [[corpusTightness]] (all four cells
@@ -254,7 +255,8 @@ object Similarity {
     * for both (measured values in [[TightCut]]'s doc). */
   private[graft] def anchorTightness(e: DataFrame): Double = {
     val anchors = e.orderBy("vec_id").limit(16)
-      .select(col("embedding").cast("array<float>")).collect()
+      .select(col("embedding").cast("array<float>"))
+      .collect() // ≤ 16 anchor rows
       .map(_.getSeq[Float](0).toArray)
     if (anchors.isEmpty) 0.0
     else corpusTightness(
@@ -268,7 +270,8 @@ object Similarity {
   private[graft] def annTightness(s: SparkSession, uri: String): Double =
     graft.sources.GraftArray.metadata(s, uri)
       .filter(col("key") === "graft.ann.tightness")
-      .collect().headOption.map(_.getString(1).toDouble).getOrElse(0.0)
+      .collect() // ≤ 1 metadata row (driver-side manifest read)
+      .headOption.map(_.getString(1).toDouble).getOrElse(0.0)
 
   /** Exact brute-force top-k for the 5 fixed query vectors — the v2
     * surface and the recall baseline for v3/v4. */

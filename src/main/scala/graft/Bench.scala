@@ -219,6 +219,21 @@ object Bench {
         s""""calib_par_ms":[$calibParBefore,$calibParAfter],""" +
         s""""sf":${jstr(sfDir)}}"""
     println(line)
+    // The harness captures only a ~2 kB TAIL of stdout (BENCH_r09/r10
+    // are byte-identical 2208-B tails whose JSON starts mid-line →
+    // "parsed": null) — no per-query map over 233 queries can fit
+    // that, at any rounding. So after the full contract line, print a
+    // LAST line that is complete within the tail: totals + calls-out
+    // to where the per-query values live (BENCH_FULL.json, committed).
+    // A tail parser finds this line whole; a full-stream parser finds
+    // the full line first — either way the artifact is parseable.
+    println(
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+        s""""queries":{},"queries_in":"BENCH_FULL.json",""" +
+        s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+        s""""calib_ms":[$calibBefore,$calibAfter],""" +
+        s""""calib_par_ms":[$calibParBefore,$calibParAfter],""" +
+        s""""sf":${jstr(sfDir)}}""")
     failed.foreach { case (k, _, _, e, _, _) =>
       System.err.println(s"[bench] FAILED $k: ${e.getOrElse("?")}") }
     // stdout captures have truncated the single line mid-record in past

@@ -1290,6 +1290,49 @@ object Similarity {
         bruteTopK(e), bound = 0.5)
     }),
 
+    // ANN DIAL REPORT — the auto-dial machinery as a user-facing read:
+    // the operational "what will this corpus's defaults be" query a
+    // deployment runs before serving an index. Publishes the measured
+    // anchor tightness (fixed-point: per-vector floor-micro cosine to
+    // the best of the 16 lowest-id anchors, floor-mean — engine-exact
+    // integers, the v25/t30 pattern) plus the regime classification
+    // and every derived dial. Unlike the recall_ok constants, the
+    // oracle VALUE-REPLAYS the whole derivation: anchor selection,
+    // argmax-dot assignment (first-max tie rule = the kernel's
+    // lowest-index rule), the zero-norm cosine guard, the micro mean,
+    // and the regime cuts — so a broken assignment kernel, a drifted
+    // cut, or a dial regression all flip published values. One codegen
+    // scan + one aggregation; anchors are a 16-row collect.
+    "v29_dial_report" -> ((s, d) => {
+      val e = emb(s, d)
+      val anchors = e.orderBy("vec_id").limit(16)
+        .select(col("embedding").cast("array<float>"))
+        .collect() // ≤ 16 anchor rows
+        .map(_.getSeq[Float](0).toArray)
+      val clit = typedLit(anchors.map(_.toSeq).toSeq)
+      val cm = e.withColumn("cluster",
+          graft.functions.expressions.TopK.argMaxDot(
+            col("embedding"), anchors))
+        .select(floor(cosine(col("embedding"),
+          element_at(clit, col("cluster") + 1)) * 1000000.0)
+          .cast("long").as("cm"))
+      val tMicro = col("tightness_micro")
+      cm.agg(count(lit(1)).as("n_vectors"),
+          floor(sum(col("cm")).cast("double") /
+            count(lit(1)).cast("double")).cast("long")
+            .as("tightness_micro"))
+        .select(col("n_vectors"), tMicro,
+          when(tMicro >= 800000L, "tight")
+            .when(tMicro >= 500000L, "moderate")
+            .otherwise("isotropic").as("regime"),
+          when(tMicro >= 800000L, 1L).otherwise(2L)
+            .cast("long").as("nprobe_unfiltered"),
+          lit(8L).as("nprobe_filtered"),
+          when(tMicro >= 800000L, 100L)
+            .when(tMicro >= 500000L, 200L).otherwise(400L)
+            .cast("long").as("cascade_cands"))
+    }),
+
     "v14_random_projection" -> ((s, d) => {
       val cols = rpSigns.zipWithIndex.map { case (sj, j) =>
         (graft.functions.expressions.Kernels
@@ -1734,6 +1777,51 @@ object Similarity {
                WHERE vec_id < 5) a
          JOIN embeddings b ON b.vec_id <> a.vec_id)
        WHERE cos >= 0.28 ORDER BY query_id, vec_id""",
+
+    // v29: full value replay of the dial derivation — anchor selection
+    // (16 lowest vec_ids), argmax-dot assignment with the kernel's
+    // lowest-index tie rule (row_number dot DESC, aidx), the zero-norm
+    // cosine guard, per-vector floor-micro cosine, floor-mean, and the
+    // regime cuts. Same left-to-right double sums as the other
+    // v-oracles → bit parity; the published values are integers.
+    "v29_dial_report" ->
+      """WITH anch AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS aidx,
+             embedding AS anc
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 ORDER BY vec_id LIMIT 16)),
+         dots AS (
+           SELECT e.vec_id, a.aidx,
+             list_sum([e.embedding[i]::double * a.anc[i]::double
+                       for i in range(1, len(e.embedding) + 1)]) AS dot,
+             sqrt(list_sum([e.embedding[i]::double * e.embedding[i]::double
+                       for i in range(1, len(e.embedding) + 1)])) *
+             sqrt(list_sum([a.anc[i]::double * a.anc[i]::double
+                       for i in range(1, len(a.anc) + 1)])) AS den
+           FROM embeddings e CROSS JOIN anch a),
+         best AS (
+           SELECT vec_id, dot, den, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dot DESC, aidx) AS rn
+           FROM dots),
+         m AS (
+           SELECT floor((CASE WHEN den = 0 THEN 0.0
+                              ELSE dot / den END) * 1000000)::bigint AS cm
+           FROM best WHERE rn = 1),
+         g AS (SELECT count(*)::bigint AS n_vectors,
+             floor(sum(cm)::double / count(*)::double)::bigint
+               AS tightness_micro
+           FROM m)
+       SELECT n_vectors, tightness_micro,
+         CASE WHEN tightness_micro >= 800000 THEN 'tight'
+              WHEN tightness_micro >= 500000 THEN 'moderate'
+              ELSE 'isotropic' END AS regime,
+         (CASE WHEN tightness_micro >= 800000 THEN 1
+               ELSE 2 END)::bigint AS nprobe_unfiltered,
+         8::bigint AS nprobe_filtered,
+         (CASE WHEN tightness_micro >= 800000 THEN 100
+               WHEN tightness_micro >= 500000 THEN 200
+               ELSE 400 END)::bigint AS cascade_cands
+       FROM g""",
     // v12: full greedy-MMR replay — top-20 candidates by window rank,
     // candidate-pairwise cosines, then the 5 greedy steps UNROLLED as
     // CTEs (r0..r4/s1..s5). Every comparison runs on RAW doubles

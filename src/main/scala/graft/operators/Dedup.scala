@@ -762,24 +762,52 @@ object Dedup {
     // of the %7 slices) whose Jaccard lands mid-range, making the
     // sweep rows actually separate at every scale.
     "d13_jaccard_sweep" -> ((s, d) => {
-      val raw = docs(s, d).select(col("doc_id"), col("text"))
-        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
-      def prefixed(modv: Int, offset: Long, num: Int, den: Int) =
-        raw.filter(col("doc_id") % 7 === modv)
-          .select((col("doc_id") + offset).as("doc_id"),
-            expr(s"concat_ws(' ', slice(toks, 1, " +
-              s"(size(toks) * $num + ${den - 1}) div $den))").as("text"))
-      val corpus = raw.select("doc_id", "text")
-        .unionByName(prefixed(1, 2000000L, 1, 2))
-        .unionByName(prefixed(2, 3000000L, 3, 4))
-      val pairs = jaccardPairsOn(corpus, 0.3, Some(dfCap(corpus)))
-        .localCheckpoint()
+      val pairs = jaccardPairsOn(sweepCorpus(s, d), 0.3,
+        Some(dfCap(sweepCorpus(s, d)))).localCheckpoint()
       Seq(0.3, 0.5, 0.8).map { t =>
         pairs.filter(col("jac") >= t)
           .agg(count(lit(1)).as("n_pairs"),
             coalesce(round(avg(col("jac")), 4), lit(0.0)).as("mean_jac"))
           .select(lit(t).as("threshold"), col("n_pairs"), col("mean_jac"))
       }.reduce(_ unionByName _).orderBy("threshold")
+    }),
+
+    // LSH LAYOUT designer sweep — the d-family twin of v29's dial
+    // report (the datasketch optimal_param / MMDS ch.3 read a dedup
+    // deployment does before fixing d3's banding at corpus scale):
+    // for every (bands × rows) split of the 64-hash signature budget,
+    // the EXPECTED band-join behavior on THIS corpus's measured pair
+    // table (d13's fixture corpus, so mid-range jaccards exist at
+    // every scale). Per layout: expected recall mass over true pairs
+    // (jac ≥ 0.8) and expected leak-through mass over sub-threshold
+    // candidates (0.3 ≤ jac < 0.8 — the verify-join cost proxy), both
+    // as the catch probability 1−(1−j^r)^b averaged in fixed-point
+    // micro units. ALL powers are CHAINED MULTIPLICATIONS (never
+    // pow() — libm is not cross-engine bit-stable; a left-assoc
+    // product of identical doubles is), per-pair floor-micro before
+    // the sum, integer-div mean — the v25/t30 parity pattern. One
+    // pair build (d13's, df-capped) + five one-row aggregations.
+    "d16_lsh_layout_sweep" -> ((s, d) => {
+      val pairs = jaccardPairsOn(sweepCorpus(s, d), 0.3,
+        Some(dfCap(sweepCorpus(s, d)))).localCheckpoint()
+      def powChain(x: Column, n: Int): Column =
+        Iterator.fill(n)(x).reduce(_ * _)
+      Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16)).map { case (b, r) =>
+        val p = lit(1.0) - powChain(lit(1.0) - powChain(col("jac"), r), b)
+        val cm = floor(p * 1000000.0).cast("long")
+        pairs.agg(
+          sum(when(col("jac") >= 0.8, cm)).as("sr"),
+          count(when(col("jac") >= 0.8, 1)).as("nr"),
+          sum(when(col("jac") < 0.8, cm)).as("sf"),
+          count(when(col("jac") < 0.8, 1)).as("nf"))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("nr").cast("long").as("n_true_pairs"),
+            when(col("nr") === 0, 0L)
+              .otherwise(expr("sr div nr")).as("recall_micro"),
+            when(col("nf") === 0, 0L)
+              .otherwise(expr("sf div nf")).as("fp_micro"))
+      }.reduce(_ unionByName _).orderBy("rows_per_band")
     }),
 
     // MinHash(64) + LSH(16 bands × 4 rows) candidates, verified with
@@ -961,6 +989,24 @@ object Dedup {
       editNeardupPairs(base.unionByName(fix), 5).orderBy("i", "j")
     })
   )
+
+  /** The d13/d16 sweep corpus: documents ∪ deterministic PREFIX
+    * fixtures (half / three-quarter token prefixes of the %7 slices)
+    * whose Jaccard lands mid-range — the corpus's organic near-dups
+    * are all jac ≥ 0.97, so without the fixtures every threshold and
+    * every layout would read identically (the d11 fixture rule). */
+  private def sweepCorpus(s: SparkSession, d: String): DataFrame = {
+    val raw = docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+    def prefixed(modv: Int, offset: Long, num: Int, den: Int) =
+      raw.filter(col("doc_id") % 7 === modv)
+        .select((col("doc_id") + offset).as("doc_id"),
+          expr(s"concat_ws(' ', slice(toks, 1, " +
+            s"(size(toks) * $num + ${den - 1}) div $den))").as("text"))
+    raw.select("doc_id", "text")
+      .unionByName(prefixed(1, 2000000L, 1, 2))
+      .unionByName(prefixed(2, 3000000L, 3, 4))
+  }
 
   /** PassJoin-style blocked edit-similarity join (Li et al., ICDE'11
     * "PASS-JOIN: a partition-based method for similarity joins"): a
@@ -1332,6 +1378,56 @@ object Dedup {
            WHERE jac >= 0.3)
        ${leg("0.3")} UNION ALL ${leg("0.5")} UNION ALL ${leg("0.8")}
        ORDER BY threshold"""
+    },
+    // d16: same corpus/base pair CTEs as d13; the S-curve per layout
+    // is replayed with the IDENTICAL left-assoc multiplication chains
+    // (never pow — libm is not cross-engine bit-stable), per-pair
+    // floor-micro, integer-div means
+    "d16_lsh_layout_sweep" -> {
+      def prefixLeg(modv: Int, offset: Long, num: Int, den: Int) =
+        s"""SELECT doc_id + $offset AS doc_id,
+           array_to_string(list_slice(toks, 1,
+             (len(toks) * $num + ${den - 1}) // $den), ' ') AS text
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents)
+         WHERE doc_id % 7 = $modv"""
+      def chain(e: String, n: Int) =
+        List.fill(n)(e).mkString("(", " * ", ")")
+      def layoutLeg(b: Int, r: Int) = {
+        val pr = s"(1.0 - ${chain(s"(1.0 - ${chain("jac", r)})", b)})"
+        s"""SELECT $b::bigint AS bands, $r::bigint AS rows_per_band,
+           count(CASE WHEN jac >= 0.8 THEN 1 END)::bigint AS n_true_pairs,
+           (CASE WHEN count(CASE WHEN jac >= 0.8 THEN 1 END) = 0 THEN 0
+                 ELSE sum(CASE WHEN jac >= 0.8
+                     THEN floor($pr * 1000000)::bigint END)
+                   // count(CASE WHEN jac >= 0.8 THEN 1 END)
+            END)::bigint AS recall_micro,
+           (CASE WHEN count(CASE WHEN jac < 0.8 THEN 1 END) = 0 THEN 0
+                 ELSE sum(CASE WHEN jac < 0.8
+                     THEN floor($pr * 1000000)::bigint END)
+                   // count(CASE WHEN jac < 0.8 THEN 1 END)
+            END)::bigint AS fp_micro
+         FROM base"""
+      }
+      val legs = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+        .map { case (b, r) => layoutLeg(b, r) }.mkString(" UNION ALL ")
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL ${prefixLeg(1, 2000000L, 1, 2)}
+           UNION ALL ${prefixLeg(2, 3000000L, 3, 4)}),
+         sh AS (SELECT doc_id, list_distinct(
+             [array_to_string(list_slice(toks, i, i + 4), ' ')
+              for i in range(1, len(toks) - 3)]) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+                   AS toks FROM corpus)),
+         base AS (
+           SELECT round(jac, 6) AS jac FROM (
+             SELECT len(list_intersect(a.sh, b.sh))::double /
+               len(list_distinct(list_concat(a.sh, b.sh)))::double AS jac
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.sh, b.sh)) > 0)
+           WHERE jac >= 0.3)
+       $legs ORDER BY rows_per_band"""
     },
     // d11: the oracle is the EXACT membership answer — a Bloom false
     // negative on the Spark side would publish is_dup=false for a true

@@ -664,6 +664,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d16 layout sweep: provable S-curve ordering, shipped layout justified") {
+    val rows = SparkEntry.queries("d16_lsh_layout_sweep")(spark, sf)
+      .orderBy("rows_per_band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(x => (x._1, x._2)).toSeq ==
+      Seq((64L, 1L), (32L, 2L), (16L, 4L), (8L, 8L), (4L, 16L)))
+    // 1−(1−j^r)^(64/r) is decreasing in r for 0<j<1, so BOTH columns
+    // must be non-increasing down the table (recall over true pairs,
+    // leak-through over mid-range pairs) — a provable invariant a
+    // broken chain or swapped layout flips
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      s"recall not monotone: ${rows.map(_._4).toSeq}")
+    assert(rows.map(_._5).sliding(2).forall(p => p(0) >= p(1)),
+      s"fp mass not monotone: ${rows.map(_._5).toSeq}")
+    // every layout sees the SAME true-pair set
+    assert(rows.map(_._3).distinct.length == 1)
+    // the report must justify d3's shipped 16×4 layout: recall ≥ 0.999
+    // over the corpus's true pairs while leaking strictly less of the
+    // mid-range than the wider-band layouts
+    val shipped = rows.find(x => x._1 == 16L).get
+    assert(shipped._4 >= 999000L, s"shipped recall ${shipped._4}")
+    assert(shipped._5 < rows.find(_._1 == 32L).get._5)
+  }
+
   test("d14 fixture pairs all surface with dist <= 5 at sf0.001") {
     val rows = SparkEntry.queries("d14_edit_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -77,6 +77,23 @@ object Bench {
       (System.nanoTime() - t0) / 1000000L
     }
     def calibMs(): Long = calibLoop()
+    /** ~200 ms micro-probe INTERLEAVED between query families (every
+      * 25 queries): the bracketing before/after probes bound a run but
+      * cannot attribute a MID-RUN steal window (round 11's 16:35
+      * anomaly inflated 15 queries the brackets missed). The series
+      * lands in BENCH_FULL.json so a mover is judged against the
+      * probe segment it ran inside, not inferred from the endpoints. */
+    def microCalibMs(): Long = {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var i = 0L
+      while (i < 300000000L) { s += i * i; i += 1 }
+      if (s == 42L) println("")
+      (System.nanoTime() - t0) / 1000000L
+    }
+    microCalibMs() // JIT-compile the probe before the first timed use
+    val calibSeries =
+      new scala.collection.mutable.ArrayBuffer[(String, Long)]()
     /** The probe that matches the EXECUTION regime: `cpus` parallel
       * copies of the same loop, wall-clock ms until all finish. Round
       * 10's single-threaded probe under-detected parallel steal — the
@@ -134,8 +151,10 @@ object Bench {
       case c => c.toString
     } + "\""
     // one full interleaved sweep of the ordered suite
-    def sweep(): IndexedSeq[(String, Option[Double], Long, Option[String], Int)] =
-      ordered.map { case (name, fn) =>
+    def sweep(passNo: Int): IndexedSeq[(String, Option[Double], Long, Option[String], Int)] =
+      ordered.zipWithIndex.map { case ((name, fn), qi) =>
+        if (qi % 25 == 0)
+          calibSeries += ((s"p$passNo:q$qi", microCalibMs()))
         val session = if (isolate) root.newSession() else root
         quiesce(session)
         val gc0 = gcMillis
@@ -164,7 +183,7 @@ object Bench {
       }.toIndexedSeq
     val calibBefore = calibMs()
     val calibParBefore = calibParMs()
-    val perPass = (1 to passes).map(_ => sweep())
+    val perPass = (1 to passes).map(p => sweep(p))
     val calibAfter = calibMs()
     val calibParAfter = calibParMs()
     // combine: published sec = min across the interleaved passes (a
@@ -227,8 +246,11 @@ object Bench {
     // to where the per-query values live (BENCH_FULL.json, committed).
     // A tail parser finds this line whole; a full-stream parser finds
     // the full line first — either way the artifact is parseable.
+    // "tail":true distinguishes this record from the full line above —
+    // a full-capture consumer that takes the LAST "metric":"total"
+    // match must not mistake the empty queries:{} for the real map
     println(
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+      s"""{"metric":"total","tail":true,"value":${d3(total)},"unit":"sec",""" +
         s""""queries":{},"queries_in":"BENCH_FULL.json",""" +
         s""""n_queries":${results.size},"n_failed":${failed.size},""" +
         s""""calib_ms":[$calibBefore,$calibAfter],""" +
@@ -240,12 +262,22 @@ object Bench {
     // rounds; persist the complete per-query artifact alongside it
     // (with the GC attribution and methodology flags the driver's JSON
     // schema does not carry)
+    // interleaved micro-probe series (segment-attributable steal) and
+    // the artifact-store ledger: which derived artifacts this run
+    // BUILT (pass-1 pricing) vs found warm on disk from a prior process
+    val calibSer = calibSeries.map { case (at, ms) => jstr(at) + ":" + ms }
+      .mkString("{", ",", "}")
+    val staged = graft.core.Artifacts.drainBuildRecords().map { b =>
+      s"""{"kind":${jstr(b.kind)},"dataset":${jstr(b.dataset)},""" +
+        s""""built":${b.built},"ms":${b.ms}}"""
+    }.mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""err":$errs,"failed_iters":$flaky,"n_failed":${failed.size},""" +
         s""""gc_ms":$gcs,"passes":$passRaw,"n_passes":$passes,""" +
         s""""calib_ms":[$calibBefore,$calibAfter],""" +
         s""""calib_par_ms":[$calibParBefore,$calibParAfter],""" +
+        s""""calib_series":$calibSer,"staged_builds":$staged,""" +
         s""""isolate":$isolate,"order":"streaming-last",""" +
         s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -580,21 +580,73 @@ object Dedup {
 
   /** `(doc_id, sh, gid)` rows for [[minhashVerifiedPairs]]: the K-token
     * shingle sequence plus the identical-sequence group id (smallest
-    * doc_id sharing the sequence — grouping is on the RAW sequence, so
-    * collapse needs no hashing and can never conflate two distinct
-    * sets; permuted-but-equal sets still pair through the band join at
-    * verified jac 1). Documents with an EMPTY shingle set are excluded:
-    * their Jaccard against anything is 0/0 = NULL, which the verify
-    * filter always dropped — grouping them would instead invent
-    * intra pairs the contract never had. A hot cluster of m duplicate
-    * documents is m fixed-width rows spread across partitions (the
-    * window's per-partition buffer spills to disk), never one array
-    * row holding the whole group. */
+    * doc_id sharing the sequence — grouping is on the sequence's
+    * 128-bit fingerprint via [[collapseIdenticalKeys]]; permuted-but-
+    * equal sets still pair through the band join at verified jac 1).
+    * Documents with an EMPTY shingle set are excluded: their Jaccard
+    * against anything is 0/0 = NULL, which the verify filter always
+    * dropped — grouping them would instead invent intra pairs the
+    * contract never had. A hot cluster of m duplicate documents is m
+    * fixed-width rows spread across partitions, and the group id is
+    * computed with a map-side-combinable aggregation — never a single
+    * window task sorting the whole cluster, never one array row
+    * holding the whole group. */
   private[graft] def minhashMembers(docsDf: DataFrame): DataFrame =
-    docsDf.select(col("doc_id"), shingles(col("text"), K).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("gid", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    collapseIdenticalKeys(
+      docsDf.select(col("doc_id"), shingles(col("text"), K).as("sh"))
+        .filter(size(col("sh")) > 0),
+      col("sh"), "doc_id")
+
+  /** Identical-key collapse via a map-side-combinable aggregation:
+    * every input row gains `gid`, the smallest `idCol` value among
+    * rows whose `key` is EQUAL. This is the hot-cluster survival
+    * primitive behind the near-dup family (minhash shingle sequences,
+    * d14 edit prefixes, v5/v8 hyperplane sketches): a re-crawl
+    * mega-cluster of m identical documents must collapse to ONE
+    * band-join representative without any stage serializing all m
+    * rows through a single core.
+    *
+    * Why not `min(id) over (Window.partitionBy(key))`: a window
+    * partition executes on ONE task, so the mega-cluster — the exact
+    * case the collapse exists for — sort-spills m full-payload rows
+    * (the shingle array is both key and payload) through a single
+    * core before the band join ever sees a representative; at
+    * m ~ 10⁸ that one task is the wall-clock. Here instead:
+    * `groupBy(fp1, fp2).agg(min(id))` — hash partial aggregation
+    * reduces each mapper's contribution to ONE 24-byte row per
+    * distinct key before the shuffle — and members join back by the
+    * 16-byte fingerprint, a shuffled join AQE's skew handling can
+    * split across tasks (a window partition cannot be split; a
+    * broadcast of the gid table skips the member shuffle entirely
+    * when it fits).
+    *
+    * Collision bound (the price of fingerprinting vs raw-key
+    * grouping): two DISTINCT keys are conflated only if they collide
+    * on BOTH independently-salted 64-bit XXH64 fingerprints, i.e.
+    * with probability 2⁻¹²⁸ per pair; over n distinct keys the union
+    * bound is n²/2¹²⁹ ≈ 1.5·10⁻¹³ at n = 10¹³ — far below any
+    * cluster's hardware fault rate at the corpus sizes where n could
+    * get that large.
+    *
+    * Deliberately NOT materialized here: the upstream pipeline
+    * (shingling / prefix padding / plane hashing) is a map-only pass
+    * and runs twice — once column-pruned for the gid aggregation,
+    * once for the join side. Recompute-over-materialize is the
+    * 100 TB-correct trade (a second embarrassingly-parallel scan
+    * beats writing the full wide-payload corpus to executor disks),
+    * and callers checkpoint the RESULT once, exactly as they did the
+    * window's output (measured at m = 10⁶, Scratch: an internal
+    * checkpoint here made the pipeline 77 s vs 26 s without). */
+  private[graft] def collapseIdenticalKeys(df: DataFrame, key: Column,
+      idCol: String): DataFrame = {
+    val tagged = df
+      .withColumn("_fp1", xxhash64(lit("graft_gid_a"), key))
+      .withColumn("_fp2", xxhash64(lit("graft_gid_b"), key))
+    val gids = tagged.groupBy(col("_fp1"), col("_fp2"))
+      .agg(min(col(idCol)).as("gid"))
+    tagged.join(gids, Seq("_fp1", "_fp2"))
+      .select(df.columns.map(col) :+ col("gid"): _*)
+  }
 
   /** 16 × 4-row band keys over shingle-sequence REPRESENTATIVES —
     * `(gid, band)`, hot bands (> cap distinct sequences) dropped.
@@ -1008,24 +1060,22 @@ object Dedup {
   }
 
   /** d13/d16's measured pair table (exact Jaccard ≥ 0.3 over the
-    * sweep corpus), built ONCE per dataset and parked as parquet —
-    * the stagedMedia/annIndexBuild discipline: both sweep REPORTS
-    * read the same measured pair index instead of re-running the
-    * candidate+verify build per query. Keyed by the source file's
-    * size+mtime so a regenerated corpus re-measures. */
-  private val sweepPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sweepPairs(s: SparkSession, d: String): DataFrame = {
-    val path = sweepPairsCache.computeIfAbsent(
-      s"$d|${graft.Tables.fileSig(s"$d/documents.parquet")}", _ => {
-        val out = graft.core.TempDirs.fresh("graft_sweeppairs") + "/pairs"
-        val c = sweepCorpus(s, d)
-        jaccardPairsOn(c, 0.3, Some(dfCap(c)))
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    s.read.parquet(path)
-  }
+    * sweep corpus), built ONCE per dataset and parked as parquet in
+    * the cross-process [[graft.core.Artifacts]] store — both sweep
+    * REPORTS read the same measured pair index instead of re-running
+    * the candidate+verify build per query, and a FRESH process finds
+    * the index warm on disk (keyed by the source file's size+mtime,
+    * so a regenerated corpus re-measures). `CALL cat.build_pair_index
+    * (dir)` runs the same builder explicitly. */
+  private[graft] def buildPairIndex(s: SparkSession, d: String): String =
+    graft.core.Artifacts.resolveOrBuild(s, "pair_index", d,
+      graft.Tables.fileSig(s"$d/documents.parquet")) { tmp =>
+      val c = sweepCorpus(s, d)
+      jaccardPairsOn(c, 0.3, Some(dfCap(c)))
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+    }
+  private def sweepPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(buildPairIndex(s, d) + "/pairs")
 
   /** PassJoin-style blocked edit-similarity join (Li et al., ICDE'11
     * "PASS-JOIN: a partition-based method for similarity joins"): a
@@ -1103,11 +1153,11 @@ object Dedup {
   private[graft] def editPrefixGroups(docsDf: DataFrame,
       tau: Int): DataFrame = {
     val width = 43 * (tau + 1)
-    docsDf.select(col("doc_id"),
-      rpad(expr(s"substring(text, 1, $width)"), width, " ").as("pfx"))
-      .filter(trim(col("pfx")) =!= "")
-      .withColumn("gid", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("pfx")))
+    collapseIdenticalKeys(
+      docsDf.select(col("doc_id"),
+        rpad(expr(s"substring(text, 1, $width)"), width, " ").as("pfx"))
+        .filter(trim(col("pfx")) =!= ""),
+      col("pfx"), "doc_id")
   }
 
   /** Aligned-segment band rows over prefix-group REPRESENTATIVES —
@@ -1141,15 +1191,22 @@ object Dedup {
     * the smallest doc_id sharing its signature — the (gid, member)
     * PAIR representation of identical-signature groups. A hot cluster
     * of m duplicate documents is m fixed-width rows spread across
-    * partitions (the window's per-partition buffer spills to disk),
-    * never one array row holding the whole group — 10⁸ copies of a
-    * document must not build a single multi-GB `collect_list` row on
-    * one executor (round-7 verdict #1). The band join still sees one
-    * row per DISTINCT signature (the `gid == doc_id` representative),
-    * so the round-4 quadratic-bucket fix is unchanged. */
-  private[graft] def simhashMembers(sig: DataFrame): DataFrame =
-    sig.withColumn("gid", min(col("doc_id")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("sim")))
+    * partitions, never one array row holding the whole group — 10⁸
+    * copies of a document must not build a single multi-GB
+    * `collect_list` row on one executor (round-7 verdict #1). The
+    * group id comes from a map-side-combinable `groupBy(sim).agg(min)`
+    * plus an AQE-skew-splittable join-back — the signature is already
+    * an exact 8-byte key, so no fingerprint (and no collision bound)
+    * is needed, unlike [[collapseIdenticalKeys]]'s array/string keys.
+    * The band join still sees one row per DISTINCT signature (the
+    * `gid == doc_id` representative), so the round-4 quadratic-bucket
+    * fix is unchanged. */
+  private[graft] def simhashMembers(sig: DataFrame): DataFrame = {
+    val s = sig.localCheckpoint()
+    val gids = s.groupBy(col("sim")).agg(min(col("doc_id")).as("gid"))
+    s.join(gids, "sim")
+      .select(sig.columns.map(col) :+ col("gid"): _*)
+  }
 
   /** Drop band keys shared by more than `cap` rows from candidate
     * generation — the shared hot-band guard for every banded-LSH join

@@ -165,30 +165,49 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** ONE staging cache behind the real-codec media generators:
+  /** ONE staging path behind the real-codec media generators:
     * `(doc_id, media)` encoded ONCE per dataset and parked as parquet
-    * (the annIndexBuild discipline) — queries and repeated bench
-    * iterations re-READ the encoded corpus, never re-run the codec
-    * per call. Keyed by Tables.fileSig (directory-aware: part files
-    * rewritten in place must re-encode — the drainSessions trap). */
-  private val mediaStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * in the cross-process [[graft.core.Artifacts]] store — queries,
+    * repeated bench iterations AND fresh processes re-READ the
+    * encoded corpus, never re-run the codec per call. Keyed by
+    * Tables.fileSig (directory-aware: part files rewritten in place
+    * must re-encode — the drainSessions trap) AND the `where`
+    * filter's rendered SQL — two callers sharing a prefix with
+    * different filters must never reuse each other's staged payloads.
+    * `CALL cat.stage_media(dir, kind)` runs the same builders
+    * explicitly. */
+  private def stagedMediaPath(spark: SparkSession, d: String,
+      prefix: String, where: org.apache.spark.sql.Column)(
+      encode: String => Array[Byte]): String =
+    graft.core.Artifacts.resolveOrBuild(spark, prefix,
+      s"$d|where=${where.toString}",
+      Tables.fileSig(s"$d/documents.parquet")) { tmp =>
+      import spark.implicits._
+      Tables.load(spark, d, "documents").filter(where)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, encode(t)) })
+        .toDF("doc_id", "media")
+        .write.mode("overwrite").parquet(s"$tmp/media")
+    }
   private def stagedMedia(spark: SparkSession, d: String, prefix: String,
       where: org.apache.spark.sql.Column = lit(true))(
-      encode: String => Array[Byte]): DataFrame = {
-    val src = s"$d/documents.parquet"
-    val path = mediaStageCache.computeIfAbsent(
-      s"$prefix|$d|${Tables.fileSig(src)}", _ => {
-        import spark.implicits._
-        val out = graft.core.TempDirs.fresh(prefix) + "/media"
-        Tables.load(spark, d, "documents").filter(where)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .mapPartitions(_.map { case (id, t) => (id, encode(t)) })
-          .toDF("doc_id", "media")
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    spark.read.parquet(path)
+      encode: String => Array[Byte]): DataFrame =
+    spark.read.parquet(
+      stagedMediaPath(spark, d, prefix, where)(encode) + "/media")
+
+  /** The `CALL cat.stage_media(dir, kind)` entry point: stage the
+    * named media kind for a dataset directory, returning the artifact
+    * path (a warm artifact is returned without re-encoding). */
+  private[graft] def stageMediaKind(spark: SparkSession, d: String,
+      kind: String): String = kind match {
+    case "png" => stagedMediaPath(spark, d, "graft_pngmedia",
+      lit(true))(encodePng)
+    case "wav" => stagedMediaPath(spark, d, "graft_wavmedia",
+      lit(true))(t => encodeWav(t.getBytes("UTF-8")))
+    case "gif" => stagedMediaPath(spark, d, "graft_gifmedia",
+      length(col("text")) > 0)(encodeGif)
+    case other => throw new IllegalArgumentException(
+      s"stage_media: unknown kind '$other' — expected png, wav or gif")
   }
 
   /** `(doc_id, media)` with REAL PNG payloads (see [[encodePng]]). */

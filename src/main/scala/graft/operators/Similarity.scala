@@ -92,13 +92,14 @@ object Similarity {
     // tagged rows feed the rep filter, intra self-join and two member
     // expansions; vecs feed the two verify joins — materialize each
     // once instead of re-reading embeddings and re-hashing planes
-    val tagged = e.select(col("vec_id"),
-      graft.functions.expressions.Kernels
-        .lshBands(col("embedding"), ndPlanes, NdBits).as("bands"))
+    val tagged = Dedup.collapseIdenticalKeys(
+      e.select(col("vec_id"),
+        graft.functions.expressions.Kernels
+          .lshBands(col("embedding"), ndPlanes, NdBits).as("bands")),
       // member vec_ids are globally unique, so the min id per distinct
-      // sketch identifies the group
-      .withColumn("gid", min(col("vec_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bands")))
+      // sketch identifies the group; map-side-combinable collapse —
+      // a hot identical-sketch cluster never funnels one window task
+      col("bands"), "vec_id")
       .localCheckpoint()
     val members = tagged.select("gid", "vec_id")
     val intra = members.select(col("gid"), col("vec_id").as("i"))
@@ -377,53 +378,55 @@ object Similarity {
     * queries read nprobe/nlist of the corpus bytes. Recall equals
     * v4's (same routing, exact scoring inside probed lists);
     * `AnnArraySpec` asserts the file pruning on the physical plan. */
-  /** ONE memoized IVF-array builder behind v16–v19 (the four variants
-    * differ only in cache prefix, extra attributes, and a post step).
-    * Dims are always (cluster, vec_id); attrs are the float vector
-    * plus `extraAttrs`. One part file per inverted-list group: the
-    * write path range-partitions on (cluster, vec_id), so nlist write
+  /** ONE IVF-array builder behind v16–v19 (the four variants differ
+    * only in artifact kind, extra attributes, and a post step). Dims
+    * are always (cluster, vec_id); attrs are the float vector plus
+    * `extraAttrs`. One part file per inverted-list group: the write
+    * path range-partitions on (cluster, vec_id), so nlist write
     * partitions give the probe predicate file-granular pruning at any
     * corpus size; the count is passed EXPLICITLY (a session conf
     * set/restore around the write would race concurrent query
-    * construction on the same session). The cache key is the source
-    * file's size+mtime so a regenerated corpus re-indexes — bench
-    * iterations and repeated queries in one JVM re-READ the index,
-    * never rebuild a corpus copy per call (the drainSessions
-    * staging-cache discipline). */
-  private val annBuildCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[Array[Float]])]()
+    * construction on the same session). The index lives in the
+    * cross-process [[graft.core.Artifacts]] store keyed by the source
+    * file's size+mtime — a regenerated corpus re-indexes, a FRESH
+    * process finds the index (and its centroid table, persisted with
+    * exact Float round-trip) warm on disk; bench iterations and
+    * repeated queries re-READ it, never rebuild a corpus copy per
+    * call. All index mutations (v17's increment append, v18's
+    * tombstone) run in the build/post step BEFORE publication, so the
+    * published artifact is read-only — reuse can never accumulate
+    * state across runs. */
   private def annIndexBuild(s: SparkSession, d: String, prefix: String,
       extraAttrs: Seq[graft.core.AttributeSpec] = Nil)
       (build: => (DataFrame, Array[Array[Float]]))
       (post: (String, Array[Array[Float]]) => Unit = (_, _) => ())
       : (String, Array[Array[Float]]) = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    annBuildCache.computeIfAbsent(
-      s"$prefix|$d|${f.length}:${f.lastModified}", _ => {
-        val (assigned, centroids) = build
-        val uri = graft.core.TempDirs.fresh(prefix) + "/arr"
-        graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
-          graft.core.ArrayKind.Sparse,
-          Seq(graft.core.DimensionSpec("cluster",
-              org.apache.spark.sql.types.IntegerType),
-            graft.core.DimensionSpec("vec_id",
-              org.apache.spark.sql.types.LongType)),
-          graft.core.AttributeSpec("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType,
-              containsNull = false)) +: extraAttrs))
-        annStore(s, uri, assigned, extraAttrs)
-        // the build's one-pass tightness statistic lands in the index
-        // manifest so query time derives its default dials from the
-        // MEASURED corpus regime (never hand-tuned; explicit options
-        // still win) — see derivedNprobe/derivedCands
-        graft.sources.GraftArray.putMetadata(s, uri,
-          Map("graft.ann.tightness" -> String.format(java.util.Locale.ROOT,
-            "%.4f", Double.box(corpusTightness(assigned, centroids)))))
-        post(uri, centroids)
-        (uri, centroids)
-      })
+    val dir = graft.core.Artifacts.resolveOrBuild(s, prefix, d,
+      graft.Tables.fileSig(s"$d/embeddings.parquet")) { tmp =>
+      val (assigned, centroids) = build
+      val uri = s"$tmp/arr"
+      graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
+        graft.core.ArrayKind.Sparse,
+        Seq(graft.core.DimensionSpec("cluster",
+            org.apache.spark.sql.types.IntegerType),
+          graft.core.DimensionSpec("vec_id",
+            org.apache.spark.sql.types.LongType)),
+        graft.core.AttributeSpec("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType,
+            containsNull = false)) +: extraAttrs))
+      annStore(s, uri, assigned, extraAttrs)
+      // the build's one-pass tightness statistic lands in the index
+      // manifest so query time derives its default dials from the
+      // MEASURED corpus regime (never hand-tuned; explicit options
+      // still win) — see derivedNprobe/derivedCands
+      graft.sources.GraftArray.putMetadata(s, uri,
+        Map("graft.ann.tightness" -> String.format(java.util.Locale.ROOT,
+          "%.4f", Double.box(corpusTightness(assigned, centroids)))))
+      post(uri, centroids)
+      graft.core.Artifacts.writeFloatMatrix(tmp, "centroids", centroids)
+    }
+    (s"$dir/arr", graft.core.Artifacts.readFloatMatrix(dir, "centroids"))
   }
 
   /** Commit `rows` (cluster-assigned) as one fragment of an index

@@ -284,7 +284,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "rebucket"),
       Identifier.of(namespace, "rollback"),
       Identifier.of(namespace, "compact_small"),
-      Identifier.of(namespace, "delete_fragments"))
+      Identifier.of(namespace, "delete_fragments"),
+      Identifier.of(namespace, "build_pair_index"),
+      Identifier.of(namespace, "stage_media"))
 
   override def loadProcedure(ident: Identifier)
       : procedures.UnboundProcedure =
@@ -292,9 +294,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case op @ ("consolidate" | "vacuum" | "rebucket" | "rollback"
                  | "compact_small" | "delete_fragments") =>
         new GraftMaintenanceProcedure(op, this)
+      case op @ ("build_pair_index" | "stage_media") =>
+        new GraftArtifactProcedure(op)
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' — expected consolidate, vacuum, " +
-          "rebucket, rollback, compact_small or delete_fragments")
+          "rebucket, rollback, compact_small, delete_fragments, " +
+          "build_pair_index or stage_media")
     }
 
   private[sources] def tableUriOf(dotted: String): String =
@@ -414,6 +419,66 @@ class GraftMaintenanceProcedure(op: String, cat: GraftCatalog)
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 Array[Any](n)))
           }
+        val scan: org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = outSchema
+          }
+        util.List.of(scan).iterator()
+      }
+    }
+}
+
+/** `CALL` surface for the cross-process derived-artifact builders
+  * (graft.core.Artifacts): `build_pair_index(dir)` measures the
+  * d13/d16 pair table for a dataset directory; `stage_media(dir,
+  * kind)` encodes the real-codec media corpus (`kind` ∈ png/wav/gif).
+  * Both are idempotent — a warm artifact (same source signature)
+  * returns its path without rebuilding, so a deployment can schedule
+  * them like consolidate/vacuum and query processes always find the
+  * artifacts warm. */
+class GraftArtifactProcedure(op: String)
+  extends procedures.UnboundProcedure {
+  override def name(): String = op
+  override def description(): String = op match {
+    case "build_pair_index" =>
+      "build (or find warm) the measured Jaccard pair index for a dataset"
+    case _ =>
+      "stage (or find warm) the encoded media corpus for a dataset"
+  }
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = op
+      override def description(): String =
+        GraftArtifactProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        if (op == "stage_media")
+          Array(procedures.ProcedureParameter.in("dir", StringType).build(),
+            procedures.ProcedureParameter.in("kind", StringType).build())
+        else
+          Array(procedures.ProcedureParameter.in("dir", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      override def call(input: InternalRow)
+          : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val spark = SparkSession.active
+        require(!input.isNullAt(0), s"$op: dir must not be NULL")
+        val dir = input.getUTF8String(0).toString
+        val path =
+          if (op == "build_pair_index")
+            graft.operators.Dedup.buildPairIndex(spark, dir)
+          else {
+            require(!input.isNullAt(1), "stage_media: kind must not be NULL")
+            graft.operators.Multimodal.stageMediaKind(spark, dir,
+              input.getUTF8String(1).toString)
+          }
+        val outSchema =
+          StructType(Seq(StructField("artifact_path", StringType)))
+        val row =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String
+              .fromString(path)))
         val scan: org.apache.spark.sql.connector.read.Scan =
           new org.apache.spark.sql.connector.read.LocalScan {
             override def rows(): Array[InternalRow] = Array(row)

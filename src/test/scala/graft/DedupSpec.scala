@@ -664,6 +664,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("identical-key collapse: no window task, map-side partial agg") {
+    import spark.implicits._
+    // the round-11 collapse killed the quadratic band join but computed
+    // gid with min() OVER (PARTITION BY key) — a window partition is
+    // ONE task, so a re-crawl mega-cluster still serialized m
+    // full-payload rows through a single core. The round-12 form must
+    // (a) carry no Window node at all, (b) aggregate with a PARTIAL
+    // (map-side) min on the fingerprint — each mapper contributes one
+    // row per distinct key to the shuffle — and (c) keep gid semantics
+    // byte-identical: smallest doc_id per EQUAL key.
+    val docs = (1L to 50L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((99L, "other words entirely unrelated to sequence"))
+        .toDF("doc_id", "text"))
+    val members = Dedup.minhashMembers(docs)
+    val plan = members.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_min"), plan.take(2000))
+    assert(members.filter(col("doc_id") <= 50L).select("gid")
+      .distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(members.filter(col("doc_id") === 99L)
+      .select("gid").head().getLong(0) == 99L)
+    // simhash and edit-prefix collapses share the shape
+    val sig = Seq((5L, 7L), (6L, 7L), (9L, 8L)).toDF("doc_id", "sim")
+    val sm = Dedup.simhashMembers(sig)
+    val smPlan = sm.queryExecution.executedPlan.toString
+    assert(!smPlan.contains("Window") && smPlan.contains("partial_min"),
+      smPlan.take(2000))
+    assert(sm.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((5L, 5L), (6L, 5L), (9L, 9L)))
+    val ep = Dedup.editPrefixGroups(docs, 2)
+    val epPlan = ep.queryExecution.executedPlan.toString
+    assert(!epPlan.contains("Window") && epPlan.contains("partial_min"),
+      epPlan.take(2000))
+  }
+
   test("d16 layout sweep: provable S-curve ordering, shipped layout justified") {
     val rows = SparkEntry.queries("d16_lsh_layout_sweep")(spark, sf)
       .orderBy("rows_per_band").collect()

@@ -191,35 +191,43 @@ object Similarity {
       .select("qlabel", "dlabel", "score_micro", "rk")
   }
 
-  /** Corpus TIGHTNESS: mean cosine of each vector to its assigned
-    * centroid — the one-number statistic separating the isotropic
-    * regime (neighbors barely above background; measured ~0.31 on the
-    * synthetic embeddings tables at sf0.01/0.1) from real blob-
-    * clustered embedding corpora (σ=0.10 blobs ≈ 0.78, σ=0.05 ≈ 0.93;
-    * within-blob cosine ≈ 1/√(1+64σ²)). One codegen pass over the
-    * assignment the IVF build already computed + one aggregation —
-    * free at index-build time, and the number the auto-derived ANN
-    * dials ([[derivedNprobe]], [[derivedCands]]) key off so a
-    * deployment never hand-tunes nprobe/oversample per corpus. */
-  private[graft] def corpusTightness(assigned: DataFrame,
-      centroids: Array[Array[Float]]): Double = {
+  /** Corpus TIGHTNESS in integer MICRO-units: mean of
+    * `floor(cos · 10⁶)` of each vector to its assigned centroid,
+    * floored again — the one-number statistic separating the
+    * isotropic regime (neighbors barely above background; measured
+    * ~310000 on the synthetic embeddings tables at sf0.01/0.1) from
+    * real blob-clustered embedding corpora (σ=0.10 blobs ≈ 780000,
+    * σ=0.05 ≈ 930000; within-blob cosine ≈ 1/√(1+64σ²)). One codegen
+    * pass over the assignment the IVF build already computed + one
+    * aggregation — free at index-build time, and the number the
+    * auto-derived ANN dials ([[derivedNprobe]], [[derivedCands]]) key
+    * off so a deployment never hand-tunes nprobe/oversample per
+    * corpus. INTEGER micro-units are deliberate (round-11 ADVICE): the
+    * v29 dial REPORT publishes exactly this floor-micro statistic, so
+    * deriving the runtime dials from the same integer means the
+    * report can never disagree with the served defaults — no corpus
+    * within 1e-6 of a cut can split them. */
+  private[graft] def corpusTightnessMicro(assigned: DataFrame,
+      centroids: Array[Array[Float]]): Long = {
     val clit = typedLit(centroids.map(_.toSeq).toSeq)
     assigned
-      .select(cosine(col("embedding"),
-        element_at(clit, col("cluster") + 1)).as("c"))
-      .agg(coalesce(avg("c"), lit(0.0)))
-      .collect()(0).getDouble(0) // 1 aggregate row
+      .select(floor(cosine(col("embedding"),
+        element_at(clit, col("cluster") + 1)) * 1000000.0)
+        .cast("long").as("cm"))
+      .agg(coalesce(floor(sum(col("cm")).cast("double") /
+        count(lit(1)).cast("double")).cast("long"), lit(0L)))
+      .collect()(0).getLong(0) // 1 aggregate row
   }
 
-  /** Regime thresholds over [[corpusTightness]] (all four cells
+  /** Regime thresholds over [[corpusTightnessMicro]] (all four cells
     * MEASURED — Scratch round-11 + the SCALE.md dial table): the
     * synthetic isotropic embeddings measure 0.27–0.33 (anchor proxy
     * 0.23–0.25), σ=0.10 blobs 0.78 (anchor 0.62), σ=0.05 blobs 0.93
     * (anchor 0.87). ≥ 0.8 = tight, ≥ 0.5 = moderate, below =
     * isotropic; both estimators land on the same side of each cut
-    * with ≥ 0.07 margin. */
-  private val TightCut = 0.8
-  private val ModerateCut = 0.5
+    * with ≥ 0.07 margin. Shared verbatim with the v29 dial report. */
+  private[graft] val TightCutMicro = 800000L
+  private[graft] val ModerateCutMicro = 500000L
 
   /** Auto-derived probe width. UNFILTERED routing scales with
     * tightness — measured: nprobe=1 is already exact on tight blobs
@@ -232,19 +240,19 @@ object Similarity {
     * selectivity-driven (the standard ~1/selectivity widening, capped
     * at nlist/2), not tightness-driven — the measurement that keeps
     * this derivation honest. */
-  private[graft] def derivedNprobe(tightness: Double, nlist: Int,
+  private[graft] def derivedNprobe(tightnessMicro: Long, nlist: Int,
       filtered: Boolean): Int =
     if (filtered) math.min(math.max(1, nlist / 2), 8)
-    else if (tightness >= TightCut) 1
+    else if (tightnessMicro >= TightCutMicro) 1
     else 2
 
   /** Auto-derived cascade oversample width (v21): measured min
     * recall@10 — cands=100 → 1.0 on tight blobs, 200 → 0.9 on
     * moderate, 400 → 0.5 on the isotropic honest-limit corpus (the
     * shipped dial). */
-  private[graft] def derivedCands(tightness: Double): Int =
-    if (tightness >= TightCut) 100
-    else if (tightness >= ModerateCut) 200
+  private[graft] def derivedCands(tightnessMicro: Long): Int =
+    if (tightnessMicro >= TightCutMicro) 100
+    else if (tightnessMicro >= ModerateCutMicro) 200
     else 400
 
   /** Training-free tightness estimator for index-free paths (v21's
@@ -254,37 +262,48 @@ object Similarity {
     * aggregation. Systematically lower than the fitted estimate
     * (anchors are corpus members, not means) — the regime cuts hold
     * for both (measured values in [[TightCut]]'s doc). */
-  private[graft] def anchorTightness(e: DataFrame): Double = {
+  private[graft] def anchorTightnessMicro(e: DataFrame): Long = {
     val anchors = e.orderBy("vec_id").limit(16)
       .select(col("embedding").cast("array<float>"))
       .collect() // ≤ 16 anchor rows
       .map(_.getSeq[Float](0).toArray)
-    if (anchors.isEmpty) 0.0
-    else corpusTightness(
+    if (anchors.isEmpty) 0L
+    else corpusTightnessMicro(
       e.withColumn("cluster", graft.functions.expressions.TopK
         .argMaxDot(col("embedding"), anchors)), anchors)
   }
 
   /** The tightness stored in an index array's manifest at build time
-    * ([[annIndexBuild]]'s one-pass statistic); 0.0 (→ widest dials)
-    * when absent — a pre-round-11 index stays correct, just unshrunk. */
-  private[graft] def annTightness(s: SparkSession, uri: String): Double =
-    graft.sources.GraftArray.metadata(s, uri)
-      .filter(col("key") === "graft.ann.tightness")
-      .collect() // ≤ 1 metadata row (driver-side manifest read)
-      .headOption.map(_.getString(1).toDouble).getOrElse(0.0)
+    * ([[annIndexBuild]]'s one-pass statistic); 0 (→ widest dials)
+    * when absent — a pre-round-11 index stays correct, just unshrunk.
+    * Reads the micro key; falls back to the round-11 double key
+    * (floored to micro) so an index built before the integer
+    * unification keeps serving the same regime. */
+  private[graft] def annTightnessMicro(s: SparkSession,
+      uri: String): Long = {
+    val kv = graft.sources.GraftArray.metadata(s, uri)
+      .filter(col("key").isin("graft.ann.tightness_micro",
+        "graft.ann.tightness"))
+      .collect() // ≤ 2 metadata rows (driver-side manifest read)
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    kv.get("graft.ann.tightness_micro").map(_.toLong)
+      .orElse(kv.get("graft.ann.tightness")
+        .map(v => math.floor(v.toDouble * 1000000.0).toLong))
+      .getOrElse(0L)
+  }
 
-  /** [[anchorTightness]] memoized per dataset (key = dir + source
+  /** [[anchorTightnessMicro]] memoized per dataset (key = dir + source
     * file size/mtime, the stagedMedia/annIndexBuild discipline): the
     * statistic is a property of the CORPUS, so repeated v21 calls —
     * bench iterations, retries — re-use it instead of paying the
     * corpus pass per call. */
   private val anchorTightnessCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-  private[graft] def anchorTightnessOf(d: String, e: DataFrame): Double =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def anchorTightnessMicroOf(d: String,
+      e: DataFrame): Long =
     anchorTightnessCache.computeIfAbsent(
       s"$d|${graft.Tables.fileSig(s"$d/embeddings.parquet")}",
-      _ => anchorTightness(e)).doubleValue()
+      _ => anchorTightnessMicro(e)).longValue()
 
   /** Exact brute-force top-k for the 5 fixed query vectors — the v2
     * surface and the recall baseline for v3/v4. */
@@ -316,14 +335,22 @@ object Similarity {
     rerankExact(cand, e, k)
   }
 
-  /** IVF top-k for the 5 fixed query vectors (nprobe=2 of 16 lists). */
-  private[graft] def ivfTopK(e: DataFrame): DataFrame = {
+  /** IVF top-k for the 5 fixed query vectors. The probe width is NOT
+    * hardcoded: it derives from the fit's own tightness statistic
+    * ([[derivedNprobe]]; 2 of 16 on this isotropic corpus, 1 on tight
+    * blobs — spec-pinned in AnnClusteredSpec) so the auto-dial is the
+    * engine's single source of defaults; an explicit value wins. */
+  private[graft] def ivfTopK(e: DataFrame,
+      nprobe: Option[Int] = None): DataFrame = {
     // no cache(): a driver-facing query must not pin executor storage
     // for the session; the assignment recompute is one codegen pass
     val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
+    val np = nprobe.getOrElse(derivedNprobe(
+      corpusTightnessMicro(assigned, centroids), centroids.length,
+      filtered = false))
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val qProbes = Ivf.probes(q, assigned, centroids, nprobe = 2)
+    val qProbes = Ivf.probes(q, assigned, centroids, nprobe = np)
     val scored = qProbes
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("embedding")))
@@ -340,8 +367,13 @@ object Similarity {
     * misrank inside a probed cluster — the published recall bound is
     * correspondingly below v4's and v9's individual bounds. */
   private[graft] def ivfPqTopK(e: DataFrame, k: Int,
-      oversample: Int = 16): DataFrame = {
+      oversample: Int = 16, nprobe: Option[Int] = None): DataFrame = {
     val (assigned, centroids) = Ivf.fit(e, k = 16, iters = 3)
+    // routing dial derived from the fit's own tightness statistic
+    // (the v4/v16 default path); an explicit value wins
+    val np = nprobe.getOrElse(derivedNprobe(
+      corpusTightnessMicro(assigned, centroids), centroids.length,
+      filtered = false))
     val books = Pq.fitCodebooks(e)
     val (qIds, luts) = Pq.queryLuts(e, books)
     import graft.functions.expressions.PqKernels
@@ -353,7 +385,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val qIdx = map_from_arrays(
       typedLit(qIds.toList), typedLit(qIds.indices.toList))
-    val scored = Ivf.probes(q, enc, centroids, nprobe = 2)
+    val scored = Ivf.probes(q, enc, centroids, nprobe = np)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", element_at(
         PqKernels.pqAdc(col("codes"), luts, Pq.K),
@@ -401,8 +433,11 @@ object Similarity {
       (build: => (DataFrame, Array[Array[Float]]))
       (post: (String, Array[Array[Float]]) => Unit = (_, _) => ())
       : (String, Array[Array[Float]]) = {
+    // the signature carries a layout version: changing WHAT the build
+    // stores (e.g. the micro-unit tightness key) must re-key the
+    // artifact rather than silently serving a stale layout
     val dir = graft.core.Artifacts.resolveOrBuild(s, prefix, d,
-      graft.Tables.fileSig(s"$d/embeddings.parquet")) { tmp =>
+      graft.Tables.fileSig(s"$d/embeddings.parquet") + "|v2") { tmp =>
       val (assigned, centroids) = build
       val uri = s"$tmp/arr"
       graft.sources.GraftArray.create(s, uri, graft.core.ArraySchema(
@@ -419,10 +454,12 @@ object Similarity {
       // the build's one-pass tightness statistic lands in the index
       // manifest so query time derives its default dials from the
       // MEASURED corpus regime (never hand-tuned; explicit options
-      // still win) — see derivedNprobe/derivedCands
+      // still win) — see derivedNprobe/derivedCands. Stored as the
+      // floor-micro INTEGER the v29 report also publishes, so report
+      // and served defaults derive from one number
       graft.sources.GraftArray.putMetadata(s, uri,
-        Map("graft.ann.tightness" -> String.format(java.util.Locale.ROOT,
-          "%.4f", Double.box(corpusTightness(assigned, centroids)))))
+        Map("graft.ann.tightness_micro" ->
+          corpusTightnessMicro(assigned, centroids).toString))
       post(uri, centroids)
       graft.core.Artifacts.writeFloatMatrix(tmp, "centroids", centroids)
     }
@@ -462,7 +499,7 @@ object Similarity {
       nprobe: Option[Int] = None, extra: Column = lit(true),
       filtered: Boolean = false): DataFrame = {
     val np = nprobe.getOrElse(derivedNprobe(
-      annTightness(s, uri), centroids.length, filtered))
+      annTightnessMicro(s, uri), centroids.length, filtered))
     val arr = s.read.format("graftarray").option("path", uri).load()
     // per-query probe lists from the driver-side centroid table
     // (kilobytes): the probe set becomes a LITERAL IN predicate on
@@ -1289,7 +1326,7 @@ object Similarity {
     "v21_ann_cascade" -> ((s, d) => {
       val e = emb(s, d)
       recallCheck(
-        cascadeTopK(e, cands = derivedCands(anchorTightnessOf(d, e))),
+        cascadeTopK(e, cands = derivedCands(anchorTightnessMicroOf(d, e))),
         bruteTopK(e), bound = 0.5)
     }),
 
@@ -1324,15 +1361,20 @@ object Similarity {
           floor(sum(col("cm")).cast("double") /
             count(lit(1)).cast("double")).cast("long")
             .as("tightness_micro"))
+        // cuts and dial values reference the SAME constants the
+        // runtime derivation uses (TightCutMicro/ModerateCutMicro,
+        // derivedNprobe/derivedCands's branches) over the SAME
+        // floor-micro integer — the report can never disagree with
+        // the served defaults (round-11 ADVICE)
         .select(col("n_vectors"), tMicro,
-          when(tMicro >= 800000L, "tight")
-            .when(tMicro >= 500000L, "moderate")
+          when(tMicro >= TightCutMicro, "tight")
+            .when(tMicro >= ModerateCutMicro, "moderate")
             .otherwise("isotropic").as("regime"),
-          when(tMicro >= 800000L, 1L).otherwise(2L)
+          when(tMicro >= TightCutMicro, 1L).otherwise(2L)
             .cast("long").as("nprobe_unfiltered"),
           lit(8L).as("nprobe_filtered"),
-          when(tMicro >= 800000L, 100L)
-            .when(tMicro >= 500000L, 200L).otherwise(400L)
+          when(tMicro >= TightCutMicro, 100L)
+            .when(tMicro >= ModerateCutMicro, 200L).otherwise(400L)
             .cast("long").as("cascade_cands"))
     }),
 

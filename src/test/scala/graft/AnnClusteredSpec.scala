@@ -50,14 +50,17 @@ class AnnClusteredSpec extends SparkSpec {
   }
 
   test("derived dials land in the right regime on BOTH corpus shapes") {
-    import operators.Similarity.{anchorTightness, corpusTightness,
+    import operators.Similarity.{anchorTightnessMicro, corpusTightnessMicro,
       derivedCands, derivedNprobe}
     // tight blob corpus: both tightness estimators clear the 0.8 cut
-    // (measured fit 0.93, anchor 0.87) → nprobe 1, cands 100
+    // (measured fit 0.93, anchor 0.87) → nprobe 1, cands 100.
+    // Estimators are floor-micro INTEGERS — the exact statistic the
+    // v29 report publishes, so report and served dials cannot split.
     val (assignedB, centB) = operators.Ivf.fit(blobs, k = 16, iters = 3)
-    val tFitB = corpusTightness(assignedB.localCheckpoint(), centB)
-    val tAnchB = anchorTightness(blobs)
-    assert(tFitB >= 0.9 && tAnchB >= 0.85, s"blob tightness $tFitB/$tAnchB")
+    val tFitB = corpusTightnessMicro(assignedB.localCheckpoint(), centB)
+    val tAnchB = anchorTightnessMicro(blobs)
+    assert(tFitB >= 900000L && tAnchB >= 850000L,
+      s"blob tightness $tFitB/$tAnchB")
     assert(derivedNprobe(tFitB, 16, filtered = false) == 1)
     assert(derivedCands(tAnchB) == 100)
     // isotropic corpus (seeded random gaussians — the synthetic-table
@@ -70,9 +73,10 @@ class AnnClusteredSpec extends SparkSpec {
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .localCheckpoint()
     val (assignedI, centI) = operators.Ivf.fit(iso, k = 16, iters = 3)
-    val tFitI = corpusTightness(assignedI.localCheckpoint(), centI)
-    val tAnchI = anchorTightness(iso)
-    assert(tFitI < 0.5 && tAnchI < 0.5, s"iso tightness $tFitI/$tAnchI")
+    val tFitI = corpusTightnessMicro(assignedI.localCheckpoint(), centI)
+    val tAnchI = anchorTightnessMicro(iso)
+    assert(tFitI < 500000L && tAnchI < 500000L,
+      s"iso tightness $tFitI/$tAnchI")
     assert(derivedNprobe(tFitI, 16, filtered = false) == 2)
     assert(derivedCands(tAnchI) == 400)
     // the filtered dial is selectivity-driven in EVERY regime
@@ -83,6 +87,20 @@ class AnnClusteredSpec extends SparkSpec {
     val r = operators.Similarity.cascadeRecalls(spark, blobs,
       cands = derivedCands(tAnchB))
     assert(r.min >= 0.9, s"derived-cands recalls: ${r.toSeq}")
+  }
+
+  test("v4/v15 derived dial equals the former hardcoded 2 on the corpus") {
+    import operators.Similarity.{corpusTightnessMicro, derivedNprobe}
+    // the round-12 unification routed v4/v6-adjacent IVF paths through
+    // derivedNprobe; on the shipped synthetic embeddings table the
+    // fit-tightness is isotropic (measured ~0.27-0.33), so the derived
+    // dial MUST equal the former hardcoded nprobe=2 — this is what
+    // keeps the v4/v15 published oracle rows byte-identical
+    val e = Tables.load(spark, sf, "embeddings")
+    val (assigned, cent) = operators.Ivf.fit(e, k = 16, iters = 3)
+    val t = corpusTightnessMicro(assigned.localCheckpoint(), cent)
+    assert(t < 500000L, s"corpus tightness regime moved: $t")
+    assert(derivedNprobe(t, 16, filtered = false) == 2)
   }
 
   test("clustered corpus: filtered search at derived nprobe=8 >= 0.9") {

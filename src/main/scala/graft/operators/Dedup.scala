@@ -536,7 +536,7 @@ object Dedup {
     * and verify at jac 1 ≥ threshold, and two distinct sequences share
     * a band iff their representatives do. */
   private[graft] def minhashVerifiedPairs(docsDf: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, layout: (Int, Int) = (16, 4)): DataFrame = {
     // members feed the intra self-join and the two cross expansions;
     // materialize once — this also runs the shingle pipeline once
     val members = minhashMembers(docsDf).localCheckpoint()
@@ -545,7 +545,7 @@ object Dedup {
     val reps = members.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("sh"))
       .localCheckpoint()
-    val bands = minhashBandRows(reps, Some(HotBandCap))
+    val bands = minhashBandRows(reps, Some(HotBandCap), layout)
     val candG = bands.as("a").join(bands.as("b"), "band")
       .filter(col("a.gid") < col("b.gid"))
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
@@ -648,23 +648,74 @@ object Dedup {
       .select(df.columns.map(col) :+ col("gid"): _*)
   }
 
-  /** 16 × 4-row band keys over shingle-sequence REPRESENTATIVES —
-    * `(gid, band)`, hot bands (> cap distinct sequences) dropped.
-    * Takes reps, not docs: the band self-join must see one row per
-    * distinct sequence (spec-asserted in DedupSpec's minhash
-    * mega-cluster test). */
+  /** `bands × rowsPerBand` band keys over shingle-sequence
+    * REPRESENTATIVES — `(gid, band)`, hot bands (> cap distinct
+    * sequences) dropped. The layout splits the 64-value signature
+    * (`bands · rowsPerBand = 64`); the shipped default 16×4 is the
+    * d16-justified choice and the DERIVED per-corpus layout comes
+    * from [[lshLayoutOf]] (explicit option wins). Takes reps, not
+    * docs: the band self-join must see one row per distinct sequence
+    * (spec-asserted in DedupSpec's minhash mega-cluster test). */
   private[graft] def minhashBandRows(reps: DataFrame,
-      dfCap: Option[Long]): DataFrame = {
+      dfCap: Option[Long], layout: (Int, Int) = (16, 4)): DataFrame = {
+    val (nBands, rpb) = layout
+    require(nBands * rpb == 64,
+      s"minhash layout must split the 64-value signature: $layout")
     val sig = reps.select(col("gid"),
       minhashSignature(col("sh"), 64).as("sig"))
     val bands0 = sig.select(col("gid"),
-      explode(transform(sequence(lit(0), lit(15)), b =>
-        concat_ws("_", b,
-          element_at(col("sig"), b * 4 + 1),
-          element_at(col("sig"), b * 4 + 2),
-          element_at(col("sig"), b * 4 + 3),
-          element_at(col("sig"), b * 4 + 4)))).as("band"))
+      explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        concat_ws("_", (b +: (1 to rpb).map(j =>
+          element_at(col("sig"), b * rpb + j))): _*))).as("band"))
     dropHotBands(bands0, dfCap)
+  }
+
+  /** The MEASURED per-corpus LSH band layout — d16's designer applied
+    * as the engine default (round-12 verdict #5, mirroring the ANN
+    * dial pattern): over the dataset's parked pair index, every
+    * 64-splitting layout's S-curve recall over TRUE pairs
+    * (jac ≥ 0.8) and leak-through over mid-range pairs is evaluated
+    * with the exact floor-micro arithmetic d16 publishes, and the
+    * layout with the LEAST leak-through among those with recall
+    * ≥ 0.999 wins (none qualifying → the widest). Parked next to the
+    * pair index in the cross-process [[graft.core.Artifacts]] store,
+    * so the one-pass design cost amortizes across processes exactly
+    * like the ANN dials; d16's spec pins 16×4 as this corpus's
+    * choice, which keeps every d3-family CORRECTNESS row
+    * byte-identical. An explicit layout argument always wins. */
+  private[graft] def lshLayoutOf(s: SparkSession, d: String): (Int, Int) = {
+    val dir = graft.core.Artifacts.resolveOrBuild(s, "lsh_layout", d,
+      graft.Tables.fileSig(s"$d/documents.parquet")) { tmp =>
+      val pairs = sweepPairs(s, d)
+      def powChain(x: Column, n: Int): Column =
+        Iterator.fill(n)(x).reduce(_ * _)
+      val scored = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+        .map { case (b, r) =>
+          val p = lit(1.0) - powChain(lit(1.0) - powChain(col("jac"), r), b)
+          val cm = floor(p * 1000000.0).cast("long")
+          pairs.agg(
+            sum(when(col("jac") >= 0.8, cm)).as("sr"),
+            count(when(col("jac") >= 0.8, 1)).as("nr"),
+            sum(when(col("jac") < 0.8, cm)).as("sf"),
+            count(when(col("jac") < 0.8, 1)).as("nf"))
+            .select(lit(b).as("bands"), lit(r).as("rpb"),
+              when(col("nr") === 0, 1000000L)
+                .otherwise(expr("sr div nr")).as("recall_micro"),
+              when(col("nf") === 0, 0L)
+                .otherwise(expr("sf div nf")).as("fp_micro"))
+        }.reduce(_ unionByName _)
+        .collect() // 5 layout rows
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val chosen = scored.filter(_._3 >= 999000L)
+        .sortBy(x => (x._4, x._2)).headOption
+        .getOrElse(scored.minBy(_._2)) // widest = rpb 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "layout"),
+        s"${chosen._1} ${chosen._2}\n".getBytes("UTF-8"))
+    }
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "layout")), "UTF-8").trim.split(' ')
+    (parts(0).toInt, parts(1).toInt)
   }
 
   /** Distributed connected components by min-label propagation over an
@@ -861,11 +912,19 @@ object Dedup {
       }.reduce(_ unionByName _).orderBy("rows_per_band")
     }),
 
-    // MinHash(64) + LSH(16 bands × 4 rows) candidates, verified with
-    // exact Jaccard ≥ 0.8. Oracle is the *exact* pair set — LSH recall
-    // at j≥0.8 with these parameters is 1 − (1−j⁴)¹⁶ ≥ 1 − 7·10⁻⁶.
+    // MinHash(64) + LSH candidates, verified with exact Jaccard ≥ 0.8.
+    // The band layout is DERIVED per corpus by d16's designer over the
+    // parked pair index (lshLayoutOf — 16 bands × 4 rows on this
+    // corpus, spec-pinned), not hardcoded. CONTRACT (round-11 ADVICE):
+    // recall-ACCOUNTED like the whole banded family, not "exact at any
+    // scale" — S-curve recall at j≥0.8 under 16×4 is 1 − (1−j⁴)¹⁶
+    // ≥ 1 − 7·10⁻⁶, and the HotBandCap misses a true pair only when
+    // EVERY band it agrees on is shared by >1024 distinct sequences
+    // (dropped keys are logged). On this corpus the cap is inert
+    // (spec-asserted) and the published set IS the exact one — which
+    // is what the oracle replays.
     "d3_minhash_lsh" -> ((s, d) =>
-      minhashVerifiedPairs(docs(s, d), 0.8)
+      minhashVerifiedPairs(docs(s, d), 0.8, layout = lshLayoutOf(s, d))
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
         .orderBy("i", "j")),
 
@@ -879,7 +938,8 @@ object Dedup {
     // by component diameter; each is a plain shuffled join, so the loop
     // scales to any corpus Spark can join.
     "d5_dup_clusters" -> ((s, d) => {
-      val edges = minhashVerifiedPairs(docs(s, d), 0.8).select("i", "j")
+      val edges = minhashVerifiedPairs(docs(s, d), 0.8,
+        layout = lshLayoutOf(s, d)).select("i", "j")
       connectedComponents(edges)
         .select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy("doc_id")
@@ -896,7 +956,8 @@ object Dedup {
     // replayed 1:1 by the t2 oracle formula).
     "d12_keep_best" -> ((s, d) => {
       val dd = docs(s, d)
-      val edges = minhashVerifiedPairs(dd, 0.8).select("i", "j")
+      val edges = minhashVerifiedPairs(dd, 0.8,
+        layout = lshLayoutOf(s, d)).select("i", "j")
       val cl = connectedComponents(edges)
         .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       val q = dd.select(col("doc_id"), qualityScore(col("text")).as("q"))
@@ -992,7 +1053,7 @@ object Dedup {
       val exDup = exact.join(exKeep, "fp")
         .filter(col("doc_id") =!= col("keep"))
         .select(col("doc_id")).withColumn("ex", lit(1L))
-      val nearDup = minhashVerifiedPairs(all, 0.8)
+      val nearDup = minhashVerifiedPairs(all, 0.8, layout = lshLayoutOf(s, d))
         .select(col("j").as("doc_id")).distinct().withColumn("nr", lit(1L))
       // the edit tier runs over the FULL corpus, exact dups included:
       // pruning exact-tier catches from the pair universe would be
@@ -1208,11 +1269,23 @@ object Dedup {
       .select(sig.columns.map(col) :+ col("gid"): _*)
   }
 
+  // once-per-JVM guard for the dropHotBands warning (keyed by the
+  // dropped-key count bucket — one line per regime, not per query)
+  private val hotBandWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
   /** Drop band keys shared by more than `cap` rows from candidate
     * generation — the shared hot-band guard for every banded-LSH join
-    * (d4 simhash, v1b/v5 embedding near-dup): a degenerate band would
-    * otherwise join quadratically. Recall accounting at [[HotBandCap]]:
-    * a true pair is lost only if EVERY band it agrees on is that hot. */
+    * (d3 minhash, d4 simhash, v1b/v5 embedding near-dup): a degenerate
+    * band would otherwise join quadratically. Recall accounting at
+    * [[HotBandCap]]: a true pair is lost only if EVERY band it agrees
+    * on is shared by > cap DISTINCT sketches — the d2/d4-style
+    * accounted-recall contract the whole banded family carries (the
+    * round-11 advisor flagged d3's older "exact pair set" phrasing;
+    * COVERAGE.md now states the accounted contract for it too). When
+    * any key IS dropped, one log line per JVM/regime names the count
+    * (the bloomOf discipline) so a capped corpus is visible in logs,
+    * never silent. */
   private[graft] def dropHotBands(bands: DataFrame,
       dfCap: Option[Long]): DataFrame = dfCap match {
     case Some(cap) =>
@@ -1220,6 +1293,13 @@ object Dedup {
       // broadcast anti-join, no extra shuffle of the band rows
       val hot = bands.groupBy("band").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select("band")
+        .localCheckpoint()
+      val nHot = hot.count()
+      if (nHot > 0 && hotBandWarned.add(nHot))
+        System.err.println(s"[graft] dropHotBands: $nHot band key(s) " +
+          s"exceeded the $cap distinct-sketch cap and were dropped from " +
+          "candidate generation (recall accounting: a true pair is " +
+          "missed only if every band it agrees on is that hot)")
       bands.join(broadcast(hot), Seq("band"), "left_anti")
     case None => bands
   }

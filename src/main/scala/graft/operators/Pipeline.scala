@@ -128,7 +128,8 @@ object Pipeline {
     "x4_cluster_split" -> ((s, d) => {
       val dd = docs(s, d)
       val comp = Dedup.connectedComponents(
-        Dedup.minhashVerifiedPairs(dd, 0.8).select("i", "j"))
+        Dedup.minhashVerifiedPairs(dd, 0.8,
+          layout = Dedup.lshLayoutOf(s, d)).select("i", "j"))
       dd.select(col("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),

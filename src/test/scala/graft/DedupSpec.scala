@@ -701,6 +701,23 @@ class DedupSpec extends SparkSpec {
       epPlan.take(2000))
   }
 
+  test("lshLayoutOf derives d3's shipped 16x4 layout on this corpus") {
+    // the engine default is the DESIGNED layout (round-12 verdict #5):
+    // least mid-range leak among layouts with >= 0.999 recall over the
+    // measured pair index — d16's sweep proves 16x4 is that choice
+    // here, which keeps every d3-family oracle row byte-identical
+    assert(operators.Dedup.lshLayoutOf(spark, sf) == ((16, 4)))
+    // generalized banding: a rep contributes exactly `bands` rows
+    import spark.implicits._
+    val reps = Seq((1L, (1 to 40).map(i => s"t$i"))).toDF("gid", "sh")
+    for (layout <- Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16)))
+      assert(operators.Dedup.minhashBandRows(reps, None, layout)
+        .count() == layout._1.toLong, s"layout $layout")
+    intercept[IllegalArgumentException] {
+      operators.Dedup.minhashBandRows(reps, None, (10, 7))
+    }
+  }
+
   test("d16 layout sweep: provable S-curve ordering, shipped layout justified") {
     val rows = SparkEntry.queries("d16_lsh_layout_sweep")(spark, sf)
       .orderBy("rows_per_band").collect()

@@ -360,4 +360,145 @@ class ConcurrencySpec extends SparkSpec {
     GraftArray.vacuum(spark, uri)
     check("post-consolidate+vacuum")
   }
+
+  test("ALTER COLUMN racing an in-flight append: late commit reconciles") {
+    // Deterministic straddle first — the state the race lands on: an
+    // append that bound the PRE-alter schema (writeFragment fixes its
+    // column set at start) COMMITS AFTER the alter's schema version.
+    // Reconciliation is per-fragment STATS-keyed, not timestamp-keyed,
+    // so the straddling fragment must read exactly like a pre-alter
+    // one: evolved column = fill. The straddle state is constructed
+    // exactly (schema version back-dated between two commits) rather
+    // than luckily.
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    GraftArray.write(spark, uri, spark.range(0, 100)
+      .select(col("id").as("k"), lit(0.0).as("v"))) // plain pre-alter
+    GraftArray.write(spark, uri, spark.range(100, 200)
+      .select(col("id").as("k"), lit(0.0).as("v"))) // the straddler
+    val st = new FragmentStore(uri, spark.sparkContext.hadoopConfiguration)
+    val frags = GraftArray.fragments(spark, uri).sortBy(_.timestamp)
+    val altTs = frags.last.timestamp - 1
+    assert(frags.head.timestamp < altTs, "need distinct commit instants")
+    st.evolveSchema(st.loadSchema().copy(attrs = st.loadSchema().attrs :+
+      AttributeSpec("w", LongType, fillValue = Some("7"))), altTs)
+    val cur = read(uri)
+    assert(cur.columns.toSeq == Seq("k", "v", "w"))
+    assert(cur.count() == 200)
+    assert(cur.filter(col("w") === 7L).count() == 200,
+      "fragment committed AFTER the alter but bound to the old schema " +
+        "must reconcile to the fill like a pre-alter fragment")
+    // post-alter append with the refreshed shape
+    GraftArray.write(spark, uri, spark.range(200, 300)
+      .select(col("id").as("k"), lit(1.0).as("v"), lit(5L).as("w")))
+    assert(read(uri).filter(col("w") === 5L).count() == 100)
+    // time travel below the alter shows the pre-alter schema
+    assert(spark.read.format("graftarray").option("path", uri)
+      .option("asOfTimestamp", altTs - 1).load()
+      .columns.toSeq == Seq("k", "v"))
+    // DROP straddle: an append CARRYING the dropped column commits
+    // after the drop's schema version — post-drop reads simply never
+    // request the column; time travel below the drop still shows it
+    GraftArray.write(spark, uri, spark.range(300, 400)
+      .select(col("id").as("k"), lit(2.0).as("v"), lit(9L).as("w")))
+    val dropTs =
+      GraftArray.fragments(spark, uri).map(_.timestamp).max - 1
+    st.evolveSchema(st.loadSchema().copy(
+      attrs = st.loadSchema().attrs.filterNot(_.name == "v")), dropTs)
+    val afterDrop = read(uri)
+    assert(afterDrop.columns.toSeq == Seq("k", "w"))
+    assert(afterDrop.count() == 400)
+    assert(afterDrop.filter(col("k") >= 300 && col("w") === 9L)
+      .count() == 100, "straddling drop-carrier rows must stay readable")
+    assert(spark.read.format("graftarray").option("path", uri)
+      .option("asOfTimestamp", dropTs - 1).load()
+      .columns.toSeq == Seq("k", "v", "w"))
+
+    // the live RACE: a writer loop vs one ALTER ADD. A writer that
+    // bound the old shape either commits (reconciled by fill — the
+    // straddle above) or fails writeFragment's column check and
+    // retries with the refreshed shape; nothing in between, nothing
+    // lost, under ANY interleaving.
+    for (round <- 0 until 2) {
+      val uri2 = tmp()
+      GraftArray.create(spark, uri2, sch)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writer = new Thread(() => {
+        try {
+          for (w <- 0 until 6) {
+            val lo = w * 100L
+            val oldDf = spark.range(lo, lo + 100)
+              .select(col("id").as("k"), lit(0.0).as("v"))
+            try GraftArray.write(spark, uri2, oldDf)
+            catch {
+              case _: IllegalArgumentException =>
+                // schema moved underneath: the DEFINED failure mode —
+                // refresh the shape and retry (no partial commit
+                // happened: validation precedes any data write)
+                GraftArray.write(spark, uri2,
+                  oldDf.withColumn("w", lit(5L)))
+            }
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      val alterer = new Thread(() => {
+        try {
+          Thread.sleep(60)
+          GraftArray.addColumn(spark, uri2,
+            AttributeSpec("w", LongType, fillValue = Some("7")))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      writer.start(); alterer.start(); writer.join(); alterer.join()
+      assert(errs.isEmpty, s"round $round: ${Option(errs.peek())}")
+      val out = read(uri2)
+      assert(out.count() == 600L,
+        s"round $round: an append was lost or duplicated")
+      assert(out.columns.toSeq == Seq("k", "v", "w"))
+      assert(out.filter(col("w") === 7L || col("w") === 5L)
+        .count() == 600L,
+        s"round $round: a row escaped fill reconciliation")
+    }
+  }
+
+  test("two JVMs racing commits against one warehouse: union content") {
+    import scala.jdk.CollectionConverters._
+    // The rename-based commit protocol exercised ACROSS PROCESSES:
+    // two forked JVMs (own SparkSession, own FragmentStore caches, own
+    // clocks) and this JVM all append disjoint key ranges to one
+    // array. Every fragment must land, every listing must be fresh —
+    // in-process caches must not hide another process's commits.
+    val uri = tmp()
+    GraftArray.create(spark, uri, sch)
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val addOpens = inArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens") Seq(a, inArgs(i + 1))
+      else if (a.startsWith("--add-opens=")) Seq(a)
+      else Nil
+    }
+    def launch(id: Int): Process =
+      new ProcessBuilder((Seq(javaBin) ++ addOpens ++
+        Seq("-Xmx2g", "-cp", cp, "graft.ConcurrencyChild",
+          uri, id.toString, "3")).asJava)
+        .redirectErrorStream(true).start()
+    val procs = Seq(launch(1), launch(2))
+    // the parent races its own appends against both children
+    for (w <- 0 until 3) {
+      val lo = w * 100L
+      GraftArray.write(spark, uri, spark.range(lo, lo + 100)
+        .select(col("id").as("k"), lit(0.0).as("v")))
+    }
+    procs.foreach { p =>
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"child failed:\n${out.takeRight(3000)}")
+    }
+    val got = read(uri)
+    assert(got.count() == 900L, "a cross-process commit was lost")
+    assert(GraftArray.fragments(spark, uri).size == 9)
+    for (id <- 0 to 2)
+      assert(got.filter(col("v") === id.toDouble).count() == 300L,
+        s"writer $id content torn")
+  }
 }

@@ -912,6 +912,36 @@ object Dedup {
       }.reduce(_ unionByName _).orderBy("rows_per_band")
     }),
 
+    // The layout the engine SERVES — lshLayoutOf's parked,
+    // designer-chosen per-corpus default. The oracle replays the
+    // decision rule (least leak among recall ≥ 0.999 layouts, widest
+    // as fallback) over the same measured pair table, so a stale
+    // parked artifact or a drifted rule hash-mismatches.
+    "d17_lsh_layout_choice" -> ((s, d) => {
+      import s.implicits._
+      val (b, r) = lshLayoutOf(s, d)
+      Seq((b.toLong, r.toLong)).toDF("bands", "rows_per_band")
+    }),
+
+    // CALL cat.build_pair_index end-to-end as a user query: the parked
+    // pair table holds exactly the measured pair set (count replayed
+    // by the oracle), and a repeat CALL returns the SAME artifact path
+    // — a procedure that re-parked per call would flip stable_path.
+    "arr37_pair_index_call" -> ((s, d) => {
+      import s.implicits._
+      val cat = "gpi" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        graft.core.TempDirs.fresh("graft_pic"))
+      val p1 = s.sql(s"CALL $cat.build_pair_index('$d')")
+        .head().getString(0)
+      val p2 = s.sql(s"CALL $cat.build_pair_index('$d')")
+        .head().getString(0)
+      val n = s.read.parquet(p1 + "/pairs").count()
+      Seq((n, p1 == p2)).toDF("n_pairs", "stable_path")
+    }),
+
     // MinHash(64) + LSH candidates, verified with exact Jaccard ≥ 0.8.
     // The band layout is DERIVED per corpus by d16's designer over the
     // parked pair index (lshLayoutOf — 16 bands × 4 rows on this
@@ -1402,6 +1432,61 @@ object Dedup {
        FROM keyed i WHERE i.doc_id % 3 = 0 OR i.doc_id % 97 = 1
        ORDER BY doc_id"""
 
+  /** DuckDB replay of the d13/d16/d17/arr37 sweep-pair table: the
+    * sweep corpus (documents ∪ prefix fixtures) → distinct 5-token
+    * shingle sets → exact Jaccard ≥ 0.3 pairs, as a reusable WITH
+    * prologue ending in the `base(jac)` CTE. */
+  private def sweepPairsCte: String = {
+    def prefixLeg(modv: Int, offset: Long, num: Int, den: Int) =
+      s"""SELECT doc_id + $offset AS doc_id,
+         array_to_string(list_slice(toks, 1,
+           (len(toks) * $num + ${den - 1}) // $den), ' ') AS text
+       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+             FROM documents)
+       WHERE doc_id % 7 = $modv"""
+    s"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL ${prefixLeg(1, 2000000L, 1, 2)}
+         UNION ALL ${prefixLeg(2, 3000000L, 3, 4)}),
+       sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(list_slice(toks, i, i + 4), ' ')
+            for i in range(1, len(toks) - 3)]) AS sh
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+                 AS toks FROM corpus)),
+       base AS (
+         SELECT round(jac, 6) AS jac FROM (
+           SELECT len(list_intersect(a.sh, b.sh))::double /
+             len(list_distinct(list_concat(a.sh, b.sh)))::double AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) > 0)
+         WHERE jac >= 0.3)"""
+  }
+
+  /** The five 64-splitting layouts' S-curve recall/leak columns over
+    * `base` — chained multiplication only, shared by d16 and d17. */
+  private def layoutSweepLegs: String = {
+    def chain(e: String, n: Int) =
+      List.fill(n)(e).mkString("(", " * ", ")")
+    def layoutLeg(b: Int, r: Int) = {
+      val pr = s"(1.0 - ${chain(s"(1.0 - ${chain("jac", r)})", b)})"
+      s"""SELECT $b::bigint AS bands, $r::bigint AS rows_per_band,
+         count(CASE WHEN jac >= 0.8 THEN 1 END)::bigint AS n_true_pairs,
+         (CASE WHEN count(CASE WHEN jac >= 0.8 THEN 1 END) = 0 THEN 0
+               ELSE sum(CASE WHEN jac >= 0.8
+                   THEN floor($pr * 1000000)::bigint END)
+                 // count(CASE WHEN jac >= 0.8 THEN 1 END)
+          END)::bigint AS recall_micro,
+         (CASE WHEN count(CASE WHEN jac < 0.8 THEN 1 END) = 0 THEN 0
+               ELSE sum(CASE WHEN jac < 0.8
+                   THEN floor($pr * 1000000)::bigint END)
+                 // count(CASE WHEN jac < 0.8 THEN 1 END)
+          END)::bigint AS fp_micro
+       FROM base"""
+    }
+    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+      .map { case (b, r) => layoutLeg(b, r) }.mkString(" UNION ALL ")
+  }
+
   val oracles: Map[String, String] = Map(
     "d5_dup_clusters" -> dupClustersSql,
     // d12: d5's recursive-CC clusters joined to t2's quality formula;
@@ -1539,52 +1624,28 @@ object Dedup {
     // is replayed with the IDENTICAL left-assoc multiplication chains
     // (never pow — libm is not cross-engine bit-stable), per-pair
     // floor-micro, integer-div means
-    "d16_lsh_layout_sweep" -> {
-      def prefixLeg(modv: Int, offset: Long, num: Int, den: Int) =
-        s"""SELECT doc_id + $offset AS doc_id,
-           array_to_string(list_slice(toks, 1,
-             (len(toks) * $num + ${den - 1}) // $den), ' ') AS text
-         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-               FROM documents)
-         WHERE doc_id % 7 = $modv"""
-      def chain(e: String, n: Int) =
-        List.fill(n)(e).mkString("(", " * ", ")")
-      def layoutLeg(b: Int, r: Int) = {
-        val pr = s"(1.0 - ${chain(s"(1.0 - ${chain("jac", r)})", b)})"
-        s"""SELECT $b::bigint AS bands, $r::bigint AS rows_per_band,
-           count(CASE WHEN jac >= 0.8 THEN 1 END)::bigint AS n_true_pairs,
-           (CASE WHEN count(CASE WHEN jac >= 0.8 THEN 1 END) = 0 THEN 0
-                 ELSE sum(CASE WHEN jac >= 0.8
-                     THEN floor($pr * 1000000)::bigint END)
-                   // count(CASE WHEN jac >= 0.8 THEN 1 END)
-            END)::bigint AS recall_micro,
-           (CASE WHEN count(CASE WHEN jac < 0.8 THEN 1 END) = 0 THEN 0
-                 ELSE sum(CASE WHEN jac < 0.8
-                     THEN floor($pr * 1000000)::bigint END)
-                   // count(CASE WHEN jac < 0.8 THEN 1 END)
-            END)::bigint AS fp_micro
-         FROM base"""
-      }
-      val legs = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
-        .map { case (b, r) => layoutLeg(b, r) }.mkString(" UNION ALL ")
-      s"""WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL ${prefixLeg(1, 2000000L, 1, 2)}
-           UNION ALL ${prefixLeg(2, 3000000L, 3, 4)}),
-         sh AS (SELECT doc_id, list_distinct(
-             [array_to_string(list_slice(toks, i, i + 4), ' ')
-              for i in range(1, len(toks) - 3)]) AS sh
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
-                   AS toks FROM corpus)),
-         base AS (
-           SELECT round(jac, 6) AS jac FROM (
-             SELECT len(list_intersect(a.sh, b.sh))::double /
-               len(list_distinct(list_concat(a.sh, b.sh)))::double AS jac
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             WHERE len(list_intersect(a.sh, b.sh)) > 0)
-           WHERE jac >= 0.3)
-       $legs ORDER BY rows_per_band"""
-    },
+    "d16_lsh_layout_sweep" ->
+      s"""$sweepPairsCte $layoutSweepLegs ORDER BY rows_per_band""",
+    // d17: the layout lshLayoutOf actually SERVES — the designer's
+    // decision rule (least leak among recall ≥ 0.999 layouts; none
+    // qualifying → the widest) replayed over the same measured pair
+    // table. A drifted rule or a stale parked layout hash-mismatches.
+    "d17_lsh_layout_choice" ->
+      s"""$sweepPairsCte, sweep AS ($layoutSweepLegs)
+       SELECT bands, rows_per_band FROM sweep
+       ORDER BY (CASE WHEN recall_micro >= 999000 THEN 0 ELSE 1 END),
+         (CASE WHEN recall_micro >= 999000
+               THEN fp_micro ELSE rows_per_band END),
+         rows_per_band
+       LIMIT 1""",
+    // arr37: the CALL surface end-to-end — the artifact the procedure
+    // parks must hold exactly the measured pair set (count replayed),
+    // and a repeat CALL must return the SAME path (warm reuse, no
+    // rebuild) — a procedure that re-parked per call would flip
+    // stable_path.
+    "arr37_pair_index_call" ->
+      s"""$sweepPairsCte
+       SELECT count(*)::bigint AS n_pairs, true AS stable_path FROM base""",
     // d11: the oracle is the EXACT membership answer — a Bloom false
     // negative on the Spark side would publish is_dup=false for a true
     // duplicate and hash-mismatch here, so the comparison verifies the

@@ -1319,18 +1319,30 @@ object Dedup {
   private[graft] def dropHotBands(bands: DataFrame,
       dfCap: Option[Long]): DataFrame = dfCap match {
     case Some(cap) =>
-      // hot set is tiny by construction (≤ bands/cap keys) →
-      // broadcast anti-join, no extra shuffle of the band rows
-      val hot = bands.groupBy("band").agg(count(lit(1)).as("df"))
+      // the hot set is tiny by construction (≤ total bands / cap keys)
+      // — collect it to the driver: the one job replaces the broadcast
+      // exchange the former anti-join ran anyway, the count feeds the
+      // accounting log for free, and the COMMON case (no hot keys —
+      // spec-asserted on this corpus) returns the band rows with no
+      // filter at all
+      val hotKeys = bands.groupBy("band").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select("band")
-        .localCheckpoint()
-      val nHot = hot.count()
-      if (nHot > 0 && hotBandWarned.add(nHot))
-        System.err.println(s"[graft] dropHotBands: $nHot band key(s) " +
-          s"exceeded the $cap distinct-sketch cap and were dropped from " +
-          "candidate generation (recall accounting: a true pair is " +
-          "missed only if every band it agrees on is that hot)")
-      bands.join(broadcast(hot), Seq("band"), "left_anti")
+        .collect().map(_.get(0)) // ≤ bands/cap rows by construction
+      if (hotKeys.nonEmpty && hotBandWarned.add(hotKeys.length.toLong))
+        System.err.println(s"[graft] dropHotBands: ${hotKeys.length} " +
+          s"band key(s) exceeded the $cap distinct-sketch cap and were " +
+          "dropped from candidate generation (recall accounting: a " +
+          "true pair is missed only if every band it agrees on is " +
+          "that hot)")
+      if (hotKeys.isEmpty) bands
+      else if (hotKeys.length <= 10000)
+        bands.filter(!col("band").isInCollection(hotKeys))
+      else {
+        // adversarial regime (≥ 10k hot keys): stay distributed
+        val hot = bands.groupBy("band").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("band")
+        bands.join(broadcast(hot), Seq("band"), "left_anti")
+      }
     case None => bands
   }
 

@@ -115,6 +115,37 @@ class ArtifactsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("two JVMs racing the SAME artifact build: one winner, no debris") {
+    // the rename publication protocol across real process boundaries:
+    // two forked JVMs and this one all resolve the sf0.001 pair index
+    // under one fresh root. All three must converge on the SAME
+    // published path; afterwards exactly one signature dir exists,
+    // carrying a manifest and a readable pair table, and no .tmp-
+    // loser directories remain.
+    val root = freshRoot()
+    val procs = Seq(1, 2).map(_ => ForkedJvm.launch(
+      "graft.ConcurrencyChild", Seq("pair", sf, root)))
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      Artifacts.clearMemoForTests()
+      val p0 = operators.Dedup.buildPairIndex(spark, sf)
+      val childPaths = procs.map { p =>
+        val (code, out) = ForkedJvm.finish(p)
+        assert(code == 0, s"child failed:\n${out.takeRight(3000)}")
+        out.linesIterator.find(_.startsWith("PATH="))
+          .getOrElse(fail(s"no PATH line:\n${out.takeRight(1000)}"))
+          .stripPrefix("PATH=")
+      }
+      assert(childPaths.forall(_ == p0), s"$childPaths vs $p0")
+      val keyDir = new java.io.File(p0).getParentFile
+      val entries = keyDir.listFiles().map(_.getName).toSeq
+      assert(entries == Seq(new java.io.File(p0).getName),
+        s"debris in $keyDir: $entries")
+      assert(new java.io.File(p0, "_graft_manifest").isFile)
+      assert(spark.read.parquet(p0 + "/pairs").count() > 0)
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("CALL cat.build_pair_index / stage_media: idempotent, warm reuse") {
     val root = freshRoot()
     spark.conf.set("spark.graft.artifacts.dir", root)

@@ -11,22 +11,28 @@ import org.apache.spark.sql.functions._
   * failure so the parent test sees it. */
 object ConcurrencyChild {
   def main(args: Array[String]): Unit = {
-    val Array(uri, idStr, wavesStr) = args
-    val id = idStr.toInt
-    val waves = wavesStr.toInt
     val s = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
-      .appName(s"graft-conc-child-$id")
+      .appName("graft-conc-child")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "2")
       .getOrCreate()
-    try {
-      for (w <- 0 until waves) {
-        val lo = (id * waves + w) * 100L
-        graft.sources.GraftArray.write(s, uri,
-          s.range(lo, lo + 100)
-            .select(col("id").as("k"), lit(id.toDouble).as("v")))
-      }
+    try args match {
+      // race the derived-artifact BUILDER cross-process: two JVMs
+      // resolving the same (kind, dataset, sig) must converge on one
+      // published artifact via the rename protocol
+      case Array("pair", dir, root) =>
+        s.conf.set("spark.graft.artifacts.dir", root)
+        println("PATH=" + graft.operators.Dedup.buildPairIndex(s, dir))
+      case Array(uri, idStr, wavesStr) =>
+        val id = idStr.toInt
+        val waves = wavesStr.toInt
+        for (w <- 0 until waves) {
+          val lo = (id * waves + w) * 100L
+          graft.sources.GraftArray.write(s, uri,
+            s.range(lo, lo + 100)
+              .select(col("id").as("k"), lit(id.toDouble).as("v")))
+        }
     } finally s.stop()
     sys.exit(0)
   }

@@ -461,7 +461,6 @@ class ConcurrencySpec extends SparkSpec {
   }
 
   test("two JVMs racing commits against one warehouse: union content") {
-    import scala.jdk.CollectionConverters._
     // The rename-based commit protocol exercised ACROSS PROCESSES:
     // two forked JVMs (own SparkSession, own FragmentStore caches, own
     // clocks) and this JVM all append disjoint key ranges to one
@@ -469,21 +468,8 @@ class ConcurrencySpec extends SparkSpec {
     // in-process caches must not hide another process's commits.
     val uri = tmp()
     GraftArray.create(spark, uri, sch)
-    val javaBin = sys.props("java.home") + "/bin/java"
-    val cp = sys.props("java.class.path")
-    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toList
-    val addOpens = inArgs.zipWithIndex.flatMap { case (a, i) =>
-      if (a == "--add-opens") Seq(a, inArgs(i + 1))
-      else if (a.startsWith("--add-opens=")) Seq(a)
-      else Nil
-    }
-    def launch(id: Int): Process =
-      new ProcessBuilder((Seq(javaBin) ++ addOpens ++
-        Seq("-Xmx2g", "-cp", cp, "graft.ConcurrencyChild",
-          uri, id.toString, "3")).asJava)
-        .redirectErrorStream(true).start()
-    val procs = Seq(launch(1), launch(2))
+    val procs = Seq(1, 2).map(id => ForkedJvm.launch(
+      "graft.ConcurrencyChild", Seq(uri, id.toString, "3")))
     // the parent races its own appends against both children
     for (w <- 0 until 3) {
       val lo = w * 100L
@@ -491,8 +477,8 @@ class ConcurrencySpec extends SparkSpec {
         .select(col("id").as("k"), lit(0.0).as("v")))
     }
     procs.foreach { p =>
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      assert(p.waitFor() == 0, s"child failed:\n${out.takeRight(3000)}")
+      val (code, out) = ForkedJvm.finish(p)
+      assert(code == 0, s"child failed:\n${out.takeRight(3000)}")
     }
     val got = read(uri)
     assert(got.count() == 900L, "a cross-process commit was lost")

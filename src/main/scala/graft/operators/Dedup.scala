@@ -673,19 +673,23 @@ object Dedup {
   /** The MEASURED per-corpus LSH band layout — d16's designer applied
     * as the engine default (round-12 verdict #5, mirroring the ANN
     * dial pattern): over the dataset's parked pair index, every
-    * 64-splitting layout's S-curve recall over TRUE pairs
-    * (jac ≥ 0.8) and leak-through over mid-range pairs is evaluated
-    * with the exact floor-micro arithmetic d16 publishes, and the
-    * layout with the LEAST leak-through among those with recall
-    * ≥ 0.999 wins (none qualifying → the widest). Parked next to the
-    * pair index in the cross-process [[graft.core.Artifacts]] store,
-    * so the one-pass design cost amortizes across processes exactly
-    * like the ANN dials; d16's spec pins 16×4 as this corpus's
-    * choice, which keeps every d3-family CORRECTNESS row
+    * 64-splitting layout's S-curve capture mass is evaluated with the
+    * exact floor-micro arithmetic d16 publishes, and the layout with
+    * the LEAST mid-range leak-through among those whose WORST true
+    * pair (min capture over jac ≥ 0.8 — deliberately NOT d16's
+    * published mean: a mean ≥ 0.999 can hide one marginal pair a
+    * narrow layout would miss, and d3's contract is per-pair) still
+    * captures ≥ 0.999 wins; none qualifying → the widest. Parked next
+    * to the pair index in the cross-process [[graft.core.Artifacts]]
+    * store, so the one-pass design cost amortizes across processes
+    * exactly like the ANN dials; d16's spec pins 16×4 as this
+    * corpus's choice, which keeps every d3-family CORRECTNESS row
     * byte-identical. An explicit layout argument always wins. */
   private[graft] def lshLayoutOf(s: SparkSession, d: String): (Int, Int) = {
+    // "|min_v2": the decision-rule revision is part of the signature —
+    // a layout parked under the older mean-based rule must re-derive
     val dir = graft.core.Artifacts.resolveOrBuild(s, "lsh_layout", d,
-      graft.Tables.fileSig(s"$d/documents.parquet")) { tmp =>
+      graft.Tables.fileSig(s"$d/documents.parquet") + "|min_v2") { tmp =>
       val pairs = sweepPairs(s, d)
       def powChain(x: Column, n: Int): Column =
         Iterator.fill(n)(x).reduce(_ * _)
@@ -694,13 +698,11 @@ object Dedup {
           val p = lit(1.0) - powChain(lit(1.0) - powChain(col("jac"), r), b)
           val cm = floor(p * 1000000.0).cast("long")
           pairs.agg(
-            sum(when(col("jac") >= 0.8, cm)).as("sr"),
-            count(when(col("jac") >= 0.8, 1)).as("nr"),
+            min(when(col("jac") >= 0.8, cm)).as("mr"),
             sum(when(col("jac") < 0.8, cm)).as("sf"),
             count(when(col("jac") < 0.8, 1)).as("nf"))
             .select(lit(b).as("bands"), lit(r).as("rpb"),
-              when(col("nr") === 0, 1000000L)
-                .otherwise(expr("sr div nr")).as("recall_micro"),
+              coalesce(col("mr"), lit(1000000L)).as("min_recall_micro"),
               when(col("nf") === 0, 0L)
                 .otherwise(expr("sf div nf")).as("fp_micro"))
         }.reduce(_ unionByName _)
@@ -1499,6 +1501,29 @@ object Dedup {
       .map { case (b, r) => layoutLeg(b, r) }.mkString(" UNION ALL ")
   }
 
+  /** d17's decision columns over `base`: the WORST true pair's capture
+    * mass per layout (min over jac ≥ 0.8 — the per-pair guard) plus
+    * the mid-range leak mean — chained multiplication only. */
+  private def layoutChoiceLegs: String = {
+    def chain(e: String, n: Int) =
+      List.fill(n)(e).mkString("(", " * ", ")")
+    def leg(b: Int, r: Int) = {
+      val pr = s"(1.0 - ${chain(s"(1.0 - ${chain("jac", r)})", b)})"
+      s"""SELECT $b::bigint AS bands, $r::bigint AS rows_per_band,
+         coalesce(min(CASE WHEN jac >= 0.8
+             THEN floor($pr * 1000000)::bigint END),
+           1000000)::bigint AS min_recall_micro,
+         (CASE WHEN count(CASE WHEN jac < 0.8 THEN 1 END) = 0 THEN 0
+               ELSE sum(CASE WHEN jac < 0.8
+                   THEN floor($pr * 1000000)::bigint END)
+                 // count(CASE WHEN jac < 0.8 THEN 1 END)
+          END)::bigint AS fp_micro
+       FROM base"""
+    }
+    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+      .map { case (b, r) => leg(b, r) }.mkString(" UNION ALL ")
+  }
+
   val oracles: Map[String, String] = Map(
     "d5_dup_clusters" -> dupClustersSql,
     // d12: d5's recursive-CC clusters joined to t2's quality formula;
@@ -1639,14 +1664,16 @@ object Dedup {
     "d16_lsh_layout_sweep" ->
       s"""$sweepPairsCte $layoutSweepLegs ORDER BY rows_per_band""",
     // d17: the layout lshLayoutOf actually SERVES — the designer's
-    // decision rule (least leak among recall ≥ 0.999 layouts; none
-    // qualifying → the widest) replayed over the same measured pair
-    // table. A drifted rule or a stale parked layout hash-mismatches.
+    // decision rule (least leak among layouts whose WORST true pair
+    // still captures ≥ 0.999 — min, not d16's published mean, because
+    // d3's contract is per-pair; none qualifying → the widest)
+    // replayed over the same measured pair table. A drifted rule or a
+    // stale parked layout hash-mismatches.
     "d17_lsh_layout_choice" ->
-      s"""$sweepPairsCte, sweep AS ($layoutSweepLegs)
+      s"""$sweepPairsCte, sweep AS ($layoutChoiceLegs)
        SELECT bands, rows_per_band FROM sweep
-       ORDER BY (CASE WHEN recall_micro >= 999000 THEN 0 ELSE 1 END),
-         (CASE WHEN recall_micro >= 999000
+       ORDER BY (CASE WHEN min_recall_micro >= 999000 THEN 0 ELSE 1 END),
+         (CASE WHEN min_recall_micro >= 999000
                THEN fp_micro ELSE rows_per_band END),
          rows_per_band
        LIMIT 1""",

@@ -169,6 +169,50 @@ object Kernels {
     column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
       classOf[graft.functions.UnicodeText.type], IntegerType, "deflateLen",
       Seq(expression(s)), inputTypes = Seq(StringType)))
+
+  /** |A ∩ B| of two duplicate-free string arrays — the verify-join
+    * kernel. One hash-set build over the smaller side + one probe pass
+    * over the larger, no intersection array materialized. Identical to
+    * `size(array_intersect(a, b))` on distinct inputs (every shingle /
+    * char-gram / window set in the dedup family is distinct by
+    * construction), and since the sets are distinct the union size is
+    * `size(a) + size(b) − shared`, so `array_union` disappears from the
+    * Jaccard verify entirely: the old form built TWO scratch arrays per
+    * candidate pair through Spark's interpreted non-primitive
+    * ArrayIntersect/ArrayUnion paths. */
+  def sharedCount(a: Column, b: Column): Column =
+    column(SharedCount(expression(a), expression(b)))
+}
+
+/** Shared distinct-element count of two string arrays (see
+  * [[Kernels.sharedCount]]). */
+case class SharedCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SharedCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = " +
+      s"graft.functions.expressions.SharedCount.compute($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+object SharedCount {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    // hash the smaller side, probe with the larger: inputs are distinct
+    // sets, so counting probe hits IS the intersection cardinality
+    val (s, l) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = s.numElements()
+    val nl = l.numElements()
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(s.getUTF8String(i)); i += 1 }
+    var c = 0L
+    var j = 0
+    while (j < nl) { if (set.contains(l.getUTF8String(j))) c += 1; j += 1 }
+    c
+  }
 }
 
 /** Occurrence count of set members in a token array. */

@@ -189,9 +189,15 @@ object Dedup {
     candidatePairs(docsDf, dfCap)
       .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
       .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+      // |A∪B| = |A|+|B|−|A∩B| on distinct sets — one fused kernel pass
+      // per pair instead of interpreted array_intersect + array_union
+      // (identical division operands → identical 6dp jac)
+      .withColumn("shared",
+        graft.functions.expressions.Kernels
+          .sharedCount(col("sa"), col("sb")))
       .withColumn("jac",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
+        col("shared").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("shared")).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
       .orderBy("i", "j")
@@ -218,7 +224,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
       .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
       .withColumn("shared",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        graft.functions.expressions.Kernels
+          .sharedCount(col("sa"), col("sb")))
       .select(col("i"), col("j"), col("shared"),
         size(col("sa")).cast("long").as("ni"),
         size(col("sb")).cast("long").as("nj"))
@@ -368,8 +375,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("i"), col("w").as("wa")), "i")
       .join(sets.select(col("doc_id").as("j"), col("w").as("wb")), "j")
       .select(col("i"), col("j"),
-        size(array_intersect(col("wa"), col("wb"))).cast("long")
-          .as("n_shared"))
+        graft.functions.expressions.Kernels
+          .sharedCount(col("wa"), col("wb")).as("n_shared"))
       .filter(col("n_shared") > 0)
       .orderBy("i", "j")
   }
@@ -478,9 +485,12 @@ object Dedup {
     cands
       .join(sets.select(col("doc_id").as("i"), col("g").as("ga")), "i")
       .join(sets.select(col("doc_id").as("j"), col("g").as("gb")), "j")
+      .withColumn("shared",
+        graft.functions.expressions.Kernels
+          .sharedCount(col("ga"), col("gb")))
       .withColumn("jac",
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double"))
+        col("shared").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("shared")).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
       .orderBy("i", "j")
@@ -554,9 +564,12 @@ object Dedup {
     val verifiedG = candG
       .join(reps.select(col("gid").as("ga"), col("sh").as("sa")), "ga")
       .join(reps.select(col("gid").as("gb"), col("sh").as("sb")), "gb")
+      .withColumn("shared",
+        graft.functions.expressions.Kernels
+          .sharedCount(col("sa"), col("sb")))
       .withColumn("jac",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
+        col("shared").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("shared")).cast("double"))
       .filter(col("jac") >= threshold)
       .select("ga", "gb", "jac")
     // intra-group pairs: identical shingle sequences ⇒ Jaccard exactly

@@ -134,4 +134,22 @@ class KernelPropertySpec extends AnyFunSuite {
       got == sel
     })
   }
+
+  test("SharedCount == size(array_intersect) on distinct string sets") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val elemGen = Gen.oneOf("a", "b", "cc", "日本", "😀x", "é", "", "z9")
+    val setGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, elemGen).map(_.distinct))
+    holds(Prop.forAll(setGen, setGen) { (a, b) =>
+      def arr(xs: List[String]) = new GenericArrayData(
+        xs.map(x => UTF8String.fromString(x)).toArray[Any])
+      val got = graft.functions.expressions.SharedCount
+        .compute(arr(a), arr(b))
+      val naive = a.toSet.intersect(b.toSet).size.toLong
+      // the union identity the Jaccard rewrite rests on
+      val unionOk =
+        a.size + b.size - got == a.toSet.union(b.toSet).size.toLong
+      got == naive && unionOk
+    })
+  }
 }

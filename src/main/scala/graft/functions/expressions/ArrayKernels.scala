@@ -170,6 +170,19 @@ object Kernels {
       classOf[graft.functions.UnicodeText.type], IntegerType, "deflateLen",
       Seq(expression(s)), inputTypes = Seq(StringType)))
 
+  /** Index of the FIRST position where two aligned long-array band-key
+    * sequences agree, skipping keys in `excluded` (the hot-band set);
+    * −1 when none. The banded-LSH self-join dedupes with this instead
+    * of a `distinct()` exchange: a pair matching in k bands joins k
+    * times, and the row whose band index equals the first surviving
+    * agreement is the ONE emission — candidate sets are identical to
+    * the old distinct's, with the dedup now a codegen'd filter inside
+    * the join stage instead of a full shuffle of the duplicated
+    * candidates. */
+  def firstSharedBand(a: Column, b: Column,
+      excluded: Array[Long]): Column =
+    column(FirstSharedBand(expression(a), expression(b), excluded))
+
   /** |A ∩ B| of two duplicate-free string arrays — the verify-join
     * kernel. One hash-set build over the smaller side + one probe pass
     * over the larger, no intersection array materialized. Identical to
@@ -197,6 +210,41 @@ case class SharedCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)
 }
+/** First aligned agreement position of two band-key arrays (see
+  * [[Kernels.firstSharedBand]]). */
+case class FirstSharedBand(left: Expression, right: Expression,
+    excluded: Array[Long]) extends BinaryExpression {
+  @transient private lazy val exSet: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long](excluded.length * 2)
+    excluded.foreach(v => s.add(v))
+    s
+  }
+  override def dataType: DataType = IntegerType
+  /** Public entry for both eval paths (nullSafeEval is protected, so
+    * generated code cannot call it on the shipped instance). */
+  def firstShared(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      if (v == b.getLong(i) && !exSet.contains(v)) return i
+      i += 1
+    }
+    -1
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    firstShared(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the expression instance; the generated loop probes its set
+    val ref = ctx.addReferenceObj("fsb", this,
+      classOf[FirstSharedBand].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.firstShared($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 object SharedCount {
   import org.apache.spark.unsafe.types.UTF8String
   def compute(a: ArrayData, b: ArrayData): Long = {

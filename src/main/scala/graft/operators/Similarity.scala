@@ -109,12 +109,53 @@ object Similarity {
     // one representative row per distinct sketch enters the band join
     val reps = tagged.filter(col("vec_id") === col("gid"))
       .select(col("gid"), col("bands"))
-    val bandRows = Dedup.dropHotBands(
-      reps.select(col("gid"), explode(col("bands")).as("band")), dfCap)
-    val cross = bandRows.as("a").join(bandRows.as("b"), "band")
-      .filter(col("a.gid") < col("b.gid"))
-      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
-      .distinct()
+    // band self-join WITHOUT a distinct exchange: rows carry the full
+    // aligned band-key array, and a pair matching in k bands is
+    // emitted exactly once — by the row whose band index is the FIRST
+    // surviving agreement ([[Kernels.firstSharedBand]]). The old
+    // `.distinct()` shuffled every duplicated candidate emission
+    // (measured ~2 s of the 3.6 s pipeline at sf0.1: near-threshold
+    // pairs here agree on ~6 of 32 bands, so the band join emits ~6×
+    // the candidate volume); the in-join filter is codegen over the
+    // already-joined rows. Hot-band accounting unchanged: hot keys are
+    // collected once (the dropHotBands discipline, log included),
+    // excluded from BOTH the join rows and the kernel's first-match
+    // scan, so "≥ 1 surviving shared band surfaces the pair" still
+    // holds verbatim; an adversarial ≥ 10k-hot-key corpus falls back
+    // to the distributed anti-join + distinct shape.
+    val rows0 = reps.select(col("gid"), col("bands"),
+      posexplode(col("bands")).as(Seq("idx", "band")))
+    val hot: Array[Long] = dfCap match {
+      case Some(cap) =>
+        rows0.groupBy("band").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("band")
+          .collect().map(_.getLong(0)) // ≤ bands/cap rows by construction
+      case None => Array.empty[Long]
+    }
+    val candG: DataFrame =
+      if (hot.length > 10000) {
+        val bandRows = Dedup.dropHotBands(
+          reps.select(col("gid"), explode(col("bands")).as("band")), dfCap)
+        bandRows.as("a").join(bandRows.as("b"), "band")
+          .filter(col("a.gid") < col("b.gid"))
+          .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+          .distinct()
+      } else {
+        if (hot.nonEmpty)
+          System.err.println(s"[graft] lshVerifiedPairs: ${hot.length} " +
+            s"band key(s) exceeded the distinct-sketch cap and were " +
+            "dropped from candidate generation (recall accounting: a " +
+            "true pair is missed only if every band it agrees on is " +
+            "that hot)")
+        val rows = if (hot.isEmpty) rows0
+          else rows0.filter(!col("band").isInCollection(hot.toSeq))
+        rows.as("a").join(rows.as("b"), "band")
+          .filter(col("a.gid") < col("b.gid") &&
+            col("a.idx") === graft.functions.expressions.Kernels
+              .firstSharedBand(col("a.bands"), col("b.bands"), hot))
+          .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+      }
+    val cross = candG
       .join(members.select(col("gid").as("ga"), col("vec_id").as("x")),
         "ga")
       .join(members.select(col("gid").as("gb"), col("vec_id").as("y")),

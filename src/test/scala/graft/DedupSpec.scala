@@ -133,6 +133,28 @@ class DedupSpec extends SparkSpec {
     assert(rev.values.toSet == Set(1L))
   }
 
+  test("CC driver fast path == distributed loop on a mixed random graph") {
+    // chains, stars, pairs and singleton-free ids interleaved; the
+    // driver union-find (under the edge cap) and the distributed
+    // min-label loop (cap forced to 0) must produce identical labels
+    val rnd = new scala.util.Random(7)
+    val edges = (
+      (0 until 200).map(i => (i.toLong, (i + 1).toLong)) ++       // chain
+      (0 until 50).map(i => (1000L, 1000L + 17 * i + 1)) ++       // star
+      (0 until 100).map(_ =>
+        { val a = rnd.nextInt(3000).toLong; (a + 5000, a + 5000 + rnd.nextInt(5) + 1) })
+    ).toDF("i", "j")
+    val viaDriver = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val work = spark.newSession()
+    work.conf.set("graft.cc.driverEdgeCap", "0")
+    val rebound = work.createDataFrame(edges.rdd, edges.schema)
+    val viaLoop = Dedup.connectedComponents(rebound)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver.nonEmpty)
+  }
+
   test("df cap leaves the reported near-dup pair set unchanged") {
     val uncapped = Dedup.jaccardPairsOn(corpus, 0.5, None)
       .select("i", "j").as[(Long, Long)].collect().toSet

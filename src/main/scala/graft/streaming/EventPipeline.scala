@@ -989,11 +989,13 @@ object EventPipeline {
           col("n_users"))
         .writeStream.outputMode("append")
         .format("memory").queryName(name).start()
-      try { q.processAllAvailable() } finally q.stop()
-      val exact = work.table(name)
       // the sketch twin is COMPLETE mode — no append emission, so no
       // sentinels: it reads the raw corpus file (one micro-batch, not
-      // the 3-batch drain staging), a third of the exact chain's cost
+      // the 3-batch drain staging). The two queries are INDEPENDENT
+      // streams over independent sources, so they run CONCURRENTLY
+      // (guide §2.6 — overlap independent jobs): the twin's micro-batch
+      // back-fills executor time the exact chain's 3-batch drain leaves
+      // idle, instead of serializing a fourth batch after it.
       val rawSchema = work.read.parquet(path).schema
       val q2 = work.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -1005,7 +1007,9 @@ object EventPipeline {
           col("n_approx"))
         .writeStream.outputMode("complete")
         .format("memory").queryName(name + "a").start()
-      try { q2.processAllAvailable() } finally q2.stop()
+      try { q.processAllAvailable(); q2.processAllAvailable() }
+      finally { q.stop(); q2.stop() }
+      val exact = work.table(name)
       // inner join drops the sentinel window the complete-mode twin
       // necessarily carries (complete output is never watermark-cut)
       // band = max(±2, 15%): HLL's error is RELATIVE, so a tiny

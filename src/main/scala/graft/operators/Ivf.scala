@@ -34,19 +34,26 @@ object Ivf {
         .select(col("embedding").cast("array<float>"))
         .collect().map(_.getSeq[Float](0).toArray)
 
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
+      // per-position avg as dim AGGREGATE COLUMNS over the un-inflated
+      // corpus: one exchange of k×dim partial states per map partition
+      // and k result rows — the former posexplode form generated
+      // corpus×dim rows before the partial agg and paid a SECOND
+      // shuffle (groupBy(cid) collect_list) just to reassemble the
+      // vector it had exploded
+      val aggs = (0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
       val means = assignOnce(corpus, centroids)
-        .select(col("cluster").as("cid"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-        .select(col("cid"),
-          expr("transform(pairs, p -> cast(p.m as float))").as("cv"))
+        .groupBy(col("cluster").as("cid"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect() // ≤ k rows — cuts the lineage
       val next = centroids.map(_.clone())
       // clusters that lost every member keep their previous centroid
-      means.foreach(r => next(r.getInt(0)) = r.getSeq[Float](1).toArray)
+      means.foreach { r =>
+        next(r.getInt(0)) =
+          Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)
+      }
       centroids = next
     }
     (assignOnce(corpus, centroids), centroids)

@@ -36,6 +36,16 @@ object TopK {
   def argMaxDot(vec: Column, centroids: Array[Array[Float]]): Column =
     column(ArgTopDot(expression(vec), centroids, 1))
 
+  /** Aggregate: per-position sum of FLOAT vectors plus the row count,
+    * as ONE `array<double>` of length dim+1 (count last) — the Lloyd
+    * mean-update state. One aggregate expression keeps per-iteration
+    * planning O(1) (the dim-separate `avg(element_at)` twin paid
+    * Catalyst analysis per column per iteration — measured +1.3 s on
+    * v11's six fits), and partial states are k×(dim+1) doubles per map
+    * partition — never inflated corpus rows. */
+  def vecSumCount(vec: Column, dim: Int): Column =
+    column(VecSumCount(expression(vec), dim).toAggregateExpression())
+
   /** The `n` centroid indices with highest dot products, best first. */
   def argTopDot(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
     column(ArgTopDotList(expression(vec), centroids, n))
@@ -354,6 +364,67 @@ case class TopKByScore(
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): Expression =
     copy(score = cs(0), id = cs(1))
+}
+
+/** Per-position float-vector sum + count (see [[TopK.vecSumCount]]):
+  * buffer = dim sums + count, all double. Rows shorter than `dim`
+  * contribute their prefix (callers pass fixed-width vectors). */
+case class VecSumCount(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](dim + 1)
+
+  override def update(b: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(dim, arr.numElements())
+      var i = 0
+      while (i < n) { b(i) += arr.getFloat(i).toDouble; i += 1 }
+      b(dim) += 1.0
+    }
+    b
+  }
+
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i <= dim) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Double]): Any =
+    new GenericArrayData(b.clone())
+
+  override def serialize(b: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * (dim + 1))
+    var i = 0
+    while (i <= dim) { bb.putDouble(b(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new Array[Double](dim + 1)
+    var i = 0
+    while (i <= dim) { b(i) = bb.getDouble; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumCount =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumCount =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(child = cs(0))
 }
 
 object ArgTopDot {

@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The perf driver parses the bench's FINAL stdout line as JSON. Two sbt
+// defaults have defeated that parse in every round so far (BENCH_r01..r12
+// all carry "parsed": null even when the complete line sat inside the
+// captured tail): the forked run's default LoggedOutput strategy prefixes
+// every program line with "[info] " (so no line ever starts with '{'),
+// and sbt appends "[success] Total time: ..." after the run (so the JSON
+// is never the last line). Pass program output through verbatim and drop
+// the success banner — program stdout reaches the driver byte-identical.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

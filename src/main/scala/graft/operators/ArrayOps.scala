@@ -471,7 +471,9 @@ object ArrayOps {
       val thr = ord.count() / 100
       (0 until 5).foreach { k =>
         val sl = ord.filter(col("o_orderkey") % 1000 === k)
-        if (!sl.isEmpty) GraftArray.write(s, uri, sl)
+        // emptiness decided inside the write pass (footer counts) —
+        // no separate isEmpty job per slice
+        GraftArray.writeNonEmpty(s, uri, sl, origin = None)
       }
       GraftArray.write(s, uri, ord.filter(col("o_orderkey") % 1000 >= 5))
       val (runs, _) = GraftArray.consolidateSmall(s, uri, thr)

@@ -115,6 +115,110 @@ object Prof12 {
         Dedup.connectedComponents(edges2).count())
     }
 
+    if (which("st17")) for (rep <- 1 to reps0) {
+      println(s"[prof] --- st17 rep $rep")
+      val path = s"$d/events.parquet"
+      import graft.streaming.EventPipeline
+      val work = s.newSession()
+      work.conf.set("spark.sql.shuffle.partitions", "2")
+      val thr = time("footer rows (thr)")(
+        work.read.parquet(path).count() * 3 / 8)
+      val staged = graft.core.TempDirs.fresh("graft_prof17")
+      time("stage 6 slices (pass-1 only in bench)") {
+        val ev = work.read.parquet(path)
+          .transform(graft.Tables.normalizeTs)
+        (0 until 6).foreach { k =>
+          ev.filter(pmod(col("event_id"), lit(8L)) <= 5 &&
+              pmod(col("event_id"), lit(8L)) === k)
+            .select("event_id", "user_id", "event_type", "value")
+            .coalesce(1).write.parquet(s"$staged/b$k")
+        }
+      }
+      val uri = graft.core.TempDirs.fresh("graft_prof17_arr") + "/arr"
+      graft.sources.GraftArray.create(work, uri,
+        graft.core.ArraySchema(graft.core.ArrayKind.Sparse,
+          Seq(graft.core.DimensionSpec("event_id",
+            org.apache.spark.sql.types.LongType)),
+          Seq(graft.core.AttributeSpec("user_id",
+              org.apache.spark.sql.types.LongType),
+            graft.core.AttributeSpec("event_type",
+              org.apache.spark.sql.types.StringType),
+            graft.core.AttributeSpec("value",
+              org.apache.spark.sql.types.DoubleType))))
+      def ingest(glob: Seq[Int], sinkId: String): Unit = {
+        val schema = work.read.parquet(s"$staged/b${glob.head}").schema
+        val src = graft.core.TempDirs.fresh(s"graft_prof17_$sinkId")
+        glob.foreach { k =>
+          val w = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(s"$staged/b$k"))
+          try w.forEach { p =>
+            if (!java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.copy(p, java.nio.file.Paths.get(
+                s"$src/${k}_${p.getFileName}"))
+          } finally w.close()
+        }
+        val q = EventPipeline.writeStreamToArray(
+          work.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src),
+          uri, sinkId)
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      time("ingest wave A (4 micro-batches)")(ingest(0 until 4, s"pA$rep"))
+      time("consolidateSmall A")(
+        graft.sources.GraftArray.consolidateSmall(work, uri, thr))
+      time("ingest wave B (2 micro-batches)")(ingest(Seq(4, 5), s"pB$rep"))
+      time("consolidateSmall B")(
+        graft.sources.GraftArray.consolidateSmall(work, uri, thr))
+      time("vacuum")(graft.sources.GraftArray.vacuum(work, uri))
+      time("fragments list + final agg read") {
+        graft.sources.GraftArray.fragments(work, uri).size
+        work.read.format("graftarray").option("path", uri).load()
+          .groupBy("event_type").agg(count(lit(1))).count()
+      }
+      time("FULL st17 query")(
+        StreamOps.queries("st17_stream_compact_loop")(s, d).count())
+    }
+
+    if (which("st16")) for (rep <- 1 to reps0) {
+      println(s"[prof] --- st16 rep $rep")
+      time("FULL st16 query")(
+        StreamOps.queries("st16_stream_outer_join")(s, d).count())
+      time("FULL st11 query")(
+        StreamOps.queries("st11_stream_distinct")(s, d).count())
+    }
+
+    if (which("st12")) for (rep <- 1 to reps0) {
+      println(s"[prof] --- st12 rep $rep")
+      val dd = graft.Tables.load(s, d, "documents")
+      import graft.functions.TextFunctions.fingerprint
+      val keyed = time("keyed fingerprints df (lazy)")(
+        dd.select(col("doc_id"), fingerprint(col("text")).as("fp")))
+      val base = keyed.filter(col("doc_id") % 3 =!= 0)
+      val (_, hits) = time("bloomOf build (agg to driver)")(
+        Dedup.bloomOf(s, base, col("fp"), dd))
+      time("baseFps distinct count")(
+        base.select("fp").distinct().count())
+      time("FULL st12 query")(
+        StreamOps.queries("st12_stream_bloom_admission")(s, d).count())
+    }
+
+    if (which("d2")) for (rep <- 1 to reps0) {
+      println(s"[prof] --- d2 rep $rep")
+      val dd = graft.Tables.load(s, d, "documents")
+      dd.count()
+      val sets = time("shingle sets + checkpoint")(
+        dd.select(col("doc_id"),
+          graft.functions.TextFunctions.shingles(col("text"), 5).as("sh"))
+          .localCheckpoint())
+      val cands = time("candidatePairs (capped index self-join)")(
+        Dedup.candidatePairs(dd, Some(5000L / 100)).localCheckpoint())
+      println(s"[prof]   candidates=${cands.count()}")
+      time("FULL d2 query")(
+        Dedup.queries("d2_ngram_jaccard")(s, d).count())
+    }
+
     if (which("arr")) {
       val li = graft.Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity",

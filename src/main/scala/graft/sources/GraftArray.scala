@@ -71,13 +71,33 @@ object GraftArray {
       partitions: Option[Int] = None): Long =
     writeFragment(spark, uri, df, origin, None, Nil, partitions)
 
+  /** Write only when the input has rows; an empty input leaves the
+    * array untouched and returns None. Emptiness is decided from the
+    * written files' parquet footers INSIDE the one write pass — the
+    * streaming sink previously ran a separate `isEmpty` Spark job per
+    * micro-batch before every write (one extra job per batch on
+    * st9/st17/st18); an empty batch now pays one empty write + rollback
+    * instead, and a non-empty batch pays nothing extra. */
+  private[graft] def writeNonEmpty(spark: SparkSession, uri: String,
+      df: DataFrame, origin: Option[String]): Option[Long] =
+    writeFragmentImpl(spark, uri, df, origin, None, Nil, None,
+      skipIfEmpty = true)
+
   /** Full write path; `commitTs`/`replaces` are consolidation's hooks
     * (commit the merged fragment at the originals' max timestamp so
     * the time-travel axis is preserved). */
   private[graft] def writeFragment(spark: SparkSession, uri: String,
       df: DataFrame, origin: Option[String],
       commitTs: Option[Long], replaces: Seq[String],
-      partitions: Option[Int] = None): Long = {
+      partitions: Option[Int] = None): Long =
+    writeFragmentImpl(spark, uri, df, origin, commitTs, replaces,
+      partitions, skipIfEmpty = false).get
+
+  private def writeFragmentImpl(spark: SparkSession, uri: String,
+      df: DataFrame, origin: Option[String],
+      commitTs: Option[Long], replaces: Seq[String],
+      partitions: Option[Int],
+      skipIfEmpty: Boolean): Option[Long] = {
     val st = store(spark, uri)
     val schema = st.loadSchema()
     require(!schema.encrypted, "encrypted arrays write through the DSv2 " +
@@ -202,6 +222,13 @@ object GraftArray {
     val perFile = ParquetStats.collectPerFile(files, struct,
       spark.sparkContext.hadoopConfiguration)
     val rows = perFile.map(_._2).sum
+    if (skipIfEmpty && rows == 0) {
+      // roll back the empty fragment: no manifest was committed, so the
+      // orphan data dir is invisible to every reader — remove it and
+      // report "nothing written"
+      fs.delete(dataDir, true)
+      return None
+    }
     // fragment stats = pure fold of the footers read ONCE above
     val (_, footerStats) = ParquetStats.merge(perFile, struct)
     val sums: Map[String, (Option[Long], Option[Double])] =
@@ -250,7 +277,7 @@ object GraftArray {
       fileBuckets = fileBuckets,
       origin = origin, replaces = replaces,
       sortedBy = sortedByOf(schema)))
-    ts
+    Some(ts)
   }
 
   /** The column order this write path physically sorts each file by —

@@ -108,13 +108,18 @@ object EventPipeline {
     val replayed =
       st.loadMetadata().get(metaKey).exists(h => batchId <= h.toLong) ||
         st.listFragmentsRaw().exists(_.origin.contains(tag))
-    // empty micro-batches commit nothing (no empty fragments)
-    if (replayed || batch.isEmpty) false
-    else {
-      graft.sources.GraftArray.write(spark, uri, batch, origin = Some(tag))
-      graft.sources.GraftArray.putMetadata(spark, uri,
-        Map(metaKey -> batchId.toString))
-      true
+    // empty micro-batches commit nothing (no empty fragments); the
+    // emptiness check is folded into the write itself (footer row
+    // counts the write pass already reads) — the separate isEmpty
+    // Spark job this used to run per micro-batch is gone
+    if (replayed) false
+    else graft.sources.GraftArray.writeNonEmpty(
+        spark, uri, batch, origin = Some(tag)) match {
+      case Some(_) =>
+        graft.sources.GraftArray.putMetadata(spark, uri,
+          Map(metaKey -> batchId.toString))
+        true
+      case None => false
     }
   }
 

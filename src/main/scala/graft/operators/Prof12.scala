@@ -219,6 +219,26 @@ object Prof12 {
         Dedup.queries("d2_ngram_jaccard")(s, d).count())
     }
 
+    // Dump the collapse's INTERNAL join plan in both regimes — the
+    // declared queries eagerly localCheckpoint the collapse result, so
+    // their own explain() never shows this join (the r13 plan-evidence
+    // gap): below the gate the member join-back must be a
+    // BroadcastHashJoin over checkpointed blocks (zero Exchange on the
+    // payload side); with the gate forced to 0 the round-12 shuffled
+    // recompute shape must reappear unchanged.
+    if (which("collapseplan")) {
+      val dd = graft.Tables.load(s, d, "documents")
+      def dump(tag: String): Unit = {
+        val out = Dedup.minhashMembers(dd)
+        println(s"[prof] ===== collapse plan ($tag) =====")
+        println(out.queryExecution.executedPlan.toString.take(6000))
+      }
+      dump("small gate: broadcast join-back over checkpointed blocks")
+      s.conf.set("graft.dedup.collapseBroadcastMaxBytes", "0")
+      dump("gate forced 0: scale path, shuffled recompute")
+      s.conf.unset("graft.dedup.collapseBroadcastMaxBytes")
+    }
+
     if (which("arr")) {
       val li = graft.Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity",
